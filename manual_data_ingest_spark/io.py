@@ -1,0 +1,48 @@
+"""Table loaders for the fixture star schema (FIXTURES.md).
+
+All loads are plain ``spark.read.parquet`` — scans stay columnar and
+Catalyst pushes filters/projections into the parquet reader. The one
+special case is ``events``: its ``ts`` column is parquet TIMESTAMP(NANOS),
+which the engine session reads as bigint nanos (see session.py) and this
+module converts to a proper µs TimestampType column via integer division
+(``ts div 1000`` — integer div, never float div: nanos ≈ 1.7e18 exceeds
+double's 53-bit mantissa, so float division would corrupt low microseconds).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: every fixture table (TESTDATA.md)
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. ``events`` gets its ts converted (see module doc)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _convert_event_ts(df)
+    return df
+
+
+def _convert_event_ts(df: DataFrame) -> DataFrame:
+    """bigint-nanos → TimestampType(µs), truncating (positive epochs: floor)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,76 @@
+"""SparkSession builder with the engine's mandatory configuration.
+
+Every config here is load-bearing at 100 TB scale or for correctness:
+
+- ``spark.sql.adaptive.enabled`` — AQE re-plans at shuffle boundaries
+  (skew-join splitting, partition coalescing, runtime broadcast demotion).
+  Required by the 100 TB design bar (SURVEY.md §4).
+- ``spark.sql.legacy.parquet.nanosAsLong`` — the ``events`` fixture stores
+  ``ts`` as parquet TIMESTAMP(NANOS); Spark 4.1.2 throws
+  ``PARQUET_TYPE_ILLEGAL`` without this flag (verified hazard,
+  SURVEY.md §2.14 / FIXTURES.md). The column arrives as bigint nanos and
+  is converted by :func:`manual_data_ingest_spark.io.load_events`.
+- ``spark.sql.session.timeZone=UTC`` — deterministic timestamp rendering,
+  matching the DuckDB oracle's naive-UTC reading of the same parquet.
+- Arrow execution — every Pandas-UDF operator crosses JVM↔Python over
+  Arrow batches; without this the UDF surface (SURVEY.md §2.11) is 10-100×
+  slower.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: configs applied to every engine session (also applied on top of an
+#: externally provided session by re-setting the runtime-settable subset).
+ENGINE_CONFIGS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # Fixture timestamps are wall-clock values; read them as TimestampType
+    # (session-TZ) rather than NTZ so window/date arithmetic is uniform.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def get_spark(app_name: str = "manual-data-ingest-spark",
+              master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for this test
+    environment; on a real cluster the caller passes nothing and
+    spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFIGS.items():
+        builder = builder.config(k, v)
+    # Local-mode niceties; harmless on a cluster (overridden by submit conf).
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    return builder.getOrCreate()
+
+
+def ensure_engine_configs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine configs to an existing session.
+
+    The driver hands us a session it built itself; static configs
+    (nanosAsLong is runtime-settable in 4.x, as are the rest) are applied
+    here so ``entry(spark)`` works regardless of how the session was built.
+    """
+    for k, v in ENGINE_CONFIGS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on a live session — best effort
+            pass
+    return spark

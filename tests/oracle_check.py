@@ -1,0 +1,144 @@
+"""Local re-implementation of the driver's DuckDB-oracle comparison.
+
+Runs a registered Spark query and its oracle SQL side by side and
+compares: row count, column names, and order-insensitive values.
+Reports both an *exact* match (what a value-hash would see) and a
+*tolerant* match (float epsilon) so rounding-parity risks surface
+during development instead of at the driver's t2 gate.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    """Canonicalize one value for order-insensitive comparison."""
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return v
+
+
+def _rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def _val_eq(a, b, tol: float) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return math.isclose(a, float(b), rel_tol=tol, abs_tol=tol)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_val_eq(x, y, tol) for x, y in zip(a, b))
+    return a == b
+
+
+@dataclass
+class OracleResult:
+    name: str
+    spark_rows: int
+    duck_rows: int
+    cols_match: bool
+    exact: bool
+    tolerant: bool
+    detail: str = ""
+    mismatches: list = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return self.cols_match and self.spark_rows == self.duck_rows and self.exact
+
+
+def compare(name: str, spark_df, con, sql: str, tol: float = 1e-9) -> OracleResult:
+    sp = spark_df.toPandas()
+    dk = con.execute(sql).fetchdf()
+    cols_match = sorted(sp.columns) == sorted(dk.columns)
+    res = OracleResult(name, len(sp), len(dk), cols_match, False, False)
+    if not cols_match:
+        res.detail = f"columns spark={sorted(sp.columns)} duck={sorted(dk.columns)}"
+        return res
+    if len(sp) != len(dk):
+        res.detail = f"row count spark={len(sp)} duck={len(dk)}"
+        return res
+    a, b = _rows(sp), _rows(dk)
+    res.exact = a == b
+    res.tolerant = all(_val_eq(x, y, tol) for x, y in zip(a, b))
+    if not res.tolerant:
+        for i, (x, y) in enumerate(zip(a, b)):
+            if not _val_eq(x, y, tol):
+                res.mismatches.append((i, x, y))
+                if len(res.mismatches) >= 3:
+                    break
+        res.detail = f"first mismatches: {res.mismatches}"
+    elif not res.exact:
+        res.detail = "tolerant-only match (float last-bit divergence — hash risk)"
+    return res
+
+
+def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None,
+            spark=None) -> list[OracleResult]:
+    import __spark_entry__ as E
+
+    if spark is None:
+        from manual_data_ingest_spark.session import get_spark
+        spark = get_spark()
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duckdb_connect(sf_dir)
+    results = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            n = fn(spark, sf_dir).count()
+            results.append(OracleResult(name, n, n, True, True, True, "rows-only"))
+            continue
+        try:
+            results.append(compare(name, fn(spark, sf_dir), con, oracles[name]))
+        except Exception as exc:  # surface, keep going
+            results.append(OracleResult(name, -1, -1, False, False, False,
+                                        f"EXCEPTION: {type(exc).__name__}: {exc}"))
+    return results
+
+
+if __name__ == "__main__":
+    import sys
+
+    only = sys.argv[1:] or None
+    for r in run_all(only=only):
+        flag = "OK " if r.ok else ("~~ " if r.tolerant else "BAD")
+        print(f"{flag} {r.name:28s} rows={r.spark_rows}/{r.duck_rows} {r.detail[:500]}")
