@@ -1,0 +1,192 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Reference behavior reconstructed: summary statistics and per-category
+tallies over curator sheets; hierarchical report totals. All groupBys
+here are hash aggregations with map-side partial aggregation (Spark
+does partial/final automatically); group keys are low-cardinality
+enums or dim keys, so the shuffle moves only the partial states —
+the pattern that holds at 100 TB.
+
+Hash discipline: every double is rounded before it reaches the driver's
+value hash (2dp money, 4dp ratios); collected arrays are sorted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.registry import register
+
+
+@register("agg_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4)      AS avg_disc,
+       count(*)                       AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape — the flagship aggregation
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+@register("agg_count_distinct", """
+SELECT n_name, count(DISTINCT o_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.countDistinct("o_custkey").alias("n_customers")))
+
+
+@register("agg_approx_distinct", None)  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 100 TB-scale cardinality estimation: one pass, constant memory/key.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+
+
+@register("agg_rollup", """
+SELECT n_name, c_mktsegment,
+       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .rollup("n_name", "c_mktsegment")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+@register("agg_cube", """
+SELECT n_name, c_mktsegment,
+       count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .cube("n_name", "c_mktsegment")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+@register("agg_grouping_sets", """
+SELECT n_name, c_mktsegment, count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+""")
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no stable DataFrame API for arbitrary grouping sets → SQL entry point
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey) \
+        .createOrReplaceTempView("mdis_gs_custnation")
+    return spark.sql("""
+        SELECT n_name, c_mktsegment, count(*) AS n_cust
+        FROM mdis_gs_custnation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """)
+
+
+@register("agg_filtered", """
+SELECT l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount))
+             FILTER (WHERE l_returnflag = 'R'), 2) AS rev_returned,
+       round(sum(l_extendedprice * (1 - l_discount))
+             FILTER (WHERE l_returnflag = 'A'), 2) AS rev_accepted,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
+FROM lineitem
+GROUP BY l_linestatus
+""")
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conditional aggregation in ONE pass (no self-joins / multiple scans)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_linestatus")
+            .agg(F.round(F.sum(F.when(F.col("l_returnflag") == "R", rev)), 2)
+                  .alias("rev_returned"),
+                 F.round(F.sum(F.when(F.col("l_returnflag") == "A", rev)), 2)
+                  .alias("rev_accepted"),
+                 F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk")))
+
+
+@register("agg_collect_sorted", """
+SELECT n_name,
+       list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-safety: collected arrays are always sorted (collect_set order
+    # is nondeterministic across partitions/runs)
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments")))
+
+
+@register("agg_percentile", """
+SELECT o_orderstatus,
+       list_transform(quantile_cont(o_totalprice, [0.5, 0.9]),
+                      x -> round(x, 2)) AS price_quantiles
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont — parity verified, SURVEY.md §2.14). At 100 TB use
+    # approx_percentile instead; exact needs a per-group sort.
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.expr(
+                "transform(percentile(o_totalprice, array(0.5D, 0.9D)), x -> round(x, 2))"
+            ).alias("price_quantiles")))
+
+
+@register("agg_stats", """
+SELECT n_name,
+       round(avg(c_acctbal), 2)         AS avg_bal,
+       round(min(c_acctbal), 2)         AS min_bal,
+       round(max(c_acctbal), 2)         AS max_bal,
+       round(stddev_samp(c_acctbal), 2) AS sd_bal,
+       round(var_samp(c_acctbal), 2)    AS var_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+                 F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
+                 F.round(F.var_samp("c_acctbal"), 2).alias("var_bal")))

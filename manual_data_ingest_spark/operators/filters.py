@@ -1,0 +1,84 @@
+"""Projections, filters, predicates (SURVEY.md §2.2).
+
+Reference behavior reconstructed: row filtering and derived-field
+computation during curator-sheet cleanup (SURVEY.md §0 — public-knowledge
+reconstruction; the mount is empty). All operators are single-pass
+narrow transformations: no shuffle, filters and projections push into the
+parquet scan (verified via .explain — PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register("project_compute", f"""
+SELECT l_orderkey, l_linenumber,
+       l_quantity AS qty,
+       {sql_rnd(_REV)} AS revenue,
+       {sql_rnd(f"{_REV} * (1 + l_tax)")} AS charged
+FROM lineitem
+""")
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row products of 2dp decimals land on .xx5 rounding ties —
+    # use the cross-engine deterministic rounder, not native round()
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        rnd(disc).alias("revenue"),
+        rnd(disc * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@register("filter_compound", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6-shaped predicate; every conjunct is pushable into parquet.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@register("filter_in_like_null", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus LIKE 'F%'
+  AND o_custkey IS NOT NULL
+""")
+def filter_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # controlled-vocabulary membership + pattern + null validation
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderstatus").like("F%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register("distinct_rows", """
+SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+""")
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_nationkey", "c_mktsegment").distinct()

@@ -1,0 +1,195 @@
+"""Join operators (SURVEY.md §2.3).
+
+Reference behavior reconstructed: joining curator sheets (sample→donor),
+membership/gap checks against registered entities, small-dim lookups
+(organ-code tables). Scale notes per operator in docstrings/comments —
+broadcast for dims, Catalyst/AQE choice for fact-fact, and composed
+plans for the non-equi shapes Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.registry import register
+
+
+@register("join_inner_equi", """
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""")
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fact-dim equi join: leave physical choice to Catalyst/AQE (broadcast
+    # at small SF, sort-merge when customer outgrows the threshold).
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+            .select("o_orderkey", "c_name", "o_totalprice"))
+
+
+@register("join_left_outer", """
+SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("order_cnt")))
+
+
+@register("join_right_outer", """
+SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt
+FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""")
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (o.join(c, c.c_custkey == o.o_custkey, "right")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("order_cnt")))
+
+
+@register("join_full_outer", """
+WITH sn AS (SELECT s_nationkey AS nationkey, count(*) AS supp_cnt
+            FROM supplier GROUP BY 1),
+     cn AS (SELECT c_nationkey AS nationkey, count(*) AS cust_cnt
+            FROM customer GROUP BY 1)
+SELECT coalesce(sn.nationkey, cn.nationkey) AS nationkey,
+       coalesce(supp_cnt, 0) AS supp_cnt,
+       coalesce(cust_cnt, 0) AS cust_cnt
+FROM sn FULL OUTER JOIN cn ON sn.nationkey = cn.nationkey
+""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reconciliation report: nations having suppliers vs customers
+    s = (load_table(spark, sf_dir, "supplier")
+         .groupBy(F.col("s_nationkey").alias("nationkey"))
+         .agg(F.count("*").alias("supp_cnt")))
+    c = (load_table(spark, sf_dir, "customer")
+         .groupBy(F.col("c_nationkey").alias("nationkey"))
+         .agg(F.count("*").alias("cust_cnt")))
+    return (s.join(c, "nationkey", "full")
+            .select(F.col("nationkey"),
+                    F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+                    F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt")))
+
+
+@register("join_semi", """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "already registered?" membership check — semi join never duplicates
+    # the left side, and only the join key of the right side is shuffled.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register("join_anti", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "not yet ingested" gap report: customers with no URGENT order
+    # (every customer has >=1 order at sf>=0.01, so the plain anti join
+    # would be a vacuous 0-row check — this predicate has real gaps)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register("join_broadcast", """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""")
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit broadcast hint: region is a bounded dim (5 rows at any SF);
+    # at 100 TB this stays a map-side join with zero shuffle of nation.
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("n_nationkey", "n_name", "r_name"))
+
+
+@register("join_cross", """
+SELECT r_name, n_nationkey, n_name
+FROM region CROSS JOIN nation
+WHERE r_regionkey = 0
+""")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded candidate-pair generation; the filter collapses one side
+    # BEFORE the product (Catalyst pushes it below the join).
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_regionkey") == 0)
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_nationkey", "n_name")
+
+
+@register("join_range_theta", """
+SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+""")
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equi conjunct carries the shuffle (hash on orderkey); the date-window
+    # conjuncts evaluate as post-join residual predicates — so this stays
+    # an efficient hash/sort-merge join, NOT a cartesian range join.
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (o.join(li, cond)
+            .select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate"))
+
+
+@register("join_asof", """
+WITH p AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+           WHERE event_type = 'click')
+SELECT event_id, ts, click_ts FROM (
+    SELECT p.event_id, p.ts,
+           c.ts AS click_ts,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+) WHERE rn = 1
+""")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent prior click by user.
+
+    Spark has no native as-of join; composed as range-join + row_number=1
+    with a deterministic tie-break (click event_id). At 100 TB the range
+    join is bounded per user_id (the equi conjunct carries the shuffle);
+    for dense per-user histories, the union+last(ignoreNulls) window
+    formulation avoids the intermediate blow-up — kept here because the
+    candidate set per purchase is small and AQE handles user skew.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc(), F.col("c_event_id").desc())
+    return (p.join(c, (p.user_id == c.c_user_id) & (c.click_ts <= p.ts), "left")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "ts", "click_ts"))

@@ -5,3 +5,10 @@ Add new operator modules here as they are implemented (SURVEY.md §7 phases).
 
 # Phase 0
 import manual_data_ingest_spark.plans.flagship  # noqa: F401
+
+# Phase 1 — relational core
+import manual_data_ingest_spark.operators.filters  # noqa: F401
+import manual_data_ingest_spark.operators.joins  # noqa: F401
+import manual_data_ingest_spark.operators.aggregates  # noqa: F401
+import manual_data_ingest_spark.operators.sorts  # noqa: F401
+import manual_data_ingest_spark.operators.setops  # noqa: F401

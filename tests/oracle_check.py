@@ -35,7 +35,7 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(v):
     """Canonicalize one value for order-insensitive comparison."""
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, float):
         return float(v)
