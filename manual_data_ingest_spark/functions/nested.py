@@ -1,0 +1,152 @@
+"""Array / map / JSON functions (SURVEY.md §2.9).
+
+Reference behavior reconstructed: API-payload parsing and assembly
+(entity-registration JSON), nested metadata wrangling. North-star
+additions: token-array ops over ``documents`` and higher-order
+functions over the 64-dim ``embeddings`` vectors.
+
+All higher-order lambdas run JVM-side (Catalyst ``transform``/
+``filter``/``aggregate`` expressions) — no Python boundary crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+
+@register("array_ops", """
+SELECT doc_id,
+       len(string_split(text, ' '))                    AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))     AS n_distinct,
+       list_contains(string_split(text, ' '), 'data')  AS has_data,
+       list_sort(string_split(text, ' ')[1:5])         AS first5_sorted
+FROM documents
+""")
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"))
+
+
+@register("array_explode", """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""")
+def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("token"))
+            .limit(20))
+
+
+@register("higher_order", f"""
+SELECT vec_id,
+       {sql_rnd("sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))", 6)}
+           AS l2_norm,
+       len(list_filter(embedding, x -> x > 0))  AS n_positive,
+       {sql_rnd("list_sum(list_transform(embedding, x -> x::DOUBLE * 2.0))", 6)}
+           AS scaled_sum
+FROM embeddings
+""")
+def higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HOF lambdas over the 64-dim float vectors; floats cast to double
+    # BEFORE arithmetic so both engines accumulate in double (left-to-right
+    # fold over 64 elements — same order, bit-identical)
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        rnd(F.sqrt(F.aggregate(F.transform(dbl.alias("d"), lambda x: x * x),
+                               F.lit(0.0), lambda acc, v: acc + v)), 6)
+        .alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        rnd(F.aggregate(F.transform("embedding",
+                                    lambda x: x.cast("double") * 2.0),
+                        F.lit(0.0), lambda acc, v: acc + v), 6)
+        .alias("scaled_sum"))
+
+
+@register("map_ops", """
+WITH per_type AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       list(event_type ORDER BY event_type) AS event_types,
+       list(cnt       ORDER BY event_type) AS event_counts
+FROM per_type
+GROUP BY user_id
+""")
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side genuinely builds a MapType (map_from_entries) then emits
+    # sorted keys + aligned lookups — maps themselves don't hash portably
+    # across engines, arrays do.
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (ev.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("cnt")))
+    m = F.map_from_entries(F.collect_list(F.struct("event_type", "cnt")))
+    return (per_type.groupBy("user_id")
+            .agg(m.alias("type_counts"))
+            .select(
+                "user_id",
+                F.sort_array(F.map_keys("type_counts")).alias("event_types"),
+                F.transform(F.sort_array(F.map_keys("type_counts")),
+                            lambda k: F.col("type_counts")[k])
+                .alias("event_counts")))
+
+
+@register("json_extract", """
+SELECT event_id,
+       json_extract_string(props, '$.k')::INT AS k
+FROM events
+WHERE json_extract_string(props, '$.k')::INT > 50
+""")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # API-payload parsing: pull typed field out of a JSON-string column
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
+
+
+@register("json_construct", """
+SELECT c_custkey,
+       json_extract_string(payload, '$.name')    AS rt_name,
+       json_extract_string(payload, '$.segment') AS rt_segment,
+       json_extract_string(payload, '$.id')::BIGINT AS rt_id
+FROM (
+    SELECT c_custkey,
+           to_json(struct_pack(id := c_custkey, name := c_name,
+                               segment := c_mktsegment)) AS payload
+    FROM customer
+)
+""")
+def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity-registration payload assembly (the reference's POST bodies):
+    # build JSON from a struct, then parse fields back out — the payload
+    # string itself is engine-formatted, so the comparison is on the
+    # round-tripped fields.
+    c = load_table(spark, sf_dir, "customer")
+    payload = F.to_json(F.struct(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment")))
+    return (c.select("c_custkey", payload.alias("payload"))
+            .select(
+                "c_custkey",
+                F.get_json_object("payload", "$.name").alias("rt_name"),
+                F.get_json_object("payload", "$.segment").alias("rt_segment"),
+                F.get_json_object("payload", "$.id").cast("bigint").alias("rt_id")))

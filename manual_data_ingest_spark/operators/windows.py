@@ -1,0 +1,142 @@
+"""Window functions (SURVEY.md §2.5).
+
+Reference behavior reconstructed: per-entity record ordering,
+latest-N selection, sessionized diffs. Determinism rule: every window
+ORDER BY ends in a unique key (orderkey / event_id / custkey) so the
+total order — and therefore rank/lag/lead output — is reproducible.
+
+Scale note: window partitions shuffle on partitionBy keys; all keys
+here (custkey, user_id, nationkey) are high-cardinality or bounded-
+fanout, so no single partition explodes. Global windows (sort_multi_
+null in §2.6) are the only single-reducer risk and are confined to
+dim-sized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+
+@register("win_rank_trio", """
+SELECT o_orderkey, o_custkey,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def win_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select("o_orderkey", "o_custkey",
+                    F.row_number().over(w).alias("rn"),
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"))
+
+
+@register("win_topk_group", """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+""")
+def win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 orders per customer; Spark pushes a WindowGroupLimit below
+    # the shuffle (partial top-k per map task) — the per-group analog of
+    # TakeOrderedAndProject.
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+@register("win_lag_lead", """
+SELECT event_id, user_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       (epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts::TIMESTAMP) OVER w)) / 1000000.0
+           AS gap_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+""")
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-event gaps per user; gap computed on epoch-µs longs then one
+    # IEEE divide — bit-identical across engines.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1000000.0)
+        .alias("gap_sec"))
+
+
+@register("win_running_sum", f"""
+SELECT o_custkey, o_orderkey,
+       {sql_rnd('''sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+           AS running_total
+FROM orders
+""")
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    rnd(F.sum("o_totalprice").over(w)).alias("running_total"))
+
+
+@register("win_moving_range", f"""
+SELECT event_id, user_id,
+       {sql_rnd('''avg(value) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts::TIMESTAMP)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)''', 4)}
+           AS avg_1h
+FROM events
+""")
+def win_moving_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trailing-1-hour average: RANGE frame over epoch-µs (a long), so the
+    # frame boundary is exact on both engines (no second-truncation drift).
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select("event_id", "user_id",
+                     rnd(F.avg("value").over(w), 4).alias("avg_1h"))
+
+
+@register("win_ntile_firstlast", """
+SELECT c_custkey, c_nationkey,
+       ntile(4) OVER w AS bal_quartile,
+       first_value(c_custkey) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal, c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS poorest,
+       last_value(c_custkey)  OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal, c_custkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS richest
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""")
+def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # last_value needs the explicit full frame — the default frame ends at
+    # CURRENT ROW, a classic silent-wrong-answer trap on both engines.
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select("c_custkey", "c_nationkey",
+                    F.ntile(4).over(w).alias("bal_quartile"),
+                    F.first("c_custkey").over(wf).alias("poorest"),
+                    F.last("c_custkey").over(wf).alias("richest"))

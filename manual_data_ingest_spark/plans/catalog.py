@@ -12,3 +12,8 @@ import manual_data_ingest_spark.operators.joins  # noqa: F401
 import manual_data_ingest_spark.operators.aggregates  # noqa: F401
 import manual_data_ingest_spark.operators.sorts  # noqa: F401
 import manual_data_ingest_spark.operators.setops  # noqa: F401
+
+# Phase 2 — windows + scalar/array/map/JSON functions
+import manual_data_ingest_spark.operators.windows  # noqa: F401
+import manual_data_ingest_spark.functions.scalar  # noqa: F401
+import manual_data_ingest_spark.functions.nested  # noqa: F401

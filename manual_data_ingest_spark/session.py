@@ -58,6 +58,8 @@ def get_spark(app_name: str = "manual-data-ingest-spark",
     builder = builder.config("spark.driver.memory",
                              os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     builder = builder.config("spark.ui.enabled", "false")
+    # \r-based progress lines interleave destructively with piped stdout
+    builder = builder.config("spark.ui.showConsoleProgress", "false")
     return builder.getOrCreate()
 
 
