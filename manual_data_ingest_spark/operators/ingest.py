@@ -1,0 +1,178 @@
+"""Ingest / metadata-write operators — the reference's core (SURVEY.md §2.12).
+
+Reconstructed semantics of `hubmapconsortium/manual-data-ingest`
+(public-knowledge; empty mount — SURVEY.md §0): file manifests from
+directory walks, uuid-api ID minting, ingest-validation-tools-style rule
+checks, re-registration upsert, Donor→Sample→Dataset provenance
+traversal. Every per-row API call in the reference becomes a set-based,
+deterministic transformation here — the single biggest scalability win
+of the Spark redesign (SURVEY.md §3.1).
+
+Determinism rules: IDs derive from sha2 of natural keys (never
+monotonically_increasing_id — nondeterministic across runs); surrogate
+numbering is row_number over an explicit total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+
+@register("ingest_manifest", """
+SELECT doc_id, source,
+       md5(text)                AS content_md5,
+       n_chars,
+       doc_id % 16              AS bucket,
+       length(text)             AS measured_chars
+FROM documents
+""")
+def ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-manifest analog of the reference's os.walk + checksum loop:
+    # one distributed pass, checksum computed JVM-side (md5 hex parity
+    # with DuckDB verified, SURVEY.md §2.14)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source",
+        F.md5("text").alias("content_md5"),
+        "n_chars",
+        F.pmod("doc_id", F.lit(16)).alias("bucket"),
+        F.length("text").alias("measured_chars"))
+
+
+@register("ingest_id_mint", """
+SELECT doc_id,
+       'MDI-' || upper(substring(sha256(source || '|' || doc_id::VARCHAR), 1, 12))
+           AS minted_id,
+       row_number() OVER (ORDER BY source, doc_id) AS surrogate_id
+FROM documents
+""")
+def ingest_id_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uuid-api minting made deterministic: content-derived ID (sha2 of the
+    # natural key) + surrogate numbering over an explicit total order.
+    # At 100 TB the sha2 path is embarrassingly parallel; the global
+    # row_number is the bottleneck — for real pipelines prefer the sha2 ID
+    # or zipWithIndex-style per-partition offsets; kept here because the
+    # reference's registration flow is sequential by nature.
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("source", "doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("MDI-"),
+            F.upper(F.substring(
+                F.sha2(F.concat_ws("|", "source", "doc_id"), 256), 1, 12)))
+        .alias("minted_id"),
+        F.row_number().over(w).alias("surrogate_id"))
+
+
+@register("ingest_validate", """
+SELECT 'orders.o_custkey.null' AS rule,
+       count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+UNION ALL
+SELECT 'lineitem.orphan_orderkey',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders.orphan_custkey',
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'events.event_type.domain',
+       (SELECT count(*) FROM events
+        WHERE event_type NOT IN ('click','purchase','error','signup','view'))
+UNION ALL
+SELECT 'documents.n_chars.mismatch',
+       (SELECT count(*) FROM documents WHERE length(text) <> n_chars)
+""")
+def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-validation-tools-style rule table: null checks, FK orphans,
+    # controlled-vocabulary domains, self-consistency. Each rule is an
+    # independent aggregate; Spark runs them as parallel jobs of one
+    # unioned plan. Anti-joins (orphans) broadcast the smaller key set.
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def rule(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(F.lit(name).alias("rule"),
+                             F.col("violations").cast("long").alias("violations"))
+
+    null_check = rule(
+        "orders.o_custkey.null",
+        orders.agg(F.count(F.when(F.col("o_custkey").isNull(), 1))
+                   .alias("violations")))
+    li_orphans = rule(
+        "lineitem.orphan_orderkey",
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
+                      "left_anti").agg(F.count("*").alias("violations")))
+    o_orphans = rule(
+        "orders.orphan_custkey",
+        orders.join(customer, orders.o_custkey == customer.c_custkey,
+                    "left_anti").agg(F.count("*").alias("violations")))
+    domain = rule(
+        "events.event_type.domain",
+        events.filter(~F.col("event_type").isin(
+            "click", "purchase", "error", "signup", "view"))
+        .agg(F.count("*").alias("violations")))
+    consistency = rule(
+        "documents.n_chars.mismatch",
+        documents.filter(F.length("text") != F.col("n_chars"))
+        .agg(F.count("*").alias("violations")))
+
+    return (null_check.unionByName(li_orphans).unionByName(o_orphans)
+            .unionByName(domain).unionByName(consistency))
+
+
+@register("ingest_upsert_latest", """
+SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+""")
+def ingest_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-registration overwrite semantics: latest record per natural key
+    # wins. This is the batch shape of a Delta/Iceberg MERGE at scale —
+    # one shuffle on the natural key, no driver involvement.
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "value"))
+
+
+@register("provenance_chain", f"""
+SELECT r_name,
+       {sql_rnd('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       count(*) AS n_lineitems
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey   = c_custkey
+JOIN lineitem ON l_orderkey  = o_orderkey
+GROUP BY r_name
+""")
+def provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Donor→Sample→Dataset analog: 5-way provenance traversal with a
+    # rollup at the root. Dims (region, nation) broadcast; the two
+    # fact-fact joins shuffle on their keys and AQE handles skew.
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                 .alias("revenue"),
+                 F.count("*").alias("n_lineitems")))

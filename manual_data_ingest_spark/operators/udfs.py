@@ -1,0 +1,178 @@
+"""Python UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+The reference's per-row Python logic (validation loops, API-call
+enrichment) maps to Spark's Python UDF family. Design rules:
+
+- UDFs are the slow path — everything that CAN be a built-in function
+  elsewhere in this engine IS one; this module exists to cover the
+  cases where genuinely-custom Python logic is required.
+- Arrow everywhere: pandas UDFs (Series→Series), grouped agg, grouped
+  map (applyInPandas) and mapInPandas all cross the JVM↔Python boundary
+  in columnar Arrow batches, not row-at-a-time pickling.
+- The enrichment pattern (udf_map_partitions) simulates the reference's
+  entity-api lookup with a deterministic in-process table: connection
+  setup happens once per BATCH, not once per row — the pattern that
+  matters when the lookup is a real service client at scale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+_PRIORITY_RANK = {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3,
+                  "4-NOT SPECIFIED": 4, "5-LOW": 5}
+
+
+@register("udf_python_scalar", """
+SELECT o_orderkey,
+       CASE o_orderpriority
+            WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+            WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+            WHEN '5-LOW' THEN 5 ELSE -1 END AS priority_rank
+FROM orders
+""")
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row-at-a-time Python UDF — the direct analog of the reference's
+    # per-row script logic; kept ONLY as surface coverage (the same
+    # classifier is a CASE expression in cond_funcs)
+    @F.udf("int")
+    def classify(priority: str) -> int:
+        return _PRIORITY_RANK.get(priority, -1)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", classify("o_orderpriority").alias("priority_rank"))
+
+
+@register("udf_pandas_scalar", f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_rnd('''CASE WHEN l_quantity > 30 THEN l_extendedprice * 0.9
+                        WHEN l_quantity > 10 THEN l_extendedprice * 0.95
+                        ELSE l_extendedprice END''')} AS tiered_price
+FROM lineitem
+""")
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vectorized Series→Series over Arrow batches (~10-100× the row UDF)
+    @pandas_udf("double")
+    def tiered(qty: pd.Series, price: pd.Series) -> pd.Series:
+        return price.where(qty <= 30, price * 0.9) \
+                    .where((qty > 30) | (qty <= 10), price * 0.95)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     rnd(tiered("l_quantity", "l_extendedprice"))
+                     .alias("tiered_price"))
+
+
+@register("udf_grouped_agg", f"""
+SELECT l_partkey,
+       {sql_rnd('''(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT
+                        * floor(l_quantity + 0.5)::BIGINT)::DOUBLE / 100.0)
+                   / sum(floor(l_quantity + 0.5)::BIGINT)::DOUBLE''', 6)}
+           AS weighted_avg_price
+FROM lineitem
+GROUP BY l_partkey
+""")
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas UDAF (GROUPED_AGG): quantity-weighted average price per part.
+    # Summation runs on exact scaled integers (price-cents × qty): float
+    # sums are order-dependent and pandas (pairwise) vs DuckDB (sequential)
+    # diverge in the last bit, which flips 6dp rounding on ~0.1% of groups.
+    # Integer sums are exact → one identical IEEE division on both engines.
+    # Partial aggregation does NOT apply to pandas UDAFs — all rows of a
+    # group cross to Python — so keep group payloads bounded at scale.
+    import numpy as np
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        cents = np.floor(price.to_numpy() * 100 + 0.5).astype("int64")
+        q = np.floor(qty.to_numpy() + 0.5).astype("int64")
+        return (float((cents * q).sum()) / 100.0) / float(q.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_partkey")
+            .agg(rnd(wavg("l_extendedprice", "l_quantity"), 6)
+                 .alias("weighted_avg_price")))
+
+
+@register("udf_grouped_map", f"""
+SELECT c_custkey, c_nationkey,
+       {sql_rnd('''(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+                   / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey)''', 6)}
+           AS bal_zscore
+FROM customer
+""")
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group-map (applyInPandas): z-score normalization within nation —
+    # the per-cohort normalization pattern. Whole groups cross to Python;
+    # group count (25 nations) bounds parallelism, so at scale prefer the
+    # window formulation (the oracle shows it) unless logic is custom.
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["c_acctbal"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        import numpy as np
+        return pd.DataFrame({
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "bal_zscore": np.floor(z * 1e6 + 0.5) / 1e6,
+        })
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="c_custkey long, c_nationkey int, bal_zscore double")
+
+
+@register("udf_map_partitions", """
+SELECT c_custkey, c_nationkey,
+       CASE c_nationkey % 5
+            WHEN 0 THEN 'TIER-A' WHEN 1 THEN 'TIER-B' WHEN 2 THEN 'TIER-C'
+            WHEN 3 THEN 'TIER-D' ELSE 'TIER-E' END AS tier
+FROM customer
+""")
+def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partition-wise enrichment: the reference's per-row entity-api call,
+    # restructured as one lookup-table load per PARTITION + vectorized
+    # merge per Arrow batch (deterministic dict stands in for the service)
+    tiers = {0: "TIER-A", 1: "TIER-B", 2: "TIER-C", 3: "TIER-D", 4: "TIER-E"}
+
+    def enrich(batches):
+        lookup = pd.Series(tiers)  # "connect" once per partition
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["tier"] = (pdf["c_nationkey"] % 5).map(lookup)
+            yield pdf[["c_custkey", "c_nationkey", "tier"]]
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.mapInPandas(enrich, schema="c_custkey long, c_nationkey int, tier string")
+
+
+@register("udtf_tokenize", """
+SELECT doc_id, i AS pos, l[i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 50),
+     LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) u
+""")
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (Spark 4): one-to-many expansion text → (pos, token).
+    # Bounded to 50 docs: UDTF output crosses the Python boundary row-wise.
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" "), start=1):
+                    yield i, tok
+
+    spark.udtf.register("mdis_tokenize", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("mdis_udtf_docs")
+    return spark.sql("""
+        SELECT doc_id, t.pos, t.token
+        FROM mdis_udtf_docs, LATERAL mdis_tokenize(text) t
+    """)

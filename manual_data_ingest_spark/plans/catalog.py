@@ -17,3 +17,8 @@ import manual_data_ingest_spark.operators.setops  # noqa: F401
 import manual_data_ingest_spark.operators.windows  # noqa: F401
 import manual_data_ingest_spark.functions.scalar  # noqa: F401
 import manual_data_ingest_spark.functions.nested  # noqa: F401
+
+# Phase 3 — sources/sinks, ingest/metadata ops, UDF surface
+import manual_data_ingest_spark.sources.scans  # noqa: F401
+import manual_data_ingest_spark.operators.ingest  # noqa: F401
+import manual_data_ingest_spark.operators.udfs  # noqa: F401

@@ -1,0 +1,125 @@
+"""Scans, sources, and sinks (SURVEY.md §2.1).
+
+Reference behavior reconstructed: reading curator TSV/CSV sheets and
+JSON payloads, emitting TSV manifests, partitioned metadata writes.
+
+Round-trip operators write to a per-call temp directory and read back —
+the read-back result is what gets oracle-compared, so the write path is
+exercised end-to-end. At 100 TB the partitioned sink is the layout
+strategy: partition by a low-cardinality derived key (year) so readers
+get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.registry import register
+
+
+@register("scan_parquet", """
+SELECT l_returnflag, count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # projection + count: the scan should read ONE column (ReadSchema
+    # shows l_returnflag only — verified in the explain audit)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+
+
+@register("scan_csv_roundtrip", """
+SELECT * FROM nation
+""")
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # write CSV with header, re-read with an EXPLICIT schema (inference is
+    # banned in the engine: curator sheets get declared schemas)
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="mdis_csv_")
+    n.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@register("scan_json_lines", """
+SELECT * FROM region
+""")
+def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    out = tempfile.mkdtemp(prefix="mdis_jsonl_")
+    r.write.mode("overwrite").json(out)
+    schema = T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ])
+    return spark.read.schema(schema).json(out)
+
+
+@register("source_generated", """
+SELECT range AS id,
+       range * 2 AS doubled,
+       range % 7 AS mod7
+FROM range(1000)
+""")
+def source_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic-data source: spark.range distributes the sequence across
+    # partitions — the generator the driver's own testdata uses
+    return (spark.range(1000)
+            .select(F.col("id"),
+                    (F.col("id") * 2).alias("doubled"),
+                    (F.col("id") % 7).alias("mod7")))
+
+
+@register("sink_partitioned", """
+SELECT year(o_orderdate)::BIGINT AS o_year, count(*) AS cnt
+FROM orders
+GROUP BY 1
+""")
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partitioned metadata write + partition-pruned read-back; the count
+    # comes from the re-read so directory layout is what's verified
+    o = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="mdis_part_")
+    (o.withColumn("o_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("o_year").parquet(out))
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.col("o_year").cast("long").alias("o_year"))
+            .agg(F.count("*").alias("cnt")))
+
+
+@register("sink_manifest_tsv", """
+SELECT doc_id, source, md5(text) AS content_md5,
+       n_chars, doc_id % 16 AS bucket
+FROM documents
+""")
+def sink_manifest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference emits TSV manifests; write tab-separated, re-read with
+    # explicit schema, return the round-tripped relation
+    d = load_table(spark, sf_dir, "documents")
+    manifest = d.select(
+        "doc_id", "source",
+        F.md5("text").alias("content_md5"),
+        "n_chars",
+        F.pmod("doc_id", F.lit(16)).alias("bucket"))
+    out = tempfile.mkdtemp(prefix="mdis_tsv_")
+    manifest.write.mode("overwrite").option("sep", "\t") \
+        .option("header", True).csv(out)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+    return spark.read.schema(schema).option("sep", "\t") \
+        .option("header", True).csv(out)
