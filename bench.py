@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one warmup + N timed
+runs each, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total median sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1, "duckdb": {...}, "ratio": {...}}
+
+DuckDB comparator numbers (same parquet, same machine) ride along in
+extra keys so every round records the ratio the acceptance bound cares
+about (Spark ≤ 2× DuckDB per query at sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+#: headline queries — one per major operator family (SURVEY.md §2)
+HEADLINE = [
+    "flagship_q3",          # scan+filter+join+agg+topk
+    "agg_pricing_summary",  # TPC-H Q1 hash agg
+    "join_inner_equi",      # fact-dim join
+    "join_asof",            # composed non-equi join
+    "provenance_chain",     # 5-way join + rollup
+    "win_topk_group",       # window group limit
+    "win_moving_range",     # range-frame window
+    "ingest_validate",      # multi-rule union
+    "ingest_upsert_latest", # latest-wins upsert
+    "dedup_exact",          # hash dedup (self-union)
+    "dedup_near_jaccard",   # shingle inverted-index join
+    "sim_topk",             # broadcast probe ANN baseline
+    "sim_threshold_pairs",  # blocked similarity self-join
+    "text_wordcount",       # explode + agg
+    "udf_pandas_scalar",    # Arrow UDF path
+    "stream_session",       # streaming session windows
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    name = os.path.basename(d.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_spark() -> dict[str, float]:
+    from manual_data_ingest_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark("mdis-bench")
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            if df.isStreaming:  # pragma: no cover — streaming ops return batch
+                df.count()
+            else:
+                df.write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        run()  # warmup
+        times[name] = round(statistics.median(run() for _ in range(TIMED_RUNS)), 4)
+    return times
+
+
+def bench_duckdb() -> dict[str, float]:
+    import duckdb
+    import __spark_entry__ as E
+
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"PRAGMA threads={os.cpu_count()}")
+    for name in ("region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{name}.parquet')")
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in oracles:
+            continue
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            return time.perf_counter() - t0
+
+        run()  # warmup
+        times[name] = round(statistics.median(run() for _ in range(TIMED_RUNS)), 4)
+    return times
+
+
+def main() -> None:
+    spark_times = bench_spark()
+    duck_times = bench_duckdb()
+    ratio = {k: round(spark_times[k] / duck_times[k], 2)
+             for k in spark_times if k in duck_times and duck_times[k] > 0}
+    out = {
+        "metric": "headline query wall time, Spark local vs DuckDB comparator",
+        "value": round(sum(spark_times.values()), 4),
+        "unit": "sec",
+        "queries": spark_times,
+        "sf": _sf_from_dir(SF_DIR),
+        "duckdb": duck_times,
+        "ratio": ratio,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

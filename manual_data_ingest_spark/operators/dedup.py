@@ -1,0 +1,148 @@
+"""Deduplication operators (SURVEY.md §2.13) — north-star additions.
+
+Exact dedup: normalize → md5 → keep min doc_id per digest. The fixture
+has zero exact duplicates, so the operator runs on a self-union (copy
+with offset ids) — dedup must demonstrably REMOVE something.
+
+Near-dup: 5-token shingles. Two paths:
+- ``dedup_near_jaccard`` (oracled): exact shingle-Jaccard via an
+  inverted-index self-join — explode distinct shingles, join on shingle,
+  count common, J = common / (|A| + |B| - common). Integer arithmetic +
+  one IEEE division → bit-identical across engines.
+- ``dedup_near_minhash`` (rows-only): hand-rolled MinHash-LSH —
+  per-shingle xxhash64 under 16 seeds → per-doc signature minima →
+  4 bands of 4 → band-bucket join → candidate pairs. LSH internals
+  aren't portable SQL, so the driver records rows-only; the pytest
+  suite checks candidates ⊇ high-Jaccard truth pairs.
+
+Scale: the shingle join's fan-out is bounded by shingle frequency —
+at 100 TB drop top-frequency shingles (stop-shingles) and/or switch to
+the MinHash path, which shuffles fixed-size signatures instead of raw
+shingle postings. Banding keeps the bucket join linear in near-dup
+density; AQE's skew-join split handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+_N_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = 4
+_OFFSET = 1_000_000  # self-union copy id offset
+
+_SHINGLE_SQL = """
+SELECT doc_id, unnest(list_distinct(
+         [array_to_string(l[i:i+4], ' ')
+          for i in generate_series(1, greatest(len(l) - 4, 1))])) AS shingle
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct 5-token shingles per document."""
+    toks = F.split("text", " ")
+    sh = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+@register("dedup_exact", f"""
+WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_OFFSET} AS doc_id, text FROM documents
+)
+SELECT doc_id, md5(lower(trim(text))) AS content_md5
+FROM all_docs
+QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) = 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-groupBy exact dedup on a self-union (fixture has 0 natural
+    # exact dupes); min doc_id per normalized digest wins — one shuffle
+    # on the digest, the canonical 100 TB exact-dedup shape
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + _OFFSET).alias("doc_id"),
+                                  "text"))
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    return (both.select("doc_id", digest.alias("content_md5"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "content_md5"))
+
+
+@register("dedup_near_jaccard", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       {sql_rnd('common::DOUBLE / (sa.n + sb.n - common)', 6)} AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+""")
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact n-gram (5-token shingle) Jaccard near-dup pairs ≥ 0.5 via
+    # inverted-index join — the deterministic companion that verifies
+    # the MinHash candidates
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("common")))
+    jac = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n")
+                                            - F.col("common"))
+    return (pairs
+            .join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+            .filter(jac >= 0.5)
+            .select("id_a", "id_b", rnd(jac, 6).alias("jaccard")))
+
+
+@register("dedup_near_minhash", None)  # rows-only: LSH internals not portable SQL
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (deterministic seeds).
+
+    signature[i] = min over shingles of xxhash64(i, shingle);
+    band hash = xxhash64 over its 4 signature slots; docs sharing any
+    band bucket become candidates. With 16 hashes / 4 bands of 4 the
+    candidate threshold is ≈ (1/4)^(1/4) ≈ 0.71 Jaccard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(_N_HASHES)])
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * _ROWS_PER_BAND + r}")
+                              for r in range(_ROWS_PER_BAND)]).alias("bucket"))
+        for b in range(_BANDS)]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")) \
+                .select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())

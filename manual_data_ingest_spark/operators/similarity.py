@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+Brute-force cosine top-k as the verifiable baseline; the scale path is
+blocking (here: the ``label`` column, standing in for an IVF coarse
+quantizer or LSH bucket) so the candidate set per probe is a partition,
+not the whole corpus.
+
+Performance design (measured, not guessed — BENCH history):
+- The dot product is an UNROLLED 64-term left-associated sum
+  ``cast(a[0])*cast(b[0]) + …`` applied DIRECTLY to the raw
+  array<float> attributes. Spark's higher-order ``aggregate`` lambda is
+  evaluated interpretively per element; the unrolled expression joins
+  whole-stage codegen — same float semantics (left-to-right
+  accumulation == DuckDB list_dot_product's sequential fold, verified
+  bit-exact by the oracle harness), ~10× faster.
+- DO NOT pre-project normalized vectors: Catalyst's CollapseProject
+  inlines the projected expression into every downstream use — 64
+  getItems × a 64-term normalization tree = a combinatorial expression
+  blow-up measured at 30× SLOWER. Per-pair norms as flat unrolled sums
+  are cheap (3 dots ≈ 192 fused multiply-adds per pair) and keep the
+  plan collapse-safe. (A cached/materialized normalized table is the
+  right call at 100 TB, but that is a storage decision, not a plan
+  trick.)
+
+Float discipline: cast float→double per element before arithmetic;
+round scores 6dp with the cross-engine deterministic rounder.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+_SIM_THRESHOLD = 0.35  # fixtures are unclustered random vectors (max cos ~0.48)
+_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+
+def _dot_sql(a: str, b: str, dim: int = _DIM) -> str:
+    """Spark-SQL text of the unrolled left-associated dot product.
+    Built as ONE string parsed JVM-side: constructing ~2000 Column
+    objects through py4j costs ~2 s of pure plan-build time per query
+    (measured); one F.expr call is milliseconds."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(dim))
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
+    """Left-associated unrolled dot product over array<float> columns,
+    casting each element to double — compiles to straight-line codegen
+    and matches DuckDB's list_dot_product-on-double-lists bit-for-bit.
+
+    Accepts column NAMES (fast path: one F.expr) or Column objects
+    (py4j-built tree; avoid in hot paths — see _dot_sql note)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
+    terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double")
+             for i in range(dim)]
+    return functools.reduce(operator.add, terms)
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """HOF fold dot product — for arbitrary/unknown dimensionality
+    (slow path: interpreted per element, excluded from codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
+    """Cosine similarity of two array<float> columns."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_dot_sql(a, b, dim)}) / "
+            f"(SQRT({_dot_sql(a, a, dim)}) * SQRT({_dot_sql(b, b, dim)}))")
+    return dot_unrolled(a, b, dim) / (
+        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim)))
+
+
+_E_CTE = """
+e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings)
+"""
+
+_COS = ("list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")
+
+
+@register("sim_topk", f"""
+WITH {_E_CTE},
+probes AS (
+    SELECT vec_id AS probe_id, label, v FROM e
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+)
+SELECT probe_id, neighbor_id, score, rn FROM (
+    SELECT a.probe_id, b.vec_id AS neighbor_id,
+           {sql_rnd(_COS, 6)} AS score,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rn
+    FROM (SELECT probe_id, v FROM probes WHERE label < 5) a
+    JOIN e b ON b.vec_id <> a.probe_id
+) WHERE rn <= 5
+""")
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 5 probe vectors (lowest vec_id of labels 0-4) × full corpus:
+    # brute-force cosine, per-probe top-5. Probes broadcast — the corpus
+    # is never shuffled; each partition scores its slice, the window
+    # merges the global top-k.
+    e = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (e.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pv")))
+    score = cosine("pv", "embedding")
+    return (F.broadcast(probes)
+            .join(e, F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                    score.alias("score_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("score_raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 5)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("score_raw"), 6).alias("score"), "rn"))
+
+
+@register("sim_threshold_pairs", f"""
+WITH {_E_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       {sql_rnd(_COS, 6)} AS score
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS} >= {_SIM_THRESHOLD}
+""")
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all intra-label pairs with cosine ≥ threshold: label-blocked
+    # self-join (the "blocking" pattern from the similarity-join
+    # literature) — candidate count is Σ per-label n², not corpus n²
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    score = cosine("a.embedding", "b.embedding")
+    return (a.join(b, (F.col("a.label") == F.col("b.label"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.col("a.label").alias("label"),
+                    score.alias("score_raw"))
+            .filter(F.col("score_raw") >= _SIM_THRESHOLD)
+            .select("id_a", "id_b", "label",
+                    rnd(F.col("score_raw"), 6).alias("score")))

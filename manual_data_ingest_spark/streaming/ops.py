@@ -1,0 +1,226 @@
+"""Structured Streaming operators (SURVEY.md §2.10).
+
+The reference is batch-only; this group is the engine's production-
+scale mandate: event-time windows, sessionization, watermarked late-
+data handling, streaming dedup, and custom stateful processing.
+
+Registry contract: each operator runs its plan as a REAL streaming
+query (``readStream`` → transform → ``writeStream``) with the
+``availableNow`` trigger into a memory sink, then returns the sink
+table as a batch DataFrame — so the driver's DuckDB batch oracle
+applies unchanged, while the code path exercised is the streaming one
+(IncrementalExecution, state stores, watermarks). The pytest suite
+additionally runs multi-batch parity checks (maxFilesPerTrigger).
+
+Scale notes: state lives in executor-local state stores (RocksDB
+provider in production); watermarks bound state size; session windows
+merge server-side. ``availableNow`` is also the production backfill
+mode — same code serves batch catch-up and live tailing.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+_SINK_COUNTER = itertools.count()
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_dir(sf_dir: str) -> str:
+    """FileStreamSource requires a DIRECTORY; the fixture is one file.
+    Symlink it into a cached temp dir (on a real deployment the source
+    is a directory of arriving files, so this shim is test-only)."""
+    if sf_dir not in _STREAM_DIRS:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="mdis_stream_src_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table (schema from a batch probe;
+    ns→µs ts conversion as in io.load_events)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    st = spark.readStream.schema(schema).parquet(_events_dir(sf_dir))
+    if dict(st.dtypes).get("ts") == "bigint":
+        st = st.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return st
+
+
+def run_to_batch(df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming plan with availableNow into a memory sink;
+    return the sink contents as a batch DataFrame."""
+    name = f"mdis_stream_sink_{next(_SINK_COUNTER)}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register("stream_tumbling", f"""
+SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS cnt,
+       {sql_rnd('sum(value)')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour tumbling windows are epoch-aligned → batch oracle is plain
+    # hour truncation
+    st = read_events_stream(spark, sf_dir)
+    agg = (st.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("cnt"),
+                rnd(F.sum("value")).alias("sum_value"))
+           .select(F.col("window.start").alias("window_start"),
+                   "event_type", "cnt", "sum_value"))
+    return run_to_batch(agg, "complete")
+
+
+@register("stream_sliding", """
+SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 1000000 // 900 * 900
+                       - k * 900) * 1000000) AS window_start,
+       count(*) AS cnt
+FROM events, LATERAL (SELECT unnest([0, 1, 2, 3]) AS k) u
+GROUP BY 1
+""")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-hour windows sliding every 15 min: every event lands in exactly 4
+    # epoch-aligned windows — the oracle materializes those 4 starts
+    st = read_events_stream(spark, sf_dir)
+    agg = (st.groupBy(F.window("ts", "1 hour", "15 minutes"))
+           .agg(F.count("*").alias("cnt"))
+           .select(F.col("window.start").alias("window_start"), "cnt"))
+    return run_to_batch(agg, "complete")
+
+
+@register("stream_session", """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     < INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM e
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user session windows (30-min inactivity gap); the batch oracle
+    # is the classic gaps-and-islands formulation. Boundary semantics:
+    # a gap of EXACTLY 30:00 starts a new session (windows are
+    # half-open [start, last+gap)) — hence strict '<' in the oracle.
+    st = read_events_stream(spark, sf_dir)
+    agg = (st.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count("*").alias("n_events"))
+           .select("user_id",
+                   F.col("session_window.start").alias("session_start"),
+                   F.col("session_window.end").alias("session_end"),
+                   "n_events"))
+    return run_to_batch(agg, "complete")
+
+
+@register("stream_watermark_late", None)  # rows-only: watermark semantics are engine-internal
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10-min watermark + tumbling count per user. Under availableNow the
+    # watermark only advances between micro-batches, so nothing is late
+    # in single-batch mode; the pytest suite drives the multi-batch case
+    # where late rows are actually dropped.
+    st = read_events_stream(spark, sf_dir)
+    agg = (st.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"), "user_id")
+           .agg(F.count("*").alias("cnt"))
+           .select(F.col("window.start").alias("window_start"),
+                   "user_id", "cnt"))
+    return run_to_batch(agg, "append")
+
+
+@register("stream_dedup", """
+SELECT event_id, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming first-occurrence dedup: two identical streams unioned
+    # (so the state store genuinely suppresses duplicates), keyed state
+    # holds seen event_ids. ts is excluded from the output because which
+    # physical duplicate wins is a race; all other fields are identical.
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (a.unionByName(b)
+               .dropDuplicates(["event_id"])
+               .select("event_id", "user_id", "event_type", "value"))
+    return run_to_batch(deduped, "append")
+
+
+@register("stream_stateful_running", """
+SELECT event_id, user_id,
+       count(*) OVER w AS running_cnt,
+       max(value) OVER w AS running_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom stateful operator: per-user running event count and max
+    # value, state carried across micro-batches in GroupState.
+    # Implementation: applyInPandasWithState (stable since Spark 3.4).
+    # Spark 4's transformWithStateInPandas is the successor API, but its
+    # state protocol requires google.protobuf, which this environment
+    # doesn't ship — applyInPandasWithState covers identical semantics
+    # for this operator without that dependency.
+    # Within a batch rows are sorted by (ts, event_id) inside the
+    # handler, so single-batch output equals the batch window cumsum —
+    # which is the oracle. Multi-batch parity is exercised in pytest.
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running(key, pdfs, state: GroupState):
+        cnt, mx = state.get if state.exists else (0, float("-inf"))
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out_cnt, out_mx = [], []
+        for v in pdf["value"]:
+            cnt += 1
+            mx = v if v > mx else mx
+            out_cnt.append(cnt)
+            out_mx.append(mx)
+        state.update((cnt, mx))
+        yield pd.DataFrame({
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": pdf["user_id"].to_numpy(),
+            "running_cnt": out_cnt,
+            "running_max": out_mx,
+        })
+
+    st = read_events_stream(spark, sf_dir)
+    result = st.groupBy("user_id").applyInPandasWithState(
+        running,
+        outputStructType="event_id long, user_id long, "
+                         "running_cnt long, running_max double",
+        stateStructType="cnt long, mx double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return run_to_batch(result, "append")

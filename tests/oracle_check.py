@@ -123,12 +123,12 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name not in oracles:
-            n = fn(spark, sf_dir).count()
-            results.append(OracleResult(name, n, n, True, True, True, "rows-only"))
-            continue
         try:
-            results.append(compare(name, fn(spark, sf_dir), con, oracles[name]))
+            if name not in oracles:
+                n = fn(spark, sf_dir).count()
+                results.append(OracleResult(name, n, n, True, True, True, "rows-only"))
+            else:
+                results.append(compare(name, fn(spark, sf_dir), con, oracles[name]))
         except Exception as exc:  # surface, keep going
             results.append(OracleResult(name, -1, -1, False, False, False,
                                         f"EXCEPTION: {type(exc).__name__}: {exc}"))
