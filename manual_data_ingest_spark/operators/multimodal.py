@@ -1,0 +1,197 @@
+"""Multimodal (binary) column operators (north star, driver BASELINE.json:6).
+
+Images / audio / video are opaque ``binary`` columns with typed
+metadata. The container ships no image/audio libraries, so the DECODE
+step is a deterministic fake behind an import-try (see
+``_try_real_decoder``) — but everything Spark-side is real and tested:
+the binary column itself, Arrow batch transfer, ``mapInPandas``
+signatures, output schemas, and the metadata math.
+
+The fixture has no binary media, so binaries are synthesized
+deterministically: ``image = utf-8 bytes of documents.text`` (ASCII
+corpus → byte k == codepoint k, which is what makes the DuckDB oracle
+expressible with character functions).
+
+Scale notes: media decode is the textbook mapInPandas workload — pure
+per-row CPU, no shuffle, linear scaling with executors; keep batch
+sizes bounded via spark.sql.execution.arrow.maxRecordsPerBatch when
+rows are megabytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+
+def _try_real_decoder():
+    """Return a real image decoder if the environment has one.
+
+    This container ships neither Pillow nor OpenCV, so production decode
+    raises and the deterministic stub below is used. The stub keeps the
+    same (bytes) -> (width, height, channels, checksum) contract.
+    """
+    try:  # pragma: no cover — not installed in this environment
+        import PIL.Image  # noqa: F401
+
+        def real_decode(buf: bytes):
+            raise NotImplementedError(
+                "real decode path: PIL present but fixture bytes are not "
+                "images; wire actual media here in production")
+
+        return real_decode
+    except ImportError:
+        return None
+
+
+_BYTE_SUM_SQL = ("list_sum(list_transform(generate_series(1, length(text)),"
+                 " i -> ascii(substring(text, i, 1))))")
+
+
+@register("multimodal_manifest", """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       md5(text) AS media_md5,
+       octet_length(text::BLOB) AS n_bytes
+FROM documents
+""")
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # typed-metadata manifest over an opaque binary column — md5/length
+    # computed JVM-side on the BYTES (no Python boundary)
+    d = load_table(spark, sf_dir, "documents")
+    media = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.lit("image/fake").alias("media_type"),
+        F.md5(media).alias("media_md5"),
+        F.length(media).alias("n_bytes"))
+
+
+@register("multimodal_decode", f"""
+SELECT doc_id,
+       octet_length(text::BLOB)             AS n_bytes,
+       1 + octet_length(text::BLOB) % 640   AS width,
+       1 + octet_length(text::BLOB) % 480   AS height,
+       3                                    AS channels,
+       {_BYTE_SUM_SQL} % 2147483647         AS px_checksum,
+       (1 + octet_length(text::BLOB) % 640) * 64
+           // greatest(1 + octet_length(text::BLOB) % 640,
+                       1 + octet_length(text::BLOB) % 480) AS thumb_w,
+       (1 + octet_length(text::BLOB) % 480) * 64
+           // greatest(1 + octet_length(text::BLOB) % 640,
+                       1 + octet_length(text::BLOB) % 480) AS thumb_h
+FROM documents
+""")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # image decode + resize-stub over mapInPandas: bytes cross JVM→Python
+    # as Arrow binary batches; numpy computes per-image features; the
+    # resize is integer aspect-preserving math (thumb bounded to 64px).
+    import numpy as np
+    import pandas as pd
+
+    real = _try_real_decoder()
+
+    def decode(batches):
+        for pdf in batches:
+            n_bytes, width, height, checksum = [], [], [], []
+            for buf in pdf["media"]:
+                if real is not None:  # pragma: no cover
+                    raise NotImplementedError("real decoder not wired")
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n = arr.size
+                n_bytes.append(n)
+                width.append(1 + n % 640)
+                height.append(1 + n % 480)
+                checksum.append(int(arr.sum(dtype=np.int64)) % 2147483647)
+            w = np.array(width, dtype=np.int64)
+            h = np.array(height, dtype=np.int64)
+            m = np.maximum(w, h)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes,
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "px_checksum": checksum,
+                "thumb_w": w * 64 // m,
+                "thumb_h": h * 64 // m,
+            })
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
+    return media.mapInPandas(
+        decode,
+        schema="doc_id long, n_bytes long, width long, height long, "
+               "channels int, px_checksum long, thumb_w long, thumb_h long")
+
+
+@register("multimodal_frame_sample", """
+SELECT doc_id,
+       (octet_length(text::BLOB) - 1) // 500 + 1 AS n_frames,
+       ascii(substring(text, 1, 1))              AS first_frame_byte,
+       ascii(substring(text,
+             ((octet_length(text::BLOB) - 1) // 500) * 500 + 1, 1))
+           AS last_frame_byte
+FROM documents
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video frame-sampling stub: every 500th byte is a "frame"; real
+    # decoders swap into the same mapInPandas slot with the same schema
+    import numpy as np
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            n_frames, first_b, last_b = [], [], []
+            for buf in pdf["media"]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                frames = arr[::500]
+                n_frames.append(len(frames))
+                first_b.append(int(frames[0]))
+                last_b.append(int(frames[-1]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_frames": n_frames,
+                                "first_frame_byte": first_b,
+                                "last_frame_byte": last_b})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
+    return media.mapInPandas(
+        sample, schema="doc_id long, n_frames long, "
+                       "first_frame_byte long, last_frame_byte long")
+
+
+@register("multimodal_audio_stub", f"""
+SELECT doc_id,
+       {sql_rnd('octet_length(text::BLOB) / 16000.0', 6)} AS duration_sec,
+       16000 AS sample_rate,
+       {sql_rnd(f'({_BYTE_SUM_SQL} % 1000) / 1000.0', 6)} AS rms_stub
+FROM documents
+""")
+def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # audio feature extraction stub: 16 kHz mono PCM interpretation of the
+    # bytes; duration + a deterministic rms placeholder. librosa/torchaudio
+    # are absent in this container — the real path is the same mapInPandas
+    # shape with the stub swapped out.
+    import numpy as np
+    import pandas as pd
+
+    def features(batches):
+        for pdf in batches:
+            dur, rms = [], []
+            for buf in pdf["media"]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                dur.append(np.floor(arr.size / 16000.0 * 1e6 + 0.5) / 1e6)
+                rms.append(np.floor((int(arr.sum(dtype=np.int64)) % 1000)
+                                    / 1000.0 * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "duration_sec": dur,
+                                "sample_rate": 16000, "rms_stub": rms})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
+    return media.mapInPandas(
+        features, schema="doc_id long, duration_sec double, "
+                         "sample_rate int, rms_stub double")
