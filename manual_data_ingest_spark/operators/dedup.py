@@ -117,6 +117,121 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", rnd(jac, 6).alias("jaccard")))
 
 
+_SH_BITS = 32          # SimHash width (md5-derived 32-bit token hashes)
+_SH_HAMMING = 2        # near-dup threshold
+_SH_CHUNKS = 4         # pigeonhole blocking: 4 byte-chunks guarantee any
+#                        pair at hamming <= 3 shares at least one exact chunk
+
+
+def _simhash_fp_sql(hash_expr: str, shift: str) -> tuple[str, str]:
+    """(bit-sum select list, fingerprint expr) for a weighted 32-bit
+    SimHash. ``shift`` is the dialect's right-shift spelling with {h}/{b}
+    placeholders — Spark ``shiftright(h, b)``, DuckDB ``h >> b``."""
+    sums = ", ".join(
+        f"sum(cnt * ((({shift.format(h=hash_expr, b=b)}) & 1) * 2 - 1)) AS s{b}"
+        for b in range(_SH_BITS))
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS))
+    return sums, fp
+
+
+_SH_DUCK_SUMS, _SH_DUCK_FP = _simhash_fp_sql("h", "({h} >> {b})")
+_SH_SPARK_SUMS, _SH_SPARK_FP = _simhash_fp_sql("h", "shiftright({h}, {b})")
+
+
+@register("dedup_simhash", f"""
+WITH tok AS (
+    SELECT doc_id, count(*) AS cnt,
+           ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY doc_id, h
+),
+sums AS (SELECT doc_id, {_SH_DUCK_SUMS} FROM tok GROUP BY doc_id),
+fps AS (SELECT doc_id, {_SH_DUCK_FP} AS fp FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {_SH_HAMMING}
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (weighted 32-bit, hamming <= 2).
+
+    fingerprint bit b = sign of sum over tokens of
+    count(token) * (+1 if bit b of hash(token) else -1); the token hash
+    is the first 8 md5 hex chars as an integer (identical in both
+    engines, §2.14 md5 parity).
+
+    Scale path (the part the oracle's O(n²) join does NOT do): split the
+    fingerprint into 4 byte-chunks — any pair at hamming <= 3 must agree
+    exactly on >= 1 chunk (pigeonhole), so candidates come from an
+    equi-join on (chunk_idx, chunk_val) and only candidates pay the
+    bit_count. Same rows, linear-ish in near-dup density instead of n².
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .groupBy("doc_id",
+                    F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10)"
+                           " as bigint)").alias("h"))
+           .agg(F.count("*").alias("cnt")))
+    fps = (tok.groupBy("doc_id")
+           .agg(*[F.expr(f"sum(cnt * (((shiftright(h, {b})) & 1) * 2 - 1))")
+                  .alias(f"s{b}") for b in range(_SH_BITS)])
+           .select("doc_id", F.expr(_SH_SPARK_FP).alias("fp")))
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("ci"),
+                 F.expr(f"(shiftright(fp, {c * 8}) & 255)").alias("cv"))
+        for c in range(_SH_CHUNKS)])
+    blocked = (fps.select("doc_id", "fp", F.explode(chunks).alias("ch"))
+               .select("doc_id", "fp", "ch.ci", "ch.cv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.expr("bit_count(a.fp ^ b.fp)")
+    return (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+                   & (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .filter(ham <= _SH_HAMMING)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct())
+
+
+_EMB_DEDUP_COS = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+                  " * sqrt(list_dot_product(b.v, b.v)))")
+
+
+@register("dedup_embedding", f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+drops AS (
+    SELECT DISTINCT b.vec_id AS dropped
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_EMB_DEDUP_COS} >= 0.35
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT dropped FROM drops)
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: survivors after dropping the
+    higher ``vec_id`` of every intra-label pair with cosine >= 0.35.
+
+    Label-blocked self-join (candidates = Σ per-label n², not corpus n²)
+    then a left-anti join against the drop set — both shuffles keyed and
+    skew-safe under AQE. At 100 TB the label blocker is an ANN index
+    (IVF cells / LSH buckets, see sim_ann_*); the drop rule is the same.
+    """
+    from manual_data_ingest_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    drops = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(cosine("a.embedding", "b.embedding") >= 0.35)
+             .select(F.col("b.vec_id").alias("vec_id"))
+             .distinct())
+    return (e.join(drops, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
 @register("dedup_near_minhash", None)  # rows-only: LSH internals not portable SQL
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (deterministic seeds).

@@ -132,6 +132,102 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("score_raw"), 6).alias("score"), "rn"))
 
 
+_LSH_BITS = 4  # sign bits of dims 0..3 → 16 buckets (~n/16 candidates/probe)
+
+_LSH_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_LSH_BITS))
+_LSH_BUCKET_SPARK = " + ".join(
+    f"(CASE WHEN embedding[{i}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_LSH_BITS))
+
+
+@register("sim_ann_lsh", f"""
+WITH {_E_CTE},
+b AS (SELECT vec_id, label, v, {_LSH_BUCKET_DUCK} AS bucket FROM embeddings
+      JOIN e USING (vec_id, label)),
+probes AS (
+    SELECT vec_id AS probe_id, v, bucket FROM b WHERE label < 5
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+)
+SELECT probe_id, neighbor_id, score, rn FROM (
+    SELECT a.probe_id, b.vec_id AS neighbor_id,
+           {sql_rnd(_COS, 6)} AS score,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rn
+    FROM probes a JOIN b ON a.bucket = b.bucket AND b.vec_id <> a.probe_id
+) WHERE rn <= 3
+""")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sign-random-projection LSH ANN: bucket = sign bits of the first 4
+    # dims (axis-aligned hyperplanes — deterministic, engine-portable);
+    # probes scan ONLY their bucket (~1/16 of the corpus) instead of
+    # everything. The scale story vs sim_topk's brute force: bucket count
+    # grows with corpus size (more bits), candidates per probe stay
+    # bounded; the bucket equi-join shuffles by bucket, skew handled by
+    # AQE. Recall vs the exact baseline is measured in tests.
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", F.expr(_LSH_BUCKET_SPARK))
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (b.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pv"), "bucket"))
+    score = cosine("pv", "embedding")
+    return (F.broadcast(probes)
+            .join(b, ["bucket"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                    score.alias("score_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("score_raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("score_raw"), 6).alias("score"), "rn"))
+
+
+@register("sim_ann_ivf", f"""
+WITH {_E_CTE},
+probes AS (
+    SELECT vec_id AS probe_id, label, v FROM e WHERE label < 5
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+)
+SELECT probe_id, neighbor_id, score, rn FROM (
+    SELECT a.probe_id, b.vec_id AS neighbor_id,
+           {sql_rnd(_COS, 6)} AS score,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rn
+    FROM probes a JOIN e b ON a.label = b.label AND b.vec_id <> a.probe_id
+) WHERE rn <= 3
+""")
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-style ANN with `label` as the coarse cell (nprobe=1): each
+    # probe scans only its own cell. At 100 TB the cells come from a
+    # k-means coarse quantizer and the table is WRITTEN partitioned by
+    # cell, so the probe→cell join prunes file partitions (DPP) and
+    # reads ~1/k of the data — the physical design sim_topk can't have.
+    e = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (e.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("plabel"),
+                      F.col("embedding").alias("pv")))
+    score = cosine("pv", "embedding")
+    return (F.broadcast(probes)
+            .join(e, (F.col("plabel") == F.col("label"))
+                  & (F.col("vec_id") != F.col("probe_id")))
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                    score.alias("score_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("score_raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("score_raw"), 6).alias("score"), "rn"))
+
+
 @register("sim_threshold_pairs", f"""
 WITH {_E_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
