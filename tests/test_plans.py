@@ -1,0 +1,91 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations we rely on
+must actually fire. A correct result from a bad plan is a 100 TB bug.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "filter_compound")
+    assert "PushedFilters: [" in plan
+    # the quantity/discount range predicates must reach the scan
+    assert re.search(r"PushedFilters:.*l_quantity", plan)
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "scan_parquet")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "l_returnflag" in cols
+    assert "l_comment" not in cols  # untouched wide column is pruned
+
+
+def test_broadcast_join_fires(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flagship_uses_whole_stage_codegen(spark):
+    # AQE finalizes the physical plan only at execution time — run the
+    # query, then assert the FINAL plan fused stages into codegen spans
+    df = E.queries()["flagship_q3"](spark, SF_ORACLE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages render as "*(n) Operator" in plan strings
+    assert re.search(r"\*\(\d+\) (HashAggregate|Project|Filter)", final), final
+    assert "isFinalPlan=true" in df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+
+
+def test_topk_is_take_ordered(spark):
+    # orderBy().limit() must compile to TakeOrderedAndProject —
+    # a full sort at 100 TB would be a different (wrong) algorithm
+    plan = _plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sim_topk_broadcasts_probes_not_corpus(spark):
+    plan = _plan(spark, "sim_topk")
+    assert "Broadcast" in plan
+    # corpus side must be a plain scan feeding the broadcast join — no
+    # shuffle (Exchange) below the join on the embeddings scan side
+    join_pos = plan.find("BroadcastNestedLoopJoin")
+    if join_pos < 0:
+        join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos >= 0
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # hash aggregates must run partial (map-side) then final — the
+    # shuffle carries pre-aggregated (key, partial) pairs
+    plan = _plan(spark, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan and "hashpartitioning" in plan
+
+
+def test_udfs_use_arrow_eval(spark):
+    plan = _plan(spark, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time Batch
+
+
+def test_no_cartesian_in_blocked_similarity(spark):
+    # label blocking must make the pair generation an equi-join
+    plan = _plan(spark, "sim_threshold_pairs")
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,145 @@
+"""Batch↔stream parity and true multi-batch streaming tests (SURVEY.md §5.5).
+
+The oracle sweep runs streaming ops with availableNow over ONE file =
+one micro-batch. Here the events table is re-written as several files
+and streamed with maxFilesPerTrigger=1, so state genuinely carries
+across micro-batches — and watermark late-dropping actually fires.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_events
+from manual_data_ingest_spark.streaming import ops as S
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, tmp_path_factory):
+    """events at sf0.001 split into 4 files, mod-times forcing a
+    deterministic processing order (FileStreamSource takes oldest first)."""
+    d = str(tmp_path_factory.mktemp("events_multi"))
+    ev = load_events(spark, SF_SMALL)
+    # split by event_id ranges so each file spans the full time range —
+    # every micro-batch advances the same users' state
+    ev.withColumn("bucket", F.col("event_id") % 4) \
+      .repartitionByRange(4, "bucket").write.mode("overwrite") \
+      .partitionBy("bucket").parquet(d)
+    files = sorted(str(p) for p in __import__("pathlib").Path(d).rglob("*.parquet"))
+    for i, f in enumerate(files):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+def _stream_multi(spark, src_dir, build, output_mode):
+    schema = spark.read.parquet(src_dir).schema
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    sink = f"parity_sink_{abs(hash((src_dir, output_mode, build.__name__))) % 10**8}"
+    q = (build(st).writeStream.format("memory").queryName(sink)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def test_tumbling_multibatch_equals_batch(spark, multi_file_events):
+    def build(st):
+        return (st.groupBy(F.window("ts", "1 hour"), "event_type")
+                .agg(F.count("*").alias("cnt"))
+                .select(F.col("window.start").alias("ws"), "event_type", "cnt"))
+
+    got = _stream_multi(spark, multi_file_events, build, "complete")
+    batch = (load_events(spark, SF_SMALL)
+             .groupBy(F.window("ts", "1 hour"), "event_type")
+             .agg(F.count("*").alias("cnt"))
+             .select(F.col("window.start").alias("ws"), "event_type", "cnt"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_dedup_state_across_batches(spark, multi_file_events):
+    # duplicate event_ids across DIFFERENT micro-batches must be
+    # suppressed by the state store, not by intra-batch dedup
+    def build(st):
+        dup = st.withColumn("value", F.col("value") + 1)  # distinct payload
+        return (st.unionByName(dup).dropDuplicates(["event_id"])
+                .select("event_id"))
+
+    got = _stream_multi(spark, multi_file_events, build, "append")
+    total = load_events(spark, SF_SMALL).count()
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late rows behind the watermark are dropped by the stateful agg.
+
+    Verified Spark semantic (this session, 4.1.2): the watermark that
+    FILTERS batch N's input is the one computed after batch N-1, i.e. it
+    lags the data by one batch. So batch 1's late row (event 3) still
+    lands (effective watermark is epoch), while batch 2's late row
+    (event 5) is dropped by the 11:50 watermark established after
+    batch 1. Complete mode ignores watermarks; update mode filters.
+    """
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    batches = [
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 12:00:00")],
+        [(3, 10, "2024-01-01 09:00:00"), (4, 10, "2024-01-01 12:30:00")],
+        [(5, 10, "2024-01-01 09:05:00"), (6, 10, "2024-01-01 13:00:00")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string") \
+            .select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+        f = f"{d}/batch{i}"
+        df.coalesce(1).write.parquet(f)
+        for p in __import__("pathlib").Path(f).rglob("*.parquet"):
+            os.rename(p, f"{d}/part{i}.parquet")
+            os.utime(f"{d}/part{i}.parquet",
+                     (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    st = (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+          .option("maxFilesPerTrigger", "1").parquet(d + "/part*.parquet"))
+    agg = (st.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour"), "user_id")
+           .agg(F.collect_list("event_id").alias("ids")))
+    sink = "late_drop_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dropped = sum(so["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress for so in p["stateOperators"])
+    seen = {i for r in spark.table(sink).collect() for i in r.ids}
+    assert 5 not in seen          # late event dropped by the watermark
+    assert dropped == 1           # and the drop is visible in metrics
+    assert {1, 2, 3, 4, 6} <= seen  # everything else survives
+
+
+def test_stateful_running_final_counts(spark, multi_file_events):
+    # per-user running count carried across 4 micro-batches must end at
+    # the batch groupBy count
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import pandas as pd
+
+    def running(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = list(range(cnt + 1, cnt + 1 + len(pdf)))
+        state.update((out[-1],))
+        yield pd.DataFrame({"event_id": pdf["event_id"].to_numpy(),
+                            "user_id": pdf["user_id"].to_numpy(),
+                            "running_cnt": out})
+
+    def build(st):
+        return st.groupBy("user_id").applyInPandasWithState(
+            running, "event_id long, user_id long, running_cnt long",
+            "cnt long", "append", GroupStateTimeout.NoTimeout)
+
+    got = _stream_multi(spark, multi_file_events, build, "append")
+    finals = (got.groupBy("user_id").agg(F.max("running_cnt").alias("c")))
+    batch = load_events(spark, SF_SMALL).groupBy("user_id").count()
+    lhs = {(r.user_id, r.c) for r in finals.collect()}
+    rhs = {(r.user_id, r["count"]) for r in batch.collect()}
+    assert lhs == rhs

