@@ -95,21 +95,38 @@ JOIN sizes sb ON id_b = sb.doc_id
 WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
 """)
 def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact n-gram (5-token shingle) Jaccard near-dup pairs ≥ 0.5 via
-    # inverted-index join — the deterministic companion that verifies
-    # the MinHash candidates
+    """Exact n-gram (5-token shingle) Jaccard near-dup pairs ≥ 0.5 — the
+    deterministic companion that verifies the MinHash candidates.
+
+    Inverted-index design (one shingle pass, vs a naive 3-pass
+    self-join): postings = groupBy(shingle) → sorted doc list; pairs
+    expand per posting as array combinations (|d| choose 2) and
+    aggregate to co-occurrence counts; per-doc shingle sizes come from
+    a MAP-ONLY pass over documents (no explode, no shuffle) and join
+    back broadcast. Shuffles: 1×(shingle), 1×(pair) — the minimum.
+    At 100 TB add a posting-frequency cutoff (stop-shingles contribute
+    candidates, not precision) before the quadratic expansion.
+    """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+                .filter(F.size("ds") >= 2))
+    pair_arr = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")
+    pairs = (postings.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
              .agg(F.count("*").alias("common")))
+    sizes = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"))).alias("n"))
     jac = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n")
                                             - F.col("common"))
+    # no broadcast hint on sizes: tiny here, but one-row-per-doc at scale
+    # — AQE picks broadcast when it actually fits
     return (pairs
             .join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
             .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))

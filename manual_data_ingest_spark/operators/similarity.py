@@ -21,6 +21,14 @@ Performance design (measured, not guessed — BENCH history):
   plan collapse-safe. (A cached/materialized normalized table is the
   right call at 100 TB, but that is a storage decision, not a plan
   trick.)
+- Scalar-norm precompute below the join was ALSO measured slower
+  (sim_threshold_pairs 4.3 s vs 1.8 s at sf0.1, reproducible across a
+  repartition barrier) despite 3× fewer per-pair flops: the threshold
+  filter is pushed into the join's residual predicate either way, and
+  the attribute-referencing variant loses more to plan overhead
+  (extra Project + inferred isnotnull(SQRT(...)) constraints) than it
+  saves in arithmetic. Measured > reasoned: keep the inline 3-dot
+  form.
 
 Float discipline: cast float→double per element before arithmetic;
 round scores 6dp with the cross-engine deterministic rounder.
