@@ -41,10 +41,14 @@ HEADLINE = [
     "ingest_validate",      # multi-rule union
     "ingest_upsert_latest", # latest-wins upsert
     "dedup_exact",          # hash dedup (self-union)
-    "dedup_near_jaccard",   # shingle inverted-index join
-    "sim_topk",             # broadcast probe ANN baseline
+    "dedup_near_jaccard",   # shingle inverted-index posting lists
+    "dedup_simhash",        # simhash bit-sums + chunk-blocked pairs
+    "sim_topk",             # broadcast probe brute-force baseline
+    "sim_ann_lsh",          # sign-bit LSH bucketed ANN
     "sim_threshold_pairs",  # blocked similarity self-join
     "text_wordcount",       # explode + agg
+    "text_fingerprint",     # rolling-hash windows (codegen expr stress)
+    "multimodal_decode",    # mapInPandas Arrow binary batches
     "udf_pandas_scalar",    # Arrow UDF path
     "stream_session",       # streaming session windows
 ]
