@@ -1,0 +1,88 @@
+"""Reshape operators: pivot, unpivot, deterministic sampling.
+
+Curator reporting reshapes (wide segment matrices, melted metric rows)
+plus the hash-based sampling a 100 TB pipeline uses instead of
+TABLESAMPLE — `TABLESAMPLE` is engine/seed-dependent, while a content
+hash (md5 of the key) selects the SAME rows on any engine, any cluster
+size, any run: the property that makes samples joinable and audits
+reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f"count(*) FILTER (WHERE c_mktsegment = '{s}') AS {s.lower()}"
+    for s in _SEGMENTS)
+
+
+@register("pivot_segment_counts", f"""
+SELECT c_nationkey,
+       {_PIVOT_COLS_SQL}
+FROM customer
+GROUP BY c_nationkey
+""")
+def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # wide reporting matrix: customers per nation × market segment.
+    # The pivot value list is EXPLICIT — with it, Spark pivots in a
+    # single pass (no extra distinct-values job) and the output schema
+    # is static, which is what a 100 TB scheduled report needs.
+    c = load_table(spark, sf_dir, "customer")
+    out = (c.groupBy("c_nationkey")
+           .pivot("c_mktsegment", _SEGMENTS)
+           .agg(F.count(F.lit(1))))
+    renamed = out.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS])
+    return renamed
+
+
+@register("unpivot_part_metrics", """
+SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', p_retailprice FROM part
+""")
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # melt wide columns to (key, metric, value) rows — the shape
+    # downstream metric stores ingest. Spark's native unpivot emits
+    # rows without a join or explode.
+    p = load_table(spark, sf_dir, "part")
+    return p.select("p_partkey",
+                    F.col("p_size").cast("double").alias("size"),
+                    F.col("p_retailprice").alias("retailprice")) \
+            .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@register("sample_hash", f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {sql_rnd('sum(o_totalprice)')} AS sum_price
+FROM orders
+WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::INT % 10 = 0
+GROUP BY o_orderstatus
+""")
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via key-hash bucketing, aggregated.
+
+    `md5(key) % 10 == 0` picks the same rows on every engine and every
+    run (unlike TABLESAMPLE/rand seeds, which are engine-specific), so
+    dev-scale samples stay consistent across the Spark pipeline and any
+    SQL engine auditing it. Filter is map-side; only the sampled ~10%
+    reaches the aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 4), 16, 10)"
+        " as int) % 10")
+    return (o.filter(bucket == 0)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.sum("o_totalprice")).alias("sum_price")))

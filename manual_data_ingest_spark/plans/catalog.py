@@ -22,6 +22,7 @@ import manual_data_ingest_spark.functions.nested  # noqa: F401
 import manual_data_ingest_spark.sources.scans  # noqa: F401
 import manual_data_ingest_spark.operators.ingest  # noqa: F401
 import manual_data_ingest_spark.operators.udfs  # noqa: F401
+import manual_data_ingest_spark.operators.reshape  # noqa: F401
 
 # Phase 4 — LLM-data-pipeline operators
 import manual_data_ingest_spark.operators.dedup  # noqa: F401

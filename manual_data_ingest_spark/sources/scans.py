@@ -97,6 +97,50 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt")))
 
 
+_BINFILE_DIRS: dict[str, str] = {}
+
+
+def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize each document's bytes as one file (test shim — in
+    production the files ALREADY exist on the Globus mount / object
+    store; the operator below is the scan, this is only fixture prep)."""
+    if sf_dir not in _BINFILE_DIRS:
+        import os
+
+        d = tempfile.mkdtemp(prefix="mdis_binfiles_")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for row in docs.toLocalIterator():
+            with open(os.path.join(d, f"{row.doc_id}.bin"), "wb") as f:
+                f.write(row.text.encode())
+        _BINFILE_DIRS[sf_dir] = d
+    return _BINFILE_DIRS[sf_dir]
+
+
+@register("scan_binaryfile", """
+SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5
+FROM documents
+""")
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-media scan via Spark's `binaryFile` source — the real
+    ingestion path for multimodal corpora: each file arrives as one row
+    (path, modificationTime, length, content binary); metadata extraction
+    happens JVM-side on the bytes.
+
+    Scale: binaryFile reads are partitioned across executors by file;
+    `pathGlobFilter`/`recursiveFileLookup` prune at listing time. The
+    reference's os.walk + per-file checksum loop becomes one distributed
+    scan.
+    """
+    d = _binfile_dir(spark, sf_dir)
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.bin").load(d))
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"))
+
+
 @register("sink_manifest_tsv", """
 SELECT doc_id, source, md5(text) AS content_md5,
        n_chars, doc_id % 16 AS bucket
