@@ -148,6 +148,73 @@ def ingest_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type", "event_id", "ts", "value"))
 
 
+@register("ingest_scd2", """
+WITH e AS (SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts, value
+           FROM events)
+SELECT user_id, event_type, event_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current,
+       value
+FROM e
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+""")
+def ingest_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD-type-2 history build: each re-registration of a natural key
+    # becomes a validity interval [valid_from, valid_to), the open
+    # interval marking the current record. One shuffle on the natural
+    # key + an in-partition sort — the batch shape of a Delta/Iceberg
+    # MERGE-with-history at 100 TB (ingest_upsert_latest is the SCD1
+    # companion).
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id", "event_type", "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "value")
+
+
+_SALT_N = 8
+
+
+@register("join_skew_salted", f"""
+SELECT c_nationkey, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_custs
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting; result == the plain join
+    (which is the oracle).
+
+    Pattern: the skewed (fact) side adds salt = hash(row) % N, the dim
+    side is replicated N× with each salt value, and the join key becomes
+    (key, salt) — a hot key's rows now spread over N reducers instead of
+    one. AQE's skew-join split makes this manual pattern unnecessary for
+    SORT-MERGE joins it can observe, but salting remains the tool for
+    skewed AGGREGATIONS and for engines/paths AQE can't re-plan; kept
+    here as the canonical demonstration, verified equal to the unsalted
+    join. Salt derives from the ROW (xxhash64 of the full key), never
+    rand() — deterministic retries.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    salted_o = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT_N)).cast("int"))
+    salted_c = (c.withColumn(
+        "salts", F.sequence(F.lit(0), F.lit(_SALT_N - 1)))
+        .select("c_custkey", "c_nationkey",
+                F.explode("salts").alias("salt")))
+    return (salted_o.join(salted_c,
+                          (F.col("o_custkey") == F.col("c_custkey"))
+                          & (salted_o.salt == salted_c.salt))
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_orders"),
+                 F.countDistinct("o_custkey").alias("n_custs")))
+
+
 @register("provenance_chain", f"""
 SELECT r_name,
        {sql_rnd('sum(l_extendedprice * (1 - l_discount))')} AS revenue,

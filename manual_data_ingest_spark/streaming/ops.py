@@ -176,6 +176,49 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(deduped, "append")
 
 
+@register("stream_join", """
+WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
+           FROM events)
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+""")
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream inner join: every purchase joined to the same user's
+    # clicks in the preceding hour. Both sides carry watermarks and the
+    # join condition bounds event time, so the state store can evict
+    # clicks older than (watermark - 1 h) — without the time bound,
+    # stream-stream join state grows forever. availableNow single-batch
+    # == the batch join, which is the oracle.
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", "1 hour")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .withWatermark("ts", "1 hour")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts")))
+    joined = (purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")))
+        .select("purchase_id", "click_id",
+                F.col("p_user").alias("user_id"),
+                F.expr("(unix_micros(p_ts) - unix_micros(c_ts))"
+                       " div 1000000").alias("gap_sec")))
+    return run_to_batch(joined, "append")
+
+
 @register("stream_stateful_running", """
 SELECT event_id, user_id,
        count(*) OVER w AS running_cnt,
