@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
 from manual_data_ingest_spark.registry import register
 
 
@@ -190,3 +191,46 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("c_acctbal"), 2).alias("max_bal"),
                  F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
                  F.round(F.var_samp("c_acctbal"), 2).alias("var_bal")))
+
+
+@register("agg_time_rollup", f"""
+WITH e AS (SELECT ts::TIMESTAMP AS ts, value FROM events)
+SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket,
+       count(*) AS cnt, {sql_rnd('sum(value)')} AS sum_value
+FROM e GROUP BY 2
+UNION ALL
+SELECT 'day', date_trunc('day', ts), count(*), {sql_rnd('sum(value)')}
+FROM e GROUP BY 2
+UNION ALL
+SELECT 'total', NULL, count(*), {sql_rnd('sum(value)')}
+FROM e
+""")
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup ladder: hour → day → total, where each
+    coarser resolution aggregates the FINER level's partials instead of
+    rescanning raw events — the continuous-aggregate cascade pattern.
+    At 100 TB the hourly table is materialized incrementally by the
+    tumbling-window stream (stream_tumbling) and the day/total levels
+    are cheap reductions over it; here the cascade runs in one plan and
+    the raw-scan SQL is the oracle (sum reassociation is absorbed by
+    the 2dp rounding discipline).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly_raw = (ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+                  .agg(F.count("*").alias("cnt"),
+                       F.sum("value").alias("sv")))
+    daily_raw = (hourly_raw
+                 .groupBy(F.date_trunc("day", "bucket").alias("bucket"))
+                 .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv")))
+    total_raw = daily_raw.agg(F.sum("cnt").alias("cnt"),
+                              F.sum("sv").alias("sv")) \
+        .select(F.lit(None).cast("timestamp").alias("bucket"), "cnt", "sv")
+
+    def finish(df, label):
+        return df.select(F.lit(label).alias("resolution"), "bucket",
+                         F.col("cnt").cast("long").alias("cnt"),
+                         rnd(F.col("sv")).alias("sum_value"))
+
+    return (finish(hourly_raw, "hour")
+            .unionByName(finish(daily_raw, "day"))
+            .unionByName(finish(total_raw, "total")))
