@@ -150,3 +150,27 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.get_json_object("payload", "$.name").alias("rt_name"),
                 F.get_json_object("payload", "$.segment").alias("rt_segment"),
                 F.get_json_object("payload", "$.id").cast("bigint").alias("rt_id")))
+
+
+@register("json_schema_parse", """
+SELECT json_extract_string(props, '$.k')::INT // 10 AS k_decade,
+       count(*) AS cnt,
+       min(json_extract_string(props, '$.k')::INT) AS k_min,
+       max(json_extract_string(props, '$.k')::INT) AS k_max
+FROM events
+GROUP BY 1
+""")
+def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # typed JSON parsing with a DECLARED schema (from_json → struct),
+    # vs json_extract's path-probing get_json_object: the declared form
+    # is the scale path — one parse per row into native columns, fully
+    # codegen'd downstream, and malformed payloads surface as nulls in
+    # one place instead of per-path
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k INT").alias("p"))
+    return (parsed.select(F.expr("p.k div 10").alias("k_decade"), "p.k")
+            .groupBy("k_decade")
+            .agg(F.count("*").alias("cnt"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))

@@ -167,3 +167,26 @@ def sink_manifest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     return spark.read.schema(schema).option("sep", "\t") \
         .option("header", True).csv(out)
+
+
+def read_excel_sheet(spark: SparkSession, path: str, sheet: str | int = 0,
+                     schema: "T.StructType | None" = None) -> DataFrame:
+    """Curator Excel-sheet source (the reference ingests .xlsx metadata).
+
+    Excel is not a splittable format — one sheet is one pandas read on
+    the driver, then parallelized; fine for curator sheets (thousands of
+    rows), wrong for bulk data, which arrives as CSV/TSV/parquet via the
+    registered scan operators. This environment ships no Excel engine
+    (openpyxl/xlrd absent), so the read is gated: the code path is real,
+    the dependency is not — mirroring the multimodal decode stubs.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "read_excel_sheet needs openpyxl (not shipped in this "
+            "environment); use the CSV/TSV scan operators instead") from exc
+    import pandas as pd  # pragma: no cover — requires openpyxl
+
+    pdf = pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
+    return spark.createDataFrame(pdf, schema=schema)  # pragma: no cover

@@ -124,3 +124,10 @@ def test_multimodal_px_checksum_matches_python(spark):
            .filter(F.col("doc_id") == doc.doc_id).first())
     assert got.px_checksum == sum(doc.text.encode()) % 2147483647
     assert got.n_bytes == len(doc.text.encode())
+
+
+def test_excel_source_gated_cleanly(spark):
+    from manual_data_ingest_spark.sources.scans import read_excel_sheet
+
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_excel_sheet(spark, "/nonexistent.xlsx")
