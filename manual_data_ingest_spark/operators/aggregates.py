@@ -234,3 +234,22 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (finish(hourly_raw, "hour")
             .unionByName(finish(daily_raw, "day"))
             .unionByName(finish(total_raw, "total")))
+
+
+@register("agg_approx_quantile", None)  # rows-only: sketch internals differ
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via Spark's Greenwald-Khanna sketch —
+    p50/p90/p99 of o_totalprice per o_orderstatus at accuracy 1000
+    (error ≤ 0.1 %·n ranks). Mergeable sketch → one partial-agg shuffle
+    at any scale, vs exact percentile's full sort per group. Sketch
+    internals aren't portable SQL (rows-only, like approx_count_distinct);
+    the pytest suite pins the rank-error bound against the exact oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.percentile_approx(
+                "o_totalprice", [0.5, 0.9, 0.99], 1000).alias("q"))
+            .select("o_orderstatus",
+                    F.col("q")[0].alias("p50"),
+                    F.col("q")[1].alias("p90"),
+                    F.col("q")[2].alias("p99")))

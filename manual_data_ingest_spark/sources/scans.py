@@ -190,3 +190,16 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: str | int = 0,
 
     pdf = pd.read_excel(path, sheet_name=sheet)  # pragma: no cover
     return spark.createDataFrame(pdf, schema=schema)  # pragma: no cover
+
+
+@register("scan_orc_roundtrip", """
+SELECT * FROM supplier
+""")
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # second columnar at-rest format: ORC write + schema-declared
+    # read-back (Spark ships native vectorized ORC support; parity with
+    # the parquet path, same pushdown/pruning machinery)
+    s = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="mdis_orc_")
+    s.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

@@ -267,3 +267,35 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
     return run_to_batch(result, "append")
+
+
+@register("stream_foreach_batch_sink", """
+SELECT event_id, user_id, event_type FROM events
+""")
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink pattern: each micro-batch lands as its own
+    parquet append with exactly-once bookkeeping by batch_id — the
+    standard Structured Streaming escape hatch for sinks Spark lacks
+    (JDBC upserts, entity-api bulk registration, Delta MERGE). The
+    oracle is identity: everything streamed must land exactly once.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="mdis_feb_")
+    seen_batches: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence guard: re-delivered batch_ids are skipped (the
+        # contract a transactional sink implements with (query_id,
+        # batch_id) bookkeeping)
+        if batch_id in seen_batches:
+            return
+        seen_batches.append(batch_id)
+        (batch_df.select("event_id", "user_id", "event_type")
+         .write.mode("append").parquet(out))
+
+    st = read_events_stream(spark, sf_dir)
+    q = (st.writeStream.foreachBatch(write_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -87,3 +87,29 @@ def test_time_rollup_levels_consistent(spark):
     days = {r.bucket for r in by_res["day"]}
     for r in by_res["hour"]:
         assert r.bucket.replace(hour=0, minute=0, second=0, microsecond=0) in days
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    """GK sketch at accuracy 1000 guarantees rank error <= n/1000;
+    verify each approximate quantile's true rank is within bound."""
+    from manual_data_ingest_spark.io import load_table
+
+    got = {r.o_orderstatus: r
+           for r in E.queries()["agg_approx_quantile"](spark, SF_ORACLE).collect()}
+    orders = load_table(spark, SF_ORACLE, "orders") \
+        .select("o_orderstatus", "o_totalprice").collect()
+    by_status = {}
+    for r in orders:
+        by_status.setdefault(r.o_orderstatus, []).append(r.o_totalprice)
+    for status, vals in by_status.items():
+        vals.sort()
+        n = len(vals)
+        for p, attr in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            v = getattr(got[status], attr)
+            import bisect
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v)
+            target = p * n
+            # true rank interval of v must be within n/1000 of target
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= n / 1000 + 1, (status, attr, err, n)
