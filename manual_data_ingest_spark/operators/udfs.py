@@ -176,3 +176,24 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t.pos, t.token
         FROM mdis_udtf_docs, LATERAL mdis_tokenize(text) t
     """)
+
+
+@register("udf_arrow_scalar", """
+SELECT o_orderkey,
+       CASE o_orderpriority
+            WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+            WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+            WHEN '5-LOW' THEN 5 ELSE -1 END AS priority_rank
+FROM orders
+""")
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark 4's Arrow-optimized scalar UDF (useArrow=True): same per-row
+    # Python signature as udf_python_scalar but serialized in Arrow
+    # batches instead of pickled rows — the drop-in migration path for
+    # the reference's row-wise logic before rewriting to pandas_udf
+    @F.udf("int", useArrow=True)
+    def classify(priority: str) -> int:
+        return _PRIORITY_RANK.get(priority, -1)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", classify("o_orderpriority").alias("priority_rank"))

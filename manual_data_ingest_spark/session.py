@@ -36,7 +36,15 @@ ENGINE_CONFIGS: dict[str, str] = {
     # Fixture timestamps are wall-clock values; read them as TimestampType
     # (session-TZ) rather than NTZ so window/date arithmetic is uniform.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # Shuffle partition count is a DATA-size decision, not a core-count
+    # one (BASELINE.md protocol: size partitions to the SF). Default
+    # tracks cores for the general case; SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # overrides it where the data volume is known (bench.py sets 8 at
+    # sf0.1 ≈ 100 MB — measured 10-30% off the per-query floor; a real
+    # cluster at 100 TB sets thousands).
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32")),
 }
 
 

@@ -89,3 +89,22 @@ def test_no_cartesian_in_blocked_similarity(spark):
     # label blocking must make the pair generation an equi-join
     plan = _plan(spark, "sim_threshold_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruned_readback(spark, tmp_path):
+    # the partitioned sink's layout must let readers prune partitions:
+    # a filter on the partition key shows up as PartitionFilters and
+    # non-matching years are never scanned
+    from manual_data_ingest_spark.io import load_table
+
+    out = str(tmp_path / "orders_part")
+    o = load_table(spark, SF_ORACLE, "orders")
+    (o.withColumn("o_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("o_year").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = back._jdf.queryExecution().explainString(mode)
+    assert re.search(r"PartitionFilters: \[.*o_year.*1995", plan), plan
+    n95 = back.count()
+    assert n95 == o.filter(F.year("o_orderdate") == 1995).count()
