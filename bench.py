@@ -57,6 +57,7 @@ HEADLINE = [
     "multimodal_decode",    # mapInPandas Arrow binary batches
     "udf_pandas_scalar",    # Arrow UDF path
     "stream_session",       # streaming session windows
+    "pipeline_llm_prep",    # end-to-end dedup+quality+lang manifest
 ]
 
 

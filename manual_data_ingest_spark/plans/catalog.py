@@ -32,3 +32,6 @@ import manual_data_ingest_spark.operators.multimodal  # noqa: F401
 
 # Phase 5 — structured streaming
 import manual_data_ingest_spark.streaming.ops  # noqa: F401
+
+# r1 capstone — end-to-end composite pipelines
+import manual_data_ingest_spark.plans.pipelines  # noqa: F401

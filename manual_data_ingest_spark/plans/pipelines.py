@@ -1,0 +1,128 @@
+"""End-to-end composite pipelines — the realistic whole-job shapes.
+
+Each is ONE DataFrame plan composing operators that are individually
+oracled elsewhere: Catalyst fuses the stages (dedup window → quality
+filters → projections) into a single job with no intermediate
+materialization — the property that makes the composition cheaper than
+running the pieces separately, and the reason a pipeline user migrates
+to an engine instead of chaining scripts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.registry import register
+
+_STOP_DUCK = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+_STOP_SPARK = "size(filter(split(text, ' '), t -> t IN ('the', 'a')))"
+
+
+@register("pipeline_llm_prep", f"""
+WITH deduped AS (
+    SELECT doc_id, lang, source, text
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) = 1
+),
+scored AS (
+    SELECT doc_id, lang, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           {_STOP_DUCK} AS n_stop,
+           list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+               ::DOUBLE / len(string_split(text, ' ')) AS avg_tok,
+           md5(text) AS content_md5
+    FROM deduped
+)
+SELECT doc_id, lang, source, n_tokens, content_md5,
+       CASE WHEN n_stop > 0 THEN 'en' ELSE 'und' END AS pred_lang
+FROM scored
+WHERE n_tokens BETWEEN 40 AND 100000
+  AND n_stop >= 2
+  AND avg_tok BETWEEN 3 AND 10
+""")
+def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data prep, end to end in one plan:
+    exact dedup (normalized md5, min doc_id wins) → Gopher-style quality
+    gate (token band, stopword minimum, mean-token-length band) →
+    language tag → training manifest (id, lang, checksum).
+
+    One shuffle (the dedup window); everything downstream is map-side
+    and fused by Catalyst — at 100 TB this runs as two stages total.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    deduped = (d.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).drop("rn"))
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.expr(_STOP_SPARK)
+    avg_tok = (F.aggregate(F.transform(toks, F.length), F.lit(0),
+                           lambda a, v: a + v).cast("double") / n_tok)
+    return (deduped
+            .select("doc_id", "lang", "source",
+                    n_tok.alias("n_tokens"),
+                    n_stop.alias("n_stop"),
+                    avg_tok.alias("avg_tok"),
+                    F.md5("text").alias("content_md5"))
+            .filter((F.col("n_tokens") >= 40) & (F.col("n_tokens") <= 100000)
+                    & (F.col("n_stop") >= 2)
+                    & (F.col("avg_tok") >= 3) & (F.col("avg_tok") <= 10))
+            .select("doc_id", "lang", "source", "n_tokens", "content_md5",
+                    F.when(F.col("n_stop") > 0, "en").otherwise("und")
+                    .alias("pred_lang")))
+
+
+@register("pipeline_ingest_register", """
+WITH validated AS (
+    SELECT doc_id, source, text, n_chars
+    FROM documents
+    WHERE length(text) = n_chars          -- consistency gate
+),
+minted AS (
+    SELECT doc_id, source,
+           'MDI-' || upper(substring(sha256(source || '|' || doc_id::VARCHAR),
+                                     1, 12)) AS minted_id,
+           md5(text) AS content_md5,
+           doc_id % 16 AS bucket
+    FROM validated
+)
+SELECT bucket, count(*) AS n_docs,
+       count(DISTINCT minted_id) AS n_ids,
+       min(minted_id) AS first_id
+FROM minted
+GROUP BY bucket
+""")
+def pipeline_ingest_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole registration script as one distributed job:
+    validate (consistency gate) → mint deterministic IDs → build the
+    manifest → WRITE it partitioned by bucket → read back and summarize
+    per partition.
+
+    The write/read-back is part of the operator (like sink_partitioned):
+    what's verified is the on-disk partitioned registration manifest a
+    downstream indexer would consume. Per-row uuid-api/entity-api POSTs
+    of the reference become this one bulk metadata write.
+    """
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    manifest = (d.filter(F.length("text") == F.col("n_chars"))
+                .select("doc_id", "source",
+                        F.concat(
+                            F.lit("MDI-"),
+                            F.upper(F.substring(
+                                F.sha2(F.concat_ws("|", "source", "doc_id"),
+                                       256), 1, 12))).alias("minted_id"),
+                        F.md5("text").alias("content_md5"),
+                        F.pmod("doc_id", F.lit(16)).alias("bucket")))
+    out = tempfile.mkdtemp(prefix="mdis_register_")
+    manifest.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.groupBy(F.col("bucket").cast("long").alias("bucket"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("minted_id").alias("n_ids"),
+                 F.min("minted_id").alias("first_id")))
