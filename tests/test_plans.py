@@ -108,3 +108,23 @@ def test_partition_pruned_readback(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[.*o_year.*1995", plan), plan
     n95 = back.count()
     assert n95 == o.filter(F.year("o_orderdate") == 1995).count()
+
+
+def test_llm_prep_pipeline_single_shuffle(spark):
+    # the composed pipeline must stay ONE fused plan: exactly one
+    # Exchange (the dedup window shuffle) — if composition introduced
+    # extra shuffles, running the pieces separately would be cheaper
+    # and the pipeline would be pointless
+    plan = _plan(spark, "pipeline_llm_prep")
+    n_exchanges = plan.count("+- Exchange") + plan.count("- Exchange ")
+    assert "Exchange" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+
+
+def test_pipeline_filters_pushed_below_window(spark):
+    # quality-gate predicates reference post-window columns so they sit
+    # above the dedup; but the SCAN must still prune to the used columns
+    plan = _plan(spark, "pipeline_llm_prep")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" in m.group(1)
+    assert "n_chars" not in m.group(1)  # unused column pruned from scan
