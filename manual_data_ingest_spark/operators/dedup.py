@@ -278,3 +278,69 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
+
+
+@register("dedup_clusters", f"""
+WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT id_a, id_b FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+),
+edges AS (SELECT id_a AS u, id_b AS v FROM near
+          UNION ALL SELECT id_b, id_a FROM near),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard-pair
+    graph, every document labeled with its cluster representative
+    (minimum reachable doc_id; singletons label themselves). This is
+    the step candidate pairs exist for — pick one survivor per cluster.
+
+    Iterative min-label propagation: each round joins current labels
+    through the edge list and keeps the per-node minimum, terminating
+    when a round changes nothing — O(cluster diameter) rounds, each a
+    distributed join (THE Spark shape for iterative graph algorithms;
+    the driver loop carries only the 1-row convergence count, never
+    data). Near-dup clusters have tiny diameters, so 2-3 rounds in
+    practice; the oracle is DuckDB's recursive CTE over the same edges.
+    """
+    pairs = dedup_near_jaccard(spark, sf_dir).select("id_a", "id_b")
+    edges = (pairs.selectExpr("id_a AS u", "id_b AS v")
+             .unionByName(pairs.selectExpr("id_b AS u", "id_a AS v")))
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    edges = edges.cache()
+    for _ in range(20):  # safety bound far above any real diameter
+        prop = (labels.join(edges, labels.doc_id == edges.u)
+                .groupBy(F.col("v").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("prop_id")))
+        new_labels = (labels.join(prop, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("cluster_id", F.coalesce("prop_id", "cluster_id"))
+                              .alias("cluster_id"))).cache()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

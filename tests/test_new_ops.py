@@ -113,3 +113,26 @@ def test_approx_quantile_rank_error_bound(spark):
             # true rank interval of v must be within n/1000 of target
             err = min(abs(lo - target), abs(hi - target))
             assert err <= n / 1000 + 1, (status, attr, err, n)
+
+
+def test_dedup_clusters_are_valid_components(spark):
+    """Cluster labels must be consistent with the pair graph: every
+    near-dup pair shares a label; every label is the min doc_id of its
+    cluster; singletons label themselves."""
+    qs = E.queries()
+    labels = {r.doc_id: r.cluster_id
+              for r in qs["dedup_clusters"](spark, SF_ORACLE).collect()}
+    pairs = [(r.id_a, r.id_b)
+             for r in qs["dedup_near_jaccard"](spark, SF_ORACLE).collect()]
+    assert pairs, "fixture should contain near-dup pairs"
+    for a, b in pairs:
+        assert labels[a] == labels[b], (a, b)
+    members = {}
+    for doc, lab in labels.items():
+        members.setdefault(lab, []).append(doc)
+    for lab, docs in members.items():
+        assert lab == min(docs)  # representative is the minimum member
+    paired = {d for p in pairs for d in p}
+    for doc, lab in labels.items():
+        if doc not in paired:
+            assert lab == doc  # singleton labels itself
