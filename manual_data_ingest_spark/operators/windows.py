@@ -140,3 +140,22 @@ def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.ntile(4).over(w).alias("bal_quartile"),
                     F.first("c_custkey").over(wf).alias("poorest"),
                     F.last("c_custkey").over(wf).alias("richest"))
+
+
+@register("win_dist_ranks", f"""
+SELECT c_custkey, c_nationkey,
+       {sql_rnd('percent_rank() OVER w', 6)} AS pct_rank,
+       {sql_rnd('cume_dist() OVER w', 6)} AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+""")
+def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # relative-position windows: percent_rank and cume_dist depend only
+    # on peer groups (ties share values), so they are deterministic
+    # without a unique tie-break — unlike row_number (§2.5 discipline)
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey", "c_nationkey",
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cume"))
