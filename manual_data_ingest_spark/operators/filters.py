@@ -82,3 +82,26 @@ SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register("subquery_correlated", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+""")
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated scalar subquery ("orders 50% above this customer's
+    # average"), expressed through the SQL entry point. Catalyst's
+    # RewriteCorrelatedScalarSubquery decorrelates it into an aggregate
+    # + join (SURVEY.md §4) — no per-row subquery execution exists in
+    # the physical plan at any scale.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+                                    FROM orders_v o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+    """)

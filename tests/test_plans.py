@@ -128,3 +128,11 @@ def test_pipeline_filters_pushed_below_window(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "text" in m.group(1)
     assert "n_chars" not in m.group(1)  # unused column pruned from scan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    # the correlated scalar subquery must compile to an aggregate+join,
+    # never a per-row subquery (which would be O(n^2) at scale)
+    plan = _plan(spark, "subquery_correlated")
+    assert "Subquery" not in plan or "SubqueryExec" not in plan
+    assert "HashAggregate" in plan and re.search(r"Join", plan)
