@@ -76,3 +76,74 @@ def test_window_rank_properties(spark, rows):
         assert rns == list(range(1, len(rs) + 1))  # row_number is a permutation
         for x in rs:
             assert x.dr <= x.rk <= x.rn
+
+
+@settings(**SETTINGS)
+@given(ts_offsets=st.lists(st.integers(0, 7200), min_size=1, max_size=30))
+def test_session_window_equals_gaps_and_islands(spark, ts_offsets):
+    """Spark's session_window (30-min gap) must equal the classic
+    gaps-and-islands computation on any event set (SURVEY §5.4)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=s)) for s in sorted(set(ts_offsets))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.start, r.end, r.n) for r in
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+          .agg(F.count("*").alias("n"))
+          .select(F.col("session_window.start").alias("start"),
+                  F.col("session_window.end").alias("end"), "n").collect())
+    # python reference: split when gap >= 30 min (half-open windows)
+    expect = []
+    cur = []
+    for _, t in rows:
+        if cur and (t - cur[-1]).total_seconds() >= 1800:
+            expect.append(cur)
+            cur = []
+        cur.append(t)
+    if cur:
+        expect.append(cur)
+    ref = sorted((c[0], c[-1] + dt.timedelta(minutes=30), len(c)) for c in expect)
+    assert got == ref
+
+
+@settings(**SETTINGS)
+@given(clicks=st.lists(st.integers(0, 1000), min_size=0, max_size=15),
+       purchases=st.lists(st.integers(0, 1000), min_size=1, max_size=10))
+def test_asof_semantics_match_reference(spark, clicks, purchases):
+    """As-of join (latest prior click per purchase) vs a python reference
+    on arbitrary event times — same-timestamp clicks count as prior
+    (<=), ties broken toward the larger click id."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    cl = [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(sorted(clicks))]
+    pu = [(1000 + i, base + dt.timedelta(seconds=s))
+          for i, s in enumerate(sorted(purchases))]
+    cdf = spark.createDataFrame(cl or [], "click_id long, c_ts timestamp")
+    pdf = spark.createDataFrame(pu, "purchase_id long, p_ts timestamp")
+    from pyspark.sql import Window
+
+    j = (pdf.join(cdf, F.col("c_ts") <= F.col("p_ts"), "left")
+         .withColumn("rn", F.row_number().over(
+             Window.partitionBy("purchase_id")
+             .orderBy(F.col("c_ts").desc(), F.col("click_id").desc())))
+         .filter(F.col("rn") == 1)
+         .select("purchase_id", "click_id"))
+    got = {r.purchase_id: r.click_id for r in j.collect()}
+    for pid, pts in pu:
+        prior = [(ts, cid) for cid, ts in cl if ts <= pts]
+        want = max(prior)[1] if prior else None
+        assert got[pid] == want, (pid, got[pid], want)
+
+
+def test_id_mint_deterministic_across_runs(spark):
+    """Minted IDs must be identical on re-execution — the property that
+    makes re-registration idempotent (never monotonically_increasing_id)."""
+    import __spark_entry__ as E
+
+    q = E.queries()["ingest_id_mint"]
+    a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
+    assert a == b
