@@ -203,3 +203,43 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="mdis_orc_")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register("sink_bucketed_join", """
+SELECT c_nationkey, count(*) AS n_orders,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""")
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables → shuffle-free co-located join.
+
+    Both sides are written `bucketBy(8, custkey)` (hash-bucketed files +
+    catalog metadata); a join on the bucket key then needs NO exchange
+    on either side — the scan itself satisfies the join's distribution
+    requirement. This is THE layout decision for repeated fact-fact
+    joins at 100 TB: pay one bucketed write, skip the shuffle on every
+    subsequent join. The plan test asserts the only Exchange left is
+    the final aggregate's. Result is oracled against the plain join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d1 = tempfile.mkdtemp(prefix="mdis_bucket_o_")
+    d2 = tempfile.mkdtemp(prefix="mdis_bucket_c_")
+    spark.sql("DROP TABLE IF EXISTS mdis_orders_b")
+    spark.sql("DROP TABLE IF EXISTS mdis_customer_b")
+    (o.select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.mode("overwrite").option("path", d1)
+     .bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .saveAsTable("mdis_orders_b"))
+    (c.select("c_custkey", "c_nationkey")
+     .write.mode("overwrite").option("path", d2)
+     .bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .saveAsTable("mdis_customer_b"))
+    ob = spark.table("mdis_orders_b")
+    cb = spark.table("mdis_customer_b")
+    from manual_data_ingest_spark.functions.rounding import rnd
+    return (ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_orders"),
+                 rnd(F.sum("o_totalprice")).alias("sum_price")))

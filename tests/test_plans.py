@@ -136,3 +136,22 @@ def test_correlated_subquery_is_decorrelated(spark):
     plan = _plan(spark, "subquery_correlated")
     assert "Subquery" not in plan or "SubqueryExec" not in plan
     assert "HashAggregate" in plan and re.search(r"Join", plan)
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    # both sides bucketed by the join key → a sort-merge join reads the
+    # bucketed scans directly with NO exchange; the only Exchange left
+    # is the final aggregate's. At fixture scale Catalyst would rightly
+    # broadcast instead (also exchange-free on the probe side), so the
+    # broadcast path is disabled to exhibit the big-big regime the
+    # bucketing layout exists for.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "sink_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "Bucketed: true" in plan, plan[:1500]
+    exchanges = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
+    assert len(exchanges) == 1, plan[:1500]  # only the aggregate's shuffle
