@@ -174,3 +174,27 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"),
                  F.min("k").alias("k_min"),
                  F.max("k").alias("k_max")))
+
+
+@register("map_transform_filter", """
+SELECT user_id, event_type, cnt * 2 AS doubled
+FROM (SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type)
+WHERE cnt >= 5
+""")
+def map_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # map higher-order functions: build map(event_type → count) per
+    # user, transform_values (×2), map_filter (original count >= 5),
+    # explode back to rows. The oracle needs NO map dialect at all —
+    # exploded entries are plain rows, which is exactly why the engine
+    # rounds every map op through an entry-level representation before
+    # hashing (SURVEY §2.9 discipline).
+    ev = load_table(spark, sf_dir, "events")
+    m = (ev.groupBy("user_id", "event_type").count()
+         .groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("event_type", "count"))).alias("m")))
+    doubled = F.map_filter(
+        F.transform_values(F.col("m"), lambda k, v: v * 2),
+        lambda k, v: v >= 10)  # original cnt >= 5 → doubled >= 10
+    return (m.select("user_id", F.explode(doubled).alias("event_type", "doubled")))

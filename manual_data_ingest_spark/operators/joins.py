@@ -193,3 +193,27 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("event_id", "ts", "click_ts"))
+
+
+@register("join_null_safe", """
+SELECT nullif(o1.o_orderpriority, '5-LOW') AS prio_class, count(*) AS n
+FROM orders o1 JOIN orders o2
+  ON o1.o_orderkey = o2.o_orderkey
+ AND nullif(o1.o_orderpriority, '5-LOW')
+     IS NOT DISTINCT FROM nullif(o2.o_orderpriority, '5-LOW')
+GROUP BY 1
+""")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # null-safe equality (<=> / IS NOT DISTINCT FROM): rows whose derived
+    # key is NULL still match each other — with plain '=', the NULL
+    # class would silently vanish from the join (the classic curator-
+    # sheet bug when joining on optional columns). Count per class
+    # includes the NULL row to prove it.
+    o = load_table(spark, sf_dir, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    o1 = o.select("o_orderkey", prio.alias("p1")).alias("o1")
+    o2 = o.select("o_orderkey", prio.alias("p2")).alias("o2")
+    return (o1.join(o2, (F.col("o1.o_orderkey") == F.col("o2.o_orderkey"))
+                    & F.col("p1").eqNullSafe(F.col("p2")))
+            .groupBy(F.col("p1").alias("prio_class"))
+            .agg(F.count("*").alias("n")))
