@@ -198,3 +198,20 @@ def map_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform_values(F.col("m"), lambda k, v: v * 2),
         lambda k, v: v >= 10)  # original cnt >= 5 → doubled >= 10
     return (m.select("user_id", F.explode(doubled).alias("event_type", "doubled")))
+
+
+@register("explode_outer_semantics", """
+SELECT doc_id, u.m AS match
+FROM documents
+LEFT JOIN LATERAL (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t = 'dup')) AS m
+) u ON TRUE
+""")
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode_outer vs explode: docs with NO matches of the rare token
+    # keep a NULL row instead of vanishing — the difference between
+    # "docs and their matches" and "matches only". Plain explode here
+    # would silently drop ~95% of documents from any downstream join.
+    d = load_table(spark, sf_dir, "documents")
+    matches = F.filter(F.split("text", " "), lambda t: t == F.lit("dup"))
+    return d.select("doc_id", F.explode_outer(matches).alias("match"))

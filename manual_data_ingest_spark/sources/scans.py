@@ -243,3 +243,20 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_nationkey")
             .agg(F.count("*").alias("n_orders"),
                  rnd(F.sum("o_totalprice")).alias("sum_price")))
+
+
+@register("source_date_series", """
+SELECT r_regionkey, unnest(generate_series(DATE '1995-01-01',
+                                           DATE '1995-12-01',
+                                           INTERVAL 1 MONTH))::DATE AS month_start
+FROM region
+""")
+def source_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # calendar-spine generation (per-entity month series) — the
+    # scaffold for gap-filling sparse time series before a left join;
+    # sequence() is generated JVM-side, no driver loop, no UDF
+    r = load_table(spark, sf_dir, "region")
+    series = F.expr("sequence(DATE '1995-01-01', DATE '1995-12-01',"
+                    " INTERVAL 1 MONTH)")
+    return r.select("r_regionkey",
+                    F.explode(series).alias("month_start"))
