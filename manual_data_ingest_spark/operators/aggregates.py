@@ -253,3 +253,59 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("q")[0].alias("p50"),
                     F.col("q")[1].alias("p90"),
                     F.col("q")[2].alias("p99")))
+
+
+@register("agg_gapfill_timeseries", f"""
+WITH spine AS (
+    SELECT n_nationkey,
+           unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                                  INTERVAL 1 MONTH))::DATE AS month_start
+    FROM nation
+),
+actual AS (
+    SELECT c_nationkey, date_trunc('month', o_orderdate)::DATE AS month_start,
+           count(*) AS n, {sql_rnd('sum(o_totalprice)')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1, 2
+)
+SELECT s.n_nationkey, s.month_start,
+       coalesce(a.n, 0) AS n_orders,
+       coalesce(a.revenue, 0.0) AS revenue
+FROM spine s
+LEFT JOIN actual a ON a.c_nationkey = s.n_nationkey
+                  AND a.month_start = s.month_start
+""")
+def agg_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series (the hypertable `time_bucket_gapfill`
+    shape): monthly order counts + revenue per nation over a fixed
+    2-year spine, with ZERO rows where a nation had no orders that
+    month — the property a naive groupBy cannot give and every
+    dashboard/forecast consumer needs.
+
+    Spine = nation × sequence(months) (generated, tiny); actuals
+    aggregate once; the left join broadcasts whichever side is small.
+    At 100 TB the spine stays tiny — cardinality is entities×buckets,
+    independent of event volume.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spine = n.select(
+        "n_nationkey",
+        F.explode(F.expr("sequence(DATE '1995-01-01', DATE '1996-12-01',"
+                         " INTERVAL 1 MONTH)")).alias("month_start"))
+    actual = (o.join(c, o.o_custkey == c.c_custkey)
+              .filter((F.col("o_orderdate") >= "1995-01-01")
+                      & (F.col("o_orderdate") < "1997-01-01"))
+              .groupBy(F.col("c_nationkey"),
+                       F.date_trunc("month", "o_orderdate").cast("date")
+                       .alias("month_start"))
+              .agg(F.count("*").alias("n"),
+                   rnd(F.sum("o_totalprice")).alias("revenue")))
+    return (spine.join(actual,
+                       (actual.c_nationkey == spine.n_nationkey)
+                       & (actual.month_start == spine.month_start), "left")
+            .select("n_nationkey", spine.month_start,
+                    F.coalesce("n", F.lit(0)).alias("n_orders"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
