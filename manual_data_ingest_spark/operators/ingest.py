@@ -243,3 +243,54 @@ def provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
                  .alias("revenue"),
                  F.count("*").alias("n_lineitems")))
+
+
+@register("ingest_clean_nulls", f"""
+WITH c AS (
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+)
+SELECT c_nationkey,
+       count(*) AS n_total,
+       count(bal) AS n_kept,
+       {sql_rnd('sum(coalesce(bal, 0.0))')} AS sum_filled
+FROM c GROUP BY c_nationkey
+""")
+def ingest_clean_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curator-sheet null handling: sentinel/invalid values (negative
+    # balances) become NULL, then both policies side by side — dropna
+    # (count of survivors) and fillna-0 (sum) — per cohort. na.drop /
+    # na.fill are the DataFrame-native spellings of the reference's
+    # per-row cleanup loops; one scan, no Python.
+    c = load_table(spark, sf_dir, "customer")
+    cleaned = c.select(
+        "c_custkey", "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal")).alias("bal"))
+    kept = cleaned.na.drop(subset=["bal"])
+    filled = cleaned.na.fill({"bal": 0.0})
+    return (cleaned.groupBy("c_nationkey").agg(F.count("*").alias("n_total"))
+            .join(kept.groupBy("c_nationkey").agg(F.count("*").alias("n_kept")),
+                  "c_nationkey")
+            .join(filled.groupBy("c_nationkey")
+                  .agg(rnd(F.sum("bal")).alias("sum_filled")),
+                  "c_nationkey"))
+
+
+@register("ingest_union_drifted", """
+SELECT doc_id, source, text, NULL AS lang, NULL::BIGINT AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, NULL, NULL, lang, n_chars
+FROM documents WHERE doc_id % 2 = 1
+""")
+def ingest_union_drifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-drift union: two sheet batches exporting DIFFERENT column
+    # subsets merge by NAME with missing columns null-filled
+    # (unionByName(allowMissingColumns=True)) — positional UNION would
+    # silently misalign columns, the classic multi-batch ingest bug.
+    d = load_table(spark, sf_dir, "documents")
+    batch_a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "text")
+    batch_b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    return batch_a.unionByName(batch_b, allowMissingColumns=True)
