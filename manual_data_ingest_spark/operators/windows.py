@@ -159,3 +159,26 @@ def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey",
         rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
         rnd(F.cume_dist().over(w), 6).alias("cume"))
+
+
+@register("win_conditional", """
+SELECT event_id, user_id,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS errors_so_far,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS events_so_far
+FROM events
+""")
+def win_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conditional running aggregate: per user, errors-so-far alongside
+    # events-so-far over the event timeline — the error-rate monitor
+    # shape; the CASE rides inside the window sum, one shuffle total
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w).alias("errors_so_far"),
+        F.count("*").over(w).alias("events_so_far"))
