@@ -312,3 +312,42 @@ def text_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.sum("n_chars").cast("double") / F.count("*"))
                  .alias("avg_chars"),
                  F.max(F.size(F.split("text", " "))).alias("max_tokens")))
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+@register("text_pii_scrub", f"""
+SELECT doc_id,
+       md5(substring(
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g'), 1, 64))
+           AS scrubbed_prefix_md5,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones
+FROM documents
+""")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/phones → placeholder tokens) with
+    per-doc redaction counts — the compliance stage every training-data
+    pipeline runs before anything else sees the text. This corpus is
+    synthetic and clean (counts are 0), so what the oracle verifies is
+    the negative case: scrubbing MUST be the identity on clean text
+    (md5 of the scrubbed prefix matches), and the patterns agree across
+    regex dialects (kept POSIX-simple per PARITY.md #3: no backslash
+    classes).
+    Map-only scan; at 100 TB this fuses with the quality gate into the
+    same stage (see pipeline_llm_prep).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.md5(F.substring(scrubbed, 1, 64)).alias("scrubbed_prefix_md5"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
+        .alias("n_phones"))
