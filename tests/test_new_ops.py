@@ -136,3 +136,14 @@ def test_dedup_clusters_are_valid_components(spark):
     for doc, lab in labels.items():
         if doc not in paired:
             assert lab == doc  # singleton labels itself
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at default rsd=0.05 must land within ~3 standard errors of
+    the exact distinct count (deterministic for a fixed input)."""
+    from manual_data_ingest_spark.io import load_table
+
+    got = E.queries()["agg_approx_distinct"](spark, SF_ORACLE).first()[0]
+    exact = (load_table(spark, SF_ORACLE, "lineitem")
+             .select("l_partkey").distinct().count())
+    assert abs(got - exact) / exact < 0.15, (got, exact)
