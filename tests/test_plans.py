@@ -155,3 +155,24 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert "Bucketed: true" in plan, plan[:1500]
     exchanges = re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan)
     assert len(exchanges) == 1, plan[:1500]  # only the aggregate's shuffle
+
+
+def test_cbo_uses_analyzed_statistics(spark, tmp_path):
+    # SURVEY §4: CBO join reordering is available when tables carry
+    # ANALYZE statistics — verify stats flow into the optimized plan
+    from manual_data_ingest_spark.io import load_table
+
+    spark.sql("DROP TABLE IF EXISTS mdis_cbo_orders")
+    (load_table(spark, SF_ORACLE, "orders")
+     .write.mode("overwrite").option("path", str(tmp_path / "o"))
+     .saveAsTable("mdis_cbo_orders"))
+    spark.sql("ANALYZE TABLE mdis_cbo_orders COMPUTE STATISTICS")
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (spark.table("mdis_cbo_orders")
+                 ._jdf.queryExecution().optimizedPlan().stats())
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 15000  # sf0.01 orders
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)

@@ -143,3 +143,26 @@ def test_stateful_running_final_counts(spark, multi_file_events):
     lhs = {(r.user_id, r.c) for r in finals.collect()}
     rhs = {(r.user_id, r["count"]) for r in batch.collect()}
     assert lhs == rhs
+
+
+def test_rocksdb_state_store_provider(spark, multi_file_events):
+    """The production state backend (RocksDB provider, SURVEY §2.10
+    scale notes) must produce identical results to the default
+    HDFS-backed provider on a multi-batch stateful aggregation."""
+    provider = ("org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        def build(st):
+            return (st.groupBy("user_id")
+                    .agg(F.count("*").alias("cnt"),
+                         F.max("value").alias("mx")))
+
+        got = _stream_multi(spark, multi_file_events, build, "complete")
+        batch = (load_events(spark, SF_SMALL).groupBy("user_id")
+                 .agg(F.count("*").alias("cnt"), F.max("value").alias("mx")))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
