@@ -309,3 +309,16 @@ def agg_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_nationkey", spine.month_start,
                     F.coalesce("n", F.lit(0)).alias("n_orders"),
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+
+
+@register("agg_skew_kurtosis", None)  # rows-only: moment conventions differ (PARITY #16)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # higher-moment distribution QC: skewness + excess kurtosis of
+    # o_totalprice per status. Spark computes POPULATION moments, DuckDB
+    # SAMPLE-adjusted (g1 vs G1) — verified divergent, so rows-only;
+    # the pytest suite pins Spark's values against numpy population
+    # moments instead.
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(rnd(F.skewness("o_totalprice"), 6).alias("skew"),
+                 rnd(F.kurtosis("o_totalprice"), 6).alias("kurt")))

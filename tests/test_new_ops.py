@@ -147,3 +147,24 @@ def test_approx_distinct_error_bound(spark):
     exact = (load_table(spark, SF_ORACLE, "lineitem")
              .select("l_partkey").distinct().count())
     assert abs(got - exact) / exact < 0.15, (got, exact)
+
+
+def test_skew_kurtosis_match_numpy_population_moments(spark):
+    import numpy as np
+    from manual_data_ingest_spark.io import load_table
+
+    got = {r.o_orderstatus: (r.skew, r.kurt)
+           for r in E.queries()["agg_skew_kurtosis"](spark, SF_ORACLE).collect()}
+    rows = (load_table(spark, SF_ORACLE, "orders")
+            .select("o_orderstatus", "o_totalprice").collect())
+    by = {}
+    for r in rows:
+        by.setdefault(r.o_orderstatus, []).append(r.o_totalprice)
+    for status, vals in by.items():
+        x = np.array(vals)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        g1 = ((x - m) ** 3).mean() / m2 ** 1.5
+        g2 = ((x - m) ** 4).mean() / m2 ** 2 - 3
+        assert abs(got[status][0] - g1) < 1e-4, status
+        assert abs(got[status][1] - g2) < 1e-4, status
