@@ -35,15 +35,20 @@ _STREAM_DIRS: dict[str, str] = {}
 
 
 def _events_dir(sf_dir: str) -> str:
-    """FileStreamSource requires a DIRECTORY; the fixture is one file.
-    Symlink it into a cached temp dir (on a real deployment the source
-    is a directory of arriving files, so this shim is test-only)."""
+    """FileStreamSource requires a DIRECTORY of files. The production
+    case (events.parquet IS a directory of part files) streams directly;
+    the fixture's single-file case gets a symlink shim into a cached
+    temp dir (test-only)."""
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        return path
     if sf_dir not in _STREAM_DIRS:
-        import os
         import tempfile
 
         d = tempfile.mkdtemp(prefix="mdis_stream_src_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        os.symlink(path, f"{d}/events.parquet")
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
