@@ -29,10 +29,13 @@ if _REPO not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
-# size shuffle partitions to the benchmark SF (~100 MB at sf0.1): the
-# BASELINE.md protocol's "partitions sized to the target SF" rule —
-# measured 10-30% off the per-query floor vs core-count partitions
+# size shuffle partitions AND input splits to the benchmark SF
+# (~100 MB at sf0.1): the BASELINE.md protocol's "partitions sized to
+# the target SF" rule — measured 10-30% off the per-query floor
+# (shuffle) and ~35% on scan-bound queries (splits; the fixture tables
+# are single files, so default 128m splits give one scan task)
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
 
 #: headline queries — one per major operator family (SURVEY.md §2)
 HEADLINE = [
