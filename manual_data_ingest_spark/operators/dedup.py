@@ -344,3 +344,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+_DF_CAP = 20  # posting-frequency cutoff: shingles in > _DF_CAP docs are stop-shingles
+
+
+@register("dedup_near_jaccard_capped", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+kept AS (
+    SELECT doc_id, shingle FROM sh
+    QUALIFY count(*) OVER (PARTITION BY shingle) <= {_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       {sql_rnd('common::DOUBLE / (sa.n + sb.n - common)', 6)} AS jaccard
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.5
+""")
+def dedup_near_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup Jaccard with the stop-shingle cutoff APPLIED — the scale
+    lever the uncapped operator only documents.
+
+    Shingles appearing in more than {cap} documents carry candidate
+    volume but no discriminative signal (they are the corpus's cliches);
+    excluding them bounds every posting list, making the quadratic pair
+    expansion O(cap²) per shingle instead of O(hottest²). Jaccard is
+    then computed over the KEPT shingle space on both engines
+    identically, so the oracle stays hash-exact: this is a precision-
+    preserving approximation with a defined, verifiable semantic, not a
+    silent heuristic. The scaling-curve experiment (BASELINE.md) shows
+    where the uncapped expansion goes superlinear — this is the switch
+    to flip there.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+                .filter((F.size("ds") >= 2) & (F.size("ds") <= _DF_CAP)))
+    pair_arr = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")
+    pairs = (postings.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+             .agg(F.count("*").alias("common")))
+    # sizes over the KEPT shingle space: per-doc count of shingles whose
+    # document frequency is within the cap (needs the global df — one
+    # extra aggregate, still bounded work)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = (sh.join(df_counts.filter(F.col("df") <= _DF_CAP), "shingle")
+             .groupBy("doc_id").agg(F.count("*").alias("n")))
+    jac = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n")
+                                            - F.col("common"))
+    return (pairs
+            .join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+            .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+            .filter(jac >= 0.5)
+            .select("id_a", "id_b", rnd(jac, 6).alias("jaccard")))
