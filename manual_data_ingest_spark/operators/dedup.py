@@ -379,9 +379,14 @@ def dedup_near_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     then computed over the KEPT shingle space on both engines
     identically, so the oracle stays hash-exact: this is a precision-
     preserving approximation with a defined, verifiable semantic, not a
-    silent heuristic. The scaling-curve experiment (BASELINE.md) shows
-    where the uncapped expansion goes superlinear — this is the switch
-    to flip there.
+    silent heuristic.
+
+    Measured caveat (4× replica corpus): the cap's bookkeeping (global
+    df aggregate + sizes join) costs MORE than it saves here — 4.5 s vs
+    3.2 s uncapped, identical pairs — because this synthetic corpus has
+    near-uniform shingle sharing, not the power-law hot shingles the
+    cutoff targets. Flip the switch on real web corpora where posting
+    lists follow a power law; on uniform corpora leave it off.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
