@@ -4,22 +4,27 @@ Exact dedup: normalize → md5 → keep min doc_id per digest. The fixture
 has zero exact duplicates, so the operator runs on a self-union (copy
 with offset ids) — dedup must demonstrably REMOVE something.
 
-Near-dup: 5-token shingles. Two paths:
-- ``dedup_near_jaccard`` (oracled): exact shingle-Jaccard via an
-  inverted-index self-join — explode distinct shingles, join on shingle,
-  count common, J = common / (|A| + |B| - common). Integer arithmetic +
-  one IEEE division → bit-identical across engines.
+The family (every near-dup strategy a training-data pipeline uses):
+- ``dedup_near_jaccard`` (oracled): exact shingle-Jaccard via inverted-
+  index POSTING LISTS — one shingle pass, pair expansion per posting,
+  map-only doc sizes; J = common / (|A| + |B| - common), integer
+  arithmetic + one IEEE division → bit-identical across engines.
+  ``dedup_near_jaccard_capped`` adds the stop-shingle df cutoff (with a
+  measured caveat — see its docstring).
 - ``dedup_near_minhash`` (rows-only): hand-rolled MinHash-LSH —
   per-shingle xxhash64 under 16 seeds → per-doc signature minima →
   4 bands of 4 → band-bucket join → candidate pairs. LSH internals
-  aren't portable SQL, so the driver records rows-only; the pytest
-  suite checks candidates ⊇ high-Jaccard truth pairs.
+  aren't portable SQL; the pytest suite pins recall vs Jaccard truth.
+- ``dedup_simhash`` (oracled): weighted 32-bit SimHash, pigeonhole
+  chunk blocking, hamming ≤ 2.
+- ``dedup_embedding`` (oracled): cosine near-dup removal over vectors.
+- ``dedup_clusters`` (oracled): connected components over the pair
+  graph — iterative min-label propagation vs a recursive-CTE oracle.
 
-Scale: the shingle join's fan-out is bounded by shingle frequency —
-at 100 TB drop top-frequency shingles (stop-shingles) and/or switch to
-the MinHash path, which shuffles fixed-size signatures instead of raw
-shingle postings. Banding keeps the bucket join linear in near-dup
-density; AQE's skew-join split handles hot buckets.
+Scale: postings shuffle by shingle (frequency-capped when the corpus is
+power-law); MinHash shuffles fixed-size signatures instead of raw
+postings; banding keeps the bucket join linear in near-dup density;
+AQE's skew-join split handles hot buckets.
 """
 
 from __future__ import annotations
