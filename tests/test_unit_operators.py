@@ -131,3 +131,24 @@ def test_excel_source_gated_cleanly(spark):
 
     with pytest.raises(NotImplementedError, match="openpyxl"):
         read_excel_sheet(spark, "/nonexistent.xlsx")
+
+
+def test_lang_id_discriminates_on_real_markers(spark):
+    """The fixture corpus collapses lang-id to 'en'; here the algorithm
+    faces documents where each language's markers actually dominate —
+    argmax, tie priority, and the 'und' fallback all exercised."""
+    from manual_data_ingest_spark.functions.text import _marker_score, _lang_pred, _MARKERS
+
+    docs = spark.createDataFrame(
+        [(1, "der hund und die katze das haus"),      # de markers
+         (2, "el gato y la casa los perros"),          # es markers
+         (3, "le chat et les maisons une porte"),      # fr markers
+         (4, "the quick brown fox jumps over a dog"),  # en markers
+         (5, "xyzzy plugh quux"),                      # nothing → und
+         (6, "the a der die das und")],                # de(4) beats en(2)
+        "doc_id long, text string")
+    scores = {l: _marker_score("spark", l) for l in _MARKERS}
+    from pyspark.sql import functions as FF
+    got = {r.doc_id: r.pred for r in docs.select(
+        "doc_id", FF.expr(_lang_pred(scores)).alias("pred")).collect()}
+    assert got == {1: "de", 2: "es", 3: "fr", 4: "en", 5: "und", 6: "de"}
