@@ -322,3 +322,23 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.groupBy("o_orderstatus")
             .agg(rnd(F.skewness("o_totalprice"), 6).alias("skew"),
                  rnd(F.kurtosis("o_totalprice"), 6).alias("kurt")))
+
+
+@register("agg_minby_maxby", """
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS top_order,
+       arg_min(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS bottom_order
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmin/argmax in ONE aggregation pass (no window, no self-join):
+    # the orderkey of each group's price extreme. Ties are broken by a
+    # composite numeric key (price*1e6 + key — 2dp prices make it an
+    # exact integer in double range, so both engines compare identically;
+    # a bare max_by on price alone would be nondeterministic on ties).
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_totalprice") * 1000000 + F.col("o_orderkey")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.max_by("o_orderkey", key).alias("top_order"),
+                 F.min_by("o_orderkey", key).alias("bottom_order")))

@@ -78,3 +78,31 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
     return c.select("c_custkey").exceptAll(
         o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
+
+
+@register("set_except_all", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bag-semantics difference: each open-order custkey occurrence is
+    # cancelled by ONE urgent-order occurrence — multiplicity preserved,
+    # unlike EXCEPT's set semantics (set_except)
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return left.exceptAll(right)
+
+
+@register("set_intersect_all", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bag intersection: min(multiplicity) occurrences survive per key
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return left.intersectAll(right)
