@@ -217,3 +217,29 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("p1").eqNullSafe(F.col("p2")))
             .groupBy(F.col("p1").alias("prio_class"))
             .agg(F.count("*").alias("n")))
+
+
+@register("lateral_join_topn", """
+SELECT r.r_name, t.n_name
+FROM region r, LATERAL (
+    SELECT n_name FROM nation n
+    WHERE n.n_regionkey = r.r_regionkey
+    ORDER BY n_name LIMIT 2
+) t
+""")
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated LATERAL subquery (Spark 3.2+ SQL): per outer row, an
+    # inner ordered LIMIT — "first 2 nations per region" without a
+    # window over the whole table. Catalyst decorrelates to a
+    # rank-filtered join; at scale this beats the window form when the
+    # outer side is selective (the limit prunes per group).
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_lv")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    return spark.sql("""
+        SELECT r.r_name, t.n_name
+        FROM region_lv r, LATERAL (
+            SELECT n_name FROM nation_lv n
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_name LIMIT 2
+        ) t
+    """)

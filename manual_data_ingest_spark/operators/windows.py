@@ -182,3 +182,29 @@ def win_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
         .over(w).alias("errors_so_far"),
         F.count("*").over(w).alias("events_so_far"))
+
+
+@register("win_forward_fill", """
+WITH e AS (
+    SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+           CASE WHEN value < 0.1 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT event_id, user_id,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS v_filled
+FROM e
+""")
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LOCF forward fill: sensor dropouts (here: values < 0.1 nulled as
+    # stand-ins) carry the last observed value forward per user —
+    # last(ignorenulls=True) over an expanding frame; rows before any
+    # observation stay NULL. One shuffle on the entity key.
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 0.1, None).otherwise(F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("v_filled"))
