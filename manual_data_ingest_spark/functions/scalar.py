@@ -192,3 +192,27 @@ def cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("status_clean"),
         F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("price_floor50k"),
         F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("price_cap400k"))
+
+
+@register("scalar_try_funcs", f"""
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 5 = 0 THEN NULL
+            ELSE {{}} END AS safe_ratio,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+FROM orders
+""".format("floor((o_totalprice / (o_custkey % 5)) * 100.0 + 0.5) / 100.0"))
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANSI-mode error safety: Spark 4 runs with spark.sql.ansi.enabled
+    # (strict SQL errors), so the engine's cleanup ops use the try_*
+    # family — try_divide yields NULL on /0 instead of failing the job
+    # (one poisoned row must never kill a 100 TB pipeline), try_cast
+    # NULLs unparseable values. Oracles are the CASE-protected twins.
+    o = load_table(spark, sf_dir, "orders")
+    div = F.expr("try_divide(o_totalprice, o_custkey % 5)")
+    return o.select(
+        "o_orderkey",
+        rnd(div).alias("safe_ratio"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+        .alias("prio_digit"))
