@@ -166,3 +166,82 @@ def test_rocksdb_state_store_provider(spark, multi_file_events):
             sorted(map(tuple, batch.collect()))
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_event_time_timeout_closes_final_session(spark, tmp_path):
+    """Stateful sessionization with EventTimeTimeout: sessions close
+    either when a later event reveals a gap (in-handler) or when the
+    WATERMARK passes session_end with no further events — the timeout
+    path, which is the only way the LAST session of a quiet key ever
+    closes in a live stream. A later event from another user advances
+    the global watermark past user 1's last session + gap, firing the
+    timeout."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    batches = [
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:10:00")],
+        [(3, 1, "2024-01-01 12:00:00")],   # gap > 30 min → closes session 1
+        [(4, 1, "2024-01-01 14:00:00")],   # closes session 2
+        [(5, 2, "2024-01-01 16:00:00")],   # other user; watermark → 15:50
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s string") \
+            .select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"))
+        f = f"{d}/b{i}"
+        df.coalesce(1).write.parquet(f)
+        for p in __import__("pathlib").Path(f).rglob("*.parquet"):
+            os.rename(p, f"{d}/part{i}.parquet")
+            os.utime(f"{d}/part{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "n_events": [n], "closed_by": ["timeout"]})
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = sorted(int(t.value // 1000) for t in rows["ts"])
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_us[0], ts_us[0], 0
+        out = []
+        for t in ts_us:
+            if t - last > GAP_US:
+                out.append((start, n))
+                start, n = t, 0
+            n += 1
+            last = t
+        state.update((start, last, n))
+        state.setTimeoutTimestamp(last // 1000 + 30 * 60 * 1000)
+        for s, c in out:
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(s, unit="us")],
+                "n_events": [c], "closed_by": ["gap"]})
+
+    st = (spark.readStream.schema("event_id long, user_id long, ts timestamp")
+          .option("maxFilesPerTrigger", "1").parquet(d + "/part*.parquet"))
+    res = (st.withWatermark("ts", "10 minutes")
+           .groupBy("user_id").applyInPandasWithState(
+               sessionize,
+               "user_id long, session_start timestamp, n_events long, "
+               "closed_by string",
+               "start long, last long, n long",
+               "append", GroupStateTimeout.EventTimeTimeout))
+    q = (res.writeStream.format("memory").queryName("tout_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(str(r.session_start), r.n_events, r.closed_by)
+           for r in spark.table("tout_sink").collect() if r.user_id == 1}
+    assert ("2024-01-01 10:00:00", 2, "gap") in got
+    assert ("2024-01-01 12:00:00", 1, "gap") in got
+    assert ("2024-01-01 14:00:00", 1, "timeout") in got  # watermark-closed
