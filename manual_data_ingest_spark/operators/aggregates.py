@@ -342,3 +342,40 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.groupBy("o_orderstatus")
             .agg(F.max_by("o_orderkey", key).alias("top_order"),
                  F.min_by("o_orderkey", key).alias("bottom_order")))
+
+
+@register("agg_boolean", """
+SELECT c_nationkey,
+       bool_and(c_acctbal > 0) AS all_positive,
+       bool_or(c_acctbal > 9000) AS any_rich,
+       count_if(c_acctbal < 0) AS n_negative
+FROM customer
+GROUP BY c_nationkey
+""")
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boolean aggregates: universal/existential per group + predicate
+    # count — the validation-report shape ("all rows pass", "any outlier")
+    c = load_table(spark, sf_dir, "customer")
+    return (c.groupBy("c_nationkey")
+            .agg(F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+                 F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+                 F.count_if(F.col("c_acctbal") < 0).alias("n_negative")))
+
+
+@register("agg_corr_covar", f"""
+SELECT o_orderstatus,
+       {sql_rnd('corr(o_totalprice, o_custkey % 100)', 6)} AS price_mod_corr,
+       {sql_rnd('covar_samp(o_totalprice, o_custkey % 100)', 2)} AS cv_samp,
+       {sql_rnd('covar_pop(o_totalprice, o_custkey % 100)', 2)} AS cv_pop
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bivariate statistics per group (corr ≈ 0 by construction — the
+    # check is engine parity of the co-moment computation, rounded)
+    o = load_table(spark, sf_dir, "orders")
+    y = F.pmod("o_custkey", F.lit(100))
+    return (o.groupBy("o_orderstatus")
+            .agg(rnd(F.corr("o_totalprice", y), 6).alias("price_mod_corr"),
+                 rnd(F.covar_samp("o_totalprice", y), 2).alias("cv_samp"),
+                 rnd(F.covar_pop("o_totalprice", y), 2).alias("cv_pop")))
