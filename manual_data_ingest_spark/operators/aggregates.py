@@ -379,3 +379,22 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(rnd(F.corr("o_totalprice", y), 6).alias("price_mod_corr"),
                  rnd(F.covar_samp("o_totalprice", y), 2).alias("cv_samp"),
                  rnd(F.covar_pop("o_totalprice", y), 2).alias("cv_pop")))
+
+
+@register("agg_string_concat", """
+SELECT r_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM region JOIN nation ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+""")
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered string aggregation (listagg/string_agg): the report-line
+    # shape. Spark's spelling is concat_ws over a SORTED collect_list —
+    # the sort is the determinism discipline (an unordered string_agg is
+    # nondeterministic under parallel collection on every engine).
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (r.join(n, n.n_regionkey == r.r_regionkey)
+            .groupBy("r_regionkey")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name")))
+                 .alias("nations")))
