@@ -216,3 +216,27 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
         F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
         .alias("prio_digit"))
+
+
+@register("date_parse_roundtrip", """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%m/%d/%Y') AS us_text,
+       strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')::DATE AS reparsed,
+       (strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')::DATE
+        = o_orderdate::DATE) AS roundtrip_ok
+FROM orders
+""")
+def date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curator-sheet date normalization: format a date into the US text
+    # form sheets arrive in, then parse it back with an explicit pattern
+    # — schema-on-read with DECLARED formats, never inference. Pattern
+    # languages differ per engine (Java 'MM/dd/yyyy' vs strftime
+    # '%m/%d/%Y'); the SEMANTICS are oracle-verified identical.
+    o = load_table(spark, sf_dir, "orders")
+    us = F.date_format("o_orderdate", "MM/dd/yyyy")
+    reparsed = F.to_date(us, "MM/dd/yyyy")
+    return o.select(
+        "o_orderkey",
+        us.alias("us_text"),
+        reparsed.alias("reparsed"),
+        (reparsed == F.to_date("o_orderdate")).alias("roundtrip_ok"))
