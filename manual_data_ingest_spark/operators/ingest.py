@@ -294,3 +294,23 @@ def ingest_union_drifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "text")
     batch_b = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
     return batch_a.unionByName(batch_b, allowMissingColumns=True)
+
+
+@register("ingest_file_lineage", """
+SELECT 'documents.parquet' AS source_file, count(*) AS n_rows,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents
+""")
+def ingest_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row-level file lineage via input_file_name(): every row knows the
+    # physical file it came from — the provenance primitive behind
+    # "which upload batch produced this record" questions, free at scan
+    # time (no join against a manifest). Grouped by file basename so the
+    # oracle is path-independent.
+    d = load_table(spark, sf_dir, "documents")
+    fname = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    return (d.select(fname.alias("source_file"), "doc_id")
+            .groupBy("source_file")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))

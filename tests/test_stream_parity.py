@@ -245,3 +245,38 @@ def test_event_time_timeout_closes_final_session(spark, tmp_path):
     assert ("2024-01-01 10:00:00", 2, "gap") in got
     assert ("2024-01-01 12:00:00", 1, "gap") in got
     assert ("2024-01-01 14:00:00", 1, "timeout") in got  # watermark-closed
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once restart: a second availableNow run against the SAME
+    checkpoint must process only files that arrived after the first run
+    — the fault-tolerance contract every production stream relies on."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(i, rows):
+        df = spark.createDataFrame(rows, "event_id long, v long")
+        f = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(f)
+        for p in __import__("pathlib").Path(f).rglob("*.parquet"):
+            os.rename(p, f"{src}/part{i}.parquet")
+            os.utime(f"{src}/part{i}.parquet", (1_700_000_000 + i,) * 2)
+
+    def run_once():
+        st = (spark.readStream.schema("event_id long, v long")
+              .parquet(src + "/part*.parquet"))
+        q = (st.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    add_file(0, [(1, 10), (2, 20)])
+    add_file(1, [(3, 30)])
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+    add_file(2, [(4, 40)])
+    run_once()  # resume: must append ONLY the new file's rows
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4]  # no reprocessing, no loss
