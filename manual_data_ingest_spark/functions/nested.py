@@ -215,3 +215,35 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     matches = F.filter(F.split("text", " "), lambda t: t == F.lit("dup"))
     return d.select("doc_id", F.explode_outer(matches).alias("match"))
+
+
+@register("array_setops", """
+WITH halves AS (
+    SELECT doc_id,
+           list_distinct(l[1 : len(l) // 2]) AS h1,
+           list_distinct(l[len(l) // 2 + 1 : len(l)]) AS h2
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+)
+SELECT doc_id,
+       len(list_distinct(h1 || h2)) AS n_union,
+       len(list_filter(h1, x -> list_contains(h2, x))) AS n_intersect,
+       len(list_filter(h1, x -> NOT list_contains(h2, x))) AS n_except
+FROM halves
+""")
+def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array set algebra: vocabulary overlap between each document's two
+    # halves — array_union/intersect/except sizes (Spark's variants
+    # dedupe, mirrored by list_distinct on the oracle side). The
+    # token-drift shape: "does the second half introduce new vocabulary"
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    half = (F.size(toks) / 2).cast("int")
+    h1 = F.array_distinct(F.slice(toks, 1, half))
+    h2 = F.array_distinct(F.expr(
+        "slice(split(text, ' '), cast(size(split(text, ' ')) / 2 as int) + 1,"
+        " size(split(text, ' ')))"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_union(h1, h2)).alias("n_union"),
+        F.size(F.array_intersect(h1, h2)).alias("n_intersect"),
+        F.size(F.array_except(h1, h2)).alias("n_except"))
