@@ -247,3 +247,32 @@ def array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union(h1, h2)).alias("n_union"),
         F.size(F.array_intersect(h1, h2)).alias("n_intersect"),
         F.size(F.array_except(h1, h2)).alias("n_except"))
+
+
+@register("struct_nested", """
+SELECT c_custkey,
+       c_name AS entity_name,
+       c_nationkey AS geo_nation,
+       c_mktsegment AS attr_segment,
+       floor(c_acctbal * 100.0 + 0.5) / 100.0 AS attr_balance
+FROM customer
+""")
+def struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nested data modeling: assemble the entity-api payload shape as a
+    # NESTED struct (entity{name, geo{nation}, attrs{segment, balance}}),
+    # then flatten back via dot paths. The oracle compares the flattened
+    # fields — struct layout is engine-internal, the projection contract
+    # is what downstream consumers see.
+    c = load_table(spark, sf_dir, "customer")
+    entity = F.struct(
+        F.col("c_name").alias("name"),
+        F.struct(F.col("c_nationkey").alias("nation")).alias("geo"),
+        F.struct(F.col("c_mktsegment").alias("segment"),
+                 rnd(F.col("c_acctbal")).alias("balance")).alias("attrs"))
+    nested = c.select("c_custkey", entity.alias("entity"))
+    return nested.select(
+        "c_custkey",
+        F.col("entity.name").alias("entity_name"),
+        F.col("entity.geo.nation").alias("geo_nation"),
+        F.col("entity.attrs.segment").alias("attr_segment"),
+        F.col("entity.attrs.balance").alias("attr_balance"))
