@@ -280,3 +280,26 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     run_once()  # resume: must append ONLY the new file's rows
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4]  # no reprocessing, no loss
+
+
+def test_rate_source_produces_monotonic_stream(spark):
+    """The rate source is the synthetic-stream generator (load tests,
+    demos) — verify the engine consumes a non-file source end-to-end:
+    monotonically increasing values, one row per (timestamp, value)."""
+    st = (spark.readStream.format("rate")
+          .option("rowsPerSecond", "50").load())
+    q = (st.writeStream.format("memory").queryName("rate_sink")
+         .outputMode("append").start())
+    try:
+        import time as _t
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            if spark.table("rate_sink").count() >= 20:
+                break
+            _t.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table("rate_sink").collect()
+    assert len(rows) >= 20
+    vals = sorted(r.value for r in rows)
+    assert vals == list(range(vals[0], vals[0] + len(vals)))  # gapless
