@@ -311,3 +311,34 @@ def sim_threshold_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.groupBy("label").applyInPandas(
         block, schema="id_a long, id_b long, label int, score double")
+
+
+@register("sim_normalize_materialize", f"""
+WITH {_E_CTE},
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT vec_id, label,
+       {sql_rnd('nrm', 6)} AS norm,
+       list_transform(v, x -> (floor((x / nrm) * 1000000.0 + 0.5)
+                                / 1000000.0)::DOUBLE) AS unit_vec
+FROM n
+""")
+def sim_normalize_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # THE 100 TB answer to per-pair norm cost (module header): normalize
+    # ONCE into a materialized table so every downstream similarity op
+    # computes a single dot per pair against unit vectors. This operator
+    # is that materialization — per-element division by the bit-exact
+    # sequential-fold norm, each element rounded 6dp for cross-engine
+    # array hashing. Map-only; at scale this is a one-time rewrite
+    # partitioned by the ANN cell key.
+    e = load_table(spark, sf_dir, "embeddings")
+    en = e.select("vec_id", "label", "embedding",
+                  F.sqrt(dot_unrolled("embedding", "embedding")).alias("nrm"))
+    # CAST the divisor literal: Spark's floor() returns BIGINT and a bare
+    # 1000000.0 literal is DECIMAL, so the untyped form silently produces
+    # array<decimal> — double division must be explicit in SQL text
+    unit = F.expr(
+        "transform(embedding, x -> floor((CAST(x AS DOUBLE) / nrm)"
+        " * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE))")
+    return en.select("vec_id", "label",
+                     rnd(F.col("nrm"), 6).alias("norm"),
+                     unit.alias("unit_vec"))
