@@ -152,3 +152,20 @@ def test_lang_id_discriminates_on_real_markers(spark):
     got = {r.doc_id: r.pred for r in docs.select(
         "doc_id", FF.expr(_lang_pred(scores)).alias("pred")).collect()}
     assert got == {1: "de", 2: "es", 3: "fr", 4: "en", 5: "und", 6: "de"}
+
+
+def test_multimodal_decode_invariant_to_arrow_batch_size(spark):
+    """The module docstring claims batch sizes stay bounded via
+    arrow.maxRecordsPerBatch when media rows are large — verify the
+    result is IDENTICAL under a tiny batch bound (more, smaller Arrow
+    batches through the same mapInPandas)."""
+    from manual_data_ingest_spark.operators.multimodal import multimodal_decode
+
+    base = sorted(map(tuple, multimodal_decode(spark, SF_SMALL).collect()))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        small = sorted(map(tuple, multimodal_decode(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base == small
