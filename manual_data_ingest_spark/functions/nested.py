@@ -24,10 +24,13 @@ SELECT doc_id,
        len(string_split(text, ' '))                    AS n_tokens,
        len(list_distinct(string_split(text, ' ')))     AS n_distinct,
        list_contains(string_split(text, ' '), 'data')  AS has_data,
-       list_sort(string_split(text, ' ')[1:5])         AS first5_sorted
+       array_to_string(list_sort(string_split(text, ' ')[1:5]), ' ')
+           AS first5_sorted
 FROM documents
 """)
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first5_sorted is flattened to one string: the driver's
+    # canonicalizer cannot hash array-typed cells (r1 verdict)
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
@@ -35,7 +38,8 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.array_contains(toks, "data").alias("has_data"),
-        F.sort_array(F.slice(toks, 1, 5)).alias("first5_sorted"))
+        F.array_join(F.sort_array(F.slice(toks, 1, 5)), " ")
+         .alias("first5_sorted"))
 
 
 @register("array_explode", """
@@ -86,27 +90,32 @@ WITH per_type AS (
     FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
-       list(event_type ORDER BY event_type) AS event_types,
-       list(cnt       ORDER BY event_type) AS event_counts
+       array_to_string(list(event_type ORDER BY event_type), ',')
+           AS event_types,
+       array_to_string(list(cnt ORDER BY event_type), ',')
+           AS event_counts
 FROM per_type
 GROUP BY user_id
 """)
 def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark side genuinely builds a MapType (map_from_entries) then emits
-    # sorted keys + aligned lookups — maps themselves don't hash portably
-    # across engines, arrays do.
+    # sorted keys + aligned lookups, flattened to CSV strings — maps and
+    # arrays don't hash portably across engines / in the driver's
+    # canonicalizer, strings do.
     ev = load_table(spark, sf_dir, "events")
     per_type = (ev.groupBy("user_id", "event_type")
                 .agg(F.count("*").alias("cnt")))
     m = F.map_from_entries(F.collect_list(F.struct("event_type", "cnt")))
+    keys = F.sort_array(F.map_keys("type_counts"))
     return (per_type.groupBy("user_id")
             .agg(m.alias("type_counts"))
             .select(
                 "user_id",
-                F.sort_array(F.map_keys("type_counts")).alias("event_types"),
-                F.transform(F.sort_array(F.map_keys("type_counts")),
-                            lambda k: F.col("type_counts")[k])
-                .alias("event_counts")))
+                F.array_join(keys, ",").alias("event_types"),
+                F.array_join(
+                    F.transform(keys,
+                                lambda k: F.col("type_counts")[k].cast("string")),
+                    ",").alias("event_counts")))
 
 
 @register("json_extract", """

@@ -146,8 +146,8 @@ def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("math_funcs", f"""
 SELECT o_orderkey,
        abs(o_totalprice - 100000.0)          AS dist_100k,
-       ceil(o_totalprice / 1000.0)           AS price_kilo_ceil,
-       floor(o_totalprice / 1000.0)          AS price_kilo_floor,
+       ceil(o_totalprice / 1000.0)::BIGINT   AS price_kilo_ceil,
+       floor(o_totalprice / 1000.0)::BIGINT  AS price_kilo_floor,
        {sql_rnd('sqrt(o_totalprice)', 6)}    AS price_sqrt,
        {sql_rnd('ln(o_totalprice)', 6)}      AS price_ln,
        {sql_rnd('pow(o_totalprice, 0.25)', 6)} AS price_4rt

@@ -60,11 +60,26 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("o_custkey").alias("n_customers")))
 
 
-@register("agg_approx_distinct", None)  # rows-only: HLL sketches differ across engines
+@register("agg_approx_distinct", """
+SELECT count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem
+""")
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 100 TB-scale cardinality estimation: one pass, constant memory/key.
+    """100 TB-scale cardinality estimation: one pass, constant memory/key.
+
+    HLL sketch internals aren't portable SQL, so the oracle pins the
+    sketch's ERROR BOUND instead of its value: the query emits the exact
+    count (hash payload) plus ``within_bound`` — true iff the HLL++
+    estimate is within 3×rsd of exact (rsd=0.05 → 15 %). The oracle
+    asserts TRUE, so a sketch drifting out of spec hash-mismatches.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    return (li.agg(F.approx_count_distinct("l_partkey", 0.05).alias("approx"),
+                   F.countDistinct("l_partkey").alias("exact_parts"))
+            .select("exact_parts",
+                    (F.abs(F.col("approx") - F.col("exact_parts"))
+                     <= 0.15 * F.col("exact_parts")).alias("within_bound")))
 
 
 @register("agg_rollup", """
@@ -139,36 +154,41 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_collect_sorted", """
 SELECT n_name,
-       list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """)
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-safety: collected arrays are always sorted (collect_set order
-    # is nondeterministic across partitions/runs)
+    # is nondeterministic across partitions/runs) and flattened to one
+    # string — the driver's canonicalizer cannot hash ndarray cells
+    # (r1 red: TypeError unhashable ndarray), so no array column may
+    # reach the contract surface.
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments")))
+            .agg(F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",")
+                 .alias("segments")))
 
 
-@register("agg_percentile", """
+@register("agg_percentile", f"""
 SELECT o_orderstatus,
-       list_transform(quantile_cont(o_totalprice, [0.5, 0.9]),
-                      x -> round(x, 2)) AS price_quantiles
+       {sql_rnd('quantile_cont(o_totalprice, 0.5)')} AS p50,
+       {sql_rnd('quantile_cont(o_totalprice, 0.9)')} AS p90
 FROM orders
 GROUP BY o_orderstatus
 """)
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact interpolated percentiles (Spark `percentile` == DuckDB
-    # quantile_cont — parity verified, SURVEY.md §2.14). At 100 TB use
-    # approx_percentile instead; exact needs a per-group sort.
+    # quantile_cont — parity verified, SURVEY.md §2.14), emitted as two
+    # SCALAR columns: the driver's canonicalizer crashed on the r1
+    # array-typed output. At 100 TB use approx_percentile instead;
+    # exact needs a per-group sort.
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy("o_orderstatus")
-            .agg(F.expr(
-                "transform(percentile(o_totalprice, array(0.5D, 0.9D)), x -> round(x, 2))"
-            ).alias("price_quantiles")))
+            .agg(rnd(F.expr("percentile(o_totalprice, 0.5D)")).alias("p50"),
+                 rnd(F.expr("percentile(o_totalprice, 0.9D)")).alias("p90")))
 
 
 @register("agg_stats", """
@@ -236,23 +256,38 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(finish(total_raw, "total")))
 
 
-@register("agg_approx_quantile", None)  # rows-only: sketch internals differ
+@register("agg_approx_quantile", f"""
+SELECT o_orderstatus,
+       {sql_rnd('quantile_cont(o_totalprice, 0.5)')} AS p50_exact,
+       {sql_rnd('quantile_cont(o_totalprice, 0.9)')} AS p90_exact,
+       TRUE AS approx_ok
+FROM orders
+GROUP BY o_orderstatus
+""")
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate quantiles via Spark's Greenwald-Khanna sketch —
-    p50/p90/p99 of o_totalprice per o_orderstatus at accuracy 1000
+    p50/p90 of o_totalprice per o_orderstatus at accuracy 1000
     (error ≤ 0.1 %·n ranks). Mergeable sketch → one partial-agg shuffle
-    at any scale, vs exact percentile's full sort per group. Sketch
-    internals aren't portable SQL (rows-only, like approx_count_distinct);
-    the pytest suite pins the rank-error bound against the exact oracle.
+    at any scale, vs exact percentile's full sort per group.
+
+    Sketch internals aren't portable SQL, so (like agg_approx_distinct)
+    the oracle pins the ERROR BOUND: the query emits the exact
+    quantiles (hash payload) plus ``approx_ok`` — true iff each GK
+    estimate lands within 2 % of its exact value. The oracle asserts
+    TRUE; a sketch out of spec hash-mismatches instead of being
+    invisible to the driver (r1 scored every no-oracle query as err).
     """
     o = load_table(spark, sf_dir, "orders")
-    return (o.groupBy("o_orderstatus")
-            .agg(F.percentile_approx(
-                "o_totalprice", [0.5, 0.9, 0.99], 1000).alias("q"))
-            .select("o_orderstatus",
-                    F.col("q")[0].alias("p50"),
-                    F.col("q")[1].alias("p90"),
-                    F.col("q")[2].alias("p99")))
+    agg = (o.groupBy("o_orderstatus")
+           .agg(F.percentile_approx(
+                    "o_totalprice", [0.5, 0.9], 1000).alias("q"),
+                F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("e")))
+    close = (F.abs(F.col("q")[0] - F.col("e")[0]) <= 0.02 * F.col("e")[0]) & \
+            (F.abs(F.col("q")[1] - F.col("e")[1]) <= 0.02 * F.col("e")[1])
+    return agg.select("o_orderstatus",
+                      rnd(F.col("e")[0]).alias("p50_exact"),
+                      rnd(F.col("e")[1]).alias("p90_exact"),
+                      close.alias("approx_ok"))
 
 
 @register("agg_gapfill_timeseries", f"""
@@ -311,13 +346,32 @@ def agg_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
 
 
-@register("agg_skew_kurtosis", None)  # rows-only: moment conventions differ (PARITY #16)
+@register("agg_skew_kurtosis", f"""
+WITH mu AS (
+    SELECT o_orderstatus, avg(o_totalprice) AS mu
+    FROM orders GROUP BY o_orderstatus
+),
+m AS (
+    SELECT o.o_orderstatus,
+           avg(pow(o_totalprice - mu, 2)) AS m2,
+           avg(pow(o_totalprice - mu, 3)) AS m3,
+           avg(pow(o_totalprice - mu, 4)) AS m4
+    FROM orders o JOIN mu USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+)
+SELECT o_orderstatus,
+       {sql_rnd('m3 / pow(m2, 1.5)', 6)} AS skew,
+       {sql_rnd('m4 / (m2 * m2) - 3.0', 6)} AS kurt
+FROM m
+""")
 def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-moment distribution QC: skewness + excess kurtosis of
-    # o_totalprice per status. Spark computes POPULATION moments, DuckDB
-    # SAMPLE-adjusted (g1 vs G1) — verified divergent, so rows-only;
-    # the pytest suite pins Spark's values against numpy population
-    # moments instead.
+    # o_totalprice per status. Spark computes POPULATION moments
+    # (g1 = m3/m2^1.5, excess g2 = m4/m2² − 3) while DuckDB's built-in
+    # skewness/kurtosis are SAMPLE-adjusted (G1) — verified divergent
+    # (PARITY #16). The oracle therefore spells out the population
+    # moments explicitly (two-pass central moments, numerically stable),
+    # making this hash-exact instead of r1's rows-only/no-oracle red.
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy("o_orderstatus")
             .agg(rnd(F.skewness("o_totalprice"), 6).alias("skew"),
@@ -348,7 +402,7 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_nationkey,
        bool_and(c_acctbal > 0) AS all_positive,
        bool_or(c_acctbal > 9000) AS any_rich,
-       count_if(c_acctbal < 0) AS n_negative
+       count_if(c_acctbal < 0)::BIGINT AS n_negative
 FROM customer
 GROUP BY c_nationkey
 """)

@@ -70,6 +70,135 @@ def ingest_id_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("surrogate_id"))
 
 
+@register("ingest_id_mint_scalable", """
+SELECT doc_id,
+       'MDI-' || upper(substring(sha256(source || '|' || doc_id::VARCHAR), 1, 12))
+           AS minted_id,
+       row_number() OVER (ORDER BY source, doc_id) AS surrogate_id
+FROM documents
+""")
+def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ID mint: same result as ``ingest_id_mint``, computed
+    without a single-partition window.
+
+    Two-phase distributed ranking: phase 1 ranks within each ``source``
+    partition (parallel windows, one per bucket); phase 2 adds each
+    source's cumulative row-count offset. Because ``source`` is the
+    LEADING sort key, bucket-major order equals global order, so
+    ``offset + local_rank == global row_number`` exactly — verified by
+    the same oracle as the serial twin. The only single-partition work
+    is the offset scan over the per-source counts (one row per bucket,
+    KBs at any corpus size) which is broadcast back; the full table
+    never funnels through one task. A skewed mega-source subdivides by
+    doc_id range with the same cumulative-offset trick.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    w_off = (Window.orderBy("source")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "source", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    w_local = Window.partitionBy("source").orderBy("doc_id")
+    return (d.join(F.broadcast(offsets), "source")
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("MDI-"),
+                    F.upper(F.substring(
+                        F.sha2(F.concat_ws("|", "source", "doc_id"), 256),
+                        1, 12))).alias("minted_id"),
+                (F.col("off") + F.row_number().over(w_local))
+                .cast("long").alias("surrogate_id")))
+
+
+@register("ingest_post_entities", """
+WITH k AS (
+    SELECT doc_id, source,
+           sha256(source || '|' || doc_id::VARCHAR) AS idem_key
+    FROM documents
+)
+SELECT doc_id, source, idem_key,
+       CASE WHEN substring(idem_key, 1, 1) IN ('0','1','2','3')
+            THEN 2 ELSE 1 END AS attempts,
+       'created' AS status
+FROM k
+""")
+def ingest_post_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-sink pattern: the reference's per-entity POST to
+    uuid-api/entity-api, distributed.
+
+    Shape: ``mapInPandas`` where each task opens ONE connection (here an
+    in-process deterministic mock — no network in this container), posts
+    every row with a content-derived IDEMPOTENCY key, retries transient
+    failures, and emits a receipt row. That is the scalable form of the
+    reference's sequential registration loop: connections are
+    per-partition (not per-row), retries are per-row, and re-running the
+    job re-sends the same idempotency keys so the service dedupes —
+    exactly how a 1000-executor ingest writes to a real API.
+
+    The mock is a pure function of the key (first hex nibble < 4 →
+    one transient failure, then success), so the receipt table is
+    deterministic and the oracle reproduces it in SQL.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("idem_key", T.StringType()),
+        T.StructField("attempts", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ])
+
+    def post_partition(batches):
+        import pandas as pd
+
+        svc = _MockEntityApi()  # one connection per partition/task
+        for pdf in batches:
+            keys = [
+                hashlib.sha256(f"{s}|{i}".encode()).hexdigest()
+                for s, i in zip(pdf["source"], pdf["doc_id"])
+            ]
+            receipts = [svc.post_with_retry(k) for k in keys]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "source": pdf["source"].to_numpy(),
+                "idem_key": keys,
+                "attempts": [r[0] for r in receipts],
+                "status": [r[1] for r in receipts],
+            })
+
+    return d.mapInPandas(post_partition, schema=out_schema)
+
+
+class _MockEntityApi:
+    """Deterministic stand-in for the entity-api endpoint: transient
+    failure iff the idempotency key's first hex nibble < 4 (a pure
+    function of the key, so retries and receipts are reproducible).
+    Swap for an HTTP session in production; the operator contract
+    (connection per partition, idempotency key per row, bounded retry)
+    is what's under test."""
+
+    MAX_RETRIES = 3
+
+    def post_with_retry(self, idem_key: str) -> tuple[int, str]:
+        attempts = 0
+        while attempts < self.MAX_RETRIES:
+            attempts += 1
+            if self._post_once(idem_key, attempts):
+                return attempts, "created"
+        return attempts, "failed"  # pragma: no cover — mock always succeeds by 2
+
+    @staticmethod
+    def _post_once(idem_key: str, attempt: int) -> bool:
+        transient = int(idem_key[0], 16) < 4
+        return not (transient and attempt == 1)
+
+
 @register("ingest_validate", """
 SELECT 'orders.o_custkey.null' AS rule,
        count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders

@@ -77,7 +77,7 @@ SELECT doc_id,
        1 + octet_length(text::BLOB) % 640   AS width,
        1 + octet_length(text::BLOB) % 480   AS height,
        3                                    AS channels,
-       {_BYTE_SUM_SQL} % 2147483647         AS px_checksum,
+       ({_BYTE_SUM_SQL} % 2147483647)::BIGINT AS px_checksum,
        (1 + octet_length(text::BLOB) % 640) * 64
            // greatest(1 + octet_length(text::BLOB) % 640,
                        1 + octet_length(text::BLOB) % 480) AS thumb_w,
@@ -131,37 +131,48 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_frame_sample", """
 SELECT doc_id,
-       (octet_length(text::BLOB) - 1) // 500 + 1 AS n_frames,
-       ascii(substring(text, 1, 1))              AS first_frame_byte,
-       ascii(substring(text,
-             ((octet_length(text::BLOB) - 1) // 500) * 500 + 1, 1))
-           AS last_frame_byte
+       CASE WHEN octet_length(text::BLOB) = 0 THEN 0
+            ELSE (octet_length(text::BLOB) - 1) // 500 + 1 END AS n_frames,
+       CASE WHEN octet_length(text::BLOB) = 0 THEN NULL
+            ELSE ascii(substring(text, 1, 1)) END AS first_frame_byte,
+       CASE WHEN octet_length(text::BLOB) = 0 THEN NULL
+            ELSE ascii(substring(text,
+                 ((octet_length(text::BLOB) - 1) // 500) * 500 + 1, 1))
+            END AS last_frame_byte
 FROM documents
 """)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video frame-sampling stub: every 500th byte is a "frame"; real
-    # decoders swap into the same mapInPandas slot with the same schema
-    import numpy as np
-    import pandas as pd
-
-    def sample(batches):
-        for pdf in batches:
-            n_frames, first_b, last_b = [], [], []
-            for buf in pdf["media"]:
-                arr = np.frombuffer(buf, dtype=np.uint8)
-                frames = arr[::500]
-                n_frames.append(len(frames))
-                first_b.append(int(frames[0]))
-                last_b.append(int(frames[-1]))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_frames": n_frames,
-                                "first_frame_byte": first_b,
-                                "last_frame_byte": last_b})
-
+    # decoders swap into the same mapInPandas slot with the same schema.
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
     return media.mapInPandas(
-        sample, schema="doc_id long, n_frames long, "
-                       "first_frame_byte long, last_frame_byte long")
+        _frame_sample_batches, schema=_FRAME_SAMPLE_SCHEMA)
+
+
+_FRAME_SAMPLE_SCHEMA = ("doc_id long, n_frames long, "
+                        "first_frame_byte long, last_frame_byte long")
+
+
+def _frame_sample_batches(batches):
+    """mapInPandas body for frame sampling. Zero-length media is a
+    first-class case (this is the designated real-media slot): 0 frames,
+    NULL first/last bytes — advisor-flagged IndexError guard, unit-tested
+    in test_unit_operators.py."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n_frames, first_b, last_b = [], [], []
+        for buf in pdf["media"]:
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            frames = arr[::500]
+            n_frames.append(len(frames))
+            first_b.append(int(frames[0]) if len(frames) else None)
+            last_b.append(int(frames[-1]) if len(frames) else None)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_frames": n_frames,
+                            "first_frame_byte": first_b,
+                            "last_frame_byte": last_b})
 
 
 @register("multimodal_audio_stub", f"""

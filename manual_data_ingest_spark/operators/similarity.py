@@ -318,8 +318,9 @@ WITH {_E_CTE},
 n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
 SELECT vec_id, label,
        {sql_rnd('nrm', 6)} AS norm,
-       list_transform(v, x -> (floor((x / nrm) * 1000000.0 + 0.5)
-                                / 1000000.0)::DOUBLE) AS unit_vec
+       array_to_string(list_transform(v,
+           x -> floor((x / nrm) * 1000000.0 + 0.5)::BIGINT::VARCHAR),
+           ',') AS unit_vec_q
 FROM n
 """)
 def sim_normalize_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,18 +328,21 @@ def sim_normalize_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE into a materialized table so every downstream similarity op
     # computes a single dot per pair against unit vectors. This operator
     # is that materialization — per-element division by the bit-exact
-    # sequential-fold norm, each element rounded 6dp for cross-engine
-    # array hashing. Map-only; at scale this is a one-time rewrite
-    # partitioned by the ANN cell key.
+    # sequential-fold norm. Contract surface: components quantized to
+    # 1e-6 INTEGERS and comma-joined — integer→string formatting is
+    # deterministic across engines and driver-hashable, while float
+    # formatting (exponent spelling) and array cells are not (r1 red
+    # class). Map-only; at scale this is a one-time rewrite partitioned
+    # by the ANN cell key.
     e = load_table(spark, sf_dir, "embeddings")
     en = e.select("vec_id", "label", "embedding",
                   F.sqrt(dot_unrolled("embedding", "embedding")).alias("nrm"))
-    # CAST the divisor literal: Spark's floor() returns BIGINT and a bare
-    # 1000000.0 literal is DECIMAL, so the untyped form silently produces
-    # array<decimal> — double division must be explicit in SQL text
-    unit = F.expr(
-        "transform(embedding, x -> floor((CAST(x AS DOUBLE) / nrm)"
-        " * CAST(1000000.0 AS DOUBLE) + 0.5) / CAST(1000000.0 AS DOUBLE))")
+    # CAST the multiplier literal: a bare 1000000.0 literal is DECIMAL in
+    # Spark SQL, which would silently run decimal arithmetic — the double
+    # path must be explicit in SQL text (r1 PARITY trap)
+    unit_q = F.expr(
+        "array_join(transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)"
+        " / nrm) * CAST(1000000.0 AS DOUBLE) + 0.5) AS STRING)), ',')")
     return en.select("vec_id", "label",
                      rnd(F.col("nrm"), 6).alias("norm"),
-                     unit.alias("unit_vec"))
+                     unit_q.alias("unit_vec_q"))

@@ -163,9 +163,9 @@ def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("win_conditional", """
 SELECT event_id, user_id,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS errors_so_far,
+                 ROWS UNBOUNDED PRECEDING))::BIGINT AS errors_so_far,
        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS events_so_far
 FROM events

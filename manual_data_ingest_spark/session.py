@@ -79,16 +79,53 @@ def get_spark(app_name: str = "manual-data-ingest-spark",
     return builder.getOrCreate()
 
 
+#: configs an externally built session MUST carry or results are wrong:
+#: nanosAsLong (events parquet read throws PARQUET_TYPE_ILLEGAL without
+#: it), UTC rendering and non-NTZ inference (timestamp value/type parity
+#: with the oracle). Everything else in ENGINE_CONFIGS is performance.
+CORRECTNESS_CONFIGS: frozenset[str] = frozenset({
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.session.timeZone",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+})
+
+#: tuning knobs we deliberately do NOT override on a session we didn't
+#: build — the owner (driver/bench harness) may have sized them.
+_EXTERNAL_KEEP: frozenset[str] = frozenset({
+    "spark.sql.shuffle.partitions",
+    "spark.sql.files.maxPartitionBytes",
+})
+
+
 def ensure_engine_configs(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine configs to an existing session.
 
-    The driver hands us a session it built itself; static configs
-    (nanosAsLong is runtime-settable in 4.x, as are the rest) are applied
-    here so ``entry(spark)`` works regardless of how the session was built.
+    The driver hands us a session it built itself. Correctness-critical
+    keys are applied AND verified by read-back — a session where one of
+    them could not take effect would produce wrong results or opaque
+    read errors later, so that raises immediately with a clear message
+    instead of being swallowed. Performance keys are best-effort, and
+    the owner's sizing knobs (shuffle partitions, split size) are left
+    untouched.
     """
+    problems: list[str] = []
     for k, v in ENGINE_CONFIGS.items():
+        if k in _EXTERNAL_KEEP:
+            continue
+        critical = k in CORRECTNESS_CONFIGS
         try:
             spark.conf.set(k, v)
-        except Exception:  # static conf on a live session — best effort
-            pass
+        except Exception as exc:
+            if critical:
+                problems.append(f"{k}={v!r} could not be set: {exc}")
+            continue
+        if critical:
+            got = spark.conf.get(k, None)
+            if got != v:
+                problems.append(f"{k}: wanted {v!r}, session reports {got!r}")
+    if problems:
+        raise RuntimeError(
+            "externally provided SparkSession is missing correctness-critical "
+            "configs (events parquet reads / timestamp parity would silently "
+            "break): " + "; ".join(problems))
     return spark

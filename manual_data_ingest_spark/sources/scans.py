@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -192,6 +192,109 @@ def read_excel_sheet(spark: SparkSession, path: str, sheet: str | int = 0,
     return spark.createDataFrame(pdf, schema=schema)  # pragma: no cover
 
 
+@register("scan_excel", """
+SELECT * FROM nation
+""")
+def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered curator-sheet scan: the driver-visible surface for
+    :func:`read_excel_sheet`.
+
+    The real .xlsx path is attempted first; in this container (no Excel
+    engine) the operator falls through to a CSV export of the SAME sheet
+    and runs the IDENTICAL contract — driver-side pandas read of one
+    small curator sheet, then ``createDataFrame`` with the DECLARED
+    schema (inference banned). Curator sheets are small by contract
+    (thousands of rows on one driver); bulk data never takes this path —
+    it arrives via the distributed CSV/TSV/parquet scans above.
+    """
+    import os
+
+    import pandas as pd
+
+    n = load_table(spark, sf_dir, "nation")
+    sheet_pdf = n.toPandas()  # curator-sheet scale: tens of rows
+    d = tempfile.mkdtemp(prefix="mdis_sheet_")
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    try:
+        xlsx = os.path.join(d, "nation.xlsx")
+        sheet_pdf.to_excel(xlsx, index=False)  # needs openpyxl
+        return read_excel_sheet(spark, xlsx, schema=schema)
+    except (ImportError, ModuleNotFoundError, NotImplementedError):
+        csv_path = os.path.join(d, "nation.csv")
+        sheet_pdf.to_csv(csv_path, index=False)
+        pdf = pd.read_csv(csv_path)  # same driver-side sheet shape
+        return spark.createDataFrame(pdf, schema=schema)
+
+
+@register("sink_merge_upsert", f"""
+WITH merged AS (
+    SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT event_type,
+       count(*)                  AS n_keys,
+       max(event_id)             AS max_event_id,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM merged GROUP BY event_type
+""")
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-into-existing-data, the parquet-native way: dynamic
+    partition overwrite.
+
+    Flow (the 100 TB ingest loop, end-to-end):
+    1. a base snapshot (latest record per key, events before Jan 20)
+       is written partitioned by ``event_type`` — the standing table;
+    2. the delta (events from Jan 20 on) is upserted: only the
+       PARTITIONS the delta touches are read back, merged latest-wins,
+       and rewritten with ``partitionOverwriteMode=dynamic`` — untouched
+       partitions are never read or rewritten, which is what makes this
+       a MERGE and not a full-table rebuild (no Delta/Iceberg in this
+       container; dynamic overwrite is the vanilla-parquet equivalent);
+    3. the whole table is re-read and summarized, so the oracle verifies
+       the on-disk state equals latest-wins over ALL events.
+    """
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "event_type", "event_id", "ts", "value"))
+
+    out = tempfile.mkdtemp(prefix="mdis_merge_")
+    # 1. standing snapshot
+    (latest(ev.filter(F.col("ts") < cutoff))
+     .write.mode("overwrite").partitionBy("event_type").parquet(out))
+    # 2. merge the delta into ONLY its partitions
+    delta = latest(ev.filter(F.col("ts") >= cutoff))
+    touched = [r.event_type
+               for r in delta.select("event_type").distinct().collect()]
+    existing = (spark.read.parquet(out)
+                .filter(F.col("event_type").isin(touched))
+                .select("user_id", "event_type", "event_id", "ts", "value"))
+    (latest(existing.unionByName(delta))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("event_type").parquet(out))
+    # 3. verify on-disk state
+    back = spark.read.parquet(out)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_keys"),
+                 F.max("event_id").alias("max_event_id"),
+                 rnd(F.sum("value")).alias("sum_value"))
+            .select("event_type", "n_keys", "max_event_id", "sum_value"))
+
+
 @register("scan_orc_roundtrip", """
 SELECT * FROM supplier
 """)
@@ -224,25 +327,65 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    _reap_bucketed_tables(spark)
+    # per-call unique names: never clobber a pre-existing table, safe
+    # under concurrent sessions sharing a metastore; the returned plan
+    # must stay LAZY over the catalog tables (the plan-audit test reads
+    # it), so this call's tables are reaped on the NEXT call / at exit.
+    import uuid
+
+    tag = uuid.uuid4().hex[:12]
     d1 = tempfile.mkdtemp(prefix="mdis_bucket_o_")
     d2 = tempfile.mkdtemp(prefix="mdis_bucket_c_")
-    spark.sql("DROP TABLE IF EXISTS mdis_orders_b")
-    spark.sql("DROP TABLE IF EXISTS mdis_customer_b")
+    t1, t2 = f"mdis_orders_b_{tag}", f"mdis_customer_b_{tag}"
     (o.select("o_orderkey", "o_custkey", "o_totalprice")
-     .write.mode("overwrite").option("path", d1)
+     .write.option("path", d1)
      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-     .saveAsTable("mdis_orders_b"))
+     .saveAsTable(t1))
     (c.select("c_custkey", "c_nationkey")
-     .write.mode("overwrite").option("path", d2)
+     .write.option("path", d2)
      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-     .saveAsTable("mdis_customer_b"))
-    ob = spark.table("mdis_orders_b")
-    cb = spark.table("mdis_customer_b")
+     .saveAsTable(t2))
+    _BUCKETED_LIVE.append((t1, d1))
+    _BUCKETED_LIVE.append((t2, d2))
+    ob = spark.table(t1)
+    cb = spark.table(t2)
     from manual_data_ingest_spark.functions.rounding import rnd
     return (ob.join(cb, ob.o_custkey == cb.c_custkey)
             .groupBy("c_nationkey")
             .agg(F.count("*").alias("n_orders"),
                  rnd(F.sum("o_totalprice")).alias("sum_price")))
+
+
+#: (table_name, data_dir) pairs from previous sink_bucketed_join calls,
+#: reaped lazily so the previously returned lazy plan stays executable
+#: until the next invocation (or process exit).
+_BUCKETED_LIVE: list[tuple[str, str]] = []
+
+
+def _reap_bucketed_tables(spark: SparkSession) -> None:
+    import shutil
+
+    while _BUCKETED_LIVE:
+        table, path = _BUCKETED_LIVE.pop()
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        except Exception:
+            pass
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _reap_bucketed_at_exit() -> None:  # pragma: no cover — process teardown
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None and _BUCKETED_LIVE:
+        _reap_bucketed_tables(active)
+
+
+import atexit
+
+atexit.register(_reap_bucketed_at_exit)
 
 
 @register("source_date_series", """

