@@ -53,8 +53,8 @@ HEADLINE = [
     "dedup_simhash",        # simhash bit-sums + chunk-blocked pairs
     "sim_topk",             # broadcast probe brute-force baseline
     "sim_ann_lsh",          # sign-bit LSH bucketed ANN
-    "sim_threshold_pairs",  # blocked similarity self-join (expression path)
-    "sim_threshold_blas",   # same result, per-block BLAS matmul path
+    "sim_threshold_pairs",  # blocked similarity join, BLAS default (r2 swap)
+    "sim_threshold_expr",   # same result, expression-path comparison twin
     "text_wordcount",       # explode + agg
     "text_fingerprint",     # rolling-hash windows (codegen expr stress)
     "multimodal_decode",    # mapInPandas Arrow binary batches

@@ -236,17 +236,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("score_raw"), 6).alias("score"), "rn"))
 
 
-@register("sim_threshold_pairs", f"""
+@register("sim_threshold_expr", f"""
 WITH {_E_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
        {sql_rnd(_COS, 6)} AS score
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS} >= {_SIM_THRESHOLD}
 """)
-def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # all intra-label pairs with cosine ≥ threshold: label-blocked
-    # self-join (the "blocking" pattern from the similarity-join
-    # literature) — candidate count is Σ per-label n², not corpus n²
+def sim_threshold_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-path comparison twin of ``sim_threshold_pairs`` (which
+    is the engine's default, BLAS-blocked answer — r1 named the
+    expression form ``sim_threshold_pairs`` and the BLAS form
+    ``sim_threshold_blas``; r2 swapped the default per the r1 verdict
+    and keeps this twin to record the measured strategy gap, ~5×).
+
+    Label-blocked self-join, per-pair cosine as ~200 codegen'd scalar
+    ops (the unrolled 3-dot form — see module header for why inline
+    norms beat every precompute variant ON THIS PATH). Correct shape
+    (equi-join, no cartesian), wrong constant factor at scale.
+    """
     e = load_table(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
@@ -262,22 +270,24 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("score_raw"), 6).alias("score")))
 
 
-@register("sim_threshold_blas", f"""
+@register("sim_threshold_pairs", f"""
 WITH {_E_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
        {sql_rnd(_COS, 6)} AS score
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS} >= {_SIM_THRESHOLD}
 """)
-def sim_threshold_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same result as ``sim_threshold_pairs``, computed the production
-    way: per-block BLAS instead of per-pair expressions.
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All intra-label pairs with cosine ≥ threshold — the engine's
+    DEFAULT strategy, computed the production way: per-block BLAS
+    (``applyInPandas``), not per-pair expressions.
 
-    ``applyInPandas`` per label block: the block's vectors become one
-    float64 matrix M, scores = M·Mᵀ / outer(norms) in one BLAS call,
-    upper-triangle thresholding emits the pairs. Per-pair cost is a few
-    SIMD flops vs ~200 codegen'd scalar ops on the expression path —
-    measured ~4× on this query, and the gap widens with block size.
+    Each label block's vectors become one float64 matrix M, scores =
+    M·Mᵀ / outer(norms) in one BLAS call, upper-triangle thresholding
+    emits the pairs. Per-pair cost is a few SIMD flops vs ~200
+    codegen'd scalar ops on the expression twin (``sim_threshold_expr``)
+    — measured ~5× here, and the gap widens with block size. Blocking
+    keeps the candidate count at Σ per-label n², not corpus n².
 
     Float note: BLAS accumulates pairwise/SIMD, not left-to-right, so
     low-bit results can differ from the SQL fold before rounding; after

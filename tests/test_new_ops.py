@@ -19,7 +19,7 @@ def _rows(df):
 def test_blas_equals_expression_path(spark):
     qs = E.queries()
     a = _rows(qs["sim_threshold_pairs"](spark, SF_ORACLE))
-    b = _rows(qs["sim_threshold_blas"](spark, SF_ORACLE))
+    b = _rows(qs["sim_threshold_expr"](spark, SF_ORACLE))
     assert a == b  # two execution strategies, one result
 
 

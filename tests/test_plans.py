@@ -87,8 +87,12 @@ def test_udfs_use_arrow_eval(spark):
 
 def test_no_cartesian_in_blocked_similarity(spark):
     # label blocking must make the pair generation an equi-join
-    plan = _plan(spark, "sim_threshold_pairs")
+    # (expr twin: the join-based path; the default is BLAS applyInPandas)
+    plan = _plan(spark, "sim_threshold_expr")
     assert "CartesianProduct" not in plan
+    # and the BLAS default must be the vectorized grouped-map path
+    plan_blas = _plan(spark, "sim_threshold_pairs")
+    assert "FlatMapGroupsInPandas" in plan_blas
 
 
 def test_partition_pruned_readback(spark, tmp_path):
