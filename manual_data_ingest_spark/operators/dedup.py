@@ -423,12 +423,16 @@ def dedup_near_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving approximation with a defined, verifiable semantic, not a
     silent heuristic.
 
-    Measured caveat (4× replica corpus): the cap's bookkeeping (global
-    df aggregate + sizes join) costs MORE than it saves here — 4.5 s vs
-    3.2 s uncapped, identical pairs — because this synthetic corpus has
-    near-uniform shingle sharing, not the power-law hot shingles the
-    cutoff targets. Flip the switch on real web corpora where posting
-    lists follow a power law; on uniform corpora leave it off.
+    Measured both ways (BASELINE.md scaling sections):
+    - near-UNIFORM corpus (r1, 4× replicas): the cap's bookkeeping
+      (global df aggregate + sizes join) costs MORE than it saves —
+      4.5 s vs 3.2 s uncapped, identical pairs. Leave it off.
+    - POWER-LAW corpus (r2, tests/stress_jaccard.py — Zipfian shingle
+      df, the real-web shape): uncapped goes superlinear (3.6→24.2 s
+      for 4× docs) while capped stays bounded (1.0→1.5 s) — 16× faster
+      at 4× and widening. Flip it on.
+    The cutoff is a corpus-shape switch, now demonstrated in both
+    regimes, not guessed.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
