@@ -167,6 +167,11 @@ if __name__ == "__main__":
     import sys
 
     only = sys.argv[1:] or None
-    for r in run_all(only=only):
+    results = run_all(only=only)
+    for r in results:
         flag = "OK " if r.ok else ("~~ " if r.tolerant else "BAD")
         print(f"{flag} {r.name:28s} rows={r.spark_rows}/{r.duck_rows} {r.detail[:500]}")
+    bad = [r.name for r in results if not r.ok]
+    print(f"SUMMARY: {len(results) - len(bad)}/{len(results)} OK"
+          + (f"  FAILING: {' '.join(bad)}" if bad else ""))
+    sys.exit(1 if bad else 0)
