@@ -452,3 +452,40 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("r_regionkey")
             .agg(F.concat_ws(",", F.sort_array(F.collect_list("n_name")))
                  .alias("nations")))
+
+
+@register("agg_heavy_hitters", """
+WITH c AS (
+    SELECT user_id, count(*)::BIGINT AS cnt
+    FROM events GROUP BY user_id
+), tot AS (
+    SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_users FROM c
+)
+SELECT user_id, cnt,
+       floor(cnt * 1000000.0 / total + 0.5) / 1000000.0 AS share
+FROM c, tot
+WHERE cnt * n_users >= 1.2 * total
+""")
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: entities whose event count is ≥ 1.2× the
+    mean (the skew-detection primitive a 100 TB ingest runs before
+    choosing salting keys — SCALE.md relational-core row).
+
+    Mean-relative (not fixed-share) so the definition survives scale:
+    fixture user counts grow with SF while shares shrink. Shape: one
+    partial+final count per user (1 shuffle), then the corpus total —
+    two scalars — computed once and broadcast into the filter; the
+    threshold never touches the driver. The integer cross-multiplied
+    predicate (cnt * n_users >= 1.2 * total) avoids double division in
+    the filter; `share` is emitted rounded 6dp for the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("total"),
+                F.count("*").alias("n_users"))
+    return (c.join(F.broadcast(tot))
+            .filter(F.col("cnt") * F.col("n_users")
+                    >= 1.2 * F.col("total"))
+            .select("user_id", "cnt",
+                    rnd(F.col("cnt") * 1.0 / F.col("total"), 6)
+                    .alias("share")))

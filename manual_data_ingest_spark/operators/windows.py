@@ -208,3 +208,57 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id",
         F.last(v, ignorenulls=True).over(w).alias("v_filled"))
+
+
+@register("win_sessionize", """
+WITH ordered AS (
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+           CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                  OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                     > INTERVAL 12 HOUR
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_id, ts, value,
+           (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
+    FROM ordered
+)
+SELECT user_id, session_no,
+       count(*)  AS n_events,
+       min(ts)   AS session_start,
+       max(ts)   AS session_end,
+       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM sess
+GROUP BY user_id, session_no
+""")
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): the batch twin of
+    ``stream_session``'s session windows, over the full history.
+
+    A session breaks when the per-user inter-event gap exceeds 12 h
+    (gap chosen by measurement: ~3 events/session on this fixture at
+    every SF). Three steps — lag to flag session starts, running sum to
+    number sessions, aggregate per session — all partitioned by
+    ``user_id``, and the final groupBy key ``(user_id, session_no)`` is
+    a superset of the window key, so Catalyst satisfies the aggregate's
+    distribution with the window's existing hashpartitioning(user_id):
+    ONE shuffle end-to-end at any scale (plan-asserted).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap: fixture timestamps carry sub-second parts, so whole-
+    # second casts would mis-classify gaps within 1 s of the boundary
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 12 * 3600 * 1_000_000),
+                      1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_no", F.sum("new_sess").over(run))
+            .groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 rnd(F.sum("value")).alias("sum_value")))

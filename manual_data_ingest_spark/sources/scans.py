@@ -403,3 +403,73 @@ def source_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " INTERVAL 1 MONTH)")
     return r.select("r_regionkey",
                     F.explode(series).alias("month_start"))
+
+
+@register("sink_compaction", """
+SELECT 64 AS files_before,
+       ceil(count(*) / 50000.0)::BIGINT AS files_after,
+       count(*) AS n_rows,
+       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem
+""")
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every long-lived
+    100 TB table needs (streaming sinks and per-batch ingests fragment;
+    a scan over 10⁶ tiny files is listing-bound and row-group-starved).
+
+    Flow: a deliberately fragmented copy (64 files) is rewritten to
+    ⌈rows / 50 000⌉ right-sized files via round-robin repartition, and
+    the SUMMARY IS COMPUTED FROM THE COMPACTED FILES, so the oracle
+    verifies rows and content survived the rewrite. The operator also
+    asserts the on-disk file count equals the target. Row-based sizing
+    keeps the target SQL-expressible; a production compactor sizes by
+    bytes from the file listing (same plan, different scalar) and runs
+    per-partition so only fragmented partitions rewrite.
+    """
+    import glob
+    import math
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem")
+    frag = tempfile.mkdtemp(prefix="mdis_frag_")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(os.path.join(frag, "part-*")))
+
+    back = spark.read.parquet(frag)
+    n_rows = back.count()  # scalar sizing decision (bytes in production)
+    target = max(1, math.ceil(n_rows / 50_000))
+    comp = tempfile.mkdtemp(prefix="mdis_comp_")
+    back.repartition(target).write.mode("overwrite").parquet(comp)
+    n_comp = len(glob.glob(os.path.join(comp, "part-*")))
+    assert n_comp == target, f"compaction wrote {n_comp} files, want {target}"
+
+    from manual_data_ingest_spark.functions.rounding import rnd
+    return (spark.read.parquet(comp)
+            .agg(F.count("*").alias("n_rows"),
+                 rnd(F.sum("l_quantity")).alias("sum_qty"))
+            .select(F.lit(n_frag).cast("int").alias("files_before"),
+                    F.ceil(F.col("n_rows") / 50_000.0).alias("files_after"),
+                    "n_rows", "sum_qty"))
+
+
+@register("scan_xml_roundtrip", """
+SELECT * FROM region
+""")
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curator XML payloads: Spark 4 ships the native XML source (the
+    # spark-xml donation). Write with an explicit rowTag, read back with
+    # a DECLARED schema (inference banned, same contract as CSV/Excel);
+    # entity escaping in free-text comments round-trips through the
+    # writer. Small-dim shape here; at scale XML files split per-file
+    # like JSON lines (one rowTag stream per file).
+    r = load_table(spark, sf_dir, "region")
+    out = tempfile.mkdtemp(prefix="mdis_xml_")
+    (r.write.mode("overwrite").format("xml")
+     .option("rootTag", "regions").option("rowTag", "region").save(out))
+    schema = T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType()),
+    ])
+    return (spark.read.schema(schema).format("xml")
+            .option("rowTag", "region").load(out)
+            .select("r_regionkey", "r_name"))

@@ -236,3 +236,30 @@ def test_skew_kurtosis_match_numpy_population_moments(spark):
         g2 = ((x - m) ** 4).mean() / m2 ** 2 - 3
         assert abs(got[status][0] - g1) < 1e-4, status
         assert abs(got[status][1] - g2) < 1e-4, status
+
+
+def test_compaction_output_matches_listing(spark):
+    """sink_compaction's summary row must reflect the on-disk result:
+    64 fragment files in, ceil(rows/50k) right-sized files out (the
+    operator itself asserts the listing count equals the target)."""
+    import math
+
+    row = E.queries()["sink_compaction"](spark, SF_ORACLE).collect()[0]
+    assert row.files_before == 64
+    assert row.files_after == max(1, math.ceil(row.n_rows / 50_000))
+
+
+def test_heavy_hitters_threshold_is_exact(spark):
+    """Every emitted entity clears 1.2x the mean count; the heaviest
+    non-emitted entity does not (exactness — no sketch approximation)."""
+    ev = E.queries()["agg_heavy_hitters"](spark, SF_ORACLE)
+    rows = {r.user_id: r.cnt for r in ev.collect()}
+    from manual_data_ingest_spark.io import load_table
+    import pyspark.sql.functions as F
+
+    counts = {r.user_id: r.n for r in
+              load_table(spark, SF_ORACLE, "events")
+              .groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    mean = sum(counts.values()) / len(counts)
+    expect = {u for u, n in counts.items() if n >= 1.2 * mean}
+    assert set(rows) == expect

@@ -207,3 +207,16 @@ def test_post_entities_is_arrow_map(spark):
     # the service sink must be the vectorized mapInPandas path
     plan = _plan(spark, "ingest_post_entities")
     assert "MapInPandas" in plan, plan[:1500]
+
+
+def test_sessionize_single_shuffle(spark):
+    """win_sessionize: lag-window, numbering-window, and the final
+    (user_id, session_no) aggregate all hang off ONE user_id exchange —
+    the groupBy key is a superset of the window key, so Catalyst reuses
+    the partitioning. Two exchanges would double the job's shuffle IO
+    at any scale."""
+    plan = _plan(spark, "win_sessionize")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    # partial + final aggregation, no exchange between them
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
