@@ -356,3 +356,68 @@ def sim_normalize_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return en.select("vec_id", "label",
                      rnd(F.col("nrm"), 6).alias("norm"),
                      unit_q.alias("unit_vec_q"))
+
+
+@register("sim_ann_ivf_pruned", f"""
+WITH {_E_CTE},
+probes AS (
+    SELECT vec_id AS probe_id, label, v FROM e WHERE label < 5
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+)
+SELECT probe_id, neighbor_id, score, rn FROM (
+    SELECT a.probe_id, b.vec_id AS neighbor_id,
+           {sql_rnd(_COS, 6)} AS score,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rn
+    FROM probes a JOIN e b ON a.label = b.label AND b.vec_id <> a.probe_id
+) WHERE rn <= 3
+""")
+def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sim_ann_ivf`` with its 100 TB physical design MADE REAL: the
+    corpus is WRITTEN partitioned by cell (`label`), and the probe→cell
+    join prunes the scan to the probed partitions — the plan carries a
+    `dynamicpruning` partition filter, so unprobed cells are never read
+    (plan-asserted in tests/test_plans.py). Same oracle as
+    ``sim_ann_ivf``: the physical layout must not change the answer.
+
+    At 100 TB this is THE difference between reading ~1/k of the bytes
+    and reading everything: label here stands in for a k-means coarse
+    quantizer cell, the partitioned write is the index build (one-time,
+    amortized over every query), and nprobe>1 simply widens the pruned
+    partition set. The partitioned copy is cached per (sf_dir) for the
+    session — rebuilding the index per query would charge the write to
+    every probe, which is not how an index works.
+    """
+    import os
+    import tempfile
+
+    key = ("ivf_pruned_dir", sf_dir)
+    cache = getattr(spark, "_mdis_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_cache = cache
+    if key not in cache:
+        d = tempfile.mkdtemp(prefix="mdis_ivf_")
+        (load_table(spark, sf_dir, "embeddings")
+         .write.mode("overwrite").partitionBy("label").parquet(d))
+        cache[key] = d
+    e = spark.read.parquet(cache[key])
+
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (e.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("plabel"),
+                      F.col("embedding").alias("pv")))
+    score = cosine("pv", "embedding")
+    return (F.broadcast(probes)
+            .join(e, (F.col("plabel") == F.col("label"))
+                  & (F.col("vec_id") != F.col("probe_id")))
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                    score.alias("score_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("score_raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("score_raw"), 6).alias("score"), "rn"))

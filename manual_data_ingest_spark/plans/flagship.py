@@ -57,3 +57,98 @@ def flagship_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@register("flagship_q5_local_volume", """
+SELECT n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+           AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def flagship_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped local-supplier volume: revenue per nation where
+    the supplier and the customer share a nation, one region, one year.
+
+    Six-way join exercising Catalyst's join ordering with TWO join
+    conditions on the supplier edge (equi on l_suppkey + the
+    same-nation constraint). The dims (supplier/nation/region) are
+    broadcast; the orders date filter is pushed to the scan, so the
+    only large shuffle is orders⋈lineitem — at 100 TB both sides
+    arrive hash-distributed on orderkey and AQE picks SMJ vs broadcast
+    from runtime sizes.
+    """
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(rnd(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("revenue")))
+
+
+@register("flagship_q10_returns", """
+SELECT c_custkey, c_name, n_name,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+           AS revenue_lost
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_lost DESC, c_custkey
+LIMIT 20
+""")
+def flagship_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: customers who returned
+    the most revenue in one quarter — the curation analog is 'which
+    sources produced the most rejected data last month'.
+
+    Shape: two pushed scan filters (returnflag, date window), one big
+    orders⋈lineitem shuffle, customer side broadcast after the join
+    order settles, top-20 via TakeOrderedAndProject (per-partition
+    heaps, never a global sort).
+    """
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01")
+        & (F.col("o_orderdate") < "1997-10-01"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(rnd(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))))
+                 .alias("revenue_lost"))
+            .orderBy(F.col("revenue_lost").desc(), F.col("c_custkey"))
+            .limit(20))

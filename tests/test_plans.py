@@ -220,3 +220,14 @@ def test_sessionize_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
     # partial + final aggregation, no exchange between them
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
+def test_ivf_pruned_scan_skips_unprobed_cells(spark):
+    """sim_ann_ivf_pruned: the corpus scan over the label-partitioned
+    copy must carry BOTH the propagated static partition filter
+    (label < 5) and a dynamic-pruning expression — unprobed cells are
+    never read. This is the measured form of SCALE.md's 'read ~1/k of
+    the bytes' claim."""
+    plan = _plan(spark, "sim_ann_ivf_pruned")
+    assert re.search(r"PartitionFilters:.*label.* < 5", plan), plan
+    assert "dynamicpruning" in plan.lower(), plan
