@@ -13,7 +13,7 @@ value hash (2dp money, 4dp ratios); collected arrays are sorted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
@@ -489,3 +489,34 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "cnt",
                     rnd(F.col("cnt") * 1.0 / F.col("total"), 6)
                     .alias("share")))
+
+
+@register("agg_mode_deterministic", """
+WITH c AS (
+    SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY n DESC, l_quantity) = 1
+""")
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical mode with a PINNED tie-break (smallest
+    value wins). Spark 3.4+ ships `F.mode`, but its tie choice is
+    unspecified — a hash-grade contract needs the two-level
+    count-then-rank form, which also happens to be the scalable shape:
+    both aggregations are partial+final on co-located keys (the second
+    groupBy key is a prefix of the first), so the rank runs on the
+    already-shuffled layout.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (li.groupBy("l_returnflag", "l_quantity")
+         .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity"))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_returnflag",
+                    F.col("l_quantity").alias("mode_qty"),
+                    F.col("n").alias("mode_count")))

@@ -443,3 +443,64 @@ def ingest_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rows"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+@register("ingest_quarantine", """
+WITH flagged AS (
+    SELECT l_quantity,
+           concat_ws(',',
+               CASE WHEN l_discount > 0.08 THEN 'discount_above_policy' END,
+               CASE WHEN l_quantity >= 49 THEN 'quantity_outlier' END)
+               AS reason
+    FROM lineitem
+)
+SELECT CASE WHEN reason = '' THEN 'OK' ELSE reason END AS reason,
+       count(*) AS n_rows,
+       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM flagged
+GROUP BY 1
+""")
+def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter-queue split: ONE pass evaluates every policy rule
+    per row, quarantines violators (with the joined reason string) to
+    their own sink, and ships clean rows onward — then summarizes from
+    the FILES, so the oracle verifies the on-disk split is exhaustive
+    and exclusive.
+
+    The 100 TB points: (a) rules are evaluated once in the same
+    codegen'd projection — N rules never mean N scans (contrast
+    `ingest_validate`, the COUNTING twin, where each rule is an
+    independent aggregate); (b) the split writes both sinks from one
+    cached pass; (c) quarantine keeps full rows + machine-readable
+    reasons so replay after a rule fix is a plain re-ingest of the
+    quarantine directory. Reasons are a comma-joined string, not an
+    array — the driver-hashability contract (PARITY.md #19).
+    """
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reason = F.concat_ws(
+        ",",
+        F.when(F.col("l_discount") > 0.08, "discount_above_policy"),
+        F.when(F.col("l_quantity") >= 49, "quantity_outlier"))
+    flagged = li.withColumn("reason", reason)
+
+    base = tempfile.mkdtemp(prefix="mdis_dlq_")
+    quarantine, clean = f"{base}/quarantine", f"{base}/clean"
+    flagged.persist()
+    try:
+        (flagged.filter(F.col("reason") != "")
+         .write.mode("overwrite").parquet(quarantine))
+        (flagged.filter(F.col("reason") == "").drop("reason")
+         .write.mode("overwrite").parquet(clean))
+    finally:
+        flagged.unpersist()
+
+    from manual_data_ingest_spark.functions.rounding import rnd
+    q = spark.read.parquet(quarantine).select("l_quantity", "reason")
+    c = (spark.read.parquet(clean)
+         .select("l_quantity", F.lit("OK").alias("reason")))
+    return (q.unionByName(c)
+            .groupBy("reason")
+            .agg(F.count("*").alias("n_rows"),
+                 rnd(F.sum("l_quantity")).alias("sum_qty")))

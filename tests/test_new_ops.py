@@ -263,3 +263,45 @@ def test_heavy_hitters_threshold_is_exact(spark):
     mean = sum(counts.values()) / len(counts)
     expect = {u for u, n in counts.items() if n >= 1.2 * mean}
     assert set(rows) == expect
+
+
+def test_quarantine_split_is_exhaustive_and_exclusive(spark):
+    """ingest_quarantine: every lineitem row lands in exactly one bucket
+    (reason or OK), and each row's bucket matches an independent
+    re-evaluation of the policy rules."""
+    from manual_data_ingest_spark.io import load_table
+
+    out = E.queries()["ingest_quarantine"](spark, SF_ORACLE)
+    got = {r.reason: r.n_rows for r in out.collect()}
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_discount", "l_quantity").collect()
+    expect = {}
+    for r in li:
+        tags = []
+        if r.l_discount > 0.08:
+            tags.append("discount_above_policy")
+        if r.l_quantity >= 49:
+            tags.append("quantity_outlier")
+        key = ",".join(tags) if tags else "OK"
+        expect[key] = expect.get(key, 0) + 1
+    assert got == expect
+    assert sum(got.values()) == len(li)  # exhaustive, no row dropped
+
+
+def test_mode_tie_break_is_smallest_value(spark):
+    """agg_mode_deterministic: per-group mode equals the max-count
+    quantity, ties broken toward the SMALLEST value (pinned contract,
+    unlike F.mode's unspecified tie choice)."""
+    from manual_data_ingest_spark.io import load_table
+
+    out = E.queries()["agg_mode_deterministic"](spark, SF_ORACLE)
+    got = {r.l_returnflag: (r.mode_qty, r.mode_count) for r in out.collect()}
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_returnflag", "l_quantity").collect()
+    counts = {}
+    for r in li:
+        k = (r.l_returnflag, r.l_quantity)
+        counts[k] = counts.get(k, 0) + 1
+    for flag in {r.l_returnflag for r in li}:
+        best = min(((-n, q) for (f, q), n in counts.items() if f == flag))
+        assert got[flag] == (best[1], -best[0]), flag
