@@ -520,3 +520,34 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_returnflag",
                     F.col("l_quantity").alias("mode_qty"),
                     F.col("n").alias("mode_count")))
+
+
+@register("agg_hll_partitioned", """
+SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
+       count(DISTINCT event_type)::BIGINT AS n_sketches,
+       TRUE AS within_bound
+FROM events
+""")
+def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct count: one Datasketches HLL sketch per
+    `event_type` shard, then `hll_union_agg` merges the sketch COLUMN
+    into a global estimate — no rescan of the shards.
+
+    This is the 100 TB cardinality pattern `agg_approx_distinct`
+    (single-shot HLL++) can't do: partial sketches are materialized
+    per partition/day and UNIONED at query time, so "distinct users
+    ever" costs one pass over yesterday's sketch row + today's data.
+    The oracle pins the 5% HLL error envelope (lgConfigK=12 default)
+    as a hashable boolean plus the exact count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_sketches"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (exact.crossJoin(merged)
+            .select("exact_users", "n_sketches",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("within_bound")))

@@ -458,3 +458,56 @@ def dedup_near_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
             .filter(jac >= 0.5)
             .select("id_a", "id_b", rnd(jac, 6).alias("jaccard")))
+
+
+@register("dedup_decontaminate", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ng AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(l[i:i+7], ' ')
+         FOR i IN generate_series(1, greatest(len(l) - 7, 1))])) AS g
+    FROM toks
+),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+hits AS (
+    SELECT tr.doc_id, count(*) AS n
+    FROM ng tr JOIN ev ON tr.g = ev.g
+    WHERE tr.doc_id % 20 <> 0
+    GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       coalesce(h.n, 0)::BIGINT AS n_shared_ngrams,
+       (h.doc_id IS NULL) AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+""")
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one 8-token n-gram with the held-out eval set
+    (docs with ``doc_id % 20 == 0`` stand in for the benchmark), the
+    GPT-3-style overlap rule for keeping eval numbers honest.
+
+    The 100 TB shape: eval benchmarks are tiny (MBs) next to a
+    training corpus (TBs), so the distinct eval n-grams are BROADCAST
+    and the corpus is scanned exactly once — contamination is a
+    broadcast join + left anti-style flag, never a shuffle of the
+    corpus. n-grams stay as strings here to match the oracle; at
+    scale you'd join on xxhash64(ngram) to shrink the broadcast (a
+    64-bit hash per n-gram), an 8x payload cut with collision odds
+    ~n^2/2^64.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ngrams = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"))
+    ng = d.select("doc_id", F.explode(ngrams).alias("g"))
+    ev = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    hits = (ng.filter(F.col("doc_id") % 20 != 0)
+            .join(F.broadcast(ev), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n")))
+    return (d.filter(F.col("doc_id") % 20 != 0)
+            .join(hits.withColumnRenamed("doc_id", "hid"),
+                  F.col("doc_id") == F.col("hid"), "left")
+            .select("doc_id", "source",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_ngrams"),
+                    F.col("hid").isNull().alias("keep")))

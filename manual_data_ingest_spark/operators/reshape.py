@@ -86,3 +86,37 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
                  rnd(F.sum("o_totalprice")).alias("sum_price")))
+
+
+@register("sample_stratified", """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(doc_id::VARCHAR)) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang FROM ranked
+WHERE rn <= ceil(n * 0.2)
+""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: 20% of documents PER language, chosen
+    by md5(doc_id) rank — every stratum is represented at exactly
+    ceil(0.2*n), unlike Bernoulli `sampleBy` which only hits the
+    fraction in expectation and can empty a rare stratum.
+
+    md5 parity across engines (PARITY.md) makes the selection
+    engine-reproducible, and the hash order is stable under corpus
+    growth for the ranking (a new doc perturbs only ranks behind its
+    hash). One shuffle on `lang`; both windows (rank + stratum count)
+    share it. Rare-language upsampling at 100 TB is this same shape
+    with a per-stratum fraction joined in from a tiny broadcast table.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (d.select("doc_id", "lang",
+                     F.row_number().over(w).alias("rn"),
+                     F.count("*").over(Window.partitionBy("lang")).alias("n"))
+            .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
+            .select("doc_id", "lang"))

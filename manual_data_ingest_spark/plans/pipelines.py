@@ -126,3 +126,58 @@ def pipeline_ingest_register(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.countDistinct("minted_id").alias("n_ids"),
                  F.min("minted_id").alias("first_id")))
+
+
+@register("pipeline_seq_pack", """
+WITH toks AS (
+    SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+    FROM documents
+),
+packed AS (
+    SELECT source, n_tok,
+           sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT source,
+       sum(n_tok)::BIGINT AS total_tokens,
+       ceil(sum(n_tok) / 512.0)::BIGINT AS n_sequences,
+       count_if((cum - n_tok) // 512 <> (cum - 1) // 512)::BIGINT
+           AS n_straddle_docs,
+       floor((sum(n_tok) / (ceil(sum(n_tok) / 512.0) * 512.0)) * 1000000.0
+             + 0.5) / 1000000.0 AS fill_ratio
+FROM packed
+GROUP BY source
+""")
+def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing audit: per shard (``source``),
+    concatenate documents in doc_id order and cut every 512 tokens;
+    report how many training sequences result, how many documents
+    straddle a cut (lose context at the boundary), and the fill ratio
+    of the packed stream.
+
+    A doc spans tokens [cum - n_tok, cum); it straddles iff its first
+    and last token land in different 512-blocks. This is the packing
+    bookkeeping a dataloader needs BEFORE writing shards — computed
+    here with one shuffle: the running sum partitions by source, and
+    the final groupBy reuses that exchange (key is the window key).
+    At 100 TB each shard packs independently — no global order, no
+    driver state, straggler-free.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = toks.withColumn("cum", F.sum("n_tok").over(w))
+    straddle = (F.floor((F.col("cum") - F.col("n_tok")) / 512)
+                != F.floor((F.col("cum") - 1) / 512))
+    n_seq = F.ceil(F.sum("n_tok") / 512.0)
+    return (packed
+            .groupBy("source")
+            .agg(F.sum("n_tok").alias("total_tokens"),
+                 n_seq.alias("n_sequences"),
+                 F.count_if(straddle).alias("n_straddle_docs"),
+                 rnd(F.sum("n_tok") / (n_seq * 512.0), 6)
+                 .alias("fill_ratio")))

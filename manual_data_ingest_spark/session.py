@@ -36,6 +36,12 @@ ENGINE_CONFIGS: dict[str, str] = {
     # Fixture timestamps are wall-clock values; read them as TimestampType
     # (session-TZ) rather than NTZ so window/date arithmetic is uniform.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Spark's default parquet timestamp encoding is legacy INT96 (Impala
+    # compat), which carries NO min/max statistics — every timestamp
+    # predicate then reads every row group, and at 100 TB the sort-key
+    # layout (`sink_sorted_layout`) would prune nothing. INT64 micros is
+    # the modern encoding, stats-complete and pyarrow/DuckDB-readable.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Shuffle partition count is a DATA-size decision, not a core-count
     # one (BASELINE.md protocol: size partitions to the SF). Default
     # tracks cores for the general case; SPARK_GRAFT_SHUFFLE_PARTITIONS

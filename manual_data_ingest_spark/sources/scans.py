@@ -473,3 +473,43 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.schema(schema).format("xml")
             .option("rowTag", "region").load(out)
             .select("r_regionkey", "r_name"))
+
+
+@register("sink_sorted_layout", """
+SELECT 8 AS n_files,
+       count(*)::BIGINT AS n_rows,
+       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem
+WHERE l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+""")
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-keyed data layout: rewrite lineitem with
+    `sortWithinPartitions(l_shipdate)` and small parquet row groups,
+    then answer a date-range query FROM the rewritten files with the
+    filter pushed to the scan.
+
+    Why it matters at 100 TB: parquet keeps min/max stats per row
+    group; sorting the write clusters each date into few groups, so a
+    one-month predicate skips almost every group (the poor man's
+    Z-order — one sort key, zero extra infra). The pruning itself is
+    measured from the file footers in tests/test_new_ops.py (sorted
+    layout must leave most groups entirely outside the range) rather
+    than hashed here, because row-group BOUNDARIES depend on writer
+    byte-size flushes — layout is evidence, content is contract. The
+    oracle verifies the roundtrip + filtered summary; 8 files is the
+    deterministic repartition target.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = tempfile.mkdtemp(prefix="mdis_sorted_") + "/lineitem"
+    (li.repartition(8, "l_orderkey")
+     .sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite")
+     .option("parquet.block.size", 256 * 1024)
+     .parquet(out))
+
+    from manual_data_ingest_spark.functions.rounding import rnd
+    back = spark.read.parquet(out).filter(
+        F.col("l_shipdate").between("1996-03-01", "1996-03-31"))
+    return (back.agg(F.count("*").alias("n_rows"),
+                     rnd(F.sum("l_quantity")).alias("sum_qty"))
+            .select(F.lit(8).cast("int").alias("n_files"), "n_rows", "sum_qty"))

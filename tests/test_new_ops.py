@@ -305,3 +305,114 @@ def test_mode_tie_break_is_smallest_value(spark):
     for flag in {r.l_returnflag for r in li}:
         best = min(((-n, q) for (f, q), n in counts.items() if f == flag))
         assert got[flag] == (best[1], -best[0]), flag
+
+
+def test_sorted_layout_prunes_rowgroups(spark, tmp_path):
+    """sink_sorted_layout's claim, measured from parquet footers: with
+    sortWithinPartitions(l_shipdate) + small row groups, a one-month
+    predicate overlaps only a small fraction of row groups; the same
+    write WITHOUT the sort leaves (nearly) every group overlapping."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+    from manual_data_ingest_spark.io import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+
+    def write(sorted_: bool) -> str:
+        out = str(tmp_path / ("sorted" if sorted_ else "plain"))
+        df = li.repartition(8, "l_orderkey")
+        if sorted_:
+            df = df.sortWithinPartitions("l_shipdate")
+        (df.write.mode("overwrite")
+         .option("parquet.block.size", 256 * 1024).parquet(out))
+        return out
+
+    lo = datetime.datetime(1996, 3, 1)
+    hi = datetime.datetime(1996, 3, 31, 23, 59, 59)
+
+    def overlap_fraction(path: str) -> float:
+        total = hit = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}["l_shipdate"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                # a group without min/max can never be skipped — counts
+                # as a hit (regression guard: the engine must write
+                # INT64 timestamps, since INT96 carries no stats)
+                if st is None or not st.has_min_max:
+                    hit += 1  # unskippable
+                    continue
+                mn = st.min.replace(tzinfo=None)  # stats are UTC-aware
+                mx = st.max.replace(tzinfo=None)
+                if mn <= hi and mx >= lo:
+                    hit += 1
+        assert total >= 16, f"too few row groups ({total}) to measure"
+        return hit / total
+
+    frac_sorted = overlap_fraction(write(True))
+    frac_plain = overlap_fraction(write(False))
+    assert frac_plain > 0.9, frac_plain   # unsorted: no skipping possible
+    assert frac_sorted < 0.35, frac_sorted  # sorted: most groups pruned
+
+
+def test_incremental_agg_split_invariance(spark):
+    """refresh(state, delta) must be independent of WHERE history was
+    cut — merging day<=20 state with day>20 delta is the operator;
+    this pins the monoid law by comparing against a day<=10 cut."""
+    from manual_data_ingest_spark.io import load_table
+
+    ref = _rows(E.queries()["ingest_incremental_agg"](spark, SF_ORACLE))
+    ev = load_table(spark, SF_ORACLE, "events")
+    day = F.dayofmonth("ts")
+    agg = lambda df: (df.groupBy("user_id", "event_type")
+                      .agg(F.count("*").alias("n_events"),
+                           F.sum("value").alias("sum_value")))
+    from manual_data_ingest_spark.functions.rounding import rnd
+    alt = (agg(ev.filter(day <= 10)).unionByName(agg(ev.filter(day > 10)))
+           .groupBy("user_id", "event_type")
+           .agg(F.sum("n_events").alias("n_events"),
+                rnd(F.sum("sum_value")).alias("sum_value")))
+    assert _rows(alt) == ref
+
+
+def test_stratified_sample_hits_every_stratum_exactly(spark):
+    """sample_stratified: every stratum delivers exactly ceil(0.2*n) rows."""
+    import math
+
+    from manual_data_ingest_spark.io import load_table
+
+    out = E.queries()["sample_stratified"](spark, SF_ORACLE)
+    got = {r.lang: r.cnt for r in
+           out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    totals = {r.lang: r.cnt for r in
+              load_table(spark, SF_ORACLE, "documents")
+              .groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert got == {k: math.ceil(0.2 * v) for k, v in totals.items()}
+
+
+def test_seq_pack_matches_bruteforce(spark):
+    """pipeline_seq_pack vs a plain-Python packer over the same order."""
+    import math
+
+    from manual_data_ingest_spark.io import load_table
+
+    out = {r.source: (r.total_tokens, r.n_sequences, r.n_straddle_docs)
+           for r in E.queries()["pipeline_seq_pack"](spark, SF_ORACLE).collect()}
+    docs = (load_table(spark, SF_ORACLE, "documents")
+            .select("source", "doc_id", "text").collect())
+    by_src = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        by_src.setdefault(r.source, []).append(len(r.text.split(" ")))
+    for src, toks in by_src.items():
+        cum = 0
+        straddle = 0
+        for n in toks:
+            if (cum // 512) != ((cum + n - 1) // 512):
+                straddle += 1
+            cum += n
+        assert out[src] == (cum, math.ceil(cum / 512), straddle), src

@@ -231,3 +231,18 @@ def test_ivf_pruned_scan_skips_unprobed_cells(spark):
     plan = _plan(spark, "sim_ann_ivf_pruned")
     assert re.search(r"PartitionFilters:.*label.* < 5", plan), plan
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """dedup_decontaminate: the eval n-gram set must broadcast — the
+    training corpus is never shuffled for the contamination join (the
+    property that makes decontamination O(scan) at 100 TB)."""
+    plan = _plan(spark, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seq_pack_single_shuffle(spark):
+    """pipeline_seq_pack: the running-sum window and the final groupBy
+    share the `source` exchange — one shuffle end-to-end."""
+    plan = _plan(spark, "pipeline_seq_pack")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
