@@ -243,3 +243,52 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY n_name LIMIT 2
         ) t
     """)
+
+
+@register("join_interval_overlap", """
+SELECT a.user_id,
+       a.event_id AS click_id,
+       b.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+JOIN (SELECT * FROM events WHERE event_type = 'error') b
+  ON a.user_id = b.user_id
+ AND a.ts <= b.ts + INTERVAL 1 HOUR
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
+""")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via BUCKET BLOCKING: each 1-hour activity
+    interval ([ts, ts+1h] around clicks and errors per user) is
+    exploded into the hour buckets it covers, the two sides equi-join
+    on (user_id, bucket), and the exact overlap predicate filters the
+    candidates. The oracle is the naive theta join.
+
+    Why not just the theta join: Spark executes a non-equi interval
+    condition as a broadcast nested-loop / cartesian-per-key — O(n·m)
+    per user, a scale-killer for hot users. Bucketing turns it into an
+    EQUI-join (shuffle-hash on (user_id, bucket)): each interval lands
+    in ≤ ceil(len/bucket)+1 buckets, so candidates are only pairs
+    already within a bucket of each other — the classic spatial-grid /
+    DBSCAN-style blocking, and the same shape Flink uses for interval
+    joins. `distinct` before the verify dedups the two-bucket
+    straddle case.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(kind: str, id_alias: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == kind)
+        s = F.unix_timestamp("ts")
+        buckets = F.sequence(F.floor(s / 3600),
+                             F.floor((s + 3600) / 3600))
+        return e.select(F.col("user_id"),
+                        F.col("event_id").alias(id_alias),
+                        F.col("ts").alias(f"{id_alias}_ts"),
+                        F.explode(buckets).alias("bucket"))
+
+    a = side("click", "click_id")
+    b = side("error", "error_id")
+    hour = F.expr("INTERVAL 1 HOUR")
+    return (a.join(b, ["user_id", "bucket"])
+            .filter((F.col("click_id_ts") <= F.col("error_id_ts") + hour)
+                    & (F.col("error_id_ts") <= F.col("click_id_ts") + hour))
+            .select("user_id", "click_id", "error_id")
+            .distinct())

@@ -262,3 +262,41 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  rnd(F.sum("value")).alias("sum_value")))
+
+
+@register("win_period_growth", """
+WITH monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           sum(o_totalprice) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT strftime(month, '%Y-%m') AS month,
+       floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
+       floor((rev / lag(rev) OVER (ORDER BY month) - 1.0) * 1000000.0
+             + 0.5) / 1000000.0 AS mom_growth
+FROM monthly
+""")
+def win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period KPI: monthly revenue with month-over-month
+    growth (NULL for the first month) — the standard reporting shape
+    layered as agg-then-window.
+
+    Scale shape matters here: the lag window is GLOBAL (one series),
+    but it runs on the AGGREGATED relation — at most one row per month
+    — so the single-partition window touches dozens of rows while the
+    heavy lifting (summing orders) stays a partial+final hash agg over
+    the cluster. The anti-pattern is lagging over raw rows; the
+    monthly series is the only thing small enough to order globally.
+    Growth is a ratio of two rounded-independently sums, so it is
+    rounded at 6dp — divergence would need ~1e-6 relative drift in a
+    2dp-stable sum (PARITY discipline).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+               .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.orderBy("m")
+    return (monthly
+            .select(F.date_format("m", "yyyy-MM").alias("month"),
+                    rnd(F.col("rev")).alias("revenue"),
+                    rnd(F.col("rev") / F.lag("rev").over(w) - 1.0, 6)
+                    .alias("mom_growth")))

@@ -513,3 +513,43 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.agg(F.count("*").alias("n_rows"),
                      rnd(F.sum("l_quantity")).alias("sum_qty"))
             .select(F.lit(8).cast("int").alias("n_files"), "n_rows", "sum_qty"))
+
+
+@register("scan_schema_evolution", """
+SELECT CASE WHEN day(ts) <= 15 THEN '__legacy__' ELSE event_type END
+           AS event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+GROUP BY 1
+""")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution WITHOUT rewriting history: v1 files (written
+    before `event_type` existed) and v2 files (with it) live in one
+    dataset; `mergeSchema=true` reconciles the footers and the missing
+    column reads as NULL — then `coalesce(event_type, '__legacy__')`
+    gives the query a total column.
+
+    The 100 TB point: adding a column must never rewrite petabytes of
+    old files — parquet's per-file self-describing schema makes old
+    data readable under the new contract for free. mergeSchema costs a
+    footer read per file at planning time, so a production deployment
+    pins the merged schema in a catalog instead of re-inferring
+    (`.schema(...)` on read — same execution, zero inference); the
+    inference form is exercised here deliberately.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="mdis_evo_")
+    day = F.dayofmonth("ts")
+    (ev.filter(day <= 15).select("event_id", "user_id", "value")
+     .write.mode("overwrite").parquet(f"{base}/v=1"))
+    (ev.filter(day > 15).select("event_id", "user_id", "value", "event_type")
+     .write.mode("overwrite").parquet(f"{base}/v=2"))
+
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(f"{base}/v=1", f"{base}/v=2"))
+    return (merged
+            .groupBy(F.coalesce("event_type", F.lit("__legacy__"))
+                     .alias("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))

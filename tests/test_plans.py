@@ -246,3 +246,14 @@ def test_seq_pack_single_shuffle(spark):
     share the `source` exchange — one shuffle end-to-end."""
     plan = _plan(spark, "pipeline_seq_pack")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """join_interval_overlap exists to avoid the nested-loop plan the
+    naive theta form produces — the bucketed join must be a hash/merge
+    EQUI join, with no cartesian or broadcast-nested-loop stage."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     plan), plan
