@@ -351,3 +351,51 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_emails"),
         F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
         .alias("n_phones"))
+
+
+@register("text_tfidf", """
+WITH tf AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, token,
+           floor((tf * ln(n_docs::DOUBLE / df)) * 1000000.0 + 0.5)
+               / 1000000.0 AS score
+    FROM tfc JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, token) <= 3
+""")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf · ln(N/df)) — the keyword
+    signature used for topic tagging / near-dup triage in corpus prep.
+
+    Hash discipline: the score is ROUNDED 6dp BEFORE ranking on both
+    engines, with the token as tie-break — otherwise last-bit float
+    drift between engines could flip rank-3 vs rank-4 and the results
+    would be unstable, not just unhashable. Shape: token df is a
+    token-keyed aggregate joined back to the (doc, token) tf relation
+    on the SAME key (no extra shuffle of the big side beyond the tf
+    groupBy); N is a 1-row broadcast; the final top-k is a per-doc
+    window. All three joins/windows ride the explode's shuffle keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tfc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfc = tfc.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (tfc.join(dfc, "token").crossJoin(F.broadcast(n))
+              .select("doc_id", "token",
+                      rnd(F.col("tf") * F.log(F.col("n_docs")
+                                              / F.col("df")), 6)
+                      .alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "token", "score"))

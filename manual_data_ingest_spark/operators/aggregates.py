@@ -551,3 +551,37 @@ def agg_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("exact_users", "n_sketches",
                     (F.abs(F.col("est") - F.col("exact_users"))
                      <= 0.05 * F.col("exact_users")).alias("within_bound")))
+
+
+@register("agg_entropy", """
+WITH c AS (
+    SELECT source, lang, count(*) AS n
+    FROM documents GROUP BY source, lang
+),
+t AS (SELECT source, sum(n) AS tot FROM c GROUP BY source)
+SELECT c.source,
+       floor((-sum((n / tot) * log2(n / tot))) * 1000000.0 + 0.5)
+           / 1000000.0 AS lang_entropy,
+       count(*)::BIGINT AS n_langs
+FROM c JOIN t ON c.source = t.source
+GROUP BY c.source, t.tot
+""")
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the
+    distribution-balance QC a training-data pipeline runs before
+    mixing corpora (entropy 0 = monolingual shard, log2(k) = uniform).
+
+    Two chained aggregations on the same leading key: the per-(source,
+    lang) count shuffles once; the per-source total and the final
+    entropy reduce on the co-located layout. Entropy is rounded 6dp —
+    it is a sum of p·log2(p) terms over ≤ O(langs) values, so the
+    floating error is well inside 1e-6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (c.join(t, "source")
+            .groupBy("source")
+            .agg(rnd(-F.sum(p * F.log2(p)), 6).alias("lang_entropy"),
+                 F.count("*").alias("n_langs")))

@@ -544,3 +544,37 @@ def ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id", "event_type")
             .agg(F.sum("n_events").alias("n_events"),
                  rnd(F.sum("sum_value")).alias("sum_value")))
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@register("ingest_profile", "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, count(*) - count({c}) AS n_null,"
+    f" count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS))
+def ingest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of an incoming table — null count + exact
+    distinct cardinality per column, the first report an ingest
+    pipeline produces (drives schema checks, key detection, and the
+    partition-column choice).
+
+    ONE pass over the data: all per-column aggregates run in a single
+    hash aggregate (Catalyst expands multi-DISTINCT into one Expand +
+    aggregate, not N scans — the oracle's UNION-of-scans form is the
+    anti-pattern at scale) and `stack` reshapes wide→long. At 100 TB
+    exact distincts would swap to `approx_count_distinct` partials;
+    same single-scan shape.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [(F.count("*") - F.count(c)).alias(f"{c}__null"),
+                 F.countDistinct(c).alias(f"{c}__distinct")]
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', `{c}__null`, `{c}__distinct`"
+                      for c in _PROFILE_COLS)
+    return wide.select(F.expr(
+        f"stack({len(_PROFILE_COLS)}, {stack})"
+        " AS (col_name, n_null, n_distinct)"))

@@ -300,3 +300,39 @@ def win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("rev")).alias("revenue"),
                     rnd(F.col("rev") / F.lag("rev").over(w) - 1.0, 6)
                     .alias("mom_growth")))
+
+
+@register("win_cumulative_distinct", """
+WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+first_seen AS (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1),
+new_users AS (SELECT day, count(*) AS n_new FROM first_seen GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       coalesce(n.n_new, 0)::BIGINT AS new_users,
+       sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS cum_distinct_users
+FROM days d LEFT JOIN new_users n ON d.day = n.day
+""")
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve metric.
+
+    The naive form (`count(DISTINCT user) OVER (ORDER BY day ROWS
+    UNBOUNDED PRECEDING)`) is unsupported AND quadratic-in-state on
+    any engine; the scalable identity is: a user contributes to the
+    cumulative count exactly on their FIRST day → per-user min(day)
+    (one shuffle, partial-aggregated), count first-seens per day, then
+    a running sum over the ~O(days) series — the same
+    agg-before-global-window discipline as `win_period_growth`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    days = ev.select(day.alias("day")).distinct()
+    new = (ev.groupBy("user_id").agg(F.min(day).alias("day"))
+           .groupBy("day").agg(F.count("*").alias("n_new")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (days.join(new, "day", "left")
+            .select("day", F.coalesce("n_new", F.lit(0)).alias("new_users"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "new_users",
+                    F.sum("new_users").over(w).alias("cum_distinct_users")))

@@ -257,3 +257,36 @@ def test_interval_overlap_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
                      plan), plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Spark's AQE-era runtime filtering: a selective filter on the
+    join's build side can be compiled into a bloom filter applied to
+    the probe side's SCAN — rows that cannot join are dropped before
+    the shuffle. At 100 TB this is the difference between shuffling
+    the full fact table and shuffling the ~matching slice. Verifies
+    the engine configuration can express it (thresholds sized to the
+    big-big SMJ regime the feature targets)."""
+    from manual_data_ingest_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # big-big regime
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        o = (load_table(spark, SF_ORACLE, "orders")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderstatus").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
