@@ -181,3 +181,90 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_if(straddle).alias("n_straddle_docs"),
                  rnd(F.sum("n_tok") / (n_seq * 512.0), 6)
                  .alias("fill_ratio")))
+
+
+@register("pipeline_training_mix", f"""
+WITH dedup AS (
+    SELECT * FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) = 1
+),
+train AS (SELECT * FROM dedup WHERE doc_id % 20 <> 0),
+ng AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(l[i:i+7], ' ')
+         FOR i IN generate_series(1, greatest(len(l) - 7, 1))])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+contaminated AS (
+    SELECT DISTINCT tr.doc_id
+    FROM ng tr JOIN ev ON tr.g = ev.g
+    WHERE tr.doc_id % 20 <> 0
+),
+clean AS (
+    SELECT t.*,
+           len(string_split(t.text, ' ')) AS n_tokens,
+           {_STOP_DUCK.replace('text', 't.text')} AS n_stop
+    FROM train t ANTI JOIN contaminated c ON t.doc_id = c.doc_id
+),
+gated AS (SELECT * FROM clean WHERE n_tokens >= 40 AND n_stop >= 2),
+sampled AS (
+    SELECT * FROM gated
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY md5(doc_id::VARCHAR))
+            <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       ceil(sum(n_tokens) / 512.0)::BIGINT AS n_sequences
+FROM sampled GROUP BY source
+""")
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-to-training-mix pipeline as ONE Spark plan:
+    exact dedup → drop the held-out eval docs → benchmark
+    decontamination (8-gram overlap, eval n-grams broadcast) → quality
+    gate (token band + stopword floor) → 20% stratified sample per
+    language → per-source packing budget (docs, tokens, sequences).
+
+    Every stage is individually oracled elsewhere (`dedup_exact`,
+    `dedup_decontaminate`, `pipeline_llm_prep`, `sample_stratified`,
+    `pipeline_seq_pack`); this operator pins their COMPOSITION —
+    the order matters (dedup before sampling, decontaminate before the
+    gate) and the end-to-end result is what a user actually ships. The
+    corpus is never shuffled for decontamination (broadcast), and the
+    dedup window / lang window / final agg are the only wide stages.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    dedup = (d.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).drop("rn"))
+    train = dedup.filter(F.col("doc_id") % 20 != 0)
+
+    ngrams = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"))
+    ng = d.select("doc_id", F.explode(ngrams).alias("g"))
+    ev = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    contaminated = (ng.filter(F.col("doc_id") % 20 != 0)
+                    .join(F.broadcast(ev), "g")
+                    .select("doc_id").distinct())
+
+    toks = F.split("text", " ")
+    clean = (train.join(contaminated, "doc_id", "left_anti")
+             .withColumn("n_tokens", F.size(toks))
+             .withColumn("n_stop", F.expr(_STOP_SPARK)))
+    gated = clean.filter((F.col("n_tokens") >= 40) & (F.col("n_stop") >= 2))
+
+    lang_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")))
+    sampled = (gated
+               .withColumn("rn", F.row_number().over(lang_w))
+               .withColumn("n_lang",
+                           F.count("*").over(Window.partitionBy("lang")))
+               .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2)))
+    return (sampled.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.ceil(F.sum("n_tokens") / 512.0).alias("n_sequences")))
