@@ -585,3 +585,43 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(rnd(-F.sum(p * F.log2(p)), 6).alias("lang_entropy"),
                  F.count("*").alias("n_langs")))
+
+
+@register("agg_histogram", """
+WITH b AS (
+    SELECT least(floor(o_totalprice / 60000.0), 9)::BIGINT AS bucket
+    FROM orders
+)
+SELECT bucket,
+       (bucket * 60000)::BIGINT AS lo,
+       count(*)::BIGINT AS n,
+       floor((count(*) * 1.0 /
+              (SELECT count(*) FROM orders)) * 1000000.0 + 0.5)
+           / 1000000.0 AS frac
+FROM b
+GROUP BY bucket
+""")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order value (10 buckets of 60k, last
+    bucket open-ended) — the distribution profile behind skew
+    decisions: which salting factor, which range-partition bounds.
+
+    Deliberately IDENTICAL floor arithmetic on both engines rather
+    than `width_bucket` (absent in DuckDB 1.0, and its edge semantics
+    differ by dialect): IEEE division + floor is bit-deterministic for
+    the same inputs, so bucket assignment is engine-portable. One
+    shuffle of 10 partial counts; the total for `frac` is a broadcast
+    scalar, not a second scan shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 60000.0),
+                     F.lit(9)).cast("long")
+    total = o.agg(F.count("*").alias("tot"))
+    return (o.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .crossJoin(F.broadcast(total))
+            .select("bucket",
+                    (F.col("bucket") * 60000).cast("long").alias("lo"),
+                    "n",
+                    rnd(F.col("n") * 1.0 / F.col("tot"), 6).alias("frac")))

@@ -152,3 +152,52 @@ def flagship_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue_lost"))
             .orderBy(F.col("revenue_lost").desc(), F.col("c_custkey"))
             .limit(20))
+
+
+@register("flagship_q18_volume", """
+WITH big AS (
+    SELECT l_orderkey
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 250
+)
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       floor(o_totalprice * 100.0 + 0.5) / 100.0 AS total_price,
+       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+""")
+def flagship_q18_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer report: orders whose
+    total quantity exceeds 250, joined back to customer detail.
+
+    The scale shape is the HAVING-then-semi-join: the heavy aggregate
+    (sum per orderkey) runs FIRST and produces a small key set; the
+    detail join then touches only qualifying orders (Catalyst plans
+    the IN as a left-semi). The second lineitem aggregate re-reads
+    only semi-joined rows and reuses the l_orderkey shuffle layout.
+    The anti-pattern — joining everything then filtering on a windowed
+    sum — shuffles the full fact table twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > 250)
+           .select("l_orderkey"))
+    return (c.join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .join(big, "l_orderkey", "left_semi")
+            .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+            .agg(rnd(F.sum("l_quantity")).alias("sum_qty"))
+            .select("c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("order_date"),
+                    rnd(F.col("o_totalprice")).alias("total_price"),
+                    "sum_qty"))
