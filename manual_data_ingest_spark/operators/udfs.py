@@ -197,3 +197,37 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderkey", classify("o_orderpriority").alias("priority_rank"))
+
+
+@register("udf_map_arrow", """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_arrow,
+       len(string_split(text, ' '))::BIGINT AS n_tokens_arrow
+FROM documents
+""")
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow`: the zero-copy tier below mapInPandas — the
+    function receives raw `pyarrow.RecordBatch`es and computes with
+    Arrow kernels directly, skipping the Arrow→pandas conversion
+    entirely (no object boxing, no index building). For
+    string-heavy columns that conversion is the dominant cost of a
+    pandas UDF, so this is the right tier for byte/str analytics at
+    100 TB; the pandas tier remains right when the logic needs pandas
+    semantics.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("doc_id")),
+                 pc.cast(pc.utf8_length(text), pa.int64()),
+                 pc.cast(pc.list_value_length(
+                     pc.split_pattern(text, " ")), pa.int64())],
+                names=["doc_id", "n_chars_arrow", "n_tokens_arrow"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        stats, "doc_id long, n_chars_arrow long, n_tokens_arrow long")

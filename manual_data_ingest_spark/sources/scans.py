@@ -553,3 +553,57 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("event_type"))
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register("source_python_datasource", """
+SELECT range::BIGINT AS id,
+       (range % 8)::INT AS part,
+       md5(range::VARCHAR) AS payload
+FROM range(4000)
+""")
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API — the
+    extension point for sources Spark has no built-in reader for
+    (internal services, bespoke formats). The reader declares 8 input
+    partitions; each TASK generates its slice independently, so the
+    source scales out like any file scan — no driver materialization.
+
+    The synthetic payload is deterministic (md5 of the id), so the
+    read is fully oracled — proving the custom-source path end to end:
+    registration, partition planning, per-task iteration, schema
+    enforcement.
+    """
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        InputPartition)
+
+    class _Part(InputPartition):
+        def __init__(self, idx: int) -> None:
+            self.idx = idx
+
+    class _Reader(DataSourceReader):
+        def partitions(self):
+            return [_Part(i) for i in range(8)]
+
+        def read(self, part):
+            import hashlib
+
+            for i in range(part.idx, 4000, 8):
+                yield (i, i % 8,
+                       hashlib.md5(str(i).encode()).hexdigest())
+
+    class _MdisSynthetic(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mdis_synthetic"
+
+        def schema(self) -> str:
+            return "id bigint, part int, payload string"
+
+        def reader(self, schema) -> DataSourceReader:
+            return _Reader()
+
+    try:
+        spark.dataSource.register(_MdisSynthetic)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("mdis_synthetic").load()

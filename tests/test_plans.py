@@ -290,3 +290,47 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually fire on a hot key: a join
+    where 90% of the left side shares one key is re-planned at runtime
+    into split sub-partitions (skew=true on the SortMergeJoin). This is
+    the no-code-change complement to `join_skew_salted` — salting is
+    the explicit rewrite, AQE is the engine's own mitigation; at 100 TB
+    both exist because AQE only splits what it can observe at shuffle
+    boundaries."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (spark.range(300_000)
+                .select(F.when(F.col("id") < 270_000, 0)
+                        .otherwise(F.col("id")).alias("k"),
+                        F.col("id").alias("v")))
+        right = spark.range(1_000).select(F.col("id").alias("k"),
+                                          (F.col("id") * 2).alias("w"))
+        # the join must be the terminal stage: a downstream aggregate
+        # would re-require hash partitioning and AQE then declines to
+        # split (splitting would add a shuffle) unless
+        # forceOptimizeSkewedJoin is set — itself a documented behavior
+        # keep the incompressible payload column v: pruning it would
+        # shrink the hot partition (constant key, RLE) below the skew
+        # threshold and nothing would be detected
+        j = left.join(right, "k")
+        n = len(j.collect())
+        assert n == 270_000  # hot key 0 matches once; tail keys ≥ 270k miss
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "AQEShuffleRead skewed" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
