@@ -578,3 +578,59 @@ def ingest_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.expr(
         f"stack({len(_PROFILE_COLS)}, {stack})"
         " AS (col_name, n_null, n_distinct)"))
+
+
+@register("ingest_manifest_diff", """
+WITH old AS (
+    SELECT doc_id, md5(text) AS content_md5 FROM documents
+    WHERE doc_id % 10 <> 0
+),
+new AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN md5(text || '!')
+                ELSE md5(text) END AS content_md5
+    FROM documents
+    WHERE doc_id % 10 <> 1
+)
+SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.content_md5 <> n.content_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*)::BIGINT AS n_files,
+       min(coalesce(o.doc_id, n.doc_id))::BIGINT AS min_id,
+       max(coalesce(o.doc_id, n.doc_id))::BIGINT AS max_id
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+GROUP BY 1
+""")
+def ingest_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest diff — the re-upload audit: compare the previous
+    snapshot's checksum manifest against the incoming one and classify
+    every file as added / removed / changed / unchanged. (Fixture
+    derives two deterministic manifest views: ids ≡0 mod 10 appear
+    only in NEW, ≡1 only in OLD, ≡0 mod 7 arrive content-mutated.)
+
+    This is the gate a curator pipeline runs before committing an
+    upload: `changed` triggers re-processing, `removed` triggers
+    tombstones, and `unchanged` (the overwhelming majority at 100 TB)
+    is SKIPPED — the diff is one full-outer hash join on the file key,
+    shuffling only (id, md5) pairs, never content. Checksums come from
+    the manifests; content is read zero times.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    old = (d.filter(F.col("doc_id") % 10 != 0)
+           .select("doc_id", F.md5("text").alias("old_md5")))
+    new = (d.filter(F.col("doc_id") % 10 != 1)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 7 == 0,
+                          F.md5(F.concat(F.col("text"), F.lit("!"))))
+                   .otherwise(F.md5("text")).alias("new_md5")))
+    j = old.join(new, "doc_id", "full_outer")
+    status = (F.when(F.col("old_md5").isNull(), "added")
+              .when(F.col("new_md5").isNull(), "removed")
+              .when(F.col("old_md5") != F.col("new_md5"), "changed")
+              .otherwise("unchanged"))
+    return (j.select("doc_id", status.alias("status"))
+            .groupBy("status")
+            .agg(F.count("*").alias("n_files"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))

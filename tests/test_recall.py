@@ -76,3 +76,20 @@ def test_ivf_candidates_shrink_vs_bruteforce(spark):
     per_label = e.groupBy("label").count().agg(F.max("count")).first()[0]
     assert per_label * 10 <= n * 2  # cells are balanced-ish
     assert per_label < n / 5       # each probe scans <20% of the corpus
+
+
+def test_int8_quantized_topk_recall(spark):
+    """sim_quantize_int8: the quantized ranking must recover most of
+    the exact top-5 (int8 on 64-dim unit-ish vectors loses little) —
+    the measured recall behind the '4x smaller at small recall cost'
+    claim. Floor: mean overlap@5 >= 0.8, and every probe >= 3/5."""
+    qs = E.queries()
+    exact, quant = {}, {}
+    for r in qs["sim_topk"](spark, SF_ORACLE).collect():
+        exact.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    for r in qs["sim_quantize_int8"](spark, SF_ORACLE).collect():
+        quant.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    assert set(quant) == set(exact)
+    overlaps = [len(exact[p] & quant[p]) / 5 for p in exact]
+    assert min(overlaps) >= 0.6, overlaps
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
