@@ -625,3 +625,50 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("bucket") * 60000).cast("long").alias("lo"),
                     "n",
                     rnd(F.col("n") * 1.0 / F.col("tot"), 6).alias("frac")))
+
+
+@register("agg_gini", """
+WITH c AS (
+    SELECT event_type, user_id, count(*) AS x
+    FROM events GROUP BY event_type, user_id
+),
+r AS (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY x, user_id) AS i,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           sum(x)   OVER (PARTITION BY event_type) AS tot
+    FROM c
+)
+SELECT event_type,
+       floor((2.0 * sum(i * x) / (n * tot) - (n + 1.0) / n) * 1000000.0
+             + 0.5) / 1000000.0 AS gini,
+       n::BIGINT AS n_users
+FROM r
+GROUP BY event_type, n, tot
+""")
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-user activity distribution per
+    event type — the scalar skew diagnostic (0 = uniform load, →1 =
+    one hot user) read BEFORE choosing salting factors and AQE skew
+    thresholds; complements `agg_histogram` (shape) and
+    `agg_heavy_hitters` (who).
+
+    Rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    ranks — one count shuffle, then ranks/totals/final reduce all on
+    the same event_type layout. Tie-break (x, user_id) is pinned so
+    row_number ranks agree across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type", "x",
+        F.row_number().over(wp.orderBy("x", "user_id")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("x").over(wp).alias("tot"))
+    return (r.groupBy("event_type", "n", "tot")
+            .agg(rnd(2.0 * F.sum(F.col("i") * F.col("x"))
+                     / (F.col("n") * F.col("tot"))
+                     - (F.col("n") + 1.0) / F.col("n"), 6).alias("gini"))
+            .select("event_type", "gini", F.col("n").alias("n_users")))

@@ -292,3 +292,59 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("error_id_ts") <= F.col("click_id_ts") + hour))
             .select("user_id", "click_id", "error_id")
             .distinct())
+
+
+@register("join_pit_scd2", """
+WITH dim AS (
+    SELECT user_id, event_id AS version_id, value AS status_value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM events WHERE event_type = 'signup'
+),
+facts AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+       d.version_id,
+       floor(d.status_value * 100.0 + 0.5) / 100.0 AS status_value
+FROM facts f
+JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+""")
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store primitive: each
+    fact (purchase) joins the dimension VERSION that was valid at the
+    fact's timestamp, against an SCD2 interval table built from signup
+    events (`ingest_scd2`'s shape). No fact ever sees a future
+    attribute — the leakage rule every training-feature pipeline must
+    enforce.
+
+    Shape: equi-join on the entity key carries the weight; the
+    interval predicate then selects exactly one version per fact
+    (intervals partition time — the SCD2 law pinned in
+    tests/test_new_ops.py). Per-entity version counts are small and
+    bounded, so the post-equi-join fanout is O(versions), not O(n·m);
+    at extreme version counts this becomes `join_asof`'s
+    sort-merge-within-partition shape instead.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("valid_from", "version_id")
+    dim = (ev.filter(F.col("event_type") == "signup")
+           .select("user_id",
+                   F.col("event_id").alias("version_id"),
+                   F.col("value").alias("status_value"),
+                   F.col("ts").alias("valid_from"))
+           .withColumn("valid_to", F.lead("valid_from").over(w)))
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    from manual_data_ingest_spark.functions.rounding import rnd
+    return (facts.join(dim, "user_id")
+            .filter((F.col("valid_from") <= F.col("ts"))
+                    & (F.col("valid_to").isNull()
+                       | (F.col("ts") < F.col("valid_to"))))
+            .select("event_id", "user_id", "version_id",
+                    rnd(F.col("status_value")).alias("status_value")))

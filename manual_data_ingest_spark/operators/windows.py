@@ -336,3 +336,40 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     "new_users",
                     F.sum("new_users").over(w).alias("cum_distinct_users")))
+
+
+@register("win_zscore_outliers", """
+WITH s AS (
+    SELECT event_id, event_type, value,
+           avg(value)        OVER (PARTITION BY event_type) AS mu,
+           stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+    FROM events
+)
+SELECT event_id, event_type,
+       floor(((value - mu) / sd) * 1000000.0 + 0.5) / 1000000.0 AS zscore
+FROM s
+WHERE abs((value - mu) / sd) >= 3.0
+""")
+def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (|z| ≥ 3) — the row-level QC
+    twin of `agg_stats`: the same pass that computes group moments
+    tags the individual violating rows for quarantine.
+
+    One shuffle: both analytic moments ride a single event_type window
+    (no ORDER BY → one unbounded frame, computed once per partition).
+    At 100 TB the window form beats the groupBy-then-rejoin form only
+    when the group count is huge; with few groups the broadcast-join
+    rewrite wins — both shapes exist in this repo (`agg_heavy_hitters`
+    uses the join form) precisely because that crossover is real.
+    Population stddev (not sample) matches `stddev_pop` across
+    engines; z rounded 6dp, selection on the unrounded value
+    identically in both.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / \
+        F.stddev_pop("value").over(w)
+    return (ev.select("event_id", "event_type", z.alias("z"))
+            .filter(F.abs(F.col("z")) >= 3.0)
+            .select("event_id", "event_type",
+                    rnd(F.col("z"), 6).alias("zscore")))
