@@ -416,3 +416,88 @@ def test_seq_pack_matches_bruteforce(spark):
                 straddle += 1
             cum += n
         assert out[src] == (cum, math.ceil(cum / 512), straddle), src
+
+
+def test_gini_matches_numpy_rank_formula(spark):
+    """agg_gini vs a plain-numpy Gini over the same per-user counts."""
+    import numpy as np
+
+    from manual_data_ingest_spark.io import load_table
+
+    out = {r.event_type: (r.gini, r.n_users)
+           for r in E.queries()["agg_gini"](spark, SF_ORACLE).collect()}
+    counts = (load_table(spark, SF_ORACLE, "events")
+              .groupBy("event_type", "user_id")
+              .agg(F.count("*").alias("x")).collect())
+    by_type = {}
+    for r in counts:
+        by_type.setdefault(r.event_type, []).append(r.x)
+    for et, xs in by_type.items():
+        x = np.sort(np.asarray(xs, dtype=np.float64))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        g = 2.0 * (i * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        got_g, got_n = out[et]
+        assert got_n == n, et
+        assert abs(got_g - g) < 1e-6, (et, got_g, g)
+        assert 0.0 <= got_g < 1.0, et
+
+
+def test_pit_join_no_future_leakage(spark):
+    """join_pit_scd2: every fact gets EXACTLY the version valid at its
+    ts — never a future one — and every purchase by a user with a
+    prior signup appears exactly once (intervals partition time)."""
+    from manual_data_ingest_spark.io import load_table
+
+    out = E.queries()["join_pit_scd2"](spark, SF_ORACLE)
+    # one row per fact: event_id is unique in the output
+    n = out.count()
+    assert out.select("event_id").distinct().count() == n
+    ev = load_table(spark, SF_ORACLE, "events")
+    versions = {}
+    for r in (ev.filter(F.col("event_type") == "signup")
+              .select("user_id", "event_id", "ts").collect()):
+        versions.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    for v in versions.values():
+        v.sort()
+    picked = {r.event_id: r.version_id for r in out.collect()}
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts").collect())
+    covered = 0
+    for f in facts:
+        vs = [vid for (vts, vid) in versions.get(f.user_id, [])
+              if vts <= f.ts]
+        if vs:
+            covered += 1
+            assert picked[f.event_id] == vs[-1], f.event_id
+        else:
+            assert f.event_id not in picked, f.event_id
+    assert covered == n
+
+
+def test_zscore_outliers_match_numpy(spark):
+    """win_zscore_outliers vs numpy population moments per group."""
+    import numpy as np
+
+    from manual_data_ingest_spark.io import load_table
+
+    got = {r.event_id: (r.event_type, r.zscore)
+           for r in E.queries()["win_zscore_outliers"](spark, SF_ORACLE)
+           .collect()}
+    rows = (load_table(spark, SF_ORACLE, "events")
+            .select("event_id", "event_type", "value").collect())
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.event_id, r.value))
+    expect = {}
+    for et, pairs in by_type.items():
+        vals = np.asarray([v for _, v in pairs], dtype=np.float64)
+        mu, sd = vals.mean(), vals.std()  # population
+        for (eid, v) in pairs:
+            z = (v - mu) / sd
+            if abs(z) >= 3.0:
+                expect[eid] = (et, round(z, 6))
+    assert set(got) == set(expect)
+    for eid in expect:
+        assert got[eid][0] == expect[eid][0]
+        assert abs(got[eid][1] - expect[eid][1]) <= 1e-6, eid
