@@ -285,3 +285,31 @@ def struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity.geo.nation").alias("geo_nation"),
         F.col("entity.attrs.segment").alias("attr_segment"),
         F.col("entity.attrs.balance").alias("attr_balance"))
+
+
+@register("variant_funcs", """
+SELECT event_id,
+       json_extract(props, '$.k')::INT          AS k_int,
+       json_extract(props, '$.missing')::INT    AS k_missing,
+       json_extract(props, '$.k')::INT * 2      AS k_doubled
+FROM events
+""")
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType.
+
+    `parse_json` builds the binary Variant encoding once per row;
+    `variant_get` / `try_variant_get` then extract typed paths without
+    re-parsing the JSON text — the Spark-4 answer to schema-on-read
+    columns, and the right 100 TB shape for ragged metadata: the
+    Variant binary is columnar-shredded in parquet (Spark 4 writes
+    typed_value sub-columns), so path extraction prunes like a real
+    column instead of re-tokenizing strings. The oracle reads the same
+    paths via DuckDB's JSON extraction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.missing", "int").alias("k_missing"),
+        (F.variant_get(v, "$.k", "int") * 2).alias("k_doubled"))

@@ -634,3 +634,60 @@ def ingest_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_files"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+@register("ingest_cdc_apply", """
+WITH ops AS (
+  SELECT user_id, ts, event_id, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error'  THEN 'D'
+                         ELSE 'U' END AS op
+  FROM events
+), last AS (
+  SELECT user_id, op AS last_op,
+         floor(value * 1000000.0 + 0.5) / 1000000.0 AS last_value
+  FROM ops
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+), counts AS (
+  SELECT user_id,
+         count(*) FILTER (op = 'I')::BIGINT AS n_inserts,
+         count(*) FILTER (op = 'U')::BIGINT AS n_updates,
+         count(*) FILTER (op = 'D')::BIGINT AS n_deletes
+  FROM ops GROUP BY user_id
+)
+SELECT l.user_id, l.last_op, l.last_value,
+       c.n_inserts, c.n_updates, c.n_deletes,
+       CASE WHEN l.last_op = 'D' THEN 0 ELSE 1 END AS is_live
+FROM last l JOIN counts c USING (user_id)
+""")
+def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC event log (insert/update/delete) to derive final state.
+
+    The merge-into pattern every transactional ingest runs: an ordered
+    op log per key collapses to the LAST op, and a trailing delete
+    tombstones the key (`is_live = 0`). One shuffle on the key for the
+    window + one partial-aggregated count pass, combined by a key join
+    that AQE turns into a broadcast at dim scale. At 100 TB the op log
+    is partitioned by ingest date, so the window reads only the
+    key-partitioned delta, and the result merges into the snapshot via
+    the dynamic-partition-overwrite sink (`sink_merge_upsert`).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    op = (F.when(F.col("event_type") == "signup", "I")
+          .when(F.col("event_type") == "error", "D")
+          .otherwise("U"))
+    ops = ev.select("user_id", "ts", "event_id", "value", op.alias("op"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    last = (ops.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("op").alias("last_op"),
+                    rnd(F.col("value"), 6).alias("last_value")))
+    counts = ops.groupBy("user_id").agg(
+        F.count(F.when(F.col("op") == "I", 1)).alias("n_inserts"),
+        F.count(F.when(F.col("op") == "U", 1)).alias("n_updates"),
+        F.count(F.when(F.col("op") == "D", 1)).alias("n_deletes"))
+    return (last.join(counts, "user_id")
+            .withColumn("is_live",
+                        F.when(F.col("last_op") == "D", 0).otherwise(1)))

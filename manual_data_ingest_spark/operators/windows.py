@@ -373,3 +373,38 @@ def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs(F.col("z")) >= 3.0)
             .select("event_id", "event_type",
                     rnd(F.col("z"), 6).alias("zscore")))
+
+
+@register("win_ewma", """
+SELECT user_id,
+       floor(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.75 + x * 0.25)
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma,
+       count(*)::BIGINT AS n_events
+FROM events
+GROUP BY user_id
+""")
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per key — entirely JVM-side.
+
+    The recurrence y_i = (1-a)*y_{i-1} + a*x_i (a=0.25, y_0=x_0) is a
+    sequential fold, which naive implementations push into a Python UDF.
+    Here it stays in codegen: collect the per-key series as a struct
+    array (one shuffle), `array_sort` pins the (ts, event_id) total
+    order, and `F.aggregate` folds the recurrence inside whole-stage
+    codegen — both engines evaluate the identical IEEE op sequence, so
+    the result is hash-exact. At 100 TB the state per key is one array
+    bounded by per-key event count (sessions, not the corpus); keys
+    partition freely. A 20-byte running-state `transformWithState`
+    variant covers the unbounded-stream case (streaming/ops.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25))
+    return (ev.groupBy("user_id")
+            .agg(rnd(fold, 6).alias("ewma"),
+                 F.count("*").alias("n_events")))

@@ -340,3 +340,113 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas speaks a protobuf state protocol to a
+    dedicated Python driver worker; without google.protobuf the worker
+    crashes at import (verified in this container)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register("stream_transform_with_state", """
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       floor(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc * 0.75 + x * 0.25)
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM events
+GROUP BY user_id
+""")
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming on the RocksDB state store.
+
+    Per-user EWMA (a=0.25, y_0=first value) + event count, carried as a
+    16-byte (count, ewma) ValueState across micro-batches. This is the
+    unbounded-stream twin of the batch fold in `win_ewma`: state is O(1)
+    per key no matter how long the stream runs, and the RocksDB provider
+    spills that state off-heap — at 100 TB/day the state store holds
+    |active keys| * 16 bytes per shuffle partition, checkpointed
+    incrementally (changelog), which HDFSBackedStateStore's full
+    in-memory map cannot do.
+
+    Primary path: Spark 4's `transformWithStateInPandas` (the successor
+    stateful API — ValueState via StatefulProcessorHandle). Its state
+    protocol needs google.protobuf, absent in this container, so the
+    gate falls back to `applyInPandasWithState` computing the identical
+    recurrence — same output, same oracle, also on RocksDB.
+    """
+    import pandas as pd
+
+    st = read_events_stream(spark, sf_dir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = ("org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider")
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        if _has_protobuf():  # pragma: no cover — protobuf absent here
+            from pyspark.sql.streaming import StatefulProcessor
+            from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                           StructType)
+
+            out_schema = StructType([
+                StructField("user_id", LongType()),
+                StructField("n_events", LongType()),
+                StructField("ewma", DoubleType())])
+
+            class EwmaProcessor(StatefulProcessor):
+                def init(self, handle):
+                    self._st = handle.getValueState(
+                        "agg", "n BIGINT, ewma DOUBLE")
+
+                def handleInputRows(self, key_, rows, timer_values):
+                    pdf = pd.concat(list(rows)).sort_values(
+                        ["ts", "event_id"])
+                    n, e = (self._st.get() if self._st.exists()
+                            else (0, None))
+                    for x in pdf["value"]:
+                        e = x if e is None else 0.75 * e + 0.25 * x
+                    n += len(pdf)
+                    self._st.update((n, e))
+                    yield pd.DataFrame({"user_id": [key_[0]],
+                                        "n_events": [n], "ewma": [e]})
+
+                def close(self):
+                    pass
+
+            result = (st.groupBy("user_id").transformWithStateInPandas(
+                EwmaProcessor(), out_schema, "Update", "None"))
+            out = run_to_batch(result, "update")
+        else:
+            from pyspark.sql.streaming.state import GroupStateTimeout
+
+            def ewma_fn(key_, pdfs, state):
+                n, e = state.get if state.exists else (0, None)
+                pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+                for x in pdf["value"]:
+                    e = x if e is None else 0.75 * e + 0.25 * x
+                n += len(pdf)
+                state.update((n, e))
+                yield pd.DataFrame({"user_id": [key_[0]],
+                                    "n_events": [n], "ewma": [e]})
+
+            result = st.groupBy("user_id").applyInPandasWithState(
+                ewma_fn,
+                outputStructType="user_id long, n_events long, ewma double",
+                stateStructType="n long, ewma double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout)
+            out = run_to_batch(result, "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return out.select("user_id", "n_events",
+                      rnd(F.col("ewma"), 6).alias("ewma"))

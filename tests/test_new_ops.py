@@ -501,3 +501,33 @@ def test_zscore_outliers_match_numpy(spark):
     for eid in expect:
         assert got[eid][0] == expect[eid][0]
         assert abs(got[eid][1] - expect[eid][1]) <= 1e-6, eid
+
+
+def test_stream_tws_equals_batch_ewma(spark):
+    """The RocksDB stateful-stream EWMA and the batch codegen fold are
+    two strategies for one recurrence — identical output, and the
+    provider override must not leak into the session afterwards."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    qs = E.queries()
+    stream = {(r.user_id, r.n_events, r.ewma)
+              for r in qs["stream_transform_with_state"](spark, SF_ORACLE).collect()}
+    batch = {(r.user_id, r.n_events, r.ewma)
+             for r in qs["win_ewma"](spark, SF_ORACLE).collect()}
+    assert stream == batch
+    assert spark.conf.get(key, None) == before
+
+
+def test_cdc_apply_tombstone_law(spark):
+    out = E.queries()["ingest_cdc_apply"](spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.is_live == (0 if r.last_op == "D" else 1)
+        assert r.n_inserts + r.n_updates + r.n_deletes > 0
+
+
+def test_variant_typed_null_and_projection(spark):
+    out = E.queries()["variant_funcs"](spark, SF_SMALL)
+    rows = out.collect()
+    assert all(r.k_missing is None for r in rows)
+    assert all(r.k_doubled == 2 * r.k_int for r in rows if r.k_int is not None)
