@@ -399,3 +399,64 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("doc_id", "token", "score"))
+
+
+@register("text_gopher_repetition", f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS l,
+         length(text)            AS n_chars
+  FROM documents
+), b AS (
+  SELECT doc_id, l, n_chars,
+         len(l) AS n_words,
+         len(list_distinct(l)) AS n_distinct,
+         list_transform(generate_series(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1]) AS bg
+  FROM w
+)
+SELECT doc_id,
+       n_words,
+       {sql_rnd("1.0 - n_distinct::DOUBLE / n_words", 6)} AS dup_word_frac,
+       {sql_rnd("list_max(list_transform(list_distinct(bg),"
+                " p -> len(list_filter(bg, x -> x = p))))::DOUBLE"
+                " / len(bg)", 6)} AS top_bigram_frac,
+       {sql_rnd("(n_chars - (n_words - 1))::DOUBLE / n_words", 6)}
+           AS mean_word_len
+FROM b
+WHERE len(bg) > 0
+""")
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals (Rae et al. 2021, public) per doc.
+
+    The filters every LLM corpus pipeline applies before training:
+    duplicate-word fraction, fraction of bigrams taken by the most
+    frequent bigram, mean word length. All computed with array
+    higher-order functions inside whole-stage codegen — a map-only scan,
+    no shuffle, no UDF. The per-doc bigram mode is O(distinct² ) in the
+    doc's own length only, so 100 TB scales linearly in corpus size;
+    word soups past ~10k words would switch to the explode+groupBy
+    form (`text_tfidf`'s shape) to bound per-row compute.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = d.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        words.alias("l"), F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"))
+    bg = F.zip_with(
+        F.slice("l", 1, F.col("n_words") - 1),
+        F.slice("l", 2, F.col("n_words") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    base = base.withColumn("bg", bg).filter(F.size("bg") > 0)
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct("bg"),
+        lambda p: F.size(F.filter(F.col("bg"), lambda x: x == p))))
+    return base.select(
+        "doc_id", "n_words",
+        rnd(1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6)
+        .alias("dup_word_frac"),
+        rnd(top_cnt.cast("double") / F.size("bg"), 6)
+        .alias("top_bigram_frac"),
+        rnd((F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words"), 6).alias("mean_word_len"))

@@ -672,3 +672,70 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.col("n") * F.col("tot"))
                      - (F.col("n") + 1.0) / F.col("n"), 6).alias("gini"))
             .select("event_type", "gini", F.col("n").alias("n_users")))
+
+
+@register("agg_quantile_sketch_merge", f"""
+WITH b AS (
+  SELECT event_id % 32 AS bucket,
+         list(value ORDER BY value) AS arr,
+         count(*) AS n
+  FROM events GROUP BY 1
+), p AS (
+  SELECT arr[cast(floor((i + 0.5) * n / 16) AS INT) + 1] AS v,
+         n / 16.0 AS w
+  FROM b, unnest(generate_series(0, 15)) AS g(i)
+), c AS (
+  SELECT v, w,
+         sum(w) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumw,
+         sum(w) OVER () AS total
+  FROM p
+)
+SELECT {sql_rnd("min(CASE WHEN cumw >= 0.5 * total THEN v END)", 6)}
+           AS p50_approx,
+       {sql_rnd("min(CASE WHEN cumw >= 0.9 * total THEN v END)", 6)}
+           AS p90_approx,
+       round(max(total))::BIGINT AS total_weight
+FROM c
+""")
+def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable quantile sketch — the KLL/t-digest SHAPE.
+
+    Level 1 (map side): each of 32 deterministic buckets compacts its
+    sorted values to 16 uniform-rank points, each carrying weight
+    n_bucket/16 — a fixed 256-byte summary per bucket regardless of
+    bucket size. Level 2 (merge): the 512 weighted points globally
+    sort-merge and the quantile reads off the cumulative weight. At
+    100 TB the level-1 compaction is a partial aggregate (no data
+    shuffle beyond the sketch bytes) and level 2 merges KBs on one
+    reducer — the exact topology sketch libraries (DataSketches KLL)
+    run; here the compaction math is plain uniform-rank so BOTH engines
+    reproduce it bit-for-bit (weights n/16 are exact binary doubles, so
+    cumulative sums carry no float drift). Rank error ≤ 1/16 per bucket
+    by construction — pinned in tests against the exact percentile.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    K = 16
+    b = (ev.groupBy((F.col("event_id") % 32).alias("bucket"))
+         .agg(F.sort_array(F.collect_list("value")).alias("arr"),
+              F.count("*").alias("n")))
+    points = (b.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.element_at(
+                F.col("arr"),
+                F.floor((i + F.lit(0.5)) * F.col("n") / K).cast("int") + 1)))
+        .alias("v"),
+        (F.col("n") / F.lit(float(K))).alias("w")))
+    cum_w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    c = points.select(
+        "v", F.sum("w").over(cum_w).alias("cumw"),
+        F.sum("w").over(all_w).alias("total"))
+    return c.agg(
+        rnd(F.min(F.when(F.col("cumw") >= 0.5 * F.col("total"),
+                         F.col("v"))), 6).alias("p50_approx"),
+        rnd(F.min(F.when(F.col("cumw") >= 0.9 * F.col("total"),
+                         F.col("v"))), 6).alias("p90_approx"),
+        F.round(F.max("total")).cast("long").alias("total_weight"))

@@ -511,3 +511,59 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source",
                     F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_ngrams"),
                     F.col("hid").isNull().alias("keep")))
+
+
+@register("dedup_span_chunks", f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         array_to_string(l[(i-1)*10+1:(i-1)*10+10], ' ') AS chunk
+  FROM w, unnest(generate_series(1, cast(ceil(len(l)/10.0) AS INT))) AS g(i)
+), k AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       count(*)               AS n_chunks,
+       count(*) FILTER (rn = 1) AS n_kept,
+       {sql_rnd("count(*) FILTER (rn = 1)::DOUBLE / count(*)", 6)}
+           AS kept_frac,
+       md5(coalesce(string_agg(chunk, '|' ORDER BY chunk_idx)
+                    FILTER (rn = 1), '')) AS kept_md5
+FROM k GROUP BY doc_id
+""")
+def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) corpus dedup — the CCNet/FineWeb move.
+
+    Documents are cut into fixed 10-word spans; each span is kept only
+    at its FIRST corpus occurrence (total order: doc_id, position) and
+    dropped everywhere else, then documents are reassembled from their
+    surviving spans. Catches boilerplate repeated across documents that
+    whole-doc hashing misses. One shuffle on the span text (the window);
+    at 100 TB hash the span to a 16-byte digest before the shuffle so
+    exchange rows are fixed-width — same plan, 10× smaller shuffle; the
+    reassembly groupBy shuffles on doc_id, already the layout key of the
+    corpus, so AQE coalesces it into the scan partitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    nch = F.ceil(F.size("l") / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda j: F.concat_ws(" ", F.slice(F.col("l"), j * 10 + 1, 10)))
+    c = base.select("doc_id",
+                    F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    k = c.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1,
+                         F.struct("chunk_idx", "chunk"))
+    return (k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        rnd(F.count(F.when(F.col("rn") == 1, 1)).cast("double")
+            / F.count("*"), 6).alias("kept_frac"),
+        F.md5(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda s: s["chunk"]))).alias("kept_md5")))

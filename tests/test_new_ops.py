@@ -531,3 +531,44 @@ def test_variant_typed_null_and_projection(spark):
     rows = out.collect()
     assert all(r.k_missing is None for r in rows)
     assert all(r.k_doubled == 2 * r.k_int for r in rows if r.k_int is not None)
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """Uniform-rank compaction guarantees rank error <= 1/K per bucket;
+    check the merged estimate lands within 10% rank of the exact
+    percentile on the oracle fixture."""
+    import duckdb
+
+    row = E.queries()["agg_quantile_sketch_merge"](spark, SF_ORACLE).collect()[0]
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT quantile_cont(value, 0.40), quantile_cont(value, 0.60),
+                   quantile_cont(value, 0.80), quantile_cont(value, 0.97),
+                   count(*)
+            FROM read_parquet('{SF_ORACLE}/events.parquet')""").fetchone()
+    p40, p60, p80, p97, n = exact
+    assert p40 <= row.p50_approx <= p60
+    assert p80 <= row.p90_approx <= p97
+    assert row.total_weight == n
+
+
+def test_span_dedup_first_doc_keeps_all(spark):
+    """The lowest doc_id can lose spans only to itself (internal
+    repeats are still first-occurrence-kept), so its kept_frac is 1
+    unless the doc repeats one of its own spans."""
+    rows = E.queries()["dedup_span_chunks"](spark, SF_SMALL).collect()
+    by_id = {r.doc_id: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first.n_kept >= 1 and first.n_kept <= first.n_chunks
+    total_kept = sum(r.n_kept for r in rows)
+    total_chunks = sum(r.n_chunks for r in rows)
+    assert total_kept <= total_chunks  # dedup removes, never adds
+
+
+def test_gopher_signals_ranges(spark):
+    rows = E.queries()["text_gopher_repetition"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_word_frac < 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert r.mean_word_len > 0
