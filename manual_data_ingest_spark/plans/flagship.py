@@ -201,3 +201,81 @@ def flagship_q18_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("order_date"),
                     rnd(F.col("o_totalprice")).alias("total_price"),
                     "sum_qty"))
+
+
+@register("flagship_q19_brackets", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def flagship_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate across a join.
+
+    The optimizer stress here is disjunctive predicate handling:
+    Catalyst factors the common join key, pushes the single-table
+    conjuncts it can derive (p_size/p_brand ranges OR-folded into a
+    part-side filter, l_quantity range into the lineitem scan) and
+    evaluates the residual OR after the join. At 100 TB the part side
+    after pushdown is a fraction of the dim and broadcasts; lineitem
+    never shuffles. `.explain` shows PushedFilters Or(...) on BOTH
+    scans — checked in tests/test_plans.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    brk = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11)) |
+        ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(10, 30)
+         & F.col("l_quantity").between(10, 20)) |
+        ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 50)
+         & F.col("l_quantity").between(20, 30)))
+    return j.filter(brk).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+@register("flagship_q22_idle_customers", """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+""")
+def flagship_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery + anti join.
+
+    'Rich but idle' customers: balance above the positive-balance mean,
+    with no orders since 2000 (the date filter pushes into the anti
+    join's build-side scan). The scalar mean is a one-row broadcast
+    (Catalyst plans the cross join as BroadcastNestedLoopJoin over a
+    single row — free); the NOT EXISTS is a left-anti hash join on the
+    customer key. At 100 TB the anti join's build side is the orders
+    key set — bucketed storage on o_custkey turns it into a
+    zero-exchange sort-merge anti join (`sink_bucketed_join` pattern).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("a")))
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    return (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("a"))
+            .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_cust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))

@@ -572,3 +572,60 @@ def test_gopher_signals_ranges(spark):
         assert 0.0 <= r.dup_word_frac < 1.0
         assert 0.0 < r.top_bigram_frac <= 1.0
         assert r.mean_word_len > 0
+
+
+def test_zorder_bounds_both_dims(spark):
+    """Morton layout: every row group has bounded span in BOTH dims;
+    single-key date sort leaves the custkey dim unclustered. Measured
+    from the written parquet footers — the stats pruning actually uses."""
+    import glob
+    import pyarrow.parquet as pq
+    from manual_data_ingest_spark.io import load_table
+    from manual_data_ingest_spark.sources.scans import _z16_sql
+
+    o = load_table(spark, SF_ORACLE, "orders")
+    z = o.selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey % 256 AS BIGINT) AS x",
+        "CAST(datediff(o_orderdate, DATE '1995-01-01') DIV 10 AS BIGINT) AS y")
+    z = z.selectExpr("*", f"CAST({_z16_sql('x', 'y')} AS BIGINT) AS zkey")
+
+    import tempfile
+    base = tempfile.mkdtemp(prefix="mdis_ztest_")
+
+    def spans(path):
+        sx, sy, n = [], [], 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(len(md.schema))}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                stx = rg.column(idx["x"]).statistics
+                sty = rg.column(idx["y"]).statistics
+                sx.append(stx.max - stx.min)
+                sy.append(sty.max - sty.min)
+                n += 1
+        return sum(sx) / n, sum(sy) / n, n
+
+    (z.repartitionByRange(8, "zkey").sortWithinPartitions("zkey")
+     .write.mode("overwrite").option("parquet.block.size", 64 * 1024)
+     .parquet(f"{base}/zorder"))
+    (z.repartitionByRange(8, "y").sortWithinPartitions("y")
+     .write.mode("overwrite").option("parquet.block.size", 64 * 1024)
+     .parquet(f"{base}/datesort"))
+
+    zx, zy, zn = spans(f"{base}/zorder")
+    dx, dy, dn = spans(f"{base}/datesort")
+    assert zn >= 8 and dn >= 8
+    # z-order bounds BOTH dims below their global spans (255 / ~240);
+    # a contiguous z-range of length L spans ~sqrt(L) per dim, so with
+    # ~2^16/zn z-values per group the bound is coarse but real
+    assert zx < 0.75 * 255, (zx, zy)
+    assert zy < 0.5 * 240, (zx, zy)
+    # single-key sort clusters its own key but abandons the other dim
+    assert dy < 0.2 * 240, dy
+    assert dx > 0.8 * 255, dx
+    # the comparative claim that matters: z-order keeps the non-sort
+    # dim several times tighter than the single-key layout does
+    assert zx < 0.65 * dx, (zx, dx)

@@ -334,3 +334,22 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q19_or_predicate_pushdown_both_scans(spark):
+    """The OR-of-ANDs bracket must reach BOTH parquet scans as pushed
+    disjunctive filters (derived single-table conjuncts), not run only
+    post-join."""
+    plan = _plan(spark, "flagship_q19_brackets")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("Or(" in p and "p_brand" in p for p in pushed), pushed
+    assert any("Or(" in p and "l_quantity" in p for p in pushed), pushed
+
+
+def test_q22_anti_join_with_scalar_broadcast(spark):
+    plan = _plan(spark, "flagship_q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row scalar mean
+    # the recency filter must reach the orders-side scan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
