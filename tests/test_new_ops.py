@@ -629,3 +629,15 @@ def test_zorder_bounds_both_dims(spark):
     # the comparative claim that matters: z-order keeps the non-sort
     # dim several times tighter than the single-key layout does
     assert zx < 0.65 * dx, (zx, dx)
+
+
+def test_pagerank_is_distribution(spark):
+    """Ranks are a probability distribution (sum 1 within rounding) and
+    every node keeps at least the teleport floor 0.15/N."""
+    rows = E.queries()["graph_pagerank"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n == 25
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    floor = 0.15 / n
+    assert all(r.pagerank >= floor - 1e-9 for r in rows)

@@ -353,3 +353,29 @@ def test_q22_anti_join_with_scalar_broadcast(spark):
     # the recency filter must reach the orders-side scan
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_analyze_stats_feed_cbo(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS materializes row counts the
+    cost-based optimizer reads: the logical plan's Statistics must show
+    the exact analyzed rowCount (not a size-based guess)."""
+    from manual_data_ingest_spark.io import load_table
+
+    name = "mdis_cbo_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    n = load_table(spark, SF_ORACLE, "nation")
+    n.write.saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            df = spark.table(name)
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            row_count = stats.rowCount()
+            assert row_count.isDefined(), "ANALYZE stats not visible to CBO"
+            assert int(str(row_count.get())) == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
