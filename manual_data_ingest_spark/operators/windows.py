@@ -408,3 +408,57 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("user_id")
             .agg(rnd(fold, 6).alias("ewma"),
                  F.count("*").alias("n_events")))
+
+
+@register("win_funnel_steps", f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_buy_after_click,
+       {sql_rnd("(SELECT count(*) FROM p)::DOUBLE"
+                " / (SELECT count(*) FROM v)", 6)} AS conversion
+""")
+def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: view -> click-after-view ->
+    purchase-after-click, each step anchored at the FIRST qualifying
+    event strictly after the previous step's anchor.
+
+    The MATCH_RECOGNIZE-shaped question every product-analytics store
+    answers. Three filter+groupBy passes over the fact, each keyed on
+    user_id; the tiny per-step anchor tables broadcast back onto the
+    fact scan, so the fact never shuffles — at 100 TB this is three
+    scans (or one, if the engine fuses CASE-filtered mins after the
+    first anchor is materialized) versus a stateful sequential scan
+    that cannot parallelize.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.join(F.broadcast(v), "user_id")
+         .filter((F.col("event_type") == "click")
+                 & (F.col("ts") > F.col("t_view")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.join(F.broadcast(c), "user_id")
+         .filter((F.col("event_type") == "purchase")
+                 & (F.col("ts") > F.col("t_click")))
+         .groupBy("user_id").agg(F.min("ts").alias("t_buy")))
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_after_view"))
+    np_ = p.agg(F.count("*").alias("n_buy_after_click"))
+    return (nv.crossJoin(nc).crossJoin(np_)
+            .select("n_view", "n_click_after_view", "n_buy_after_click",
+                    rnd(F.col("n_buy_after_click").cast("double")
+                        / F.col("n_view"), 6).alias("conversion")))

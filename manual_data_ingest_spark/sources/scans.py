@@ -669,3 +669,57 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("o_totalprice")).alias("sum_price"),
         F.min("zkey").alias("min_z"),
         F.max("zkey").alias("max_z"))
+
+
+@register("scan_manifest_pruned", """
+SELECT 7 AS n_files_total,
+       2 AS n_files_selected,
+       count(*) AS n_rows,
+       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-06-01'
+                      AND TIMESTAMP '1997-03-31'
+""")
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based file pruning — the Iceberg/Delta planning trick
+    without the table format.
+
+    The dataset is laid out as one file group per year; a MANIFEST
+    relation (path, min/max o_orderdate, rows) — KBs, built once at
+    write time — is consulted at PLAN time, and only file groups whose
+    [min,max] intersects the predicate are handed to the reader. Here
+    a 10-month range selects 2 of 7 year-groups; the other five are
+    never opened (asserted via inputFiles in tests). At 100 TB this is
+    the difference between reading 100k parquet footers to plan a query
+    and reading one manifest: planning cost is O(|manifest|), data cost
+    is O(selected). The oracle checks the full-scan equivalence AND the
+    expected selection counts, so a pruning bug that drops rows or
+    opens extra groups both hash-fail.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="mdis_manifest_")
+    data = o.withColumn("y", F.year("o_orderdate"))
+    (data.repartition("y").write.mode("overwrite")
+     .partitionBy("y").parquet(f"{base}/orders"))
+    manifest = (data.groupBy("y")
+                .agg(F.min("o_orderdate").alias("min_dt"),
+                     F.max("o_orderdate").alias("max_dt"),
+                     F.count("*").alias("n_rows"))
+                .collect())  # dim-sized (7 year-groups), not a fact collect
+
+    lo, hi = "1996-06-01", "1997-03-31"
+    import datetime as _dt
+    lo_dt = _dt.datetime(1996, 6, 1)
+    hi_dt = _dt.datetime(1997, 3, 31)
+    selected = [m for m in manifest
+                if m.max_dt >= lo_dt and m.min_dt <= hi_dt]
+    paths = [f"{base}/orders/y={m.y}" for m in selected]
+    back = (spark.read.parquet(*paths)
+            .filter(F.col("o_orderdate").between(lo, hi)))
+    from manual_data_ingest_spark.functions.rounding import rnd
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        rnd(F.sum("o_totalprice")).alias("sum_price")).select(
+        F.lit(len(manifest)).cast("int").alias("n_files_total"),
+        F.lit(len(selected)).cast("int").alias("n_files_selected"),
+        "n_rows", "sum_price")

@@ -641,3 +641,32 @@ def test_pagerank_is_distribution(spark):
     assert abs(total - 1.0) < 1e-4, total
     floor = 0.15 / n
     assert all(r.pagerank >= floor - 1e-9 for r in rows)
+
+
+def test_funnel_monotone(spark):
+    r = E.queries()["win_funnel_steps"](spark, SF_ORACLE).collect()[0]
+    assert r.n_view >= r.n_click_after_view >= r.n_buy_after_click > 0
+    assert 0.0 <= r.conversion <= 1.0
+
+
+def test_manifest_prune_opens_only_selected_groups(spark, tmp_path):
+    """The pruned read must plan files ONLY from the 2 intersecting
+    year-groups — the other 5 are never part of the scan."""
+    from manual_data_ingest_spark.io import load_table
+
+    o = load_table(spark, SF_ORACLE, "orders")
+    base = str(tmp_path / "orders")
+    data = o.withColumn("y", F.year("o_orderdate"))
+    data.repartition("y").write.mode("overwrite").partitionBy("y").parquet(base)
+    manifest = (data.groupBy("y")
+                .agg(F.min("o_orderdate").alias("mn"),
+                     F.max("o_orderdate").alias("mx")).collect())
+    assert len(manifest) == 7
+    import datetime as dt
+    lo, hi = dt.datetime(1996, 6, 1), dt.datetime(1997, 3, 31)
+    sel = [m.y for m in manifest if m.mx >= lo and m.mn <= hi]
+    assert sorted(sel) == [1996, 1997]
+    back = spark.read.parquet(*[f"{base}/y={y}" for y in sel])
+    files = back.inputFiles()
+    assert files
+    assert all(("y=1996" in f) or ("y=1997" in f) for f in files)
