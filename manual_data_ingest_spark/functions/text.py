@@ -460,3 +460,35 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_bigram_frac"),
         rnd((F.col("n_chars") - (F.col("n_words") - 1)).cast("double")
             / F.col("n_words"), 6).alias("mean_word_len"))
+
+
+@register("text_chunk_overlap", """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id,
+       (s // 40)::INT AS chunk_idx,
+       len(l[s+1:s+50]) AS n_toks,
+       md5(array_to_string(l[s+1:s+50], ' ')) AS chunk_md5
+FROM w, unnest(generate_series(0, greatest(len(l) - 1, 0), 40)) AS g(s)
+""")
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: 50-token windows at stride 40
+    (10-token overlap), the indexing transform every retrieval corpus
+    runs before embedding.
+
+    Map-only: `sequence` generates the start offsets per doc, `slice`
+    cuts the windows — no shuffle, no UDF, and the chunk count per doc
+    is ceil(n/stride), so output volume is bounded at 1.25× input
+    tokens. At 100 TB this runs fused into the same scan as quality
+    filtering (`pipeline_llm_prep` composition) and the md5 keys feed
+    exact chunk-dedup before any embedding cost is paid.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    starts = F.expr("sequence(0, greatest(size(l) - 1, 0), 40)")
+    c = base.select("doc_id", F.explode(starts).alias("s"), "l")
+    chunk = F.expr("slice(l, s + 1, 50)")
+    return c.select(
+        "doc_id",
+        (F.col("s") / 40).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"))

@@ -739,3 +739,70 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.min(F.when(F.col("cumw") >= 0.9 * F.col("total"),
                          F.col("v"))), 6).alias("p90_approx"),
         F.round(F.max("total")).cast("long").alias("total_weight"))
+
+
+_CMS_PARAMS = [(0, 31337, 71), (1, 27644437, 131), (2, 97, 12289)]
+_CMS_P = 2147483647
+_CMS_W = 64
+
+
+@register("agg_countmin_sketch", f"""
+WITH params(d, a, b) AS (VALUES {", ".join(f"({d}, {a}, {b})" for d, a, b in _CMS_PARAMS)}),
+sketch AS (
+  SELECT d, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS cell,
+         count(*) AS cnt
+  FROM events, params
+  GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+est AS (
+  SELECT p.user_id, min(s.cnt) AS cms_est
+  FROM probes p, params pa
+  JOIN sketch s
+    ON s.d = pa.d
+   AND s.cell = ((pa.a * p.user_id + pa.b) % {_CMS_P}) % {_CMS_W}
+  GROUP BY p.user_id
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events
+  WHERE user_id < 5 GROUP BY user_id
+)
+SELECT e.user_id, x.exact_cnt, e.cms_est,
+       CASE WHEN e.cms_est >= x.exact_cnt THEN 1 ELSE 0 END AS never_under
+FROM est e JOIN exact x ON e.user_id = x.user_id
+""")
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch: mergeable frequency estimation in 3×64 cells.
+
+    Each event increments one cell per hash row ((a·k+b) mod p mod w —
+    portable integer math, so both engines build the IDENTICAL sketch);
+    a point query reads the MIN across rows. The sketch is a partial
+    aggregate: per-partition sketches sum cell-wise, so at 100 TB the
+    shuffle carries 3×64 longs per task — constant — no matter the key
+    cardinality, and sketches from different days/shards merge by
+    addition (the same property `agg_hll_partitioned` pins for distinct
+    counts). CMS guarantees est ≥ exact (one-sided error) — emitted as
+    `never_under` and pinned per probe in the oracle itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    params = F.array(*[
+        F.struct(F.lit(d).alias("d"), F.lit(a).alias("a"),
+                 F.lit(b).alias("b")) for d, a, b in _CMS_PARAMS])
+    withd = (ev.select("user_id", F.explode(params).alias("p"))
+             .select("user_id", "p.d", "p.a", "p.b"))
+    cell = ((F.col("a") * F.col("user_id") + F.col("b")) % _CMS_P) % _CMS_W
+    sketch = (withd.select("d", cell.alias("cell"))
+              .groupBy("d", "cell").agg(F.count("*").alias("cnt")))
+    probes = (ev.filter(F.col("user_id") < 5)
+              .select("user_id").distinct()
+              .select("user_id", F.explode(params).alias("p"))
+              .select("user_id", "p.d", "p.a", "p.b")
+              .withColumn("cell", cell))
+    est = (probes.join(sketch, ["d", "cell"])
+           .groupBy("user_id").agg(F.min("cnt").alias("cms_est")))
+    exact = (ev.filter(F.col("user_id") < 5)
+             .groupBy("user_id").agg(F.count("*").alias("exact_cnt")))
+    return (est.join(exact, "user_id")
+            .select("user_id", "exact_cnt", "cms_est",
+                    F.when(F.col("cms_est") >= F.col("exact_cnt"), 1)
+                    .otherwise(0).alias("never_under")))

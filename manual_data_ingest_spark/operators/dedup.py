@@ -567,3 +567,54 @@ def dedup_span_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("|", F.transform(
             F.array_sort(F.collect_list(kept_struct)),
             lambda s: s["chunk"]))).alias("kept_md5")))
+
+
+@register("dedup_containment", f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id,
+       {sql_rnd('common::DOUBLE / least(sa.n, sb.n)', 6)} AS containment
+FROM pairs
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE common::DOUBLE / least(sa.n, sb.n) >= 0.7
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs (Broder's asymmetric measure):
+    |A∩B| / min(|A|,|B|) ≥ 0.7, tagging which doc is the contained one.
+
+    Jaccard misses near-SUPERSET duplication — a doc pasted inside a
+    much longer one scores low Jaccard but ~1.0 containment; corpus
+    pipelines drop the contained copy. Same inverted-index plan as
+    `dedup_near_jaccard` (postings → bounded pair expansion → size
+    join); only the final quotient and keep-direction differ, so the
+    100 TB posture (stop-shingle cap before the quadratic expansion)
+    carries over unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    postings = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+                .filter(F.size("ds") >= 2))
+    pair_arr = F.expr(
+        "flatten(transform(ds, (a, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")
+    pairs = (postings.select(F.explode(pair_arr).alias("p"))
+             .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+             .agg(F.count("*").alias("common")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.col("common").cast("double") / F.least("na", "nb")
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .filter(cont >= 0.7)
+            .select("id_a", "id_b",
+                    F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+                    .otherwise(F.col("id_b")).alias("contained_id"),
+                    rnd(cont, 6).alias("containment")))

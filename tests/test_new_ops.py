@@ -670,3 +670,51 @@ def test_manifest_prune_opens_only_selected_groups(spark, tmp_path):
     files = back.inputFiles()
     assert files
     assert all(("y=1996" in f) or ("y=1997" in f) for f in files)
+
+
+def test_countmin_one_sided_error(spark):
+    rows = E.queries()["agg_countmin_sketch"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.never_under == 1  # CMS can only overestimate
+        assert r.cms_est >= r.exact_cnt
+
+
+def test_containment_dominates_jaccard(spark):
+    """containment = common/min(|A|,|B|) >= common/(|A|+|B|-common) =
+    jaccard for every pair, so every Jaccard>=0.5 pair must reappear in
+    the containment>=0.7 set or have containment in [0.5, 0.7)."""
+    qs = E.queries()
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in qs["dedup_near_jaccard"](spark, SF_ORACLE).collect()}
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in qs["dedup_containment"](spark, SF_ORACLE).collect()}
+    assert cont, "containment fixture should be non-empty"
+    for pair, c in cont.items():
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9, (pair, c, jac[pair])
+    for pair, j in jac.items():
+        if j >= 0.7:
+            assert pair in cont, pair
+
+
+def test_chunk_overlap_covers_all_tokens(spark):
+    from manual_data_ingest_spark.io import load_table
+
+    chunks = E.queries()["text_chunk_overlap"](spark, SF_SMALL).collect()
+    n_toks = {r.doc_id: r.n
+              for r in load_table(spark, SF_SMALL, "documents")
+              .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+              .collect()}
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_toks)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # stride 40 windows of 50: chunks tile the doc with overlap,
+        # so total chunk tokens >= doc tokens and the last window ends
+        # exactly at the document end
+        assert sum(r.n_toks for r in rs) >= n_toks[doc]
+        last_start = (len(rs) - 1) * 40
+        assert rs[-1].n_toks == min(50, n_toks[doc] - last_start)
