@@ -691,3 +691,76 @@ def ingest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (last.join(counts, "user_id")
             .withColumn("is_live",
                         F.when(F.col("last_op") == "D", 0).otherwise(1)))
+
+
+@register("ingest_dq_suite", f"""
+WITH m AS (
+  SELECT count(*)::DOUBLE AS n,
+         count(o_custkey)::DOUBLE AS n_cust,
+         count(DISTINCT o_orderkey)::DOUBLE AS n_keys,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price,
+         count(DISTINCT o_orderstatus)::DOUBLE AS n_status
+  FROM orders
+)
+SELECT 'completeness_custkey' AS metric,
+       {sql_rnd('n_cust / n', 6)} AS value,
+       CASE WHEN n_cust / n >= 0.999 THEN 1 ELSE 0 END AS ok FROM m
+UNION ALL
+SELECT 'uniqueness_orderkey', {sql_rnd('n_keys / n', 6)},
+       CASE WHEN n_keys / n >= 0.999 THEN 1 ELSE 0 END FROM m
+UNION ALL
+SELECT 'min_totalprice_nonneg', {sql_rnd('min_price', 6)},
+       CASE WHEN min_price >= 0.0 THEN 1 ELSE 0 END FROM m
+UNION ALL
+SELECT 'max_totalprice_bounded', {sql_rnd('max_price', 6)},
+       CASE WHEN max_price <= 1000000.0 THEN 1 ELSE 0 END FROM m
+UNION ALL
+SELECT 'domain_orderstatus', n_status,
+       CASE WHEN n_status <= 3.0 THEN 1 ELSE 0 END FROM m
+""")
+def ingest_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite — many constraints,
+    ONE scan.
+
+    Completeness, key uniqueness, value bounds and domain cardinality
+    are all computed in a single aggregation pass and then graded
+    against their declared expectations in long form (metric, value,
+    ok). The 100 TB point is the fusion: a naive expectation runner
+    issues one scan per rule (the measured-and-rejected shape from
+    `ingest_validate`'s five-scan experiment applies in reverse here —
+    these rules share one aggregate, so fusing IS the win); partial
+    aggregation keeps the shuffle one row per task. Complements
+    `ingest_validate` (row-level violations) with table-level metrics.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count("*").cast("double").alias("n"),
+        F.count("o_custkey").cast("double").alias("n_cust"),
+        F.countDistinct("o_orderkey").cast("double").alias("n_keys"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_orderstatus").cast("double").alias("n_status"))
+    rows = [
+        ("completeness_custkey", rnd(F.col("n_cust") / F.col("n"), 6),
+         F.col("n_cust") / F.col("n") >= 0.999),
+        ("uniqueness_orderkey", rnd(F.col("n_keys") / F.col("n"), 6),
+         F.col("n_keys") / F.col("n") >= 0.999),
+        ("min_totalprice_nonneg", rnd(F.col("min_price"), 6),
+         F.col("min_price") >= 0.0),
+        ("max_totalprice_bounded", rnd(F.col("max_price"), 6),
+         F.col("max_price") <= 1000000.0),
+        ("domain_orderstatus", F.col("n_status"),
+         F.col("n_status") <= 3.0),
+    ]
+    # grade on the ONE aggregate row, then unpivot with stack() — a
+    # UNION of per-metric selects would re-plan the aggregate (and its
+    # scan) once per rule, which is exactly the shape this op exists
+    # to avoid (plan-asserted single scan in tests/test_plans.py)
+    wide = m.select(*[c for i, (_, val, cond) in enumerate(rows) for c in (
+        val.alias(f"v{i}"),
+        F.when(cond, 1).otherwise(0).alias(f"o{i}"))])
+    stack_args = ", ".join(
+        f"'{name}', v{i}, o{i}" for i, (name, _, _) in enumerate(rows))
+    return wide.selectExpr(
+        f"stack({len(rows)}, {stack_args}) AS (metric, value, ok)")

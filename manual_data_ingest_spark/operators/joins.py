@@ -348,3 +348,55 @@ def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                        | (F.col("ts") < F.col("valid_to"))))
             .select("event_id", "user_id", "version_id",
                     rnd(F.col("status_value")).alias("status_value")))
+
+
+@register("join_asof_nearest", """
+WITH p AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS c_event_id, ts AS click_ts, user_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, c_event_id,
+       (epoch_us(ts::TIMESTAMP) - epoch_us(click_ts::TIMESTAMP)) / 1000000.0
+           AS signed_gap_sec
+FROM (
+  SELECT p.event_id, c.c_event_id, p.ts, c.click_ts,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts::TIMESTAMP)
+                        - epoch_us(c.click_ts::TIMESTAMP)),
+                    c.click_ts, c.c_event_id) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.click_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+) WHERE rn = 1
+""")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest' semantics, ±1 h tolerance): for each purchase,
+    the click closest in time either way; ties prefer the earlier
+    click, then the lower event_id — a total order, so deterministic.
+
+    Same scale posture as the backward `join_asof`: the equi conjunct
+    (user_id) carries the shuffle, the time band bounds the candidate
+    fan-out per purchase, and the per-purchase row_number collapses it.
+    The tolerance is load-bearing at 100 TB — nearest WITHOUT a band
+    cannot prune and degenerates to per-user cross products.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"))
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(gap), F.col("click_ts"), F.col("c_event_id"))
+    return (p.join(c, (p.user_id == c.c_user_id)
+                   & (c.click_ts >= p.ts - F.expr("INTERVAL 1 HOUR"))
+                   & (c.click_ts <= p.ts + F.expr("INTERVAL 1 HOUR")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "c_event_id",
+                    (gap / 1000000.0).alias("signed_gap_sec")))

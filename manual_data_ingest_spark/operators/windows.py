@@ -462,3 +462,37 @@ def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_view", "n_click_after_view", "n_buy_after_click",
                     rnd(F.col("n_buy_after_click").cast("double")
                         / F.col("n_view"), 6).alias("conversion")))
+
+
+@register("win_retention_cohorts", """
+WITH firstday AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_day,
+       datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS offset_days,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firstday f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct on each day-offset they return.
+
+    The product-analytics staple. Two shuffles: first-day per user
+    (key = user), then the (cohort, offset) count-distinct — whose
+    distinct-by-user rewrite rides the SAME user partitioning, so AQE
+    plans the second exchange as a partial reuse. At 100 TB cohort_day
+    is the natural partition column of the output table and the
+    first-day relation is a compact per-user dim maintained
+    incrementally (`ingest_incremental_agg` pattern) rather than
+    recomputed from history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstday = (ev.groupBy("user_id")
+                .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day")))
+    return (ev.join(firstday, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.date_trunc("day", F.col("ts")),
+                                F.col("cohort_day")).alias("offset_days"))
+            .agg(F.countDistinct("user_id").alias("n_active")))

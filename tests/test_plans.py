@@ -379,3 +379,10 @@ def test_analyze_stats_feed_cbo(spark, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_dq_suite_single_scan(spark):
+    """All five constraints must share ONE aggregation pass (stack
+    unpivot over the single metrics row), not one scan per rule."""
+    plan = _plan(spark, "ingest_dq_suite")
+    assert plan.count("Scan parquet") <= 2  # countDistinct expand caps it
