@@ -492,3 +492,47 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") / 40).cast("int").alias("chunk_idx"),
         F.size(chunk).alias("n_toks"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"))
+
+
+@register("text_unigram_logprob", f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, count(*)::DOUBLE AS c FROM tok GROUP BY w
+), total AS (
+  SELECT sum(c) AS t FROM freq
+)
+SELECT doc_id,
+       count(*) AS n_toks,
+       {sql_rnd('avg(-ln(f.c / (SELECT t FROM total)))', 6)} AS avg_nll
+FROM tok JOIN freq f USING (w)
+GROUP BY doc_id
+""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score: per-doc average negative
+    log-probability — the CCNet-style perplexity proxy without KenLM.
+
+    Train = one token count pass (the LM is just the corpus unigram
+    distribution); score = explode tokens, look up p(w), average −ln p.
+    The frequency table is vocabulary-sized, so at 100 TB it BROADCASTS
+    to the scoring scan (plan: the token relation never shuffles for
+    the lookup — only the per-doc average shuffles doc-keyed rows, and
+    that partial-aggregates). Low avg_nll = stereotyped/common text;
+    high = rare-token soup — both tails get dropped by quality cuts.
+    Float parity: one ln + one divide per distinct token, averaged in
+    doc-local order-independent form, rounded 6dp.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # materialize the trained LM once (vocab-sized — at scale this is
+    # the persisted model artifact); without it every reuse of `freq`
+    # re-planned the corpus scan (6 scans; now 2 = train + score)
+    freq = (tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+            .localCheckpoint(eager=True))
+    total = freq.agg(F.sum("c").alias("t"))
+    scored = (tok.join(F.broadcast(freq), "w")
+              .crossJoin(F.broadcast(total)))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_toks"),
+                 rnd(F.avg(-F.log(F.col("c") / F.col("t"))), 6)
+                 .alias("avg_nll")))

@@ -806,3 +806,63 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "exact_cnt", "cms_est",
                     F.when(F.col("cms_est") >= F.col("exact_cnt"), 1)
                     .otherwise(0).alias("never_under")))
+
+
+@register("agg_ttest_welch", f"""
+WITH g AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS n,
+         avg(value) AS m,
+         var_samp(value) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type
+), w AS (
+  SELECT
+    (SELECT m FROM g WHERE event_type = 'purchase')
+      - (SELECT m FROM g WHERE event_type = 'click') AS mean_diff,
+    (SELECT v / n FROM g WHERE event_type = 'purchase')
+      + (SELECT v / n FROM g WHERE event_type = 'click') AS se2,
+    (SELECT v / n FROM g WHERE event_type = 'purchase') AS a,
+    (SELECT v / n FROM g WHERE event_type = 'click') AS b,
+    (SELECT n FROM g WHERE event_type = 'purchase') AS na,
+    (SELECT n FROM g WHERE event_type = 'click') AS nb
+)
+SELECT {sql_rnd('mean_diff / sqrt(se2)', 6)} AS t_stat,
+       {sql_rnd('(a + b) * (a + b) / (a * a / (na - 1.0)'
+                ' + b * b / (nb - 1.0))', 6)} AS welch_dof
+FROM w
+""")
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations —
+    the A/B significance readout, computed as pure aggregates.
+
+    Per-group (n, mean, var_samp) come from ONE grouped pass (partial
+    aggregation, constant shuffle); the t statistic and
+    Welch–Satterthwaite dof are scalar arithmetic on the two group
+    rows, so at 100 TB this costs exactly one scan regardless of group
+    sizes. Both engines evaluate the same IEEE expression tree on the
+    same group moments — hash-exact at 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # conditional aggregation: BOTH groups' moments from one grouped-
+    # less pass (a per-group groupBy + two filtered branches re-planned
+    # the scan 4x — same trap as ingest_dq_suite, plan-asserted fixed)
+    isp = F.when(F.col("event_type") == "purchase", F.col("value"))
+    isc = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (ev.filter(F.col("event_type").isin("purchase", "click"))
+         .agg(F.count(isp).cast("double").alias("na"),
+              F.avg(isp).alias("ma"),
+              F.var_samp(isp).alias("va"),
+              F.count(isc).cast("double").alias("nb"),
+              F.avg(isc).alias("mb"),
+              F.var_samp(isc).alias("vb"))
+         .select("na", "ma", "nb", "mb",
+                 (F.col("va") / F.col("na")).alias("a"),
+                 (F.col("vb") / F.col("nb")).alias("b")))
+    se2 = F.col("a") + F.col("b")
+    dof = (se2 * se2) / (F.col("a") * F.col("a") / (F.col("na") - 1.0)
+                         + F.col("b") * F.col("b") / (F.col("nb") - 1.0))
+    return w.select(
+        rnd((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        rnd(dof, 6).alias("welch_dof"))

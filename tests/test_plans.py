@@ -386,3 +386,19 @@ def test_dq_suite_single_scan(spark):
     unpivot over the single metrics row), not one scan per rule."""
     plan = _plan(spark, "ingest_dq_suite")
     assert plan.count("Scan parquet") <= 2  # countDistinct expand caps it
+
+
+def test_welch_single_scan_conditional_agg(spark):
+    """Both groups' moments must come from one conditional-aggregation
+    pass (formatted explain prints each physical scan twice — tree +
+    detail — so 2 occurrences == 1 scan)."""
+    plan = _plan(spark, "agg_ttest_welch")
+    assert plan.count("Scan parquet") == 2
+
+
+def test_unigram_lm_broadcasts_model(spark):
+    """The scoring join must broadcast the vocab-sized LM, never
+    shuffle the token relation for the lookup."""
+    plan = _plan(spark, "text_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2  # one physical corpus scan here
