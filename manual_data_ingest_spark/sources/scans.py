@@ -723,3 +723,50 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(manifest)).cast("int").alias("n_files_total"),
         F.lit(len(selected)).cast("int").alias("n_files_selected"),
         "n_rows", "sum_price")
+
+
+@register("sink_time_travel", """
+WITH v1 AS (SELECT * FROM events WHERE day(ts) <= 20),
+v2_delta AS (SELECT * FROM events WHERE day(ts) > 20)
+SELECT 'v1' AS version, count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users FROM v1
+UNION ALL
+SELECT 'v2', (SELECT count(*) FROM v1) + (SELECT count(*) FROM v2_delta),
+       (SELECT count(DISTINCT user_id) FROM events)
+""")
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning / time travel over plain parquet — the
+    Iceberg capability expressed as an append-only version log.
+
+    Each commit writes its files under a new snap dir and appends a
+    version-log row (version, paths); a reader AS OF v resolves the
+    log to the file list for v and reads exactly those files — old
+    snapshots stay immutable and readable forever, and concurrent
+    readers never see a half-written commit because the log row lands
+    last. Here: v1 = days ≤ 20, v2 adds the remainder as a DELTA
+    commit (v2 = v1 files + delta files — no rewrite, the Iceberg
+    append shape). The oracle pins both versions' counts; immutability
+    of v1-under-v2 is asserted in tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="mdis_timetravel_")
+    v1 = ev.filter(F.dayofmonth("ts") <= 20)
+    delta = ev.filter(F.dayofmonth("ts") > 20)
+    v1.write.mode("overwrite").parquet(f"{base}/snap-1")
+    delta.write.mode("overwrite").parquet(f"{base}/snap-2-delta")
+    log = [(1, [f"{base}/snap-1"]),
+           (2, [f"{base}/snap-1", f"{base}/snap-2-delta"])]
+
+    def read_as_of(v: int):
+        paths = dict(log)[v]
+        return spark.read.parquet(*paths)
+
+    out1 = read_as_of(1).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users")).select(
+        F.lit("v1").alias("version"), "n_rows", "n_users")
+    out2 = read_as_of(2).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users")).select(
+        F.lit("v2").alias("version"), "n_rows", "n_users")
+    return out1.unionByName(out2)

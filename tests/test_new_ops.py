@@ -718,3 +718,21 @@ def test_chunk_overlap_covers_all_tokens(spark):
         assert sum(r.n_toks for r in rs) >= n_toks[doc]
         last_start = (len(rs) - 1) * 40
         assert rs[-1].n_toks == min(50, n_toks[doc] - last_start)
+
+
+def test_time_travel_v1_immutable_under_v2(spark, tmp_path):
+    """Committing v2 must not change what a v1 reader sees (snapshot
+    isolation): the v1 file set re-reads identically after the delta
+    commit lands."""
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, SF_SMALL)
+    base = str(tmp_path)
+    v1 = ev.filter(F.dayofmonth("ts") <= 20)
+    v1.write.parquet(f"{base}/snap-1")
+    before = spark.read.parquet(f"{base}/snap-1").count()
+    ev.filter(F.dayofmonth("ts") > 20).write.parquet(f"{base}/snap-2-delta")
+    after = spark.read.parquet(f"{base}/snap-1").count()
+    assert before == after  # old snapshot untouched by the new commit
+    v2 = spark.read.parquet(f"{base}/snap-1", f"{base}/snap-2-delta")
+    assert v2.count() == ev.count()
