@@ -191,9 +191,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.expr("percentile(o_totalprice, 0.9D)")).alias("p90")))
 
 
-@register("agg_stats", """
+@register("agg_stats", f"""
 SELECT n_name,
-       round(avg(c_acctbal), 2)         AS avg_bal,
+       {sql_rnd(f"{sql_rnd('sum(c_acctbal)')} / count(*)")} AS avg_bal,
        round(min(c_acctbal), 2)         AS min_bal,
        round(max(c_acctbal), 2)         AS max_bal,
        round(stddev_samp(c_acctbal), 2) AS sd_bal,
@@ -202,11 +202,15 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg derives from the 2dp-ROUNDED sum (then one exact division):
+    # raw avg() sat exactly on a .xx5 rounding boundary at sf0.001, where
+    # the engines' different summation orders flip the final cent —
+    # rounding the sum first puts ~1e-9 of drift against a 0.005 margin
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            .agg(rnd(rnd(F.sum("c_acctbal")) / F.count("*")).alias("avg_bal"),
                  F.round(F.min("c_acctbal"), 2).alias("min_bal"),
                  F.round(F.max("c_acctbal"), 2).alias("max_bal"),
                  F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
@@ -866,3 +870,37 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         rnd((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
         rnd(dof, 6).alias("welch_dof"))
+
+
+@register("agg_regression", f"""
+SELECT event_type,
+       count(*) AS n,
+       {sql_rnd("regr_slope(value, epoch_us(ts::TIMESTAMP) / 86400000000.0)", 6)}
+           AS slope_per_day,
+       {sql_rnd("regr_intercept(value, epoch_us(ts::TIMESTAMP) / 86400000000.0)", 6)}
+           AS intercept,
+       {sql_rnd("regr_r2(value, epoch_us(ts::TIMESTAMP) / 86400000000.0)", 6)}
+           AS r2
+FROM events
+GROUP BY event_type
+""")
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line: value regressed on time (days), via the
+    SQL-standard regr_* aggregates both engines implement natively.
+
+    Slope/intercept/R² are moment functions, so they partial-aggregate
+    like any sum — one shuffle of constant-size moment tuples per
+    group, the same 100 TB shape as `agg_stats`. The regressor is
+    epoch-µs rescaled to days BEFORE aggregation: moments of raw-µs
+    x-values (~1e15) square to ~1e30 and the engines' different
+    summation orders would diverge above 6dp; day-scale keeps the
+    moments small enough that both engines agree bit-for-bit after
+    rounding. Drift detection over ingest time is the curator use.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 86400000000.0
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.regr_slope("value", x), 6).alias("slope_per_day"),
+                 rnd(F.regr_intercept("value", x), 6).alias("intercept"),
+                 rnd(F.regr_r2("value", x), 6).alias("r2")))
