@@ -268,3 +268,60 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
                  F.ceil(F.sum("n_tokens") / 512.0).alias("n_sequences")))
+
+
+@register("pipeline_rag_index", f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id, source,
+         (s // 40)::INT AS chunk_idx,
+         len(l[s+1:s+50]) AS n_toks,
+         md5(array_to_string(l[s+1:s+50], ' ')) AS chunk_md5
+  FROM w, unnest(generate_series(0, greatest(len(l) - 1, 0), 40)) AS g(s)
+), k AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk_md5
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT source,
+       count(*) AS n_chunks,
+       count(*) FILTER (rn = 1) AS n_indexed,
+       {sql_rnd("1.0 - count(*) FILTER (rn = 1)::DOUBLE / count(*)", 6)}
+           AS dup_frac,
+       (sum(n_toks) FILTER (rn = 1))::BIGINT AS indexed_toks
+FROM k GROUP BY source
+""")
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RAG-indexing pipeline: overlap-chunk every document
+    (50-token windows, stride 40), exact-dedup the chunks CORPUS-WIDE
+    by content digest (first occurrence in (doc_id, position) order
+    wins), and report per-source index volume — the everything-before-
+    the-embedding-model slice of a retrieval build.
+
+    One fused plan: map-only chunking rides the scan, the dedup window
+    is the single content-digest shuffle, and the per-source rollup
+    partial-aggregates. The n_indexed chunks (≈ corpus minus
+    boilerplate) are exactly the rows a 100 TB pipeline would hand to
+    the embedding stage — dedup BEFORE embedding is the cost lever:
+    every duplicate chunk dropped here saves a GPU call downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.split("text", " ").alias("l"))
+    starts = F.expr("sequence(0, greatest(size(l) - 1, 0), 40)")
+    c = (base.select("doc_id", "source", F.explode(starts).alias("s"), "l")
+         .select("doc_id", "source",
+                 (F.col("s") / 40).cast("int").alias("chunk_idx"),
+                 F.size(F.expr("slice(l, s + 1, 50)")).alias("n_toks"),
+                 F.md5(F.concat_ws(" ", F.expr("slice(l, s + 1, 50)")))
+                 .alias("chunk_md5")))
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_idx")
+    k = c.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, 1)
+    return (k.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(kept).alias("n_indexed"),
+        rnd(1.0 - F.count(kept).cast("double") / F.count("*"), 6)
+        .alias("dup_frac"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_toks")))
+        .alias("indexed_toks")))
