@@ -231,3 +231,34 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInArrow(
         stats, "doc_id long, n_chars_arrow long, n_tokens_arrow long")
+
+
+@register("udtf_tokenize_arrow", """
+SELECT doc_id, i AS pos, l[i] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS l
+      FROM documents WHERE doc_id < 50),
+     LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) u
+""")
+def udtf_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDTF (Spark 4, `useArrow=True`): identical
+    one-to-many expansion as `udtf_tokenize`, but rows cross the Python
+    boundary in Arrow record batches instead of pickled tuples — the
+    same ~10× serialization win the scalar tier measured
+    (`udf_python_scalar` vs `udf_arrow_scalar`), now for table
+    functions. Same oracle as the row twin: the contract is the
+    expansion, the transport is the strategy under test.
+    """
+    @udtf(returnType="pos int, token string", useArrow=True)
+    class TokenizeArrow:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" "), start=1):
+                    yield i, tok
+
+    spark.udtf.register("mdis_tokenize_arrow", TokenizeArrow)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("mdis_udtf_docs_arrow")
+    return spark.sql("""
+        SELECT doc_id, t.pos, t.token
+        FROM mdis_udtf_docs_arrow, LATERAL mdis_tokenize_arrow(text) t
+    """)
