@@ -770,3 +770,59 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users")).select(
         F.lit("v2").alias("version"), "n_rows", "n_users")
     return out1.unionByName(out2)
+
+
+@register("source_python_stream", f"""
+SELECT (v % 8)::BIGINT AS bucket,
+       count(*) AS n,
+       (sum(v * v))::BIGINT AS sq_checksum
+FROM (SELECT unnest(generate_series(0, 999)) AS v)
+GROUP BY 1
+""")
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source in pure Python (Spark 4 Python Data
+    Source API, `SimpleDataSourceStreamReader`): offsets are plain
+    dicts, `read(start)` returns (rows, next_offset), and replay
+    between offsets gives exactly-once — the plumbing a Kafka-less
+    bespoke feed (REST poller, queue drain) needs, without a JVM
+    connector. The deterministic 1000-row feed is aggregated per
+    bucket and verified against the closed-form SQL of the same
+    generator — proving rows crossed the Python source boundary
+    losslessly. Batch twin: `source_python_datasource`.
+    """
+    from pyspark.sql.datasource import (DataSource,
+                                        SimpleDataSourceStreamReader)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class FeedReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"n": 0}
+
+        def read(self, start):
+            n = start["n"]
+            if n >= 1000:
+                return iter([]), {"n": n}
+            rows = [(i,) for i in range(n, 1000)]
+            return iter(rows), {"n": 1000}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(i,) for i in range(start["n"], end["n"])])
+
+    class FeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "mdis_feed"
+
+        def schema(self):
+            return StructType([StructField("v", LongType())])
+
+        def simpleStreamReader(self, schema):
+            return FeedReader()
+
+    spark.dataSource.register(FeedSource)
+    st = spark.readStream.format("mdis_feed").load()
+    from manual_data_ingest_spark.streaming.ops import run_to_batch
+    out = run_to_batch(st, "append")
+    return (out.groupBy((F.col("v") % 8).alias("bucket"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("v") * F.col("v")).alias("sq_checksum")))
