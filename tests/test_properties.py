@@ -147,3 +147,82 @@ def test_id_mint_deterministic_across_runs(spark):
     a = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     b = sorted(map(tuple, q(spark, "/root/testdata/sf0.001").collect()))
     assert a == b
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=30))
+def test_ewma_fold_bounds_and_reference(spark, vals):
+    """The codegen EWMA fold must equal the Python recurrence exactly
+    and stay within [min, max] of its inputs (convexity)."""
+    # explicit insertion ids pin the fold order to the Python reference
+    d2 = spark.createDataFrame(list(enumerate(vals)), "i long, v double")
+    a = F.transform(F.array_sort(F.collect_list(F.struct("i", "v"))),
+                    lambda s: s["v"])
+    fold = F.aggregate(
+        F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
+        F.element_at(a, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25))
+    got = d2.agg(fold.alias("e")).collect()[0].e
+    ref = vals[0]
+    for x in vals[1:]:
+        ref = 0.75 * ref + 0.25 * x
+    assert got == ref  # identical IEEE sequence, bit-exact
+    assert min(vals) - 1e-12 <= got <= max(vals) + 1e-12
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(1, 200))
+def test_chunk_overlap_tiling_law(spark, n):
+    """For any token count n, stride-40/size-50 chunking yields
+    ceil(n/40) windows capped so the last window is non-empty, covers
+    every token, and double-covers exactly the 10-token overlaps."""
+    words = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    base = df.select("doc_id", F.split("text", " ").alias("l"))
+    starts = F.expr("sequence(0, greatest(size(l) - 1, 0), 40)")
+    c = base.select(F.explode(starts).alias("s"),
+                    F.expr("slice(l, s + 1, 50)").alias("chunk"))
+    rows = c.select("s", F.size("chunk").alias("k")).collect()
+    n_chunks = len(rows)
+    import math
+    assert n_chunks == max(1, math.ceil(n / 40))
+    total = sum(r.k for r in rows)
+    overlap = sum(max(0, min(r.s + 50, n) - (r.s + 40))
+                  for r in rows if r.s + 40 < n)
+    assert total == n + overlap  # covers everything, double-counts overlaps
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.floats(min_value=0, max_value=1000,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=32, max_size=200))
+def test_quantile_sketch_rank_error_property(spark, vals):
+    """Uniform-rank compaction (K=16 per bucket) keeps the merged p50
+    within 2/K rank error of the exact median for ANY input."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    K = 16
+    b = (df.groupBy((F.col("id") % 4).alias("bucket"))
+         .agg(F.sort_array(F.collect_list("v")).alias("arr"),
+              F.count("*").alias("n")))
+    pts = b.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.element_at(
+                F.col("arr"),
+                F.floor((i + F.lit(0.5)) * F.col("n") / K).cast("int") + 1)))
+        .alias("v"), (F.col("n") / F.lit(float(K))).alias("w"))
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = pts.select("v", F.sum("w").over(cum).alias("cumw"),
+                   F.sum("w").over(Window.partitionBy()).alias("t"))
+    p50 = c.filter(F.col("cumw") >= 0.5 * F.col("t")) \
+           .agg(F.min("v")).collect()[0][0]
+    s = sorted(vals)
+    n = len(s)
+    # true rank of the estimate must sit within 2/K of the median rank
+    import bisect
+    lo = bisect.bisect_left(s, p50) / n
+    hi = bisect.bisect_right(s, p50) / n
+    assert lo - 2.0 / K <= 0.5 <= hi + 2.0 / K, (lo, hi, p50)
