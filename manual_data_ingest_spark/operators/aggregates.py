@@ -904,3 +904,36 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.regr_slope("value", x), 6).alias("slope_per_day"),
                  rnd(F.regr_intercept("value", x), 6).alias("intercept"),
                  rnd(F.regr_r2("value", x), 6).alias("r2")))
+
+
+@register("agg_bitmap_distinct", """
+WITH b AS (
+  SELECT event_type,
+         user_id // 63 AS chunk,
+         bit_or((1::BIGINT) << (user_id % 63)) AS bm
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, sum(bit_count(bm))::BIGINT AS n_users
+FROM b GROUP BY event_type
+""")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via chunked bitmaps — the roaring-bitmap
+    pattern in pure SQL.
+
+    Each 63-ID chunk of the key domain (63, not 64 — DuckDB's signed
+    left-shift rejects the sign bit) collapses to one long via
+    bit_or (a partial aggregate: task-local bitmaps OR together, so the
+    shuffle carries fixed-width longs, not IDs); popcounts then sum per
+    group. Unlike count(DISTINCT) — whose expand+exchange moves every
+    distinct key — the bitmap shuffle is O(domain/64) per group and the
+    merge is associative, so per-day bitmaps roll up to month/year
+    without rescanning (the same mergeability as `agg_hll_partitioned`,
+    but EXACT, for the dense-int-key case where bitmaps beat sketches).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    b = (ev.groupBy("event_type",
+                    F.expr("user_id div 63").alias("chunk"))
+         .agg(F.bit_or(bit).alias("bm")))
+    return (b.groupBy("event_type")
+            .agg(F.sum(F.bit_count("bm")).alias("n_users")))

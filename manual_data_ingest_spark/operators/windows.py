@@ -496,3 +496,44 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.datediff(F.date_trunc("day", F.col("ts")),
                                 F.col("cohort_day")).alias("offset_days"))
             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+@register("win_streak_days", """
+WITH days AS (
+  SELECT DISTINCT user_id, (date_trunc('day', ts))::DATE AS d FROM events
+), g AS (
+  SELECT user_id, d,
+         d - (row_number() OVER (PARTITION BY user_id ORDER BY d))::INT
+             AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, count(*) AS len FROM g GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_streaks,
+       max(len) AS longest_streak,
+       sum(len)::BIGINT AS active_days
+FROM streaks GROUP BY user_id
+""")
+def win_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom: distinct active days minus their row_number
+    collapse each run of consecutive dates to one shared anchor date,
+    so streaks become plain groups. Two key-local shuffles (distinct
+    days, then the per-user rollup riding the same partitioning); no
+    self-joins, no iteration — the shape that holds when 'user' is a
+    billion keys. Engagement metrics and retention-risk flags are the
+    consumers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.to_date(F.date_trunc("day", "ts")).alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = g.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return (streaks.groupBy("user_id")
+            .agg(F.count("*").alias("n_streaks"),
+                 F.max("len").alias("longest_streak"),
+                 F.sum("len").alias("active_days")))

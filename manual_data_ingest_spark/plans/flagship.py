@@ -279,3 +279,66 @@ def flagship_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_cust"),
                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+@register("flagship_q8_market_share", f"""
+WITH rev AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                      ELSE 0.0 END), 2) AS nation_volume,
+       round(sum(volume), 2) AS total_volume,
+       floor(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                      ELSE 0.0 END)
+             / sum(volume) * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+FROM rev GROUP BY o_year
+""")
+def flagship_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of yearly order
+    volume sold into ASIA-resident customers — a 7-relation star join
+    feeding a conditional-ratio aggregate.
+
+    Optimizer stress: join ORDER matters (region filter must reduce
+    the customer side before the fact join; all five dims broadcast),
+    and the share is a CASE-conditional sum over the SAME pass as the
+    total — no second scan. The share divides unrounded sums and
+    rounds once at 6dp (dividing rounded sums would drift)."""
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.alias("cn")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+           .join(F.broadcast(r), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+           .filter(F.col("r_name") == "ASIA")
+           .join(s, li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+           .select(F.year("o_orderdate").alias("o_year"),
+                   (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .alias("volume"), "supp_nation"))
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                              F.col("volume")).otherwise(0.0))
+    total_vol = F.sum("volume")
+    return (rev.groupBy("o_year")
+            .agg(F.round(nation_vol, 2).alias("nation_volume"),
+                 F.round(total_vol, 2).alias("total_volume"),
+                 rnd(nation_vol / total_vol, 6).alias("mkt_share")))
