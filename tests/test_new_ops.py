@@ -736,3 +736,35 @@ def test_time_travel_v1_immutable_under_v2(spark, tmp_path):
     assert before == after  # old snapshot untouched by the new commit
     v2 = spark.read.parquet(f"{base}/snap-1", f"{base}/snap-2-delta")
     assert v2.count() == ev.count()
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from manual_data_ingest_spark.io import load_events
+
+    got = {r.event_type: r.n_users
+           for r in E.queries()["agg_bitmap_distinct"](spark, SF_ORACLE).collect()}
+    exact = {r.event_type: r.n
+             for r in load_events(spark, SF_ORACLE)
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == exact  # bitmaps are exact, not approximate
+
+
+def test_streaks_conserve_active_days(spark):
+    from manual_data_ingest_spark.io import load_events
+
+    rows = E.queries()["win_streak_days"](spark, SF_ORACLE).collect()
+    days = {r.user_id: r.n
+            for r in load_events(spark, SF_ORACLE)
+            .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+            .distinct().groupBy("user_id").agg(F.count("*").alias("n"))
+            .collect()}
+    for r in rows:
+        assert r.longest_streak <= r.active_days == days[r.user_id]
+        assert r.n_streaks >= 1
+
+
+def test_q8_share_is_ratio_of_volumes(spark):
+    for r in E.queries()["flagship_q8_market_share"](spark, SF_ORACLE).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation_volume <= r.total_volume + 0.01
