@@ -342,3 +342,62 @@ def flagship_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(nation_vol, 2).alias("nation_volume"),
                  F.round(total_vol, 2).alias("total_volume"),
                  rnd(nation_vol / total_vol, 6).alias("mkt_share")))
+
+
+@register("flagship_q4_priority_waiting", """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def flagship_q4_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for one quarter, keeping
+    only orders with at least one line shipped 60+ days after the
+    order date (the late-shipment EXISTS).
+
+    The EXISTS with a correlated inequality becomes a left-SEMI join on
+    the order key with the date comparison as a join-side residual —
+    the build side is lineitem keys only, the quarter filter pushes to
+    the orders scan, and each order is counted once no matter how many
+    late lines it has (the semi-join guarantee a plain join + distinct
+    would pay an extra shuffle for)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01"))
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li, (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"))
+
+
+@register("flagship_q16_supplier_variety", """
+SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28)
+GROUP BY p_brand, p_size
+""")
+def flagship_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for partsupp): how many
+    distinct suppliers serve each (brand, size) slice, excluding one
+    brand and restricting to a size IN-list.
+
+    Both single-table predicates (<> and IN) push to the part scan, the
+    filtered part side broadcasts, and the count-distinct expands on
+    (brand, size, suppkey) — the expansion rides the SAME shuffle as
+    the final group-by, so the distinct costs one exchange, not two."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 28))
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))

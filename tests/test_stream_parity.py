@@ -303,3 +303,68 @@ def test_rate_source_produces_monotonic_stream(spark):
     assert len(rows) >= 20
     vals = sorted(r.value for r in rows)
     assert vals == list(range(vals[0], vals[0] + len(vals)))  # gapless
+
+
+def test_tws_state_carries_across_micro_batches(spark, tmp_path):
+    """Force MULTIPLE micro-batches (maxFilesPerTrigger=1 over a
+    day-split directory) and check the FINAL per-user state equals the
+    single-batch batch answer — state must carry across batches, not
+    reset. (The registered op runs single-batch on the fixture; this
+    pins the multi-batch claim.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from manual_data_ingest_spark.io import load_events
+    from tests.conftest import SF_SMALL
+
+    ev = load_events(spark, SF_SMALL)
+    src = str(tmp_path / "src")
+    # three files with disjoint, time-ordered slices
+    ev.filter(F.dayofmonth("ts") <= 10).coalesce(1).write.parquet(f"{src}/f=1")
+    ev.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)) \
+        .coalesce(1).write.parquet(f"{src}/f=2")
+    ev.filter(F.dayofmonth("ts") > 20).coalesce(1).write.parquet(f"{src}/f=3")
+
+    schema = spark.read.parquet(src).schema
+    st = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+
+    def ewma_fn(key_, pdfs, state):
+        n, e = state.get if state.exists else (0, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for x in pdf["value"]:
+            e = x if e is None else 0.75 * e + 0.25 * x
+        n += len(pdf)
+        state.update((n, e))
+        yield pd.DataFrame({"user_id": [key_[0]], "n_events": [n],
+                            "ewma": [e]})
+
+    res = st.groupBy("user_id").applyInPandasWithState(
+        ewma_fn, outputStructType="user_id long, n_events long, ewma double",
+        stateStructType="n long, ewma double", outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    name = "tws_multibatch"
+    q = (res.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(name)
+    # append mode emits one row per (user, batch-with-data): the LAST
+    # emission per user is the final state
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (out.withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1").select("user_id", "n_events", "ewma"))
+    got = {(r.user_id): (r.n_events, round(r.ewma, 9))
+           for r in final.collect()}
+    spark.catalog.dropTempView(name)
+
+    # batch reference: one global fold per user
+    ref_rows = (ev.select("user_id", "ts", "event_id", "value")
+                .sort("user_id", "ts", "event_id").collect())
+    ref = {}
+    for r in ref_rows:
+        n, e = ref.get(r.user_id, (0, None))
+        e = r.value if e is None else 0.75 * e + 0.25 * r.value
+        ref[r.user_id] = (n + 1, e)
+    ref = {u: (n, round(e, 9)) for u, (n, e) in ref.items()}
+    assert got == ref
