@@ -10,7 +10,7 @@ reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
@@ -120,3 +120,71 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.count("*").over(Window.partitionBy("lang")).alias("n"))
             .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
             .select("doc_id", "lang"))
+
+
+@register("sample_temperature_mix", """
+WITH counts AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), wts AS (
+  SELECT source, c,
+         CAST(floor(sqrt(c) * 1000000.0) AS BIGINT) AS w
+  FROM counts
+), tot AS (
+  SELECT sum(w)::BIGINT AS tw, count(*) AS n_src FROM wts
+), alloc AS (
+  SELECT source, c, w,
+         (w * 1000) // tw AS base_q,
+         (w * 1000) % tw  AS rem
+  FROM wts, tot
+), deficit AS (
+  SELECT 1000 - sum(base_q) AS d FROM alloc
+), bonus AS (
+  SELECT source,
+         CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                   <= (SELECT d FROM deficit) THEN 1 ELSE 0 END AS b
+  FROM alloc
+)
+SELECT a.source, a.c,
+       (a.base_q + b.b)::BIGINT AS quota,
+       least(a.base_q + b.b, a.c)::BIGINT AS n_downsampled,
+       floor((a.base_q + b.b)::DOUBLE / a.c * 1000000.0 + 0.5) / 1000000.0
+           AS epochs
+FROM alloc a JOIN bonus b ON a.source = b.source
+""")
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (τ = 0.5): per-source sampling
+    quotas ∝ count^τ, allocated EXACTLY to a 1000-doc budget by the
+    largest-remainder method — the pretraining-mix computation behind
+    'rebalance sources with temperature' (multilingual/LLM mixture
+    lore), with `epochs` > 1 marking sources the mix would upsample.
+
+    Determinism across engines is engineered: sqrt is exactly rounded
+    in IEEE 754, and everything after it is INTEGER arithmetic
+    (µ-scaled weights, integer div/mod for base quotas and
+    remainders), so no float summation order can flip an allocation —
+    the trap a pow(c, 0.7)-based version would hit. The allocation is
+    a dim-sized computation (one row per source); applying it is a
+    per-source hash-ranked filter riding the corpus scan
+    (`sample_stratified`'s mechanism).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("c"))
+    wts = counts.select(
+        "source", "c",
+        F.floor(F.sqrt(F.col("c")) * 1000000.0).cast("long").alias("w"))
+    tot = wts.agg(F.sum("w").alias("tw"))
+    alloc = (wts.crossJoin(F.broadcast(tot))
+             .select("source", "c",
+                     F.expr("w * 1000 div tw").alias("base_q"),
+                     F.expr("(w * 1000) % tw").alias("rem")))
+    deficit = alloc.agg((F.lit(1000) - F.sum("base_q")).alias("d"))
+    wb = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    bonus = (alloc.crossJoin(F.broadcast(deficit))
+             .withColumn("b", F.when(F.row_number().over(wb)
+                                     <= F.col("d"), 1).otherwise(0)))
+    quota = F.col("base_q") + F.col("b")
+    return bonus.select(
+        "source", "c",
+        quota.alias("quota"),
+        F.least(quota, F.col("c")).alias("n_downsampled"),
+        rnd(quota.cast("double") / F.col("c"), 6).alias("epochs"))

@@ -768,3 +768,23 @@ def test_q8_share_is_ratio_of_volumes(spark):
     for r in E.queries()["flagship_q8_market_share"](spark, SF_ORACLE).collect():
         assert 0.0 <= r.mkt_share <= 1.0
         assert r.nation_volume <= r.total_volume + 0.01
+
+
+def test_temperature_mix_allocation_laws(spark):
+    """Largest-remainder allocation: quotas sum EXACTLY to the budget,
+    every quota within 1 of its real-valued share, and temperature
+    tau=0.5 compresses the spread (small sources get > proportional)."""
+    import math
+
+    rows = E.queries()["sample_temperature_mix"](spark, SF_ORACLE).collect()
+    assert sum(r.quota for r in rows) == 1000
+    total_w = sum(math.floor(math.sqrt(r.c) * 1e6) for r in rows)
+    total_c = sum(r.c for r in rows)
+    for r in rows:
+        share = math.floor(math.sqrt(r.c) * 1e6) * 1000 / total_w
+        assert share - 1 <= r.quota <= share + 1
+        # temperature flattens: sub-proportional sources are boosted
+        prop = r.c * 1000 / total_c
+        if r.c < total_c / len(rows):
+            assert r.quota >= math.floor(prop)
+        assert r.n_downsampled == min(r.quota, r.c)
