@@ -450,3 +450,57 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
     return out.select("user_id", "n_events",
                       rnd(F.col("ewma"), 6).alias("ewma"))
+
+
+@register("stream_join_outer", """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id AS u, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+), wm AS (
+  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c)) AS w
+)
+SELECT purchase_id, click_id,
+       CASE WHEN click_id IS NULL THEN 0 ELSE 1 END AS matched
+FROM p LEFT JOIN c
+  ON u = cu AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts
+WHERE click_id IS NOT NULL OR p_ts < (SELECT w FROM wm)
+""")
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-bounded state:
+    every purchase × same-user clicks in the preceding hour; purchases
+    with NO qualifying click emit a null-padded row — but only once the
+    GLOBAL watermark (the MIN of both sides' event-time maxima, since
+    each side gates the other's state eviction) has passed them.
+    Matched pairs emit on arrival regardless.
+
+    That watermark algebra is the oracle: unmatched purchases appear
+    iff p_ts < least(max(p_ts), max(c_ts)) — the global watermark is
+    the MIN across both sides' event-time maxima, strict at the
+    boundary. Verified exact against the engine's actual emission on
+    fixtures where each side's maximum in turn is the binding one
+    (sf0.001: clicks end early; sf0.01: the last purchase IS the
+    global max and is withheld). The 100 TB story is the same as the
+    inner `stream_join`: the time band bounds per-key state, and outer
+    emission latency is the price of correctness — a production
+    pipeline picks the watermark delay as its staleness budget.
+    """
+    st = read_events_stream(spark, sf_dir)
+    p = (st.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("u"), F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "0 seconds"))
+    c = (st.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", "0 seconds"))
+    j = p.join(
+        c, (F.col("u") == F.col("cu"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")), "left_outer")
+    out = run_to_batch(j, "append")
+    return out.select(
+        "purchase_id", "click_id",
+        F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"))
