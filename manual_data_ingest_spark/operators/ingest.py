@@ -764,3 +764,63 @@ def ingest_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'{name}', v{i}, o{i}" for i, (name, _, _) in enumerate(rows))
     return wide.selectExpr(
         f"stack({len(rows)}, {stack_args}) AS (metric, value, ok)")
+
+
+@register("ingest_backfill_plan", """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                INTERVAL 1 DAY))::DATE AS day
+), actual AS (
+  SELECT (date_trunc('day', ts))::DATE AS day, count(*) AS actual_cnt
+  FROM events GROUP BY 1
+), state AS (
+  SELECT day,
+         CASE WHEN day(day) = 12 THEN actual_cnt - 1
+              ELSE actual_cnt END AS state_cnt
+  FROM actual WHERE day(day) <= 25
+)
+SELECT s.day,
+       st.state_cnt,
+       a.actual_cnt,
+       CASE WHEN a.actual_cnt IS NULL AND st.state_cnt IS NULL THEN 'empty'
+            WHEN st.state_cnt IS NULL THEN 'backfill'
+            WHEN st.state_cnt <> a.actual_cnt THEN 'reprocess'
+            ELSE 'ok' END AS action
+FROM spine s
+LEFT JOIN actual a ON s.day = a.day
+LEFT JOIN state st ON s.day = st.day
+""")
+def ingest_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill/catchup planning computed IN the engine: a calendar
+    spine outer-joined against the bookkeeping state (what was
+    processed, with counts) and the actual data (what exists) labels
+    every partition `ok` / `backfill` (never processed) / `reprocess`
+    (processed but counts drifted — here day 12 is simulated stale) /
+    `empty` (no data, nothing expected).
+
+    This is the scheduler's catchup decision as a set-based query: at
+    100 TB the state relation is one row per (table, partition) — KBs —
+    and the actual counts come from partition-level metadata (manifest
+    counts, `ingest_manifest_diff`'s shape), so planning a month's
+    backfill reads zero data files. The spine LEFT JOINs broadcast;
+    nothing shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-31',"
+        " INTERVAL 1 DAY)) AS day")
+    actual = (ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+              .agg(F.count("*").alias("actual_cnt")))
+    state = (actual.filter(F.dayofmonth("day") <= 25)
+             .select("day",
+                     F.when(F.dayofmonth("day") == 12,
+                            F.col("actual_cnt") - 1)
+                     .otherwise(F.col("actual_cnt")).alias("state_cnt")))
+    action = (F.when(F.col("actual_cnt").isNull()
+                     & F.col("state_cnt").isNull(), "empty")
+              .when(F.col("state_cnt").isNull(), "backfill")
+              .when(F.col("state_cnt") != F.col("actual_cnt"), "reprocess")
+              .otherwise("ok"))
+    return (spine.join(F.broadcast(actual), "day", "left")
+            .join(F.broadcast(state), "day", "left")
+            .select("day", "state_cnt", "actual_cnt", action.alias("action")))

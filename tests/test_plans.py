@@ -402,3 +402,17 @@ def test_unigram_lm_broadcasts_model(spark):
     plan = _plan(spark, "text_unigram_logprob")
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") == 2  # one physical corpus scan here
+
+
+def test_q4_exists_plans_as_semi_join(spark):
+    plan = _plan(spark, "flagship_q4_priority_waiting")
+    assert "LeftSemi" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderdate" in p for p in pushed), pushed
+
+
+def test_q16_pushes_both_dim_predicates(spark):
+    plan = _plan(spark, "flagship_q16_supplier_variety")
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p and "p_size" in p for p in pushed), pushed
