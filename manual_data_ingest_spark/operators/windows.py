@@ -537,3 +537,41 @@ def win_streak_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_streaks"),
                  F.max("len").alias("longest_streak"),
                  F.sum("len").alias("active_days")))
+
+
+@register("win_rolling_wau", """
+WITH du AS (
+  SELECT DISTINCT (date_trunc('day', ts))::DATE AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+)
+SELECT d.day,
+       count(DISTINCT u.user_id) AS wau
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""")
+def win_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the dashboard metric
+    SQL window functions cannot express (COUNT(DISTINCT) is not a
+    window aggregate in either engine).
+
+    Rewritten as a banded self-join: distinct (day, user) pairs join
+    the day spine on a 7-day band, then count-distinct per anchor day.
+    The (day, user) relation is the COMPACT form (≤ users × days
+    rows), each row lands in ≤ 7 anchor groups, so the expansion is
+    bounded at 7× compact size — at 100 TB this beats any
+    per-event window by orders of magnitude because the fact collapses
+    to (day, user) FIRST. Exactness distinguishes it from the HLL
+    union alternative (`agg_hll_partitioned`), which trades exactness
+    for O(sketch) merges when even the compact form is too hot.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                    "user_id").distinct())
+    days = du.select("day").distinct()
+    d = days.select(F.col("day").alias("anchor"))
+    joined = du.join(d, (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+                    & (F.col("day") <= F.col("anchor")))
+    return (joined.groupBy(F.col("anchor").alias("day"))
+            .agg(F.countDistinct("user_id").alias("wau")))

@@ -826,3 +826,68 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy((F.col("v") % 8).alias("bucket"))
             .agg(F.count("*").alias("n"),
                  F.sum(F.col("v") * F.col("v")).alias("sq_checksum")))
+
+
+@register("scan_footer_stats", """
+SELECT count(*) AS total_rows,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM events
+""")
+def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only statistics: answer count/min/max from parquet
+    FOOTERS, reading zero data pages.
+
+    A one-row-per-file relation fans out over the cluster; each task
+    opens only its files' footers (pyarrow) and emits per-row-group
+    (rows, min, max) — the same stats the manifest build
+    (`scan_manifest_pruned`) and row-group pruning rely on. The final
+    aggregate folds them to table-level answers, oracled against the
+    full-scan truth: a footer/stat-decoding bug hash-fails. At 100 TB
+    this is the difference between a stats query costing one metadata
+    RPC per file and a full scan; engines' "metadata-only query"
+    optimizations do exactly this under the hood.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        files = [f"{path}/{f}" for f in sorted(os.listdir(path))
+                 if f.endswith(".parquet")]
+    else:
+        files = [path]
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+
+    out_schema = T.StructType([
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("min_ts_ns", T.LongType()),
+        T.StructField("max_ts_ns", T.LongType()),
+    ])
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows, mins, maxs = [], [], []
+            for f in pdf["path"]:
+                md = pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(len(md.schema))}["ts"]
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(idx).statistics
+                    rows.append(rg.num_rows)
+                    mins.append(pd.Timestamp(st.min).value)  # ns
+                    maxs.append(pd.Timestamp(st.max).value)
+            yield pd.DataFrame({"n_rows": rows, "min_ts_ns": mins,
+                                "max_ts_ns": maxs})
+
+    stats = fdf.mapInPandas(read_footers, schema=out_schema)
+    # fixture timestamps are TIMESTAMP(NANOS) read as ns integers
+    return stats.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.expr("timestamp_micros(min(min_ts_ns) div 1000)").alias("min_ts"),
+        F.expr("timestamp_micros(max(max_ts_ns) div 1000)").alias("max_ts"))
