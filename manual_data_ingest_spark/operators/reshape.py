@@ -188,3 +188,37 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         quota.alias("quota"),
         F.least(quota, F.col("c")).alias("n_downsampled"),
         rnd(quota.cast("double") / F.col("c"), 6).alias("epochs"))
+
+
+@register("sample_train_val_test", """
+WITH tagged AS (
+  SELECT source,
+         CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT source,
+               CAST(('0x' || substring(md5(doc_id::VARCHAR || '|split'), 1, 8))
+                    AS BIGINT) % 10 AS b
+        FROM documents)
+)
+SELECT source, split, count(*) AS n_docs
+FROM tagged GROUP BY source, split
+""")
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash — the split every ML corpus build needs to be REPRODUCIBLE
+    and LEAKAGE-FREE: the split is a pure function of doc_id (salted),
+    so re-runs, backfills, and incremental appends land each doc in
+    the same split forever, with no split-assignment table to store or
+    join. Map-only tagging rides the scan; the summary here counts per
+    (source, split) so skew between sources is visible. The salt
+    ('|split') isolates this hash from every other doc_id-derived
+    hash in the engine (buckets, samples) — unsalted reuse would
+    correlate the split with `sample_hash`'s keep set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                           F.lit("|split"))), 1, 8), 16, 10)
+         .cast("long") % 10)
+    split = (F.when(b < 8, "train").when(b < 9, "val").otherwise("test"))
+    return (d.select("source", split.alias("split"))
+            .groupBy("source", "split").agg(F.count("*").alias("n_docs")))

@@ -788,3 +788,23 @@ def test_temperature_mix_allocation_laws(spark):
         if r.c < total_c / len(rows):
             assert r.quota >= math.floor(prop)
         assert r.n_downsampled == min(r.quota, r.c)
+
+
+def test_train_val_test_split_laws(spark):
+    from manual_data_ingest_spark.io import load_table
+
+    rows = E.queries()["sample_train_val_test"](spark, SF_ORACLE).collect()
+    total = sum(r.n_docs for r in rows)
+    n_docs = load_table(spark, SF_ORACLE, "documents").count()
+    assert total == n_docs  # every doc in exactly one split
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    # hash buckets approximate 80/10/10 (binomial tolerance at n=500)
+    assert 0.7 < by_split["train"] / total < 0.9
+    assert 0.04 < by_split["val"] / total < 0.16
+    assert 0.04 < by_split["test"] / total < 0.16
+    # deterministic: a second run yields the identical table
+    again = E.queries()["sample_train_val_test"](spark, SF_ORACLE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
