@@ -206,3 +206,50 @@ def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         features, schema="doc_id long, duration_sec double, "
                          "sample_rate int, rms_stub double")
+
+
+@register("multimodal_shard_assign", """
+WITH sized AS (
+  SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents
+), packed AS (
+  SELECT doc_id, n_bytes,
+         ((sum(n_bytes) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_bytes) // 10000)::BIGINT AS shard_id
+  FROM sized
+)
+SELECT shard_id,
+       count(*) AS n_items,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM packed GROUP BY shard_id
+""")
+def multimodal_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard assignment: pack media records into
+    ~10 KB shards by START-OFFSET binning — shard_id = floor(cumulative
+    bytes BEFORE this record / capacity) over the deterministic doc_id
+    order, so every record lands in exactly one shard, shard boundaries
+    are reproducible, and consecutive records stay together (the
+    property dataloader streaming needs).
+
+    The running sum is the one global-order operation; at 100 TB it
+    runs hierarchically exactly like `ingest_id_mint_scalable` — rank
+    within source-buckets, add broadcast cumulative offsets — because
+    the order key leads with the bucket. Shard manifests (this output)
+    are what the training job mounts; the tar-bytes concat itself is a
+    `foreachPartition` writer downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select("doc_id",
+                     F.octet_length(F.col("text").cast("binary"))
+                     .alias("n_bytes"))
+    packed = sized.withColumn(
+        "shard_id",
+        F.expr("(sum(n_bytes) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED"
+               " PRECEDING AND CURRENT ROW) - n_bytes) div 10000"))
+    return (packed.groupBy("shard_id")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
