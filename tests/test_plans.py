@@ -416,3 +416,32 @@ def test_q16_pushes_both_dim_predicates(spark):
     assert "BroadcastHashJoin" in plan
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("p_brand" in p and "p_size" in p for p in pushed), pushed
+
+
+def test_pagerank_iterations_read_checkpoint_not_rejoin(spark):
+    """The edge extraction (the only O(data) stage) must be cut out of
+    the iteration plan by the localCheckpoint: the final plan contains
+    scans of the checkpointed RDD, not five copies of the 4-way fact
+    join."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "Scan ExistingRDD" in plan
+    # lineitem appears in the edge build only, which the checkpoint
+    # truncated — not once per iteration
+    assert plan.count("lineitem") == 0, "fact join leaked into iterations"
+
+
+def test_rolling_wau_collapses_before_banded_join(spark):
+    """(day, user) distinct must run BELOW the banded join: the join's
+    inputs are the compact form, never raw events."""
+    plan = _plan(spark, "win_rolling_wau")
+    assert "HashAggregate" in plan
+    # the banded join against the ~30-row day spine broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_span_dedup_single_span_shuffle(spark):
+    """dedup_span_chunks: exactly one exchange keyed on the span text
+    (the window) plus the doc_id regroup — no third shuffle."""
+    plan = _plan(spark, "dedup_span_chunks")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan[:500]
