@@ -824,3 +824,57 @@ def ingest_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spine.join(F.broadcast(actual), "day", "left")
             .join(F.broadcast(state), "day", "left")
             .select("day", "state_cnt", "actual_cnt", action.alias("action")))
+
+
+@register("provenance_impact_cascade", """
+WITH changed AS (
+  SELECT s_suppkey FROM supplier WHERE s_suppkey % 20 = 0
+), li AS (
+  SELECT DISTINCT l_orderkey FROM lineitem
+  WHERE EXISTS (SELECT 1 FROM changed WHERE s_suppkey = l_suppkey)
+), ord AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE EXISTS (SELECT 1 FROM li WHERE l_orderkey = o_orderkey)
+), cust AS (
+  SELECT DISTINCT c_nationkey FROM customer
+  WHERE EXISTS (SELECT 1 FROM ord WHERE o_custkey = c_custkey)
+)
+SELECT 'suppliers' AS level, (SELECT count(*) FROM changed) AS n_affected
+UNION ALL SELECT 'orders',    (SELECT count(*) FROM li)
+UNION ALL SELECT 'customers', (SELECT count(*) FROM ord)
+UNION ALL SELECT 'nations',   (SELECT count(*) FROM cust)
+""")
+def provenance_impact_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream impact analysis — the INVALIDATION cascade: given a
+    set of changed upstream entities (5 % of suppliers), which derived
+    artifacts must re-run, level by level (orders touched → customers
+    affected → nations reported).
+
+    The reverse of `provenance_chain`'s rollup: each hop is a SEMI
+    join against the previous frontier, so the fact tables are probed,
+    never materialized into the result — the frontier stays a key set
+    and shrinks as it coarsens (20 k lineitem keys → 15 k orders →
+    dim-sized). At 100 TB this is how a curator pipeline answers
+    'supplier X corrected its metadata — what do we reprocess?'
+    without a graph database: each frontier broadcasts once it is
+    dim-sized, and the cascade is as deep as the schema, not iterative.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    changed = s.filter(F.col("s_suppkey") % 20 == 0).select("s_suppkey")
+    lvl1 = (li.join(changed, li.l_suppkey == changed.s_suppkey, "left_semi")
+            .select("l_orderkey").distinct())
+    lvl2 = (o.join(lvl1, o.o_orderkey == lvl1.l_orderkey, "left_semi")
+            .select("o_custkey").distinct())
+    lvl3 = (c.join(lvl2, c.c_custkey == lvl2.o_custkey, "left_semi")
+            .select("c_nationkey").distinct())
+    rows = [("suppliers", changed), ("orders", lvl1),
+            ("customers", lvl2), ("nations", lvl3)]
+    out = None
+    for name, df in rows:
+        row = df.agg(F.count("*").alias("n_affected")) \
+                .select(F.lit(name).alias("level"), "n_affected")
+        out = row if out is None else out.unionByName(row)
+    return out
