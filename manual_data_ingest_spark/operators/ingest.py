@@ -878,3 +878,43 @@ def provenance_impact_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.lit(name).alias("level"), "n_affected")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register("ingest_k_anonymity", f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS grp_n
+  FROM customer GROUP BY 1, 2
+)
+SELECT count(*) AS n_groups,
+       count(*) FILTER (grp_n < 5) AS n_violating,
+       (sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END))::BIGINT
+           AS n_rows_suppressed,
+       {sql_rnd("sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)::DOUBLE"
+                " / sum(grp_n)", 6)} AS suppression_frac,
+       min(grp_n) AS min_group
+FROM g
+""")
+def ingest_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 5) over the quasi-identifier pair
+    (nation, market segment): any group smaller than k re-identifies
+    its members, so a release either suppresses those rows or
+    generalizes the identifiers — this op reports how much data that
+    costs (`suppression_frac`) and how far the worst group is from k.
+
+    Governance twin of `text_pii_scrub`: scrubbing removes DIRECT
+    identifiers; k-anonymity measures INDIRECT (linkage) risk. One
+    grouped pass + a constant-size summary — at 100 TB the
+    quasi-identifier groupBy partial-aggregates like any rollup, so
+    auditing a release candidate costs one scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("grp_n")))
+    small = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.count(F.when(F.col("grp_n") < 5, 1)).alias("n_violating"),
+        F.sum(small).alias("n_rows_suppressed"),
+        rnd(F.sum(small).cast("double") / F.sum("grp_n"), 6)
+        .alias("suppression_frac"),
+        F.min("grp_n").alias("min_group"))
