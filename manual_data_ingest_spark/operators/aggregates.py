@@ -937,3 +937,38 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.bit_or(bit).alias("bm")))
     return (b.groupBy("event_type")
             .agg(F.sum(F.bit_count("bm")).alias("n_users")))
+
+
+@register("agg_histogram_equidepth", f"""
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       count(*) AS n,
+       {sql_rnd('min(o_totalprice)')} AS lo,
+       {sql_rnd('max(o_totalprice)')} AS hi
+FROM t GROUP BY bucket
+""")
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count) — the
+    histogram cost-based optimizers and skew diagnostics actually use,
+    beside the equi-width `agg_histogram`: equal-width buckets go
+    empty under skew; equal-depth buckets adapt their boundaries to
+    the distribution.
+
+    ntile's global ORDER BY is the honest cost: a total sort (with the
+    orderkey tie-break pinning bucket assignment exactly). At 100 TB
+    the production form replaces the sort with the mergeable quantile
+    sketch (`agg_quantile_sketch_merge`) providing approximate bucket
+    BOUNDARIES, then one map-only pass bins rows — sketch + scan, no
+    sort; this operator is the exact-reference version of that.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+    return (t.groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.min("o_totalprice")).alias("lo"),
+                 rnd(F.max("o_totalprice")).alias("hi")))

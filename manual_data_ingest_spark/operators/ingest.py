@@ -918,3 +918,49 @@ def ingest_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum(small).cast("double") / F.sum("grp_n"), 6)
         .alias("suppression_frac"),
         F.min("grp_n").alias("min_group"))
+
+
+@register("ingest_dp_release", f"""
+WITH g AS (
+  SELECT c_mktsegment, count(*) AS true_n FROM customer GROUP BY 1
+), noised AS (
+  SELECT c_mktsegment, true_n,
+         ('0x' || substring(md5(c_mktsegment || '|dp-seed'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+  FROM g
+)
+SELECT c_mktsegment,
+       true_n,
+       (true_n + round(CASE WHEN u < 0.5
+                            THEN  (1.0 / 0.5) * ln(2.0 * u)
+                            ELSE -(1.0 / 0.5) * ln(2.0 - 2.0 * u)
+                       END))::BIGINT AS released_n,
+       {sql_rnd('0.5', 6)} AS epsilon
+FROM noised
+""")
+def ingest_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release MECHANISM (Laplace, ε = 0.5,
+    sensitivity 1) over per-segment counts — mechanism-faithful, seed-
+    deterministic: the uniform draw derives from a salted hash of the
+    group key (so both engines, and every re-run, release the SAME
+    noised counts — a real deployment swaps in a secret-keyed PRF,
+    identical plumbing), and the noise is the exact inverse-CDF
+    Laplace transform of that uniform.
+
+    The engineering point for 100 TB releases: noise is a MAP over the
+    aggregated groups (dim-sized), so DP costs nothing at scale; what
+    matters is the count aggregation underneath being one partial-
+    aggregated pass, and the per-release ε accounting column that a
+    privacy budget ledger sums downstream.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(F.count("*").alias("true_n"))
+    u = (F.conv(F.substring(F.md5(F.concat(F.col("c_mktsegment"),
+                                           F.lit("|dp-seed"))), 1, 8), 16, 10)
+         .cast("double") / 4294967296.0)
+    lap = F.when(u < 0.5, (1.0 / 0.5) * F.log(2.0 * u)) \
+           .otherwise(-(1.0 / 0.5) * F.log(2.0 - 2.0 * u))
+    return g.select(
+        "c_mktsegment", "true_n",
+        (F.col("true_n") + F.round(lap)).cast("long").alias("released_n"),
+        rnd(F.lit(0.5), 6).alias("epsilon"))
