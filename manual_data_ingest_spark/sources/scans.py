@@ -916,3 +916,64 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spark-avro jar not deployed here — same contract via parquet
         n.write.mode("overwrite").parquet(f"{out}/n")
         return spark.read.parquet(f"{out}/n")
+
+
+@register("scan_csv_badrecords", """
+SELECT count(*) FILTER (doc_id % 10 <> 0) AS n_parsed,
+       count(*) FILTER (doc_id % 10 = 0)  AS n_corrupt,
+       (sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars ELSE 0 END))::BIGINT
+           AS parsed_chars
+FROM documents
+""")
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input recovery at the PARSE layer: a CSV batch where
+    every 10th record is broken (unbalanced quote — unparseable, not
+    just invalid) read in PERMISSIVE mode with a corrupt-record
+    column, so bad lines become quarantine rows instead of failing
+    the job.
+
+    The parse-layer complement to `ingest_quarantine` (semantic rules
+    on parsed rows): real 100 TB feeds break at BOTH layers, and a
+    pipeline that only handles one loses data or availability.
+    PERMISSIVE + `columnNameOfCorruptRecord` keeps the scan streaming
+    (no driver-side retry loop); FAILFAST is for contractual inputs,
+    DROPMALFORMED silently loses data — the mode choice is the whole
+    design decision, recorded here. The oracle pins the recovery
+    accounting from the construction rule.
+    """
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    out = tempfile.mkdtemp(prefix="mdis_badcsv_")
+    # write the batch distributed: good rows are proper CSV, every 10th
+    # row gets an unbalanced quote in the text field
+    path = f"{out}/batch.csv"
+    good = d.filter(F.col("doc_id") % 10 != 0).select(
+        F.concat_ws(",", F.col("doc_id"),
+                    F.concat(F.lit('"'), F.col("text"), F.lit('"')),
+                    F.col("n_chars")).alias("line"))
+    bad = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat_ws(",", F.col("doc_id"),
+                    F.concat(F.lit('"'), F.col("text")),  # unbalanced quote
+                    F.col("n_chars")).alias("line"))
+    good.unionByName(bad).write.mode("overwrite").text(path)
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .option("multiLine", False)
+            .csv(path))
+    back = back.cache()  # corrupt-column queries need the full row pass
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_parsed"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars"))
+              .otherwise(0)).alias("parsed_chars"))
