@@ -972,3 +972,72 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  rnd(F.min("o_totalprice")).alias("lo"),
                  rnd(F.max("o_totalprice")).alias("hi")))
+
+
+@register("agg_market_basket", f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, a.l_orderkey
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), together AS (
+  SELECT p1, p2, count(DISTINCT l_orderkey) AS n_together
+  FROM pairs GROUP BY 1, 2
+), item AS (
+  SELECT l_partkey, count(DISTINCT l_orderkey) AS n_item
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_orders FROM lineitem
+)
+SELECT p1, p2, n_together,
+       {sql_rnd('n_together::DOUBLE / (SELECT n_orders FROM tot)', 6)}
+           AS support,
+       {sql_rnd('n_together::DOUBLE / i1.n_item', 6)} AS confidence,
+       {sql_rnd('n_together::DOUBLE * (SELECT n_orders FROM tot)'
+                ' / (i1.n_item * i2.n_item)', 6)} AS lift
+FROM together
+JOIN item i1 ON p1 = i1.l_partkey
+JOIN item i2 ON p2 = i2.l_partkey
+ORDER BY n_together DESC, p1, p2
+LIMIT 20
+""")
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs: support, confidence(p1→p2),
+    lift for the top-20 co-purchased part pairs — the frequent-itemset
+    readout (the k=2 slice of Apriori, which is where most production
+    affinity analyses stop).
+
+    The pair expansion is a SELF-JOIN ON THE ORDER KEY, so its blowup
+    is (lines per order choose 2) — bounded by the basket size (≤7
+    here), NOT the catalog; the same join on l_partkey would be the
+    quadratic mistake. At 100 TB add a min-support pre-filter on items
+    (the Apriori pruning) before the self-join so rare items never
+    expand. Tie-break (p1, p2) pins the top-20 exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok2"),
+                  F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, (a.l_orderkey == b.ok2) & (a.p1 < b.p2))
+    together = (pairs.groupBy("p1", "p2")
+                .agg(F.countDistinct("l_orderkey").alias("n_together")))
+    item = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("n_item"))
+    tot = li.agg(F.countDistinct("l_orderkey").cast("double")
+                 .alias("n_orders"))
+    i1 = item.select(F.col("l_partkey").alias("p1"),
+                     F.col("n_item").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"),
+                     F.col("n_item").alias("n2"))
+    out = (together.join(i1, "p1").join(i2, "p2")
+           .crossJoin(F.broadcast(tot)))
+    return (out.select(
+        "p1", "p2", "n_together",
+        rnd(F.col("n_together").cast("double") / F.col("n_orders"), 6)
+        .alias("support"),
+        rnd(F.col("n_together").cast("double") / F.col("n1"), 6)
+        .alias("confidence"),
+        rnd(F.col("n_together").cast("double") * F.col("n_orders")
+            / (F.col("n1") * F.col("n2")), 6).alias("lift"))
+        .orderBy(F.col("n_together").desc(), "p1", "p2")
+        .limit(20))
