@@ -1041,3 +1041,54 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1") * F.col("n2")), 6).alias("lift"))
         .orderBy(F.col("n_together").desc(), "p1", "p2")
         .limit(20))
+
+
+@register("agg_mad_outliers", f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(e.value - med.m) AS ad, med.m
+  FROM events e JOIN med ON e.event_type = med.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad_v, max(m) AS m
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) FILTER (d.ad > 3.0 * 1.4826 * mad.mad_v) AS n_outliers,
+       count(*) AS n_total,
+       {sql_rnd('max(mad.mad_v)', 6)} AS mad,
+       {sql_rnd('max(mad.m)', 6)} AS median
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+""")
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation: flag
+    |x − median| > 3·1.4826·MAD per group — the robust twin of
+    `win_zscore_outliers`, immune to the outliers inflating their own
+    threshold (mean/stddev's classic failure, why quality pipelines
+    use MAD for heavy-tailed web data).
+
+    Two grouped percentile passes (median, then MAD) + one counting
+    pass, each a partial-aggregated shuffle on the group key; the
+    medians are dim-sized and broadcast back. Exact interpolated
+    percentile parity across engines was established by
+    `agg_percentile`; 1.4826 is the normal-consistency constant making
+    MAD comparable to σ.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("m"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", F.abs(F.col("value") - F.col("m"))
+                   .alias("ad"), "m"))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad_v"), F.max("m").alias("m"))
+    d = dev.join(F.broadcast(mad.select("event_type", "mad_v")),
+                 "event_type")
+    return (d.groupBy("event_type")
+            .agg(F.count(F.when(F.col("ad") > 3.0 * 1.4826 * F.col("mad_v"),
+                                1)).alias("n_outliers"),
+                 F.count("*").alias("n_total"),
+                 rnd(F.max("mad_v"), 6).alias("mad"),
+                 rnd(F.max("m"), 6).alias("median")))

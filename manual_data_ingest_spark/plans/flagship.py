@@ -401,3 +401,56 @@ def flagship_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register("flagship_q7_bilateral_volume", f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       year(o_orderdate) AS o_year,
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0
+           AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""")
+def flagship_q7_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year, both directions reported separately.
+
+    The optimizer stress is the symmetric OR over TWO dimension
+    attributes on DIFFERENT join branches: neither nation filter can
+    be pushed below its join alone (each disjunct couples both
+    branches), so Catalyst keeps the residual above both nation joins
+    while still broadcasting the dims — a different pushdown failure
+    mode than Q19's single-table OR brackets, worth pinning beside it.
+    """
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    pair = (((F.col("cust_nation") == "NATION_1")
+             & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2")
+               & (F.col("supp_nation") == "NATION_1")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .filter(pair)
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(rnd(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("volume")))
