@@ -400,3 +400,49 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("event_id", "c_event_id",
                     (gap / 1000000.0).alias("signed_gap_sec")))
+
+
+@register("join_asof_forward", """
+WITH p AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS c_event_id, ts AS click_ts, user_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_id, c_event_id,
+       (epoch_us(click_ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP)) / 1000000.0
+           AS followup_gap_sec
+FROM (
+  SELECT p.event_id, c.c_event_id, p.ts, c.click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts, c.c_event_id) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.click_ts > p.ts
+   AND c.click_ts <= p.ts + INTERVAL 1 HOUR
+) WHERE rn = 1
+""")
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction (merge_asof direction='forward',
+    1 h tolerance): the first click strictly AFTER each purchase —
+    the post-purchase follow-up question, completing the
+    backward (`join_asof`) / nearest (`join_asof_nearest`) / forward
+    trio. Same plan shape: user-key equi shuffle, banded candidates,
+    per-purchase row_number with the (click_ts, event_id) total order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"))
+    w = Window.partitionBy("event_id").orderBy("click_ts", "c_event_id")
+    return (p.join(c, (p.user_id == c.c_user_id)
+                   & (c.click_ts > p.ts)
+                   & (c.click_ts <= p.ts + F.expr("INTERVAL 1 HOUR")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "c_event_id",
+                    ((F.unix_micros(F.col("click_ts"))
+                      - F.unix_micros(F.col("ts"))) / 1000000.0)
+                    .alias("followup_gap_sec")))
