@@ -575,3 +575,49 @@ def win_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("day") <= F.col("anchor")))
     return (joined.groupBy(F.col("anchor").alias("day"))
             .agg(F.countDistinct("user_id").alias("wau")))
+
+
+@register("win_zscore_rolling", f"""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER win AS mu,
+         stddev_pop(value) OVER win AS sigma,
+         count(*) OVER win AS n_window
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       {sql_rnd('(value - mu) / sigma', 6)} AS z_trailing
+FROM w
+WHERE n_window >= 10 AND sigma > 0.0
+  AND abs((value - mu) / sigma) >= 3.0
+""")
+def win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event scored against the
+    mean/stddev of its OWN user's previous 20 events (never including
+    itself — the self-exclusion matters: an outlier inside its own
+    baseline dilutes its score), flagged at |z| ≥ 3 once the baseline
+    has ≥ 10 points.
+
+    This is the streaming-QC twin of the global `win_zscore_outliers`:
+    the global form finds distribution outliers after the fact, the
+    trailing form finds CHANGES as they arrive (level shifts, sensor
+    breaks) and maps 1:1 onto a `transformWithState` deployment (the
+    window is bounded → O(1) state per key). One key shuffle; both
+    moments ride one window frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-20, -1))
+    z = (F.col("value") - F.avg("value").over(w)) / \
+        F.stddev_pop("value").over(w)
+    return (ev.select("event_id", "user_id", "value",
+                      F.avg("value").over(w).alias("mu"),
+                      F.stddev_pop("value").over(w).alias("sigma"),
+                      F.count("*").over(w).alias("n_window"))
+            .filter((F.col("n_window") >= 10) & (F.col("sigma") > 0.0))
+            .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sigma"))
+            .filter(F.abs(F.col("z")) >= 3.0)
+            .select("event_id", "user_id", rnd(F.col("z"), 6)
+                    .alias("z_trailing")))
