@@ -621,3 +621,57 @@ def win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.abs(F.col("z")) >= 3.0)
             .select("event_id", "user_id", rnd(F.col("z"), 6)
                     .alias("z_trailing")))
+
+
+@register("win_churn_weekly", f"""
+WITH wu AS (
+  SELECT DISTINCT user_id, (date_trunc('week', ts))::DATE AS wk FROM events
+), weeks AS (
+  SELECT DISTINCT wk FROM wu
+), paired AS (
+  SELECT a.wk, a.user_id,
+         CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END AS retained
+  FROM wu a LEFT JOIN wu b
+    ON a.user_id = b.user_id AND b.wk = a.wk + 7
+  WHERE EXISTS (SELECT 1 FROM weeks w WHERE w.wk = a.wk + 7)
+)
+SELECT wk,
+       count(*) AS n_active,
+       (sum(retained))::BIGINT AS n_retained,
+       count(*) - sum(retained)::BIGINT AS n_churned,
+       {sql_rnd("1.0 - sum(retained)::DOUBLE / count(*)", 6)} AS churn_rate
+FROM paired GROUP BY wk
+""")
+def win_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: of the users active in week w, how many do NOT
+    return in week w+1 — the forward-looking complement of
+    `win_retention_cohorts` (which follows cohorts; churn follows
+    consecutive periods). The final period is EXCLUDED (its successor
+    is unobserved — counting it as churn is the classic
+    right-censoring bug, guarded by the EXISTS).
+
+    Fact collapses to distinct (user, week) first (the
+    `win_rolling_wau` discipline), then one self-join on the user key
+    offset by a week; both sides ride the same user partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = (ev.select("user_id",
+                    F.to_date(F.date_trunc("week", "ts")).alias("wk"))
+          .distinct())
+    weeks = wu.select("wk").distinct()
+    nxt = wu.select(F.col("user_id").alias("u2"),
+                    F.col("wk").alias("wk2"))
+    observed = weeks.select(F.col("wk").alias("wk_obs"))
+    paired = (wu.join(nxt, (wu.user_id == nxt.u2)
+                      & (nxt.wk2 == F.date_add(wu.wk, 7)), "left")
+              .join(observed,
+                    F.date_add(wu.wk, 7) == observed.wk_obs, "left_semi")
+              .select("wk", "user_id",
+                      F.when(F.col("u2").isNull(), 0).otherwise(1)
+                      .alias("retained")))
+    return (paired.groupBy("wk")
+            .agg(F.count("*").alias("n_active"),
+                 F.sum("retained").alias("n_retained"),
+                 (F.count("*") - F.sum("retained")).alias("n_churned"),
+                 rnd(1.0 - F.sum("retained").cast("double") / F.count("*"),
+                     6).alias("churn_rate")))
