@@ -1168,3 +1168,27 @@ def agg_histogram_sketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  rnd(F.min("o_totalprice")).alias("lo"),
                  rnd(F.max("o_totalprice")).alias("hi")))
+
+
+@register("agg_percentile_disc", f"""
+SELECT o_orderstatus,
+       {sql_rnd('quantile_disc(o_totalprice, 0.5)')} AS p50_disc,
+       {sql_rnd('quantile_disc(o_totalprice, 0.9)')} AS p90_disc
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (an actual data value, never interpolated)
+    beside the continuous `agg_percentile`: the distinction matters
+    whenever the value must exist (a real order to inspect, a real
+    latency trace to pull) — interpolation invents numbers. Parity
+    note: Spark `percentile_disc`/DuckDB `quantile_disc` both return
+    the smallest value whose cumulative rank ≥ p; verified identical
+    here with no rounding dependence (the values are 2-decimal data).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(rnd(F.expr("percentile_disc(0.5) WITHIN GROUP"
+                            " (ORDER BY o_totalprice)")).alias("p50_disc"),
+                 rnd(F.expr("percentile_disc(0.9) WITHIN GROUP"
+                            " (ORDER BY o_totalprice)")).alias("p90_disc")))
