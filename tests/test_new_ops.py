@@ -817,3 +817,26 @@ def test_span_digest_equals_text_keyed(spark):
     a = _rows(qs["dedup_span_chunks"](spark, SF_ORACLE))
     b = _rows(qs["dedup_span_chunks_digest"](spark, SF_ORACLE))
     assert a == b
+
+
+def test_sketch_bins_near_equal_depth(spark):
+    """Sketch-boundary bins must be near-equal-depth: every bin within
+    the sketch's rank-error envelope of n/10, and bins conserve rows."""
+    from manual_data_ingest_spark.io import load_table
+
+    rows = E.queries()["agg_histogram_sketch_bins"](spark, SF_ORACLE).collect()
+    n = load_table(spark, SF_ORACLE, "orders").count()
+    assert sum(r.n for r in rows) == n
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r.n - n / 10) <= n / 8, (r.bin, r.n, n)
+
+
+def test_dp_release_noise_applied_and_bounded(spark):
+    """The Laplace mechanism must actually perturb (not all zeros) and
+    stay within the deterministic hash-uniform's worst-case envelope."""
+    rows = E.queries()["ingest_dp_release"](spark, SF_ORACLE).collect()
+    diffs = [abs(r.released_n - r.true_n) for r in rows]
+    assert any(d > 0 for d in diffs), "noise never applied"
+    assert all(d < 100 for d in diffs), diffs  # (1/eps)*ln range envelope
+    assert all(r.epsilon == 0.5 for r in rows)
