@@ -485,7 +485,8 @@ def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_quantity") >= 49, "quantity_outlier"))
     flagged = li.withColumn("reason", reason)
 
-    base = tempfile.mkdtemp(prefix="mdis_dlq_")
+    from manual_data_ingest_spark.sources.scans import _tmpdir
+    base = _tmpdir("mdis_dlq_")
     quarantine, clean = f"{base}/quarantine", f"{base}/clean"
     flagged.persist()
     try:
@@ -535,7 +536,8 @@ def ingest_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = lambda df: (df.groupBy("user_id", "event_type")
                       .agg(F.count("*").alias("n_events"),
                            F.sum("value").alias("sum_value")))
-    state_dir = tempfile.mkdtemp(prefix="mdis_aggstate_") + "/state"
+    from manual_data_ingest_spark.sources.scans import _tmpdir
+    state_dir = _tmpdir("mdis_aggstate_") + "/state"
     agg(ev.filter(day <= 20)).write.mode("overwrite").parquet(state_dir)
 
     state = spark.read.parquet(state_dir)

@@ -397,7 +397,8 @@ def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache = {}
         spark._mdis_cache = cache
     if key not in cache:
-        d = tempfile.mkdtemp(prefix="mdis_ivf_")
+        from manual_data_ingest_spark.sources.scans import _tmpdir
+        d = _tmpdir("mdis_ivf_")
         (load_table(spark, sf_dir, "embeddings")
          .write.mode("overwrite").partitionBy("label").parquet(d))
         cache[key] = d

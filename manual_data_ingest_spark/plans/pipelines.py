@@ -119,7 +119,8 @@ def pipeline_ingest_register(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        256), 1, 12))).alias("minted_id"),
                         F.md5("text").alias("content_md5"),
                         F.pmod("doc_id", F.lit(16)).alias("bucket")))
-    out = tempfile.mkdtemp(prefix="mdis_register_")
+    from manual_data_ingest_spark.sources.scans import _tmpdir
+    out = _tmpdir("mdis_register_")
     manifest.write.mode("overwrite").partitionBy("bucket").parquet(out)
     back = spark.read.parquet(out)
     return (back.groupBy(F.col("bucket").cast("long").alias("bucket"))

@@ -21,6 +21,31 @@ from pyspark.sql import types as T
 from manual_data_ingest_spark.io import load_table
 from manual_data_ingest_spark.registry import register
 
+import atexit as _atexit
+import shutil as _shutil
+
+_TMPDIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp that REGISTERS cleanup: round-trip sinks create a dir per
+    call, and a long-lived session (bench warmups, oracle sweeps) would
+    otherwise accumulate them on disk — the leak class the r1 advisor
+    flagged for stream dirs, fixed here for every file sink."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMPDIRS.append(d)
+    return d
+
+
+def _reap_tmpdirs() -> None:  # pragma: no cover — process teardown
+    for d in _TMPDIRS:
+        _shutil.rmtree(d, ignore_errors=True)
+    _TMPDIRS.clear()
+
+
+_atexit.register(_reap_tmpdirs)
+
+
 
 @register("scan_parquet", """
 SELECT l_returnflag, count(*) AS cnt
@@ -41,7 +66,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write CSV with header, re-read with an EXPLICIT schema (inference is
     # banned in the engine: curator sheets get declared schemas)
     n = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="mdis_csv_")
+    out = _tmpdir("mdis_csv_")
     n.write.mode("overwrite").option("header", True).csv(out)
     schema = T.StructType([
         T.StructField("n_nationkey", T.IntegerType()),
@@ -56,7 +81,7 @@ SELECT * FROM region
 """)
 def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
-    out = tempfile.mkdtemp(prefix="mdis_jsonl_")
+    out = _tmpdir("mdis_jsonl_")
     r.write.mode("overwrite").json(out)
     schema = T.StructType([
         T.StructField("r_regionkey", T.IntegerType()),
@@ -89,7 +114,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned metadata write + partition-pruned read-back; the count
     # comes from the re-read so directory layout is what's verified
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="mdis_part_")
+    out = _tmpdir("mdis_part_")
     (o.withColumn("o_year", F.year("o_orderdate"))
      .write.mode("overwrite").partitionBy("o_year").parquet(out))
     back = spark.read.parquet(out)
@@ -107,7 +132,7 @@ def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _BINFILE_DIRS:
         import os
 
-        d = tempfile.mkdtemp(prefix="mdis_binfiles_")
+        d = _tmpdir("mdis_binfiles_")
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         for row in docs.toLocalIterator():
             with open(os.path.join(d, f"{row.doc_id}.bin"), "wb") as f:
@@ -155,7 +180,7 @@ def sink_manifest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         "n_chars",
         F.pmod("doc_id", F.lit(16)).alias("bucket"))
-    out = tempfile.mkdtemp(prefix="mdis_tsv_")
+    out = _tmpdir("mdis_tsv_")
     manifest.write.mode("overwrite").option("sep", "\t") \
         .option("header", True).csv(out)
     schema = T.StructType([
@@ -213,7 +238,7 @@ def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = load_table(spark, sf_dir, "nation")
     sheet_pdf = n.toPandas()  # curator-sheet scale: tens of rows
-    d = tempfile.mkdtemp(prefix="mdis_sheet_")
+    d = _tmpdir("mdis_sheet_")
     schema = T.StructType([
         T.StructField("n_nationkey", T.IntegerType()),
         T.StructField("n_name", T.StringType()),
@@ -271,7 +296,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("rn") == 1)
                 .select("user_id", "event_type", "event_id", "ts", "value"))
 
-    out = tempfile.mkdtemp(prefix="mdis_merge_")
+    out = _tmpdir("mdis_merge_")
     # 1. standing snapshot
     (latest(ev.filter(F.col("ts") < cutoff))
      .write.mode("overwrite").partitionBy("event_type").parquet(out))
@@ -303,7 +328,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read-back (Spark ships native vectorized ORC support; parity with
     # the parquet path, same pushdown/pruning machinery)
     s = load_table(spark, sf_dir, "supplier")
-    out = tempfile.mkdtemp(prefix="mdis_orc_")
+    out = _tmpdir("mdis_orc_")
     s.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -335,8 +360,8 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     tag = uuid.uuid4().hex[:12]
-    d1 = tempfile.mkdtemp(prefix="mdis_bucket_o_")
-    d2 = tempfile.mkdtemp(prefix="mdis_bucket_c_")
+    d1 = _tmpdir("mdis_bucket_o_")
+    d2 = _tmpdir("mdis_bucket_c_")
     t1, t2 = f"mdis_orders_b_{tag}", f"mdis_customer_b_{tag}"
     (o.select("o_orderkey", "o_custkey", "o_totalprice")
      .write.option("path", d1)
@@ -431,14 +456,14 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     li = load_table(spark, sf_dir, "lineitem")
-    frag = tempfile.mkdtemp(prefix="mdis_frag_")
+    frag = _tmpdir("mdis_frag_")
     li.repartition(64).write.mode("overwrite").parquet(frag)
     n_frag = len(glob.glob(os.path.join(frag, "part-*")))
 
     back = spark.read.parquet(frag)
     n_rows = back.count()  # scalar sizing decision (bytes in production)
     target = max(1, math.ceil(n_rows / 50_000))
-    comp = tempfile.mkdtemp(prefix="mdis_comp_")
+    comp = _tmpdir("mdis_comp_")
     back.repartition(target).write.mode("overwrite").parquet(comp)
     n_comp = len(glob.glob(os.path.join(comp, "part-*")))
     assert n_comp == target, f"compaction wrote {n_comp} files, want {target}"
@@ -463,7 +488,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # writer. Small-dim shape here; at scale XML files split per-file
     # like JSON lines (one rowTag stream per file).
     r = load_table(spark, sf_dir, "region")
-    out = tempfile.mkdtemp(prefix="mdis_xml_")
+    out = _tmpdir("mdis_xml_")
     (r.write.mode("overwrite").format("xml")
      .option("rootTag", "regions").option("rowTag", "region").save(out))
     schema = T.StructType([
@@ -500,7 +525,7 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic repartition target.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    out = tempfile.mkdtemp(prefix="mdis_sorted_") + "/lineitem"
+    out = _tmpdir("mdis_sorted_") + "/lineitem"
     (li.repartition(8, "l_orderkey")
      .sortWithinPartitions("l_shipdate")
      .write.mode("overwrite")
@@ -539,7 +564,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference form is exercised here deliberately.
     """
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="mdis_evo_")
+    base = _tmpdir("mdis_evo_")
     day = F.dayofmonth("ts")
     (ev.filter(day <= 15).select("event_id", "user_id", "value")
      .write.mode("overwrite").parquet(f"{base}/v=1"))
@@ -656,7 +681,7 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(datediff(o_orderdate, DATE '1995-01-01') DIV 10 AS BIGINT)"
         " AS y")
     z = z.selectExpr("*", f"CAST({_z16_sql('x', 'y')} AS BIGINT) AS zkey")
-    out = tempfile.mkdtemp(prefix="mdis_zorder_") + "/orders"
+    out = _tmpdir("mdis_zorder_") + "/orders"
     (z.repartitionByRange(8, "zkey").sortWithinPartitions("zkey")
      .write.mode("overwrite")
      .option("parquet.block.size", 256 * 1024)
@@ -697,7 +722,7 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens extra groups both hash-fail.
     """
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="mdis_manifest_")
+    base = _tmpdir("mdis_manifest_")
     data = o.withColumn("y", F.year("o_orderdate"))
     (data.repartition("y").write.mode("overwrite")
      .partitionBy("y").parquet(f"{base}/orders"))
@@ -749,7 +774,7 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     of v1-under-v2 is asserted in tests.
     """
     ev = load_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="mdis_timetravel_")
+    base = _tmpdir("mdis_timetravel_")
     v1 = ev.filter(F.dayofmonth("ts") <= 20)
     delta = ev.filter(F.dayofmonth("ts") > 20)
     v1.write.mode("overwrite").parquet(f"{base}/snap-1")
@@ -908,7 +933,7 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry evolution) beside parquet's columnar analytics lane.
     """
     n = load_table(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="mdis_avro_")
+    out = _tmpdir("mdis_avro_")
     try:
         n.write.mode("overwrite").format("avro").save(f"{out}/n")
         return spark.read.format("avro").load(f"{out}/n")
@@ -945,7 +970,7 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars")
-    out = tempfile.mkdtemp(prefix="mdis_badcsv_")
+    out = _tmpdir("mdis_badcsv_")
     # write the batch distributed: good rows are proper CSV, every 10th
     # row gets an unbalanced quote in the text field
     path = f"{out}/batch.csv"
