@@ -38,3 +38,6 @@ import manual_data_ingest_spark.streaming.ops  # noqa: F401
 
 # r1 capstone — end-to-end composite pipelines
 import manual_data_ingest_spark.plans.pipelines  # noqa: F401
+
+# r2 — the 11 shapes completing the TPC-H-style 22-query suite
+import manual_data_ingest_spark.plans.tpch_suite  # noqa: F401

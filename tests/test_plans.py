@@ -445,3 +445,80 @@ def test_span_dedup_single_span_shuffle(spark):
     plan = _plan(spark, "dedup_span_chunks")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan[:500]
+
+
+def test_q6_all_predicates_pushed_map_only(spark):
+    """Q6 is the purest pushdown test: date range, discount band and
+    quantity cap must ALL reach the parquet scan, and the plan must be
+    scan→filter→partial-agg→single-exchange→final-agg (map-only + a
+    scalar reduce at 100 TB)."""
+    plan = _plan(spark, "flagship_q6_forecast_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p and "l_discount" in p and "l_quantity" in p
+               for p in pushed), pushed
+    # no grouping key → zero hash exchanges (only the scalar gather)
+    assert "hashpartitioning(" not in plan, plan[:800]
+
+
+def test_q2_single_fact_shuffle_dims_broadcast(spark):
+    """Q2's only fact-sized shuffle is the (l_partkey, l_suppkey)
+    link-distinct; part/supplier/nation/region must broadcast."""
+    plan = _plan(spark, "flagship_q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
+    # link-distinct (partial+final on 2 int cols) + argmin window: the
+    # fact table itself is never hash-exchanged on a non-link key
+    m = re.search(r"ReadSchema: struct<l_partkey:[^>]*>", plan)
+    assert m, "lineitem scan must prune to the two link columns"
+
+
+def test_q13_join_condition_predicate_pushed_to_orders_scan(spark):
+    """The priority exclusion lives in the LEFT JOIN's ON clause; it is
+    null-safe to push to the orders (non-preserved) side and MUST reach
+    that scan — at 100 TB the excluded priority class never leaves the
+    parquet reader."""
+    plan = _plan(spark, "flagship_q13_order_distribution")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("o_orderpriority" in p for p in pushed), pushed
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q15_scalar_max_broadcast_not_rescan(spark):
+    """Q15's MAX threshold must arrive as a one-row broadcast (BNLJ)
+    over the aggregated view — not as a second scan of lineitem."""
+    plan = _plan(spark, "flagship_q15_top_supplier")
+    # the equality against the one-row MAX becomes a broadcast join
+    # (Catalyst turns filter-over-cross into an equi BroadcastHashJoin —
+    # even better than the BNLJ shape); either way: broadcast, no rescan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # both branches aggregate the SAME quarter slice: the pushed date
+    # filter appears on every lineitem scan in the plan
+    pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+              if "l_shipdate" in p]
+    assert pushed, "quarter filter must reach the lineitem scan(s)"
+
+
+def test_q17_threshold_join_reuses_partkey_distribution(spark):
+    """Q17's decorrelated per-part AVG joins back to the fact on
+    l_partkey; the aggregate's exchange must be reusable by the join
+    (same key), and the brand-filtered part dim must broadcast."""
+    plan = _plan(spark, "flagship_q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p for p in pushed), pushed
+    # every hash exchange in the plan keys on l_partkey — the whole
+    # pipeline rides one distribution
+    keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9]+)", plan)
+    assert keys and all(k == "l_partkey" for k in keys), keys
+
+
+def test_q21_pipeline_rides_orderkey_distribution(spark):
+    """Q21 chains late-set distinct, participant counts, late counts and
+    two joins — every one keyed on l_orderkey. The plan must show hash
+    exchanges ONLY on l_orderkey (supplier joins broadcast; the final
+    ~100-row supplier aggregate gathers partials)."""
+    plan = _plan(spark, "flagship_q21_waiting_supplier")
+    assert "BroadcastHashJoin" in plan  # supplier dim
+    keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9]+)", plan)
+    fact_keys = [k for k in keys if k != "s_name"]
+    assert fact_keys and all(k == "l_orderkey" for k in fact_keys), keys
+    assert "TakeOrderedAndProject" in plan  # top-100, not a full sort
