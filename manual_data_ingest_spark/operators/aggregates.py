@@ -1192,3 +1192,60 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                             " (ORDER BY o_totalprice)")).alias("p50_disc"),
                  rnd(F.expr("percentile_disc(0.9) WITHIN GROUP"
                             " (ORDER BY o_totalprice)")).alias("p90_disc")))
+
+
+@register("agg_winsorized_stats", f"""
+WITH cuts AS (
+  SELECT l_returnflag AS g,
+         quantile_disc(l_extendedprice, 0.05) AS lo,
+         quantile_disc(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+), clipped AS (
+  SELECT c.g, c.lo, c.hi,
+         least(greatest(l_extendedprice, c.lo), c.hi) AS x
+  FROM lineitem JOIN cuts c ON l_returnflag = c.g
+)
+SELECT g AS l_returnflag,
+       count(*) AS n,
+       {sql_rnd(sql_rnd('sum(x)') + ' / count(*)')} AS wins_mean,
+       {sql_rnd('stddev_pop(x)', 4)} AS wins_std,
+       {sql_rnd('lo')} AS p05,
+       {sql_rnd('hi')} AS p95
+FROM clipped
+GROUP BY g, lo, hi
+""")
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per group: clip values to the
+    [p05, p95] DISCRETE percentiles (real data values — both engines
+    agree exactly, no interpolation), then mean/std of the clipped
+    column. The outlier-robust summary a data-quality dashboard wants
+    where plain avg/std is hostage to a single corrupt row.
+
+    Determinism: the cut points are exact data values; the winsorized
+    mean derives from the 2dp-ROUNDED sum (PARITY.md #23 discipline —
+    one exact division after), and the std rounds at 4dp, ~4 orders of
+    magnitude above cross-engine summation drift.
+
+    100 TB: one shuffle on the group key for the percentile pass (a
+    sort-based exact quantile per group; for wider cardinality the
+    sketch path `agg_quantile_sketch_merge` is the pre-pass), then the
+    clip+moment pass re-uses the same distribution — the cuts table is
+    group-cardinality and broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = (li.groupBy(F.col("l_returnflag").alias("g"))
+            .agg(F.expr("percentile_disc(0.05) WITHIN GROUP"
+                        " (ORDER BY l_extendedprice)").alias("lo"),
+                 F.expr("percentile_disc(0.95) WITHIN GROUP"
+                        " (ORDER BY l_extendedprice)").alias("hi")))
+    x = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                F.col("hi"))
+    return (li.join(F.broadcast(cuts), F.col("l_returnflag") == F.col("g"))
+            .select("g", "lo", "hi", x.alias("x"))
+            .groupBy("g", "lo", "hi")
+            .agg(F.count("*").alias("n"),
+                 rnd(rnd(F.sum("x")) / F.count("*")).alias("wins_mean"),
+                 rnd(F.stddev_pop("x"), 4).alias("wins_std"))
+            .select(F.col("g").alias("l_returnflag"), "n", "wins_mean",
+                    "wins_std", rnd(F.col("lo")).alias("p05"),
+                    rnd(F.col("hi")).alias("p95")))

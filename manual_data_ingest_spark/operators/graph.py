@@ -23,7 +23,7 @@ output rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
@@ -121,3 +121,140 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.join(r, "node")
             .select(F.col("node").alias("n_nationkey"), "n_name",
                     rnd(F.col("r"), 6).alias("pagerank")))
+
+
+@register("graph_triangle_count", """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), pair AS (
+  SELECT a.sk AS u, b.sk AS v_, count(*) AS co
+  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+  GROUP BY a.sk, b.sk
+), sym AS (
+  SELECT u AS node, v_ AS nbr, co FROM pair
+  UNION ALL
+  SELECT v_ AS node, u AS nbr, co FROM pair
+), topk AS (
+  SELECT node, nbr FROM sym
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY co DESC, nbr) <= 8
+), e AS (
+  SELECT a.node AS u, a.nbr AS v_
+  FROM topk a JOIN topk b ON a.node = b.nbr AND a.nbr = b.node
+  WHERE a.node < a.nbr
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v_ AS node FROM e
+  ) GROUP BY node
+), oe AS (
+  SELECT CASE WHEN du.deg * 100000000 + e.u <= dv.deg * 100000000 + e.v_
+              THEN e.u ELSE e.v_ END AS src,
+         CASE WHEN du.deg * 100000000 + e.u <= dv.deg * 100000000 + e.v_
+              THEN e.v_ ELSE e.u END AS dst,
+         CASE WHEN du.deg * 100000000 + e.u <= dv.deg * 100000000 + e.v_
+              THEN dv.deg * 100000000 + e.v_
+              ELSE du.deg * 100000000 + e.u END AS dst_ord
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v_
+), wedge AS (
+  SELECT w1.dst AS b, w2.dst AS c
+  FROM oe w1 JOIN oe w2
+    ON w1.src = w2.src AND w1.dst_ord < w2.dst_ord
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedge SEMI JOIN oe ON wedge.b = oe.src AND wedge.c = oe.dst
+), stats AS (
+  SELECT (SELECT count(*) FROM deg)               AS n_nodes,
+         (SELECT count(*) FROM e)                 AS n_edges,
+         (SELECT count(*) FROM wedge)             AS n_wedges,
+         (SELECT n_triangles FROM tri)            AS n_triangles
+)
+SELECT n_nodes, n_edges, n_triangles,
+       floor(CASE WHEN n_wedges > 0
+                  THEN CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                  ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+           AS closure_rate
+FROM stats
+""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the MUTUAL top-8 strongest-tie co-supplier
+    graph, with degree-ordered wedge enumeration.
+
+    Two bounding layers make this linear at any scale — raw
+    co-occurrence graphs saturate toward complete (measured: the
+    sf0.1 co-supply graph has 343k of 500k possible edges, and the
+    naive wedge set explodes to ~10⁸ rows):
+
+    1. **Mutual-kNN sparsification**: each node keeps its 8 strongest
+       neighbors by (co-occurrence count DESC, id); an edge survives
+       only if BOTH endpoints keep it. Degree ≤ 8 by construction, so
+       wedges ≤ 28·|V| — linear in nodes regardless of raw density.
+       Ranking is on exact integer counts with an id tie-break:
+       deterministic on both engines.
+    2. **Degree orientation**: surviving edges are oriented low→high
+       under (degree, id) (encoded as one integer), so each triangle
+       is counted exactly once and every wedge pivots at its
+       lowest-degree vertex — on power-law graphs this is what kills
+       the hub O(d²) blowup; the count is then wedge ⋉ oriented-edge,
+       an equi semi-join with no cartesian anywhere.
+
+    100 TB: the one fact-sized stage is the co-occurrence aggregate
+    (pairs-per-container bounded by order size; the dedup posting-cap
+    applies to unbounded containers). Everything after the top-8 prune
+    is ≤ 8·|V| rows; the fact-derived edge list is localCheckpointed
+    so the four stat branches never re-run the extraction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_suppkey").alias("sk")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pair = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.sk") < F.col("b.sk")))
+            .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v_"))
+            .agg(F.count("*").alias("co")))
+    sym = (pair.select(F.col("u").alias("node"), F.col("v_").alias("nbr"), "co")
+           .unionAll(pair.select(F.col("v_").alias("node"),
+                                 F.col("u").alias("nbr"), "co")))
+    wnd = Window.partitionBy("node").orderBy(F.col("co").desc(), F.col("nbr"))
+    topk = (sym.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= 8).select("node", "nbr"))
+    ta, tb = topk.alias("ta"), topk.alias("tb")
+    # mutual edges only, deduped to u<v; fact-derived — checkpoint so
+    # the stat branches below re-read ≤8·|V| rows, not the fact join
+    e = (ta.join(tb, (F.col("ta.node") == F.col("tb.nbr"))
+                 & (F.col("ta.nbr") == F.col("tb.node")))
+         .filter(F.col("ta.node") < F.col("ta.nbr"))
+         .select(F.col("ta.node").alias("u"), F.col("ta.nbr").alias("v_"))
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v_").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ord_u = F.col("du.deg") * 100000000 + F.col("u")
+    ord_v = F.col("dv.deg") * 100000000 + F.col("v_")
+    oe = (e.join(du, F.col("du.node") == F.col("u"))
+          .join(dv, F.col("dv.node") == F.col("v_"))
+          .select(F.when(ord_u <= ord_v, F.col("u")).otherwise(F.col("v_"))
+                  .alias("src"),
+                  F.when(ord_u <= ord_v, F.col("v_")).otherwise(F.col("u"))
+                  .alias("dst"),
+                  F.when(ord_u <= ord_v, ord_v).otherwise(ord_u)
+                  .alias("dst_ord"))
+          .localCheckpoint(eager=True))
+    w1, w2 = oe.alias("w1"), oe.alias("w2")
+    wedge = (w1.join(w2, (F.col("w1.src") == F.col("w2.src"))
+                     & (F.col("w1.dst_ord") < F.col("w2.dst_ord")))
+             .select(F.col("w1.dst").alias("b"), F.col("w2.dst").alias("c")))
+    tri = wedge.join(oe, (F.col("b") == F.col("src"))
+                     & (F.col("c") == F.col("dst")), "left_semi")
+
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    n_wedges = wedge.agg(F.count("*").alias("n_wedges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return (n_nodes.crossJoin(n_edges).crossJoin(n_tri).crossJoin(n_wedges)
+            .select("n_nodes", "n_edges", "n_triangles",
+                    rnd(F.when(F.col("n_wedges") > 0,
+                               F.col("n_triangles").cast("double")
+                               / F.col("n_wedges").cast("double"))
+                        .otherwise(0.0), 6).alias("closure_rate")))

@@ -30,8 +30,9 @@ import manual_data_ingest_spark.operators.similarity  # noqa: F401
 import manual_data_ingest_spark.functions.text  # noqa: F401
 import manual_data_ingest_spark.operators.multimodal  # noqa: F401
 
-# Iterative graph algorithms
+# Iterative graph algorithms + distributed ML primitives
 import manual_data_ingest_spark.operators.graph  # noqa: F401
+import manual_data_ingest_spark.operators.ml  # noqa: F401
 
 # Phase 5 — structured streaming
 import manual_data_ingest_spark.streaming.ops  # noqa: F401

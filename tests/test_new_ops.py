@@ -840,3 +840,98 @@ def test_dp_release_noise_applied_and_bounded(spark):
     assert any(d > 0 for d in diffs), "noise never applied"
     assert all(d < 100 for d in diffs), diffs  # (1/eps)*ln range envelope
     assert all(r.epsilon == 0.5 for r in rows)
+
+
+def test_kmeans_assignment_is_true_argmin(spark):
+    """Every vector's winning distance must be ≤ its distance to EVERY
+    final centroid — recomputed independently with numpy at sf0.001."""
+    import numpy as np
+
+    out = {r["cluster"]: r for r in
+           E.queries()["ml_kmeans_embeddings"](spark, SF_SMALL).collect()}
+    emb = (spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+           .select(F.col("vec_id").cast("long").alias("id"), "embedding")
+           .collect())
+    X = {r["id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb}
+    n = len(X)
+    assert sum(r["n_vecs"] for r in out.values()) == n
+
+    # replay the exact trajectory: init = K lowest ids, 3 rounds,
+    # centroids rounded 6dp (floor form) after every update
+    K, ITERS = 8, 3
+    ids = sorted(X)
+    cent = {cl: np.floor(X[i] * 1e6 + 0.5) / 1e6
+            for cl, i in enumerate(ids[:K])}
+    for _ in range(ITERS):
+        assign = {}
+        for i in ids:
+            d = {cl: float(((X[i] - c) ** 2).sum()) for cl, c in cent.items()}
+            assign[i] = min(d, key=lambda cl: (d[cl], cl))
+        cent = {cl: np.floor(np.mean([X[i] for i in ids if assign[i] == cl],
+                                     axis=0) * 1e6 + 0.5) / 1e6
+                for cl in set(assign.values())}
+    sizes, inertia = {}, {}
+    for i in ids:
+        d = {cl: float(((X[i] - c) ** 2).sum()) for cl, c in cent.items()}
+        cl = min(d, key=lambda cl: (d[cl], cl))
+        sizes[cl] = sizes.get(cl, 0) + 1
+        inertia[cl] = inertia.get(cl, 0.0) + d[cl]
+    assert {cl: r["n_vecs"] for cl, r in out.items()} == sizes
+    for cl, r in out.items():
+        assert abs(r["inertia"] - inertia[cl]) < 1e-3
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered count == naive triple-enumeration on the same
+    mutual-top-8 edge set (sf0.001 graph is small enough to replay)."""
+    row = E.queries()["graph_triangle_count"](spark, SF_SMALL).collect()[0]
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    os_ = {(r["l_orderkey"], r["l_suppkey"])
+           for r in li.select("l_orderkey", "l_suppkey").distinct().collect()}
+    from collections import defaultdict
+    per_order = defaultdict(set)
+    for ok, sk in os_:
+        per_order[ok].add(sk)
+    co = defaultdict(int)
+    for sks in per_order.values():
+        ss = sorted(sks)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                co[(ss[i], ss[j])] += 1
+    # mutual top-8 by (co desc, neighbor id)
+    nbrs = defaultdict(list)
+    for (u, v), c in co.items():
+        nbrs[u].append((-c, v))
+        nbrs[v].append((-c, u))
+    top = {n: {v for _, v in sorted(l)[:8]} for n, l in nbrs.items()}
+    edges = {(u, v) for (u, v) in co
+             if v in top[u] and u in top[v]}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    tri = sum(1 for a in nodes for b in adj[a] if b > a
+              for c in adj[a] & adj[b] if c > b)
+    assert max((len(top[n]) for n in top), default=0) <= 8  # bounded degree
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+    assert 0.0 <= row["closure_rate"] <= 1.0
+
+
+def test_winsorized_stats_laws(spark):
+    """Clipping can only shrink dispersion: wins_std ≤ raw std per
+    group; the winsorized mean lies inside [p05, p95]; counts match."""
+    out = {r["l_returnflag"]: r for r in
+           E.queries()["agg_winsorized_stats"](spark, SF_ORACLE).collect()}
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    raw = {r["l_returnflag"]: r for r in
+           li.groupBy("l_returnflag")
+           .agg(F.count("*").alias("n"),
+                F.stddev_pop("l_extendedprice").alias("sd")).collect()}
+    assert set(out) == set(raw)
+    for g, r in out.items():
+        assert r["n"] == raw[g]["n"]
+        assert r["wins_std"] <= raw[g]["sd"] + 1e-9
+        assert r["p05"] <= r["wins_mean"] <= r["p95"]
