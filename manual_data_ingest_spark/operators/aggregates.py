@@ -1249,3 +1249,73 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("g").alias("l_returnflag"), "n", "wins_mean",
                     "wins_std", rnd(F.col("lo")).alias("p05"),
                     rnd(F.col("hi")).alias("p95")))
+
+
+#: log10(1 + 1/d) as exact double LITERALS shared by both engine texts —
+#: computing them with log() at query time would expose the engines'
+#: non-correctly-rounded libm/Math.log differences on boundary values
+_BENFORD = {1: 0.3010299956639812, 2: 0.17609125905568124,
+            3: 0.12493873660829992, 4: 0.09691001300805642,
+            5: 0.07918124604762482, 6: 0.06694678963061322,
+            7: 0.05799194697768673, 8: 0.05115252244738129,
+            9: 0.04575749056067514}
+
+_BENFORD_CASE = ("CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({p!r} AS DOUBLE)" for d, p in _BENFORD.items())
+    + " END")
+
+
+@register("agg_benford_deviation", f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+  FROM orders
+  WHERE o_totalprice > 0
+), counts AS (
+  SELECT first_digit, count(*) AS n,
+         sum(count(*)) OVER () AS total
+  FROM digits GROUP BY first_digit
+)
+SELECT first_digit, n,
+       floor(CAST(n AS DOUBLE) / total * 1000000.0 + 0.5) / 1000000.0
+           AS obs_share,
+       {_BENFORD_CASE} AS exp_share,
+       floor((CAST(n AS DOUBLE) / total - {_BENFORD_CASE})
+             * (CAST(n AS DOUBLE) / total - {_BENFORD_CASE})
+             / ({_BENFORD_CASE}) * 1000000000.0 + 0.5) / 1000000000.0
+           AS chi2_term
+FROM counts
+""")
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data / corrupted-feed detector: natural multi-scale
+    amounts follow P(d)=log10(1+1/d); a flat or spiked digit histogram
+    flags synthetic or truncated data. Emits per-digit observed vs
+    expected share and the χ² contribution.
+
+    Determinism: the first digit is extracted ARITHMETICALLY — exact
+    integer cents → string → first char — never via log10/floor, whose
+    not-correctly-rounded libm vs Java Math implementations can
+    disagree exactly on power-of-ten boundaries (1000.00 → log10 →
+    2.9999999999999996 → floor → 2). The expected shares are shared
+    double literals, and every emitted ratio is an exact-int quotient
+    rounded once.
+
+    100 TB: map-only digit extraction + a 9-group aggregate with
+    partials; the window total is 9 rows. The audit reads one column.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                    .cast("long").cast("string"), 1, 1)
+        .cast("int").alias("first_digit"))
+    counts = (digits.groupBy("first_digit")
+              .agg(F.count("*").alias("n"))
+              .withColumn("total", F.sum("n").over(Window.partitionBy())))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.expr(_BENFORD_CASE)
+    return counts.select(
+        "first_digit", "n",
+        rnd(obs, 6).alias("obs_share"),
+        exp.alias("exp_share"),
+        rnd((obs - exp) * (obs - exp) / exp, 9).alias("chi2_term"))

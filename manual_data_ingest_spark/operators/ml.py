@@ -134,3 +134,224 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_vecs"),
                  rnd(F.sum("dist2"), 4).alias("inertia"),
                  rnd(F.avg("dist2"), 6).alias("mean_dist2")))
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out kNN classification over the labeled embedding corpus
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_PROBE_MOD = 7       # probe ids are multiples of 7 ...
+_PROBE_CAP = 7 * 128  # ... below this bound: a FIXED ≤128-vector panel
+
+_KNN_COS = ("list_dot_product(p.v, b.v) / "
+            "(sqrt(list_dot_product(p.v, p.v)) * "
+            "sqrt(list_dot_product(b.v, b.v)))")
+
+
+@register("ml_knn_classify", f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), probes AS (
+  SELECT vec_id, label, v FROM e
+  WHERE CAST(vec_id AS BIGINT) % {_PROBE_MOD} = 0
+    AND CAST(vec_id AS BIGINT) < {_PROBE_CAP}
+), top5 AS (
+  SELECT pid, true_label, nbr_label FROM (
+    SELECT p.vec_id AS pid, p.label AS true_label, b.label AS nbr_label,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_KNN_COS} DESC,
+                                       CAST(b.vec_id AS BIGINT)) AS rn
+    FROM probes p JOIN e b ON b.vec_id <> p.vec_id
+  ) WHERE rn <= {_KNN_K}
+), votes AS (
+  SELECT pid, true_label, nbr_label, count(*) AS c
+  FROM top5 GROUP BY pid, true_label, nbr_label
+), pred AS (
+  SELECT pid, true_label, nbr_label AS predicted_label FROM votes
+  QUALIFY row_number() OVER (PARTITION BY pid ORDER BY c DESC, nbr_label) = 1
+)
+SELECT true_label, predicted_label, count(*) AS n_probes
+FROM pred GROUP BY true_label, predicted_label
+""")
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification (k=5, cosine) of a FIXED
+    ≤128-vector evaluation panel (ids ≡ 0 mod 7 below a constant
+    bound) against the rest of the corpus, reported as a long-form
+    confusion matrix — the standard embedding-quality eval (do nearest
+    neighbors share labels?).
+
+    The panel is fixed-size BY ARITHMETIC (a map-only filter, no
+    global window), so total work is O(panel·N) — linear in the
+    corpus. The first cut (panel = every 7th vector, growing with N)
+    measured 16× work at 4× data: the classic quadratic eval trap.
+
+    Ranking is on the RAW cosine (the unrolled dot product is verified
+    bit-identical to DuckDB's list_dot_product fold) with a neighbor-id
+    tie-break; the vote tie-breaks (count DESC, label ASC) — fully
+    deterministic end to end.
+
+    100 TB: probes broadcast, the corpus is never shuffled (the
+    sim_topk discipline); per-probe candidate generation is where the
+    ANN tiers (`sim_ann_lsh` / `sim_ann_ivf` over `ml_kmeans_embeddings`
+    cells) slot in when brute force stops being the right baseline —
+    the vote/confusion algebra downstream is unchanged.
+    """
+    from manual_data_ingest_spark.operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pid_num = F.col("vec_id").cast("long")
+    probes = (e.filter((pid_num % _PROBE_MOD == 0) & (pid_num < _PROBE_CAP))
+              .select(F.col("vec_id").alias("pid"),
+                      F.col("label").alias("true_label"),
+                      F.col("embedding").alias("pv")))
+    scored = (F.broadcast(probes)
+              .join(e, F.col("vec_id") != F.col("pid"))
+              .select("pid", "true_label",
+                      F.col("label").alias("nbr_label"),
+                      cosine("pv", "embedding").alias("score"),
+                      F.col("vec_id").cast("long").alias("nid")))
+    top5 = (scored.withColumn("rn", F.row_number().over(
+                Window.partitionBy("pid")
+                .orderBy(F.col("score").desc(), F.col("nid"))))
+            .filter(F.col("rn") <= _KNN_K))
+    votes = (top5.groupBy("pid", "true_label", "nbr_label")
+             .agg(F.count("*").alias("c")))
+    pred = (votes.withColumn("rn", F.row_number().over(
+                Window.partitionBy("pid")
+                .orderBy(F.col("c").desc(), F.col("nbr_label"))))
+            .filter(F.col("rn") == 1))
+    return (pred.groupBy("true_label",
+                         F.col("nbr_label").alias("predicted_label"))
+            .agg(F.count("*").alias("n_probes")))
+
+
+# ---------------------------------------------------------------------------
+# multivariate OLS via distributed normal equations
+# ---------------------------------------------------------------------------
+
+def _det3(a, b, c, d, e, f, g, h, i) -> str:
+    """Expression text of a 3×3 determinant with FIXED association —
+    the same string feeds F.expr and the DuckDB oracle, so both engines
+    evaluate the identical IEEE op sequence."""
+    return (f"({a} * (({e} * {i}) - ({f} * {h})) "
+            f"- {b} * (({d} * {i}) - ({f} * {g})) "
+            f"+ {c} * (({d} * {h}) - ({e} * {g})))")
+
+
+# A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]],  b = [sy, s1y, s2y]
+_DET = _det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+_DET0 = _det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+_DET1 = _det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+_DET2 = _det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
+#: the 9 moment columns in integer-scaled space (q, d·100, y·100) —
+#: every sum is an exact integer < 2^53, so the solve inputs are
+#: bit-identical on both engines with NO rounding step at all
+_MOMENTS_SQL = """
+  SELECT CAST(count(*) AS DOUBLE)            AS n,
+         CAST(sum(q)   AS DOUBLE)            AS s1,
+         CAST(sum(d)   AS DOUBLE)            AS s2,
+         CAST(sum(q*q) AS DOUBLE)            AS s11,
+         CAST(sum(q*d) AS DOUBLE)            AS s12,
+         CAST(sum(d*d) AS DOUBLE)            AS s22,
+         CAST(sum(y)   AS DOUBLE)            AS sy,
+         CAST(sum(q*y) AS DOUBLE)            AS s1y,
+         CAST(sum(d*y) AS DOUBLE)            AS s2y
+  FROM scaled
+"""
+
+_SCALED_SQL = """
+  SELECT CAST(l_quantity AS BIGINT)                         AS q,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)     AS d,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+"""
+
+
+@register("ml_ols_normal_equations", f"""
+WITH scaled AS ({_SCALED_SQL}),
+m AS ({_MOMENTS_SQL}),
+beta AS (
+  SELECT n,
+         ({_DET0}) / ({_DET}) AS b0p,
+         ({_DET1}) / ({_DET}) AS b1p,
+         ({_DET2}) / ({_DET}) AS b2p,
+         sy / n AS ymean
+  FROM m
+),
+fit AS (
+  SELECT beta.n, beta.b0p, beta.b1p, beta.b2p,
+         sum((CAST(s.y AS DOUBLE) - (beta.b0p + beta.b1p * s.q
+              + beta.b2p * s.d))
+             * (CAST(s.y AS DOUBLE) - (beta.b0p + beta.b1p * s.q
+                + beta.b2p * s.d))) AS ssr,
+         sum((CAST(s.y AS DOUBLE) - beta.ymean)
+             * (CAST(s.y AS DOUBLE) - beta.ymean)) AS sst
+  FROM scaled s, beta
+  GROUP BY beta.n, beta.b0p, beta.b1p, beta.b2p
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor(b0p / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS beta0,
+       floor(b1p / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS beta1,
+       floor(b2p * 1000000.0 + 0.5) / 1000000.0 AS beta2,
+       floor((1.0 - ssr / sst) * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM fit
+""")
+def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (y = β₀ + β₁·quantity + β₂·discount for
+    extended price) fit DISTRIBUTEDLY via normal equations: one
+    aggregation pass accumulates the 3×3 Gram matrix + moment vector,
+    and the solve is a closed-form Cramer projection — the classic
+    "big data, small model" shape (the 100 TB fact is touched twice:
+    moments, then residuals for R²; nothing model-sized ever shuffles).
+
+    Exactness strategy: features are rescaled to INTEGER space (q,
+    d·100, y·100 — all exact), so every Gram/moment sum is an exact
+    integer < 2^53 and the solve inputs are bit-identical across
+    engines with no rounding step; the Cramer determinants share one
+    expression string between F.expr and the oracle, pinning the IEEE
+    op order. β̂ unscales by /100 where the y-scaling requires. R² is
+    a ratio of two same-magnitude sums (relative drift ~1e-13 ≪ the
+    5e-7 rounding margin).
+
+    Beside `agg_regression` (per-group single-var regr_* built-ins):
+    this is the multi-feature path those builtins cannot express.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("d"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("y"))
+    m = scaled.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum("d").cast("double").alias("s2"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s11"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("s12"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("q") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("d") * F.col("y")).cast("double").alias("s2y"))
+    beta = m.select(
+        "n",
+        F.expr(f"({_DET0}) / ({_DET})").alias("b0p"),
+        F.expr(f"({_DET1}) / ({_DET})").alias("b1p"),
+        F.expr(f"({_DET2}) / ({_DET})").alias("b2p"),
+        F.expr("sy / n").alias("ymean"))
+    resid = (F.col("y").cast("double")
+             - (F.col("b0p") + F.col("b1p") * F.col("q")
+                + F.col("b2p") * F.col("d")))
+    dev = F.col("y").cast("double") - F.col("ymean")
+    fit = (scaled.crossJoin(F.broadcast(beta))
+           .groupBy("n", "b0p", "b1p", "b2p")
+           .agg(F.sum(resid * resid).alias("ssr"),
+                F.sum(dev * dev).alias("sst")))
+    return fit.select(
+        F.col("n").cast("long").alias("n"),
+        rnd(F.col("b0p") / 100.0, 6).alias("beta0"),
+        rnd(F.col("b1p") / 100.0, 6).alias("beta1"),
+        rnd(F.col("b2p"), 6).alias("beta2"),
+        rnd(F.lit(1.0) - F.col("ssr") / F.col("sst"), 6).alias("r2"))

@@ -935,3 +935,61 @@ def test_winsorized_stats_laws(spark):
         assert r["n"] == raw[g]["n"]
         assert r["wins_std"] <= raw[g]["sd"] + 1e-9
         assert r["p05"] <= r["wins_mean"] <= r["p95"]
+
+
+def test_knn_confusion_matches_numpy_replay(spark):
+    """Exact confusion-matrix replay with numpy at sf0.001 (cosine,
+    k=5, id tie-breaks, majority with (count desc, label asc))."""
+    import numpy as np
+
+    out = {(r["true_label"], r["predicted_label"]): r["n_probes"]
+           for r in E.queries()["ml_knn_classify"](spark, SF_SMALL).collect()}
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    X = {int(r["vec_id"]): (r["label"],
+                            np.asarray(r["embedding"], dtype=np.float64))
+         for r in rows}
+    conf = {}
+    for pid, (tl, pv) in X.items():
+        if pid % 7 or pid >= 7 * 128:
+            continue
+        scored = sorted(
+            ((-float(pv @ v / (np.linalg.norm(pv) * np.linalg.norm(v))), nid)
+             for nid, (_, v) in X.items() if nid != pid))[:5]
+        votes = {}
+        for _, nid in scored:
+            votes[X[nid][0]] = votes.get(X[nid][0], 0) + 1
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        conf[(tl, pred)] = conf.get((tl, pred), 0) + 1
+    assert out == conf
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Normal-equation betas ≈ numpy lstsq on the same design matrix;
+    R² in (0, 1]."""
+    import numpy as np
+
+    row = E.queries()["ml_ols_normal_equations"](spark, SF_ORACLE).collect()[0]
+    li = (spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+          .select("l_quantity", "l_discount", "l_extendedprice").collect())
+    A = np.array([[1.0, r["l_quantity"], r["l_discount"]] for r in li])
+    y = np.array([r["l_extendedprice"] for r in li])
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    assert row["n"] == len(li)
+    assert abs(row["beta0"] - beta[0]) < 1e-2 * max(1.0, abs(beta[0]))
+    assert abs(row["beta1"] - beta[1]) < 1e-2 * max(1.0, abs(beta[1]))
+    assert abs(row["beta2"] - beta[2]) < 1e-2 * max(1.0, abs(beta[2]))
+    assert 0.0 < row["r2"] <= 1.0
+
+
+def test_benford_is_a_probability_audit(spark):
+    """Observed shares and expected shares each sum to ~1; counts sum
+    to the order count; expected shares are exactly log10(1+1/d)."""
+    import math
+
+    rows = E.queries()["agg_benford_deviation"](spark, SF_ORACLE).collect()
+    n_orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["exp_share"] == math.log10(1 + 1 / r["first_digit"])
+        assert r["chi2_term"] >= 0.0
