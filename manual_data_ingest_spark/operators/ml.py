@@ -355,3 +355,349 @@ def ml_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("b1p") / 100.0, 6).alias("beta1"),
         rnd(F.col("b2p"), 6).alias("beta2"),
         rnd(F.lit(1.0) - F.col("ssr") / F.col("sst"), 6).alias("r2"))
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via distributed Gram accumulation + power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 5
+
+
+def _pca_oracle(iters: int, dim: int) -> str:
+    """Covariance from long-form raw moments + the identical unrolled
+    power iteration (9dp-rounded per step) as portable SQL."""
+    head = f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+), vd AS (
+  SELECT id, t.d AS d, CAST(embedding[CAST(t.d AS INTEGER)] AS DOUBLE) AS x
+  FROM v, generate_series(1, {dim}) AS t(d)
+), s1 AS (
+  SELECT d, sum(x) AS s FROM vd GROUP BY d
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM v
+), s12 AS (
+  SELECT a.d AS d1, b.d AS d2, sum(a.x * b.x) AS s
+  FROM vd a JOIN vd b USING (id)
+  GROUP BY a.d, b.d
+), cov AS (
+  SELECT d1, d2,
+         {sql_rnd('(s12.s - (a.s * b.s) / nn.n) / nn.n', 9)} AS c
+  FROM s12, nn
+  JOIN s1 a ON a.d = s12.d1
+  JOIN s1 b ON b.d = s12.d2
+), v0 AS (
+  SELECT d, CAST(0.125 AS DOUBLE) AS vv FROM generate_series(1, {dim}) t(d)
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", w{k} AS (
+  SELECT cov.d1 AS d, sum(cov.c * p.vv) AS w
+  FROM cov JOIN v{k-1} p ON cov.d2 = p.d
+  GROUP BY cov.d1
+), nrm{k} AS (
+  SELECT sqrt(sum(w * w)) AS nrm FROM w{k}
+), v{k} AS (
+  SELECT d, {sql_rnd('w / nrm', 9)} AS vv FROM w{k}, nrm{k}
+)""")
+    tail = f""", wf AS (
+  SELECT cov.d1 AS d, sum(cov.c * p.vv) AS w
+  FROM cov JOIN v{iters} p ON cov.d2 = p.d
+  GROUP BY cov.d1
+), eig AS (
+  SELECT {sql_rnd('sum(wf.w * p.vv)', 6)} AS eigval
+  FROM wf JOIN v{iters} p USING (d)
+)
+SELECT p.d AS dim, {sql_rnd('p.vv', 6)} AS loading, eig.eigval
+FROM v{iters} p, eig
+"""
+    return head + "".join(steps) + tail
+
+
+@register("ml_pca_power", _pca_oracle(_PCA_ITERS, _DIM))
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: distributed
+    covariance + 5 power-iteration steps; emits the 64 loadings and
+    the Rayleigh-quotient eigenvalue.
+
+    Scale shape — the two halves are different sizes and get different
+    strategies:
+    - **Covariance (fact-sized)**: mapInPandas accumulates per-batch
+      Gram matrices with one BLAS matmul (``Mᵀ M``) — each Arrow batch
+      contributes D²+D+1 partial rows, so the shuffle moves
+      O(batches·D²), never O(N·D²). The long-form relational
+      equivalent (what the oracle runs) would shuffle N·D² rows — the
+      measured difference IS the point of the Gram shape.
+    - **Iteration (D²-sized)**: the 64×64 covariance localCheckpoints
+      and each step is a D²-row join+groupBy; the driver carries only
+      the loop counter.
+
+    Cross-engine determinism: covariance entries round at 9dp (raw
+    moment drift ~1e-13 vs the 5e-10 margin), and the iterate
+    re-rounds at 9dp after every normalize, so both engines walk the
+    identical trajectory from bit-identical state; numpy's pairwise
+    batch summation vs DuckDB's sequential fold differences collapse
+    at the same rounding. Start vector 1/8 = 0.125 is exact binary.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gram_batches(batches):
+        import numpy as np
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            G = M.T @ M
+            d1, d2 = np.meshgrid(np.arange(1, _DIM + 1),
+                                 np.arange(1, _DIM + 1), indexing="ij")
+            out = pd.DataFrame({"d1": d1.ravel(), "d2": d2.ravel(),
+                                "g": G.ravel()})
+            colsum = pd.DataFrame({"d1": np.arange(1, _DIM + 1),
+                                   "d2": np.full(_DIM, -1),
+                                   "g": M.sum(axis=0)})
+            cnt = pd.DataFrame({"d1": [-1], "d2": [-1],
+                                "g": [float(M.shape[0])]})
+            yield pd.concat([out, colsum, cnt], ignore_index=True)
+
+    parts = (emb.select("embedding")
+             .mapInPandas(gram_batches, "d1 int, d2 int, g double")
+             .groupBy("d1", "d2").agg(F.sum("g").alias("s")))
+    s12 = (parts.filter(F.col("d2") > 0)
+           .select("d1", "d2", F.col("s").alias("s12")))
+    s1 = (parts.filter((F.col("d2") == -1) & (F.col("d1") > 0))
+          .select(F.col("d1").alias("d"), F.col("s")))
+    nn = (parts.filter(F.col("d1") == -1)
+          .select(F.col("s").alias("n")))
+    a, b = s1.alias("a"), s1.alias("b")
+    cov = (s12.crossJoin(F.broadcast(nn))
+           .join(a, F.col("a.d") == F.col("d1"))
+           .join(b, F.col("b.d") == F.col("d2"))
+           .select("d1", "d2",
+                   rnd((F.col("s12") - F.col("a.s") * F.col("b.s")
+                        / F.col("n")) / F.col("n"), 9).alias("c"))
+           .localCheckpoint(eager=True))  # D² rows; facts never re-read
+
+    vcur = spark.range(1, _DIM + 1).select(
+        F.col("id").cast("int").alias("d"), F.lit(0.125).alias("vv"))
+    for _ in range(_PCA_ITERS):
+        w = (cov.join(vcur, cov.d2 == vcur.d)
+             .groupBy(F.col("d1").alias("d"))
+             .agg(F.sum(F.col("c") * F.col("vv")).alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        vcur = (w.crossJoin(F.broadcast(nrm))
+                .select("d", rnd(F.col("w") / F.col("nrm"), 9).alias("vv"))
+                .localCheckpoint(eager=True))
+    wf = (cov.join(vcur, cov.d2 == vcur.d)
+          .groupBy(F.col("d1").alias("d"))
+          .agg(F.sum(F.col("c") * F.col("vv")).alias("w")))
+    eig = (wf.join(vcur, "d")
+           .agg(rnd(F.sum(F.col("w") * F.col("vv")), 6).alias("eigval")))
+    return (vcur.crossJoin(F.broadcast(eig))
+            .select(F.col("d").alias("dim"),
+                    rnd(F.col("vv"), 6).alias("loading"), "eigval"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization: 8 subspaces × K=4 codes, grouped Lloyd training
+# ---------------------------------------------------------------------------
+
+_PQ_SUB = 8    # subspaces of 8 dims each
+_PQ_K = 4      # codes per subspace
+_PQ_ITERS = 2
+
+
+def _pq_oracle(k: int, iters: int, dim: int, nsub: int) -> str:
+    """All-subspaces-at-once grouped Lloyd trajectory unrolled to SQL —
+    identical to the k-means oracle with a subspace key threaded
+    through every grouping/partition clause."""
+    head = f"""
+WITH v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+), vd AS (
+  SELECT id, (t.d - 1) // {dim // nsub} AS s, t.d AS d,
+         CAST(embedding[CAST(t.d AS INTEGER)] AS DOUBLE) AS x
+  FROM v, generate_series(1, {dim}) AS t(d)
+), init AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS cl
+  FROM (SELECT id FROM v ORDER BY id LIMIT {k})
+), cd0 AS (
+  SELECT vd.s, init.cl, vd.d, {sql_rnd('avg(vd.x)', 6)} AS c
+  FROM init JOIN vd USING (id) GROUP BY vd.s, init.cl, vd.d
+)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""", dist{i} AS (
+  SELECT vd.id, vd.s, cd.cl, sum((vd.x - cd.c) * (vd.x - cd.c)) AS dist2
+  FROM vd JOIN cd{i-1} cd ON vd.s = cd.s AND vd.d = cd.d
+  GROUP BY vd.id, vd.s, cd.cl
+), assign{i} AS (
+  SELECT id, s, cl, dist2 FROM dist{i}
+  QUALIFY row_number() OVER (PARTITION BY id, s ORDER BY dist2, cl) = 1
+), cd{i} AS (
+  SELECT a.s, a.cl, vd.d, {sql_rnd('avg(vd.x)', 6)} AS c
+  FROM assign{i} a JOIN vd ON vd.id = a.id AND vd.s = a.s
+  GROUP BY a.s, a.cl, vd.d
+)""")
+    tail = f""", final_dist AS (
+  SELECT vd.id, vd.s, cd.cl, sum((vd.x - cd.c) * (vd.x - cd.c)) AS dist2
+  FROM vd JOIN cd{iters} cd ON vd.s = cd.s AND vd.d = cd.d
+  GROUP BY vd.id, vd.s, cd.cl
+), final_assign AS (
+  SELECT id, s, cl, dist2 FROM final_dist
+  QUALIFY row_number() OVER (PARTITION BY id, s ORDER BY dist2, cl) = 1
+)
+SELECT s AS subspace, cl AS code,
+       count(*) AS n_vecs,
+       {sql_rnd('avg(dist2)', 6)} AS mse
+FROM final_assign
+GROUP BY s, cl
+"""
+    return head + "".join(steps) + tail
+
+
+@register("sim_pq_quantize", _pq_oracle(_PQ_K, _PQ_ITERS, _DIM, _PQ_SUB))
+def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: split each 64-dim vector
+    into 8 contiguous 8-dim subvectors and run Lloyd's k-means (K=4,
+    2 iterations, lowest-id init) INDEPENDENTLY per subspace — but as
+    ONE grouped computation: the subspace id rides every key, so all 8
+    codebooks train in a single distance-join/argmin/update pipeline
+    per iteration instead of 8 separate jobs. Emits per-(subspace,
+    code) population and quantization MSE — the codebook quality
+    report before writing PQ codes (8 bytes/vector here vs 256 raw).
+
+    The 100 TB story completes the vector-index trilogy:
+    `ml_kmeans_embeddings` trains the IVF coarse cells,
+    `sim_quantize_int8` is scalar quantization, and this is the PQ
+    fine-grained residual compressor — same shuffle skeleton as the
+    k-means trainer (keys gain an 8-valued subspace component: wider,
+    never deeper). Same determinism contract: double promotion at
+    extraction, 6dp-rounded centroids per update, (dist2, cl) argmin
+    tie-break.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("vec_id").cast("long").alias("id"), "embedding")
+    sub_w = _DIM // _PQ_SUB
+    vd = (v.select("id", F.posexplode("embedding").alias("d0", "x"))
+          .select("id",
+                  F.expr(f"d0 div {sub_w}").alias("s"),
+                  (F.col("d0") + 1).alias("d"),
+                  F.col("x").cast("double").alias("x"))
+          .localCheckpoint(eager=True))
+
+    init = (v.orderBy("id").limit(_PQ_K)
+            .select("id", (F.row_number().over(Window.orderBy("id")) - 1)
+                    .alias("cl")))
+    cd = (init.join(vd, "id")
+          .groupBy("s", "cl", "d")
+          .agg(rnd(F.avg("x"), 6).alias("c")))
+
+    def assign_against(centroids: DataFrame) -> DataFrame:
+        dist = (vd.join(F.broadcast(centroids), ["s", "d"])
+                .groupBy("id", "s", "cl")
+                .agg(F.sum((F.col("x") - F.col("c"))
+                           * (F.col("x") - F.col("c"))).alias("dist2")))
+        return (dist.groupBy("id", "s")
+                .agg(F.min(F.struct("dist2", "cl")).alias("m"))
+                .select("id", "s", F.col("m.cl").alias("cl"),
+                        F.col("m.dist2").alias("dist2")))
+
+    for _ in range(_PQ_ITERS):
+        assign = assign_against(cd)
+        cd = (assign.join(vd, ["id", "s"])
+              .groupBy("s", "cl", "d")
+              .agg(rnd(F.avg("x"), 6).alias("c"))
+              .localCheckpoint(eager=True))
+
+    final = assign_against(cd)
+    return (final.groupBy(F.col("s").alias("subspace"),
+                          F.col("cl").alias("code"))
+            .agg(F.count("*").alias("n_vecs"),
+                 rnd(F.avg("dist2"), 6).alias("mse")))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for experimentation metrics
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"  # pre-period | post-period boundary
+
+# shared moment-algebra text (population moments over per-user cent ints):
+# inputs are EXACT integer sums cast to double, so every derived value
+# below is a fixed IEEE op sequence — identical on both engines
+_VARX = "((sxx - (sx * sx) / n) / n)"
+_VARY = "((syy - (sy * sy) / n) / n)"
+_COVXY = "((sxy - (sx * sy) / n) / n)"
+_THETA = f"({_COVXY} / {_VARX})"
+_VARCUPED = f"({_VARY} - ({_COVXY} * {_COVXY}) / {_VARX})"
+
+
+@register("ml_cuped_adjustment", f"""
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(count(*)   AS DOUBLE) AS n,
+         CAST(sum(x)     AS DOUBLE) AS sx,
+         CAST(sum(y)     AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       floor({_THETA} * 1000000.0 + 0.5) / 1000000.0 AS theta,
+       floor({_VARY} / 10000.0 * 10000.0 + 0.5) / 10000.0 AS var_y,
+       floor({_VARCUPED} / 10000.0 * 10000.0 + 0.5) / 10000.0 AS var_cuped,
+       floor((100.0 * (1.0 - {_VARCUPED} / {_VARY})) * 10000.0 + 0.5)
+           / 10000.0 AS reduction_pct
+FROM m
+""")
+def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B metrics: per-user post-period
+    value adjusted by the pre-period covariate
+    (ŷ = y − θ·(x − x̄), θ = cov(x,y)/var(x)). Emits θ, the raw and
+    CUPED-adjusted metric variance (dollars², closed form
+    var_y − cov²/var_x) and the percentage reduction — the number that
+    decides how much smaller the experiment can be.
+
+    Determinism: per-user pre/post sums are EXACT integer cents, so
+    the user-level moment sums are exact ints < 2^53; θ and both
+    variances are fixed IEEE sequences over those exact inputs (the
+    moment-algebra text is shared with the oracle), identical across
+    engines with no intermediate rounding.
+
+    100 TB: one shuffle on user_id for the per-user rollup, then one
+    constant-size moment aggregate — the experimentation-platform
+    nightly job in two exchanges.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum(F.when(F.col("ts") < _CUPED_SPLIT, cents)
+                           .otherwise(F.lit(0))).alias("x"),
+                     F.sum(F.when(F.col("ts") >= _CUPED_SPLIT, cents)
+                           .otherwise(F.lit(0))).alias("y")))
+    m = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        rnd(F.expr(_THETA), 6).alias("theta"),
+        rnd(F.expr(_VARY) / 10000.0, 4).alias("var_y"),
+        rnd(F.expr(_VARCUPED) / 10000.0, 4).alias("var_cuped"),
+        rnd(F.lit(100.0) * (F.lit(1.0) - F.expr(_VARCUPED) / F.expr(_VARY)),
+            4).alias("reduction_pct"))

@@ -993,3 +993,105 @@ def test_benford_is_a_probability_audit(spark):
     for r in rows:
         assert r["exp_share"] == math.log10(1 + 1 / r["first_digit"])
         assert r["chi2_term"] >= 0.0
+
+
+def test_pca_replays_power_trajectory(spark):
+    """Exact numpy replay of the 5-step rounded power iteration (the
+    fixture spectrum is nearly flat at sf0.001, so convergence to the
+    true eigenvector is NOT the contract — the deterministic trajectory
+    is); the eigenvalue must also lie within the covariance spectrum."""
+    import numpy as np
+
+    rows = E.queries()["ml_pca_power"](spark, SF_SMALL).collect()
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim"] - 1] = r["loading"]
+    eig_spark = rows[0]["eigval"]
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in
+                  spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+                  .collect()])
+    n = M.shape[0]
+    s1 = M.sum(axis=0)
+    C = np.floor(((M.T @ M) - np.outer(s1, s1) / n) / n * 1e9 + 0.5) / 1e9
+    vv = np.full(64, 0.125)
+    for _ in range(5):
+        w = C @ vv
+        vv = np.floor(w / np.linalg.norm(w) * 1e9 + 0.5) / 1e9
+    assert np.allclose(v, np.floor(vv * 1e6 + 0.5) / 1e6, atol=2e-6)
+    ray = float(vv @ (C @ vv))
+    assert abs(eig_spark - ray) < 1e-4
+    wspec = np.linalg.eigvalsh(np.cov(M, rowvar=False, bias=True))
+    assert wspec[0] - 1e-6 <= eig_spark <= wspec[-1] + 1e-6
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+
+def test_pq_replays_grouped_lloyd(spark):
+    """Full numpy replay of the 8-subspace grouped Lloyd trajectory at
+    sf0.001: populations and MSE per (subspace, code) match."""
+    import numpy as np
+
+    out = {(r["subspace"], r["code"]): r for r in
+           E.queries()["sim_pq_quantize"](spark, SF_SMALL).collect()}
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    X = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+         for r in rows}
+    ids = sorted(X)
+    for s in range(8):
+        sub = {i: X[i][s * 8:(s + 1) * 8] for i in ids}
+        cent = {cl: np.floor(sub[i] * 1e6 + 0.5) / 1e6
+                for cl, i in enumerate(ids[:4])}
+        assign = {}
+        for _ in range(2):
+            for i in ids:
+                d = {cl: float(((sub[i] - c) ** 2).sum())
+                     for cl, c in cent.items()}
+                assign[i] = min(d, key=lambda cl: (d[cl], cl))
+            cent = {cl: np.floor(np.mean([sub[i] for i in ids
+                                          if assign[i] == cl], axis=0)
+                                 * 1e6 + 0.5) / 1e6
+                    for cl in set(assign.values())}
+        sizes, sse = {}, {}
+        for i in ids:
+            d = {cl: float(((sub[i] - c) ** 2).sum())
+                 for cl, c in cent.items()}
+            cl = min(d, key=lambda cl: (d[cl], cl))
+            sizes[cl] = sizes.get(cl, 0) + 1
+            sse[cl] = sse.get(cl, 0.0) + d[cl]
+        for cl, nv in sizes.items():
+            assert out[(s, cl)]["n_vecs"] == nv
+            assert abs(out[(s, cl)]["mse"] - sse[cl] / nv) < 1e-4
+
+
+def test_cuped_reduces_variance_consistently(spark):
+    """var_cuped ≤ var_y, the reduction equals cov²/(var_x·var_y)
+    (i.e. corr²), and a numpy replay from per-user cent sums agrees."""
+    import numpy as np
+
+    row = E.queries()["ml_cuped_adjustment"](spark, SF_ORACLE).collect()[0]
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").collect()
+    import collections
+    pre, post = collections.defaultdict(int), collections.defaultdict(int)
+    import datetime
+    split = datetime.datetime(2024, 1, 16)
+    for r in ev:
+        cents = int(np.floor(r["value"] * 100.0 + 0.5))
+        ts = r["ts"]
+        if isinstance(ts, int):  # nanos under the engine session config
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=ts // 1000)
+        if ts < split:
+            pre[r["user_id"]] += cents
+            post[r["user_id"]] += 0
+        else:
+            post[r["user_id"]] += cents
+            pre[r["user_id"]] += 0
+    users = sorted(pre)
+    x = np.array([pre[u] for u in users], dtype=np.float64)
+    y = np.array([post[u] for u in users], dtype=np.float64)
+    varx, vary = x.var(), y.var()
+    cov = ((x - x.mean()) * (y - y.mean())).mean()
+    assert row["n_users"] == len(users)
+    assert row["var_cuped"] <= row["var_y"]
+    assert abs(row["theta"] - cov / varx) < 1e-4
+    assert abs(row["var_y"] - vary / 1e4) < 0.01
+    assert abs(row["reduction_pct"] - 100.0 * cov * cov / (varx * vary)) < 0.01
