@@ -701,3 +701,149 @@ def ml_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr(_VARCUPED) / 10000.0, 4).alias("var_cuped"),
         rnd(F.lit(100.0) * (F.lit(1.0) - F.expr(_VARCUPED) / F.expr(_VARY)),
             4).alias("reduction_pct"))
+
+
+# ---------------------------------------------------------------------------
+# logistic regression via Newton-Raphson (IRLS), 2 fixed steps
+# ---------------------------------------------------------------------------
+
+_LOGIT_ITERS = 2
+
+# H = [[h11,h12,h13],[h12,h22,h23],[h13,h23,h33]], g = [g1,g2,g3]
+_LDET = _det3("h11", "h12", "h13", "h12", "h22", "h23", "h13", "h23", "h33")
+_LD1 = _det3("g1", "h12", "h13", "g2", "h22", "h23", "g3", "h23", "h33")
+_LD2 = _det3("h11", "g1", "h13", "h12", "g2", "h23", "h13", "g3", "h33")
+_LD3 = _det3("h11", "h12", "g1", "h12", "h22", "g2", "h13", "h23", "g3")
+
+#: per-row feature/target text (orders): intercept, scaled price, month
+_LOGIT_XY_SQL = """
+  SELECT CAST(o_totalprice AS DOUBLE) / 100000.0 AS x1,
+         CAST(month(o_orderdate) AS DOUBLE) / 12.0 AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+"""
+
+_RND9 = "floor(%s * 1000000000.0 + 0.5) / 1000000000.0"
+
+
+def _logit_oracle(iters: int) -> str:
+    """The identical IRLS trajectory unrolled into SQL CTEs: per step,
+    9dp-rounded gradient/Hessian sums feed the shared Cramer solve and
+    the updated β re-rounds at 9dp."""
+    head = f"""
+WITH xy AS ({_LOGIT_XY_SQL}),
+beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+                 CAST(0.0 AS DOUBLE) AS b2)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", p{k} AS (
+  SELECT xy.x1, xy.x2, xy.y,
+         1.0 / (1.0 + exp(-(b.b0 + b.b1 * xy.x1 + b.b2 * xy.x2))) AS p
+  FROM xy, beta{k-1} b
+), m{k} AS (
+  SELECT {_RND9 % 'sum(p * (1.0 - p))'}             AS h11,
+         {_RND9 % 'sum(p * (1.0 - p) * x1)'}        AS h12,
+         {_RND9 % 'sum(p * (1.0 - p) * x2)'}        AS h13,
+         {_RND9 % 'sum(p * (1.0 - p) * x1 * x1)'}   AS h22,
+         {_RND9 % 'sum(p * (1.0 - p) * x1 * x2)'}   AS h23,
+         {_RND9 % 'sum(p * (1.0 - p) * x2 * x2)'}   AS h33,
+         {_RND9 % 'sum(y - p)'}                      AS g1,
+         {_RND9 % 'sum((y - p) * x1)'}               AS g2,
+         {_RND9 % 'sum((y - p) * x2)'}               AS g3
+  FROM p{k}
+), beta{k} AS (
+  SELECT {_RND9 % f'(b.b0 + ({_LD1}) / ({_LDET}))'} AS b0,
+         {_RND9 % f'(b.b1 + ({_LD2}) / ({_LDET}))'} AS b1,
+         {_RND9 % f'(b.b2 + ({_LD3}) / ({_LDET}))'} AS b2
+  FROM m{k}, beta{k-1} b
+)""")
+    tail = f""", final AS (
+  SELECT xy.y,
+         1.0 / (1.0 + exp(-(b.b0 + b.b1 * xy.x1 + b.b2 * xy.x2))) AS p,
+         b.b0, b.b1, b.b2
+  FROM xy, beta{iters} b
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       floor(b0 * 1000000.0 + 0.5) / 1000000.0 AS beta0,
+       floor(b1 * 1000000.0 + 0.5) / 1000000.0 AS beta1,
+       floor(b2 * 1000000.0 + 0.5) / 1000000.0 AS beta2,
+       floor(sum(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 10000.0 + 0.5)
+           / 10000.0 AS log_likelihood,
+       CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_predicted_pos
+FROM final
+GROUP BY b0, b1, b2
+"""
+    return head + "".join(steps) + tail
+
+
+@register("ml_logistic_newton", _logit_oracle(_LOGIT_ITERS))
+def ml_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression (urgent-priority ~ scaled price + month)
+    trained with 2 fixed Newton-Raphson/IRLS steps from β=0. Emits β,
+    the final log-likelihood and the predicted-positive count.
+
+    Distribution: the fact is scanned once per step to accumulate the
+    9 gradient/Hessian moments (constant-size partial aggregation —
+    the same "big data, small model" shape as the OLS trainer); the
+    3×3 solve is a one-row projection through the SHARED Cramer text.
+
+    Determinism: exp() is ≤1-ulp but NOT correctly rounded on either
+    engine, so the moment sums carry ~1e-12 drift — each is rounded at
+    9dp (margin 5e-10) before the solve, and β re-rounds at 9dp per
+    step, so both engines take identical steps. The log-likelihood
+    rounds at 4dp over the same headroom.
+    """
+    li = load_table(spark, sf_dir, "orders")
+    xy = li.select(
+        (F.col("o_totalprice").cast("double") / 100000.0).alias("x1"),
+        (F.month("o_orderdate").cast("double") / 12.0).alias("x2"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0)
+        .otherwise(0.0).alias("y")).localCheckpoint(eager=True)
+
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"))
+    r9 = lambda c: F.floor(c * 1000000000.0 + 0.5) / 1000000000.0
+    for _ in range(_LOGIT_ITERS):
+        p = (xy.crossJoin(F.broadcast(beta))
+             .withColumn("p", 1.0 / (1.0 + F.exp(
+                 -(F.col("b0") + F.col("b1") * F.col("x1")
+                   + F.col("b2") * F.col("x2"))))))
+        w = F.col("p") * (1.0 - F.col("p"))
+        m = p.agg(
+            r9(F.sum(w)).alias("h11"),
+            r9(F.sum(w * F.col("x1"))).alias("h12"),
+            r9(F.sum(w * F.col("x2"))).alias("h13"),
+            r9(F.sum(w * F.col("x1") * F.col("x1"))).alias("h22"),
+            r9(F.sum(w * F.col("x1") * F.col("x2"))).alias("h23"),
+            r9(F.sum(w * F.col("x2") * F.col("x2"))).alias("h33"),
+            r9(F.sum(F.col("y") - F.col("p"))).alias("g1"),
+            r9(F.sum((F.col("y") - F.col("p")) * F.col("x1"))).alias("g2"),
+            r9(F.sum((F.col("y") - F.col("p")) * F.col("x2"))).alias("g3"))
+        beta = (m.crossJoin(F.broadcast(beta))
+                .select(r9(F.col("b0") + F.expr(f"({_LD1}) / ({_LDET})"))
+                        .alias("b0"),
+                        r9(F.col("b1") + F.expr(f"({_LD2}) / ({_LDET})"))
+                        .alias("b1"),
+                        r9(F.col("b2") + F.expr(f"({_LD3}) / ({_LDET})"))
+                        .alias("b2"))
+                .localCheckpoint(eager=True))
+
+    final = (xy.crossJoin(F.broadcast(beta))
+             .withColumn("p", 1.0 / (1.0 + F.exp(
+                 -(F.col("b0") + F.col("b1") * F.col("x1")
+                   + F.col("b2") * F.col("x2"))))))
+    return (final.groupBy("b0", "b1", "b2")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.sum(F.col("y") * F.log("p")
+                           + (1.0 - F.col("y")) * F.log(1.0 - F.col("p"))),
+                     4).alias("log_likelihood"),
+                 F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0))
+                 .alias("n_predicted_pos"))
+            .select("n",
+                    rnd(F.col("b0"), 6).alias("beta0"),
+                    rnd(F.col("b1"), 6).alias("beta1"),
+                    rnd(F.col("b2"), 6).alias("beta2"),
+                    "log_likelihood", "n_predicted_pos"))

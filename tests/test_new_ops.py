@@ -1095,3 +1095,34 @@ def test_cuped_reduces_variance_consistently(spark):
     assert abs(row["theta"] - cov / varx) < 1e-4
     assert abs(row["var_y"] - vary / 1e4) < 0.01
     assert abs(row["reduction_pct"] - 100.0 * cov * cov / (varx * vary)) < 0.01
+
+
+def test_logistic_newton_matches_sklearn_free_replay(spark):
+    """Exact numpy replay of the 2-step rounded IRLS trajectory at
+    sf0.001, plus sanity: log-likelihood ≥ the β=0 baseline (each
+    Newton step from 0 must improve fit on these counts)."""
+    import numpy as np
+
+    row = E.queries()["ml_logistic_newton"](spark, SF_SMALL).collect()[0]
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    X = np.array([[1.0, r["o_totalprice"] / 100000.0,
+                   r["o_orderdate"].month / 12.0] for r in o])
+    y = np.array([1.0 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH")
+                  else 0.0 for r in o])
+    r9 = lambda v: np.floor(v * 1e9 + 0.5) / 1e9
+    beta = np.zeros(3)
+    for _ in range(2):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        w = p * (1 - p)
+        H = r9((X * w[:, None]).T @ X)
+        g = r9(X.T @ (y - p))
+        beta = r9(beta + np.linalg.solve(H, g))
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    ll = float((y * np.log(p) + (1 - y) * np.log(1 - p)).sum())
+    assert row["n"] == len(o)
+    assert abs(row["beta0"] - beta[0]) < 2e-6
+    assert abs(row["beta1"] - beta[1]) < 2e-6
+    assert abs(row["beta2"] - beta[2]) < 2e-6
+    assert abs(row["log_likelihood"] - ll) < 1e-2
+    base_ll = len(o) * np.log(0.5)
+    assert row["log_likelihood"] >= base_ll - 1e-6
