@@ -123,6 +123,33 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("r"), 6).alias("pagerank")))
 
 
+def _mutual_topk_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-8 strongest-tie co-supplier edge set (u < v_),
+    localCheckpointed: the fact-sized co-occurrence extraction runs
+    once and every consumer re-reads ≤ 8·|V| rows. Shared by
+    `graph_triangle_count` and `graph_link_prediction`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_suppkey").alias("sk")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    pair = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                   & (F.col("a.sk") < F.col("b.sk")))
+            .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v_"))
+            .agg(F.count("*").alias("co")))
+    sym = (pair.select(F.col("u").alias("node"), F.col("v_").alias("nbr"), "co")
+           .unionAll(pair.select(F.col("v_").alias("node"),
+                                 F.col("u").alias("nbr"), "co")))
+    wnd = Window.partitionBy("node").orderBy(F.col("co").desc(), F.col("nbr"))
+    topk = (sym.withColumn("rn", F.row_number().over(wnd))
+            .filter(F.col("rn") <= 8).select("node", "nbr"))
+    ta, tb = topk.alias("ta"), topk.alias("tb")
+    return (ta.join(tb, (F.col("ta.node") == F.col("tb.nbr"))
+                    & (F.col("ta.nbr") == F.col("tb.node")))
+            .filter(F.col("ta.node") < F.col("ta.nbr"))
+            .select(F.col("ta.node").alias("u"), F.col("ta.nbr").alias("v_"))
+            .localCheckpoint(eager=True))
+
+
 @register("graph_triangle_count", """
 WITH os AS (
   SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
@@ -203,28 +230,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≤ 8·|V| rows; the fact-derived edge list is localCheckpointed
     so the four stat branches never re-run the extraction.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select(F.col("l_orderkey").alias("ok"),
-                    F.col("l_suppkey").alias("sk")).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    pair = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
-                   & (F.col("a.sk") < F.col("b.sk")))
-            .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v_"))
-            .agg(F.count("*").alias("co")))
-    sym = (pair.select(F.col("u").alias("node"), F.col("v_").alias("nbr"), "co")
-           .unionAll(pair.select(F.col("v_").alias("node"),
-                                 F.col("u").alias("nbr"), "co")))
-    wnd = Window.partitionBy("node").orderBy(F.col("co").desc(), F.col("nbr"))
-    topk = (sym.withColumn("rn", F.row_number().over(wnd))
-            .filter(F.col("rn") <= 8).select("node", "nbr"))
-    ta, tb = topk.alias("ta"), topk.alias("tb")
-    # mutual edges only, deduped to u<v; fact-derived — checkpoint so
-    # the stat branches below re-read ≤8·|V| rows, not the fact join
-    e = (ta.join(tb, (F.col("ta.node") == F.col("tb.nbr"))
-                 & (F.col("ta.nbr") == F.col("tb.node")))
-         .filter(F.col("ta.node") < F.col("ta.nbr"))
-         .select(F.col("ta.node").alias("u"), F.col("ta.nbr").alias("v_"))
-         .localCheckpoint(eager=True))
+    e = _mutual_topk_edges(spark, sf_dir)
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v_").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -258,3 +264,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("n_triangles").cast("double")
                                / F.col("n_wedges").cast("double"))
                         .otherwise(0.0), 6).alias("closure_rate")))
+
+
+@register("graph_link_prediction", """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), pair AS (
+  SELECT a.sk AS u, b.sk AS v_, count(*) AS co
+  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+  GROUP BY a.sk, b.sk
+), sym AS (
+  SELECT u AS node, v_ AS nbr, co FROM pair
+  UNION ALL
+  SELECT v_ AS node, u AS nbr, co FROM pair
+), topk AS (
+  SELECT node, nbr FROM sym
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY co DESC, nbr) <= 8
+), e AS (
+  SELECT a.node AS u, a.nbr AS v_
+  FROM topk a JOIN topk b ON a.node = b.nbr AND a.nbr = b.node
+  WHERE a.node < a.nbr
+), adj AS (
+  SELECT u AS node, v_ AS nbr FROM e
+  UNION ALL
+  SELECT v_ AS node, u AS nbr FROM e
+), deg AS (
+  SELECT node, count(*) AS deg FROM adj GROUP BY node
+), cand AS (
+  SELECT a.node AS u, b.node AS v_, count(*) AS cn
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY a.node, b.node
+), novel AS (
+  SELECT c.u, c.v_, c.cn FROM cand c
+  ANTI JOIN e ON e.u = c.u AND e.v_ = c.v_
+)
+SELECT u, v_ AS v, CAST(cn AS BIGINT) AS common_neighbors,
+       floor(CAST(cn AS DOUBLE)
+             / CAST(du.deg + dv.deg - cn AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM novel
+JOIN deg du ON du.node = u
+JOIN deg dv ON dv.node = v_
+ORDER BY CAST(cn AS DOUBLE) / CAST(du.deg + dv.deg - cn AS DOUBLE) DESC,
+         u, v_
+LIMIT 20
+""")
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the mutual top-8 co-supplier graph: for every
+    NON-adjacent node pair sharing ≥1 neighbor, score the missing edge
+    by neighborhood Jaccard |Γu∩Γv| / |Γu∪Γv|; emit the top-20 — the
+    "suppliers that should be trading partners" recommender.
+
+    Everything downstream of the shared (checkpointed) mutual-kNN edge
+    extraction is degree-bounded: candidate generation is the wedge
+    join (≤ 28·|V| pairs), the existing-edge exclusion is an anti
+    join, and the score is exact-integer arithmetic (cn, degrees) with
+    one rounded division — rank on the raw ratio with (u,v) tie-break,
+    identical on both engines. Adamic-Adar would need log(); Jaccard
+    deliberately stays in exact-int territory (PARITY discipline).
+    """
+    e = _mutual_topk_edges(spark, sf_dir)
+    adj = (e.select(F.col("u").alias("node"), F.col("v_").alias("nbr"))
+           .unionAll(e.select(F.col("v_").alias("node"),
+                              F.col("u").alias("nbr"))))
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a, b = adj.alias("a"), adj.alias("b")
+    cand = (a.join(b, (F.col("a.nbr") == F.col("b.nbr"))
+                   & (F.col("a.node") < F.col("b.node")))
+            .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v_"))
+            .agg(F.count("*").alias("cn")))
+    novel = cand.join(e, ["u", "v_"], "left_anti")
+    du, dv = deg.alias("du"), deg.alias("dv")
+    raw = (F.col("cn").cast("double")
+           / (F.col("du.deg") + F.col("dv.deg") - F.col("cn")).cast("double"))
+    return (novel.join(du, F.col("du.node") == F.col("u"))
+            .join(dv, F.col("dv.node") == F.col("v_"))
+            .select("u", F.col("v_").alias("v"),
+                    F.col("cn").alias("common_neighbors"),
+                    rnd(raw, 6).alias("jaccard"),
+                    raw.alias("_raw"))
+            .orderBy(F.col("_raw").desc(), F.col("u"), F.col("v"))
+            .limit(20)
+            .select("u", "v", "common_neighbors", "jaccard"))

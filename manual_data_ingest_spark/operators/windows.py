@@ -675,3 +675,68 @@ def win_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.count("*") - F.sum("retained")).alias("n_churned"),
                  rnd(1.0 - F.sum("retained").cast("double") / F.count("*"),
                      6).alias("churn_rate")))
+
+
+@register("win_seasonal_backtest", """
+WITH daily AS (
+  SELECT event_type,
+         date_trunc('day', ts::TIMESTAMP) AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_c
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts::TIMESTAMP)
+), paired AS (
+  SELECT a.event_type, a.day, a.total_c AS actual_c, f.total_c AS fc_c
+  FROM daily a
+  JOIN daily f ON f.event_type = a.event_type
+              AND f.day = a.day - INTERVAL 7 DAY
+)
+SELECT event_type,
+       count(*) AS n_days,
+       floor(CAST(sum(abs(actual_c - fc_c)) AS DOUBLE) / count(*)
+             / 100.0 * 100.0 + 0.5) / 100.0 AS mae,
+       floor(100.0 * CAST(sum(abs(actual_c - fc_c)) AS DOUBLE)
+             / CAST(sum(actual_c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+           AS mape_pct,
+       floor(CAST(sum(fc_c - actual_c) AS DOUBLE) / count(*)
+             / 100.0 * 100.0 + 0.5) / 100.0 AS bias
+FROM paired
+GROUP BY event_type
+""")
+def win_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event value with the SAME WEEKDAY one week earlier, then score
+    MAE / MAPE / bias per event type — the baseline every forecasting
+    pipeline must beat, and the sanity check run nightly over the
+    metric warehouse.
+
+    The forecast join is on (type, day−7) — a calendar join, not
+    ``lag(7)``: with gap days, "7 rows back" silently becomes a
+    different horizon per row, which is the classic backtest bug.
+    Daily totals are EXACT integer cents, so errors, MAE, MAPE and
+    bias are exact-integer arithmetic with one rounded division each —
+    bit-identical across engines.
+
+    100 TB: the daily rollup is the only fact-sized aggregate; the
+    self-join runs on (type, day) — dim-cardinality — and rides the
+    rollup's distribution.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+                  .alias("total_c")))
+    a, f = daily.alias("a"), daily.alias("f")
+    paired = a.join(
+        f, (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day") == F.col("a.day") - F.expr("INTERVAL 7 DAYS")))
+    err = F.col("a.total_c") - F.col("f.total_c")
+    return (paired.groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(F.count("*").alias("n_days"),
+                 rnd(F.sum(F.abs(err)).cast("double") / F.count("*")
+                     / 100.0).alias("mae"),
+                 rnd(F.lit(100.0) * F.sum(F.abs(err)).cast("double")
+                     / F.sum("a.total_c").cast("double"), 4).alias("mape_pct"),
+                 rnd(F.sum(-err).cast("double") / F.count("*")
+                     / 100.0).alias("bias")))

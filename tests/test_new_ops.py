@@ -1126,3 +1126,73 @@ def test_logistic_newton_matches_sklearn_free_replay(spark):
     assert abs(row["log_likelihood"] - ll) < 1e-2
     base_ll = len(o) * np.log(0.5)
     assert row["log_likelihood"] >= base_ll - 1e-6
+
+
+def test_link_prediction_laws(spark):
+    """Predicted pairs are NON-edges of the mutual-top-8 graph, jaccard
+    ∈ (0,1], and each score equals cn/(du+dv−cn) recomputed from the
+    brute-force graph replay at sf0.001."""
+    rows = E.queries()["graph_link_prediction"](spark, SF_SMALL).collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    os_ = {(r["l_orderkey"], r["l_suppkey"])
+           for r in li.select("l_orderkey", "l_suppkey").distinct().collect()}
+    from collections import defaultdict
+    per_order = defaultdict(set)
+    for ok, sk in os_:
+        per_order[ok].add(sk)
+    co = defaultdict(int)
+    for sks in per_order.values():
+        ss = sorted(sks)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                co[(ss[i], ss[j])] += 1
+    nbrs = defaultdict(list)
+    for (u, v), c in co.items():
+        nbrs[u].append((-c, v))
+        nbrs[v].append((-c, u))
+    top = {n: {v for _, v in sorted(l)[:8]} for n, l in nbrs.items()}
+    edges = {(u, v) for (u, v) in co if v in top[u] and u in top[v]}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for r in rows:
+        u, v = r["u"], r["v"]
+        assert (u, v) not in edges and (v, u) not in edges
+        cn = len(adj[u] & adj[v])
+        assert r["common_neighbors"] == cn
+        expected = cn / (len(adj[u]) + len(adj[v]) - cn)
+        assert abs(r["jaccard"] - expected) < 1e-6
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_seasonal_backtest_uses_calendar_horizon(spark):
+    """MAE/MAPE recompute exactly from a pandas replay that joins on
+    day−7 (calendar), and every type's n_days ≤ 23 (30-day fixture −
+    7-day warmup)."""
+    rows = {r["event_type"]: r for r in
+            E.queries()["win_seasonal_backtest"](spark, SF_ORACLE).collect()}
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet").collect()
+    import collections
+    import datetime
+    daily = collections.defaultdict(int)
+    for r in ev:
+        ts = r["ts"]
+        if isinstance(ts, int):
+            ts = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(microseconds=ts // 1000))
+        day = ts.date()
+        daily[(r["event_type"], day)] += int(r["value"] * 100.0 + 0.5)
+    for et, row in rows.items():
+        errs, actuals = [], []
+        for (t, day), actual in daily.items():
+            if t != et:
+                continue
+            prev = daily.get((t, day - datetime.timedelta(days=7)))
+            if prev is not None:
+                errs.append(abs(actual - prev))
+                actuals.append(actual)
+        assert row["n_days"] == len(errs) <= 23
+        assert abs(row["mae"] - sum(errs) / len(errs) / 100.0) < 0.011
+        assert abs(row["mape_pct"]
+                   - 100.0 * sum(errs) / sum(actuals)) < 1e-3
