@@ -966,3 +966,58 @@ def ingest_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "true_n",
         (F.col("true_n") + F.round(lap)).cast("long").alias("released_n"),
         rnd(F.lit(0.5), 6).alias("epsilon"))
+
+
+@register("ingest_partition_skew_report", """
+WITH per_part AS (
+  SELECT date_trunc('month', o_orderdate) AS part_month,
+         count(*) AS n_rows,
+         count(DISTINCT o_custkey) AS n_keys
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_rows) AS DOUBLE) / count(*) AS mean_rows,
+         max(n_rows) AS max_rows,
+         count(*) AS n_parts
+  FROM per_part
+)
+SELECT strftime(p.part_month, '%Y-%m') AS part_month,
+       CAST(p.n_rows AS BIGINT) AS n_rows,
+       CAST(p.n_keys AS BIGINT) AS n_keys,
+       floor(CAST(p.n_rows AS DOUBLE) / t.mean_rows * 10000.0 + 0.5)
+           / 10000.0 AS skew_vs_mean,
+       CASE WHEN CAST(p.n_rows AS DOUBLE) > 1.5 * t.mean_rows
+            THEN 1 ELSE 0 END AS is_hot
+FROM per_part p, tot t
+""")
+def ingest_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew report for the write-planning decision: rows and
+    distinct keys per candidate partition (order month), each
+    partition's size relative to the mean, and a hot flag at 1.5× —
+    the report that decides whether a partition column needs
+    sub-bucketing or salting BEFORE the 100 TB write happens (a hot
+    partition turns into a straggler task and an unsplittable file).
+
+    Exact-integer counts; the mean and ratios are single divisions of
+    exact ints, so the hot flag cannot flip between engines.
+
+    100 TB: one aggregate over the partition key (with partial
+    aggregation the exchange carries one row per key per task), and
+    the stats row is a scalar broadcast back over the key-cardinality
+    report — the facts are read once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_part = (o.groupBy(F.date_trunc("month", F.col("o_orderdate"))
+                          .alias("part_month"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.countDistinct("o_custkey").alias("n_keys")))
+    tot = per_part.agg(
+        (F.sum("n_rows").cast("double") / F.count("*")).alias("mean_rows"))
+    return (per_part.crossJoin(F.broadcast(tot))
+            .select(F.date_format("part_month", "yyyy-MM").alias("part_month"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.col("n_keys").cast("long").alias("n_keys"),
+                    rnd(F.col("n_rows").cast("double") / F.col("mean_rows"),
+                        4).alias("skew_vs_mean"),
+                    F.when(F.col("n_rows").cast("double")
+                           > 1.5 * F.col("mean_rows"), 1).otherwise(0)
+                    .alias("is_hot")))

@@ -740,3 +740,72 @@ def win_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.sum("a.total_c").cast("double"), 4).alias("mape_pct"),
                  rnd(F.sum(-err).cast("double") / F.count("*")
                      / 100.0).alias("bias")))
+
+
+@register("agg_cusum_changepoint", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS x
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts::TIMESTAMP)
+), stats AS (
+  SELECT event_type,
+         CAST(sum(x) AS DOUBLE) / count(*) AS mean_x,
+         count(*) AS n_days
+  FROM daily GROUP BY event_type
+), cusum AS (
+  SELECT d.event_type, d.day, s.n_days,
+         CAST(sum(d.x) OVER (PARTITION BY d.event_type ORDER BY d.day)
+              AS DOUBLE)
+         - (row_number() OVER (PARTITION BY d.event_type ORDER BY d.day))
+           * s.mean_x AS c
+  FROM daily d JOIN stats s USING (event_type)
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS changepoint_day,
+       floor(abs(c) / 100.0 * 100.0 + 0.5) / 100.0 AS max_abs_cusum,
+       CAST(n_days AS BIGINT) AS n_days
+FROM cusum
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(c) DESC, day) = 1
+""")
+def agg_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift locator a metrics-monitoring pipeline runs nightly
+    (a flat series wanders near 0; a step change makes |CUSUM| peak
+    exactly at the break).
+
+    Exactness: daily totals and their prefix sums are exact integer
+    cents; the mean is one exact division, so every CUSUM value is a
+    short identical IEEE sequence on both engines — the argmax
+    (|c| DESC, day) cannot diverge. The prefix sum is an ordered
+    window per type; the argmax QUALIFY rides the same partitioning.
+
+    100 TB: one fact rollup to (type, day) — everything after is
+    dim-sized; for per-entity changepoints the same shape partitions
+    by entity and the window stays within partitions.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+                  .alias("x")))
+    stats = (daily.groupBy("event_type")
+             .agg((F.sum("x").cast("double") / F.count("*")).alias("mean_x"),
+                  F.count("*").alias("n_days")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    cusum = (daily.join(F.broadcast(stats), "event_type")
+             .withColumn("c", F.sum("x").over(w).cast("double")
+                         - F.row_number().over(w) * F.col("mean_x")))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("day"))
+    return (cusum.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd")
+                    .alias("changepoint_day"),
+                    rnd(F.abs(F.col("c")) / 100.0).alias("max_abs_cusum"),
+                    F.col("n_days").cast("long").alias("n_days")))

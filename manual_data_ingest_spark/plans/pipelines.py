@@ -393,3 +393,92 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (refreshed.groupBy("status")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("score").alias("score_sum")))
+
+
+@register("pipeline_feature_store", """
+WITH snaps AS (
+  SELECT unnest([TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-22',
+                 TIMESTAMP '2024-01-29']) AS snap
+), ev AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), feat AS (
+  SELECT e.user_id, s.snap,
+         count(*) AS frequency,
+         sum(e.cents) AS monetary_c,
+         min(CAST(date_diff('day', e.ts, s.snap) AS BIGINT)) AS recency_days,
+         sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM ev e JOIN snaps s ON e.ts < s.snap
+  GROUP BY e.user_id, s.snap
+), lab AS (
+  SELECT e.user_id, s.snap, count(*) AS n_purch
+  FROM ev e JOIN snaps s
+    ON e.event_type = 'purchase'
+   AND e.ts >= s.snap AND e.ts < s.snap + INTERVAL 7 DAY
+  GROUP BY e.user_id, s.snap
+)
+SELECT f.user_id,
+       strftime(f.snap, '%Y-%m-%d') AS snapshot,
+       CAST(f.frequency AS BIGINT) AS frequency,
+       CAST(f.monetary_c AS BIGINT) AS monetary_cents,
+       f.recency_days,
+       floor(CAST(f.n_err AS DOUBLE) / f.frequency * 1000000.0 + 0.5)
+           / 1000000.0 AS error_rate,
+       CASE WHEN l.n_purch IS NULL THEN 0 ELSE 1 END AS label
+FROM feat f
+LEFT JOIN lab l ON l.user_id = f.user_id AND l.snap = f.snap
+""")
+def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store training-table build with POINT-IN-TIME
+    correctness: three weekly snapshot dates; per (user, snapshot) the
+    RFM features (frequency, monetary, recency, error rate) aggregate
+    ONLY events strictly before the snapshot, and the label (purchase
+    within the following 7 days) only events after — the leakage bug
+    this pipeline exists to prevent is features computed "as of now"
+    against labels from the past.
+
+    Scale shape: the snapshot spine is a 3-row broadcast; each event
+    row fans out only to the snapshots it precedes (≤ |snaps| copies —
+    a bounded multiplier, not a range-join explosion) and both the
+    feature and label aggregates ride one (user, snap) distribution.
+    At 100 TB with hundreds of snapshots the fan-out bound is the
+    retention window (events only feed snapshots within their horizon).
+
+    Everything emitted is exact-integer arithmetic (counts, cents,
+    date diffs) except the error rate — one rounded division.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = (load_events(spark, sf_dir)
+          .select("user_id", "ts", "event_type",
+                  F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+                  .alias("cents")))
+    snaps = spark.createDataFrame(
+        [("2024-01-15",), ("2024-01-22",), ("2024-01-29",)], ["s"]
+    ).select(F.to_timestamp("s").alias("snap"))
+
+    feat = (ev.join(F.broadcast(snaps), F.col("ts") < F.col("snap"))
+            .groupBy("user_id", "snap")
+            .agg(F.count("*").alias("frequency"),
+                 F.sum("cents").alias("monetary_c"),
+                 F.min(F.datediff(F.col("snap"), F.col("ts")).cast("long"))
+                 .alias("recency_days"),
+                 F.sum(F.when(F.col("event_type") == "error", 1)
+                       .otherwise(0)).alias("n_err")))
+    lab = (ev.filter(F.col("event_type") == "purchase")
+           .join(F.broadcast(snaps),
+                 (F.col("ts") >= F.col("snap"))
+                 & (F.col("ts") < F.col("snap") + F.expr("INTERVAL 7 DAYS")))
+           .groupBy("user_id", "snap")
+           .agg(F.count("*").alias("n_purch")))
+    return (feat.join(lab, ["user_id", "snap"], "left")
+            .select("user_id",
+                    F.date_format("snap", "yyyy-MM-dd").alias("snapshot"),
+                    "frequency",
+                    F.col("monetary_c").alias("monetary_cents"),
+                    "recency_days",
+                    rnd(F.col("n_err").cast("double") / F.col("frequency"),
+                        6).alias("error_rate"),
+                    F.when(F.col("n_purch").isNull(), 0).otherwise(1)
+                    .alias("label")))

@@ -1196,3 +1196,87 @@ def test_seasonal_backtest_uses_calendar_horizon(spark):
         assert abs(row["mae"] - sum(errs) / len(errs) / 100.0) < 0.011
         assert abs(row["mape_pct"]
                    - 100.0 * sum(errs) / sum(actuals)) < 1e-3
+
+
+def _event_rows_py(spark, sf):
+    import datetime
+    out = []
+    for r in spark.read.parquet(f"{sf}/events.parquet").collect():
+        ts = r["ts"]
+        if isinstance(ts, int):
+            ts = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(microseconds=ts // 1000))
+        out.append((r["user_id"], ts, r["event_type"],
+                    int(r["value"] * 100.0 + 0.5)))
+    return out
+
+
+def test_feature_store_point_in_time_no_leakage(spark):
+    """Full python replay at sf0.001: features use ONLY events strictly
+    before each snapshot; labels only purchases in [snap, snap+7d)."""
+    import datetime
+
+    rows = {(r["user_id"], r["snapshot"]): r for r in
+            E.queries()["pipeline_feature_store"](spark, SF_SMALL).collect()}
+    ev = _event_rows_py(spark, SF_SMALL)
+    snaps = [datetime.datetime(2024, 1, d) for d in (15, 22, 29)]
+    expect = {}
+    for s in snaps:
+        key_s = s.strftime("%Y-%m-%d")
+        per = {}
+        for u, ts, et, cents in ev:
+            if ts < s:
+                f = per.setdefault(u, [0, 0, None, 0])
+                f[0] += 1
+                f[1] += cents
+                rd = (s.date() - ts.date()).days
+                f[2] = rd if f[2] is None else min(f[2], rd)
+                f[3] += et == "error"
+        labels = {u for u, ts, et, _ in ev
+                  if et == "purchase" and s <= ts < s + datetime.timedelta(7)}
+        for u, (freq, mon, rec, nerr) in per.items():
+            expect[(u, key_s)] = (freq, mon, rec, int(u in labels))
+    assert set(rows) == set(expect)
+    for k, (freq, mon, rec, lab) in expect.items():
+        r = rows[k]
+        assert (r["frequency"], r["monetary_cents"], r["recency_days"],
+                r["label"]) == (freq, mon, rec, lab)
+
+
+def test_cusum_changepoint_is_argmax_of_replay(spark):
+    """Python prefix-sum replay: the reported day maximizes |CUSUM|."""
+    import collections
+
+    rows = {r["event_type"]: r for r in
+            E.queries()["agg_cusum_changepoint"](spark, SF_SMALL).collect()}
+    daily = collections.defaultdict(int)
+    for u, ts, et, cents in _event_rows_py(spark, SF_SMALL):
+        daily[(et, ts.date())] += cents
+    by_type = collections.defaultdict(list)
+    for (et, day), x in sorted(daily.items()):
+        by_type[et].append((day, x))
+    for et, series in by_type.items():
+        mean = sum(x for _, x in series) / len(series)
+        run, best = 0.0, None
+        for i, (day, x) in enumerate(series):
+            run += x
+            c = abs(run - (i + 1) * mean)
+            if best is None or c > best[0] + 1e-9:
+                best = (c, day)
+        r = rows[et]
+        assert r["changepoint_day"] == best[1].strftime("%Y-%m-%d")
+        assert abs(r["max_abs_cusum"] - best[0] / 100.0) < 0.011
+        assert r["n_days"] == len(series)
+
+
+def test_skew_report_is_mean_normalized(spark):
+    """Row counts sum to the table; the skew ratios average to 1; hot
+    flags fire exactly above 1.5×."""
+    rows = E.queries()["ingest_partition_skew_report"](spark,
+                                                      SF_ORACLE).collect()
+    n_orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").count()
+    assert sum(r["n_rows"] for r in rows) == n_orders
+    mean_ratio = sum(r["skew_vs_mean"] for r in rows) / len(rows)
+    assert abs(mean_ratio - 1.0) < 1e-3
+    for r in rows:
+        assert r["is_hot"] == int(r["skew_vs_mean"] > 1.5)
