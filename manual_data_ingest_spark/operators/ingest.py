@@ -1021,3 +1021,90 @@ def ingest_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("n_rows").cast("double")
                            > 1.5 * F.col("mean_rows"), 1).otherwise(0)
                     .alias("is_hot")))
+
+
+@register("ingest_gdpr_erasure", """
+WITH del_users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+), del_cust AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  SEMI JOIN del_cust ON o_custkey = c_custkey
+), audit AS (
+  SELECT 'events' AS table_name,
+         (SELECT count(*) FROM events) AS n_before,
+         (SELECT count(*) FROM events
+          SEMI JOIN del_users USING (user_id)) AS n_erased
+  UNION ALL
+  SELECT 'customer',
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM del_cust)
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM del_orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          SEMI JOIN del_orders ON l_orderkey = o_orderkey)
+)
+SELECT table_name, n_before, n_erased,
+       n_before - n_erased AS n_after,
+       floor(CAST(n_erased AS DOUBLE) / n_before * 1000000.0 + 0.5)
+           / 1000000.0 AS erased_frac
+FROM audit
+""")
+def ingest_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: a deterministic request set
+    (every 97th user/customer key stands in for the DSAR queue) is
+    cascaded through the schema's foreign keys — customer → their
+    orders → those orders' lineitems, plus the user's events — and
+    each table reports before/erased/after counts. This is the dry-run
+    report a GDPR erasure job publishes BEFORE rewriting 100 TB, and
+    the verification artifact after.
+
+    Completes the governance tier (`text_pii_scrub` masks,
+    `ingest_k_anonymity` audits group sizes, `ingest_dp_release`
+    noises aggregates — this one deletes). All semi-join cascades: the
+    request set and its order-key frontier stay key-sized and
+    broadcast; each fact is scanned once for its count pair.
+
+    At 100 TB the erase itself is `sink_merge_upsert`'s
+    partition-overwrite path driven by exactly these frontier sets;
+    erased_frac per table is the blast-radius number an operator
+    checks before approving.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    del_users = (ev.filter(F.col("user_id") % 97 == 0)
+                 .select("user_id").distinct())
+    del_cust = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = (o.join(F.broadcast(del_cust),
+                         F.col("o_custkey") == F.col("c_custkey"),
+                         "left_semi")
+                  .select("o_orderkey"))
+
+    def audit(name, df, erased):
+        return (df.agg(F.count("*").alias("n_before"))
+                .crossJoin(erased.agg(F.count("*").alias("n_erased")))
+                .select(F.lit(name).alias("table_name"), "n_before",
+                        "n_erased"))
+
+    rows = (audit("events", ev,
+                  ev.join(F.broadcast(del_users), "user_id", "left_semi"))
+            .unionAll(audit("customer", c, del_cust))
+            .unionAll(audit("orders", o, del_orders))
+            .unionAll(audit("lineitem", li,
+                            li.join(del_orders,
+                                    F.col("l_orderkey") == F.col("o_orderkey"),
+                                    "left_semi"))))
+    return rows.select(
+        "table_name", "n_before", "n_erased",
+        (F.col("n_before") - F.col("n_erased")).alias("n_after"),
+        rnd(F.col("n_erased").cast("double") / F.col("n_before"), 6)
+        .alias("erased_frac"))

@@ -222,3 +222,69 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (F.when(b < 8, "train").when(b < 9, "val").otherwise("test"))
     return (d.select("source", split.alias("split"))
             .groupBy("source", "split").agg(F.count("*").alias("n_docs")))
+
+
+@register("sample_importance_weighted", """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(floor(CAST(least(len(string_split(text, ' ')), 200) AS DOUBLE)
+                    / 200.0 * 65536.0) AS BIGINT) AS thr,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|imp'), 1, 4))::BIGINT
+             AS h16
+  FROM documents
+), kept AS (
+  SELECT lang, n_words, CASE WHEN h16 < thr THEN 1 ELSE 0 END AS keep
+  FROM scored
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       floor(CAST(sum(keep) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+           / 1000000.0 AS kept_rate,
+       floor(CAST(sum(CASE WHEN keep = 1 THEN n_words ELSE 0 END) AS DOUBLE)
+             / nullif(sum(keep), 0) * 100.0 + 0.5) / 100.0
+           AS kept_avg_words,
+       floor(CAST(sum(n_words) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0
+           AS all_avg_words
+FROM kept
+GROUP BY lang
+""")
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling for training-data
+    curation: each document keeps with probability proportional to its
+    quality weight (here min(words,200)/200 — longer docs up to a cap
+    are likelier kept), decided by comparing a salted 16-bit key hash
+    against the per-doc threshold. The report shows, per language, the
+    realized keep rate and the kept-vs-all mean length — the upweighting
+    visible as kept_avg_words > all_avg_words.
+
+    Unlike rand()-based weighted sampling this is REPRODUCIBLE and
+    engine-portable: md5 prefix → integer (the `sample_hash` pattern),
+    salted with '|imp' so the keep set is independent of every other
+    doc_id-derived hash in the engine. Threshold = floor(w·65536) over
+    an exact-int word count — both sides integer-compare.
+
+    100 TB: map-only decision, no shuffle until the per-lang report;
+    weights from any scorer column (model quality, dedup multiplicity)
+    slot into the same threshold form.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    thr = F.floor(F.least(n_words, F.lit(200)).cast("double")
+                  / 200.0 * 65536.0).cast("long")
+    h16 = F.expr("cast(conv(substring(md5(concat(cast(doc_id as string),"
+                 " '|imp')), 1, 4), 16, 10) as bigint)")
+    kept = d.select("lang", n_words.alias("n_words"),
+                    F.when(h16 < thr, 1).otherwise(0).alias("keep"))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_total"),
+                 F.sum("keep").alias("n_kept"),
+                 rnd(F.sum("keep").cast("double") / F.count("*"), 6)
+                 .alias("kept_rate"),
+                 rnd(F.sum(F.when(F.col("keep") == 1, F.col("n_words"))
+                           .otherwise(0)).cast("double")
+                     / F.nullif(F.sum("keep"), F.lit(0)).cast("double"))
+                 .alias("kept_avg_words"),
+                 rnd(F.sum("n_words").cast("double") / F.count("*"))
+                 .alias("all_avg_words")))

@@ -809,3 +809,67 @@ def agg_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("changepoint_day"),
                     rnd(F.abs(F.col("c")) / 100.0).alias("max_abs_cusum"),
                     F.col("n_days").cast("long").alias("n_days")))
+
+
+@register("win_max_drawdown", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS x
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts::TIMESTAMP)
+), curve AS (
+  SELECT event_type, day,
+         sum(x) OVER (PARTITION BY event_type ORDER BY day) AS equity
+  FROM daily
+), dd AS (
+  SELECT event_type, day, equity,
+         max(equity) OVER (PARTITION BY event_type ORDER BY day) - equity
+             AS drawdown
+  FROM curve
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS trough_day,
+       floor(CAST(drawdown AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+           AS max_drawdown,
+       floor(CAST(equity AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+           AS equity_at_trough
+FROM dd
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY drawdown DESC, day) = 1
+""")
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event type: cumulative daily value as an
+    equity curve, running peak, and the deepest peak-to-trough drop
+    with its trough day — the risk metric every metric-over-time
+    dashboard wants next to the trend line.
+
+    Two stacked ordered windows on the SAME (type, day) partitioning
+    (prefix sum, then running max — Catalyst executes both in one
+    window stage, no second shuffle), then an argmax QUALIFY. All
+    arithmetic is exact integer cents until the final /100 render, so
+    the trough selection cannot diverge between engines.
+
+    100 TB: one fact rollup to (type, day); windows run over
+    dim-sized series within partitions.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+                  .alias("x")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    curve = daily.withColumn("equity", F.sum("x").over(w))
+    dd = curve.withColumn("drawdown",
+                          F.max("equity").over(w) - F.col("equity"))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("drawdown").desc(), F.col("day"))
+    return (dd.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+                    rnd(F.col("drawdown").cast("double") / 100.0)
+                    .alias("max_drawdown"),
+                    rnd(F.col("equity").cast("double") / 100.0)
+                    .alias("equity_at_trough")))

@@ -1280,3 +1280,63 @@ def test_skew_report_is_mean_normalized(spark):
     assert abs(mean_ratio - 1.0) < 1e-3
     for r in rows:
         assert r["is_hot"] == int(r["skew_vs_mean"] > 1.5)
+
+
+def test_max_drawdown_replay(spark):
+    """Python equity-curve replay: reported trough maximizes the
+    running-peak-minus-equity gap."""
+    import collections
+
+    rows = {r["event_type"]: r for r in
+            E.queries()["win_max_drawdown"](spark, SF_SMALL).collect()}
+    daily = collections.defaultdict(int)
+    for u, ts, et, cents in _event_rows_py(spark, SF_SMALL):
+        daily[(et, ts.date())] += cents
+    series = collections.defaultdict(list)
+    for (et, day), x in sorted(daily.items()):
+        series[et].append((day, x))
+    for et, pts in series.items():
+        eq, peak, best = 0, 0, None
+        for day, x in pts:
+            eq += x
+            peak = max(peak, eq)
+            dd = peak - eq
+            if best is None or dd > best[0]:
+                best = (dd, day, eq)
+        r = rows[et]
+        assert r["trough_day"] == best[1].strftime("%Y-%m-%d")
+        assert abs(r["max_drawdown"] - best[0] / 100.0) < 0.011
+        assert abs(r["equity_at_trough"] - best[2] / 100.0) < 0.011
+
+
+def test_gdpr_erasure_cascade_is_consistent(spark):
+    """Counts reconcile: n_after = n_before − n_erased; the lineitem
+    erasure equals the lineitems of erased customers' orders; erased
+    fractions are in (0,1)."""
+    rows = {r["table_name"]: r for r in
+            E.queries()["ingest_gdpr_erasure"](spark, SF_ORACLE).collect()}
+    for r in rows.values():
+        assert r["n_after"] == r["n_before"] - r["n_erased"]
+        assert 0.0 <= r["erased_frac"] < 1.0
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    del_orders = {r["o_orderkey"] for r in
+                  o.filter(F.col("o_custkey") % 97 == 0).collect()}
+    n_li = li.filter(F.col("l_orderkey").isin(del_orders)).count()
+    assert rows["lineitem"]["n_erased"] == n_li
+    assert rows["orders"]["n_erased"] == len(del_orders)
+
+
+def test_importance_sampling_upweights_long_docs(spark):
+    """The weighted sampler's kept docs are longer on average than the
+    corpus (that IS the importance weighting), and keep decisions are
+    reproducible across invocations."""
+    a = {r["lang"]: r for r in
+         E.queries()["sample_importance_weighted"](spark, SF_ORACLE).collect()}
+    b = {r["lang"]: r for r in
+         E.queries()["sample_importance_weighted"](spark, SF_ORACLE).collect()}
+    assert a.keys() == b.keys()
+    for lang in a:
+        assert a[lang] == b[lang]  # deterministic
+        if a[lang]["n_kept"] > 20:
+            assert a[lang]["kept_avg_words"] > a[lang]["all_avg_words"]
