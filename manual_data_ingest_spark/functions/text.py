@@ -536,3 +536,74 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_toks"),
                  rnd(F.avg(-F.log(F.col("c") / F.col("t"))), 6)
                  .alias("avg_nll")))
+
+
+# OLS-from-moments text shared between F.expr and the oracle —
+# x = ln(rank), z = ln(freq) over the top-200 vocabulary
+_ZSLOPE = "((sxz - (sx * sz) / n) / (sxx - (sx * sx) / n))"
+_ZINTC = f"((sz - {_ZSLOPE} * sx) / n)"
+_ZR2 = (f"(((sxz - (sx * sz) / n) * (sxz - (sx * sz) / n))"
+        f" / ((sxx - (sx * sx) / n) * (szz - (sz * sz) / n)))")
+
+
+@register("text_zipf_slope", f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+  FROM freq
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 200
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE)         AS n,
+         sum(ln(CAST(r AS DOUBLE)))       AS sx,
+         sum(ln(CAST(c AS DOUBLE)))       AS sz,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+         sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxz,
+         sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS szz
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       floor({_ZSLOPE} * 10000.0 + 0.5) / 10000.0 AS zipf_slope,
+       floor({_ZINTC} * 10000.0 + 0.5) / 10000.0 AS log_intercept,
+       floor({_ZR2} * 10000.0 + 0.5) / 10000.0 AS r2
+FROM m
+""")
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) for the top-200 terms — natural language sits
+    near −1; a synthetic or templated corpus shows up immediately as a
+    flat or kinked slope. The one-number corpus-health check beside
+    `text_unigram_logprob`'s per-doc score.
+
+    Ranking is exact-integer (count DESC, token) so both engines pick
+    the identical 200 points; ln() is ≤1-ulp on each engine and the
+    moment sums over 200 terms drift ~1e-14 — four orders below the
+    4dp rounding margin. The OLS algebra is one shared expression
+    text (the `ml_ols_normal_equations` discipline).
+
+    100 TB: one token-frequency shuffle (the same aggregate
+    `text_wordcount` runs), a 200-row window, and a scalar fit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w").agg(F.count("*").alias("c")))
+    wnd = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = (freq.withColumn("r", F.row_number().over(wnd))
+              .filter(F.col("r") <= 200))
+    lr = F.log(F.col("r").cast("double"))
+    lc = F.log(F.col("c").cast("double"))
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(lr).alias("sx"),
+        F.sum(lc).alias("sz"),
+        F.sum(lr * lr).alias("sxx"),
+        F.sum(lr * lc).alias("sxz"),
+        F.sum(lc * lc).alias("szz"))
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        rnd(F.expr(_ZSLOPE), 4).alias("zipf_slope"),
+        rnd(F.expr(_ZINTC), 4).alias("log_intercept"),
+        rnd(F.expr(_ZR2), 4).alias("r2"))

@@ -847,3 +847,155 @@ def ml_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("b1"), 6).alias("beta1"),
                     rnd(F.col("b2"), 6).alias("beta2"),
                     "log_likelihood", "n_predicted_pos"))
+
+
+# ---------------------------------------------------------------------------
+# experimentation suite: SRM guardrail + delta-method ratio variance
+# ---------------------------------------------------------------------------
+
+_CHI2_95_1DF = 3.841458820694124  # literal shared by both engine texts
+
+
+@register("ml_ab_srm_check", f"""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR || '|ab'), 1, 4))::BIGINT % 2
+             AS arm
+  FROM events
+), counts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n_b
+  FROM arms
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n_a AS BIGINT) AS n_arm_a,
+       CAST(n_b AS BIGINT) AS n_arm_b,
+       floor(((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
+              + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+       CASE WHEN ((n_a - n / 2.0) * (n_a - n / 2.0) / (n / 2.0)
+                  + (n_b - n / 2.0) * (n_b - n / 2.0) / (n / 2.0))
+                 > {_CHI2_95_1DF} THEN 1 ELSE 0 END AS srm_flag
+FROM counts
+""")
+def ml_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch guardrail for a 50/50 experiment: users
+    hash-split into arms (salted portable md5 — reproducible and
+    independent of every other user-derived hash), χ² of the realized
+    split against the design, flagged at the 95% critical value. The
+    first check every experimentation platform runs — a biased
+    assignment invalidates the experiment before any metric is read.
+
+    Exact-integer arm counts; n/2 is exact (counts are ints, halving
+    is exact in binary), so the χ² statistic is a short identical IEEE
+    sequence and the flag cannot diverge. The critical value is a
+    shared literal — no inverse-CDF at query time.
+
+    100 TB: distinct-users is the one shuffle; the χ² is a scalar.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    arm = F.expr("cast(conv(substring(md5(concat(cast(user_id as string),"
+                 " '|ab')), 1, 4), 16, 10) as bigint) % 2")
+    arms = ev.select("user_id").distinct().select(arm.alias("arm"))
+    counts = arms.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double")
+        .alias("n_b"))
+    half = F.col("n") / 2.0
+    chi2 = ((F.col("n_a") - half) * (F.col("n_a") - half) / half
+            + (F.col("n_b") - half) * (F.col("n_b") - half) / half)
+    return counts.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n_a").cast("long").alias("n_arm_a"),
+        F.col("n_b").cast("long").alias("n_arm_b"),
+        rnd(chi2, 6).alias("chi2"),
+        F.when(chi2 > _CHI2_95_1DF, 1).otherwise(0).alias("srm_flag"))
+
+
+# delta-method variance of a ratio metric — shared algebra over exact
+# per-user integer moments (n users; x = purchase cents, y = event count)
+_R = "(sx / sy)"
+_VX = "((sxx - (sx * sx) / n) / n)"
+_VY = "((syy - (sy * sy) / n) / n)"
+_CXY = "((sxy - (sx * sy) / n) / n)"
+_MX = "(sx / n)"
+_MY = "(sy / n)"
+_VAR_RATIO = (f"(({_VX} - 2.0 * {_R} * {_CXY} + {_R} * {_R} * {_VY})"
+              f" / ({_MY} * {_MY}) / n)")
+
+
+@register("ml_ratio_delta_method", f"""
+WITH arms AS (
+  SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR || '|ab'), 1, 4))::BIGINT % 2
+             AS arm,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS x,
+         count(*) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm,
+         CAST(count(*)   AS DOUBLE) AS n,
+         CAST(sum(x)     AS DOUBLE) AS sx,
+         CAST(sum(y)     AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM arms GROUP BY arm
+)
+SELECT arm,
+       CAST(n AS BIGINT) AS n_users,
+       floor({_R} / 100.0 * 1000000.0 + 0.5) / 1000000.0
+           AS revenue_per_event,
+       floor(sqrt({_VAR_RATIO}) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+           AS std_err,
+       floor({_MY} * 10000.0 + 0.5) / 10000.0 AS events_per_user
+FROM m
+""")
+def ml_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm ratio metric (revenue per event) with its DELTA-METHOD
+    standard error — the correct variance for a ratio of per-user
+    sums, where naive per-event variance is wrong because users, not
+    events, are the randomization unit. Together with `ml_ab_srm_check`
+    (assignment guardrail) and `ml_cuped_adjustment` (variance
+    reduction), this completes the experimentation readout.
+
+    Var(x̄/ȳ) ≈ (σ²x − 2r·σxy + r²σ²y) / (ȳ²·n): every moment is an
+    exact-integer sum (cents, counts), and the whole formula is one
+    shared expression text — bit-identical across engines, rounded
+    once for display.
+
+    100 TB: one user-level rollup shuffle, then a 2-row moment
+    aggregate; identical shape to the CUPED job so both run off the
+    same per-user intermediate in production.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    arm = F.expr("cast(conv(substring(md5(concat(cast(user_id as string),"
+                 " '|ab')), 1, 4), 16, 10) as bigint) % 2")
+    arms = (ev.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "purchase", cents)
+                       .otherwise(F.lit(0))).alias("x"),
+                 F.count("*").alias("y"))
+            .select(arm.alias("arm"), "x", "y"))
+    m = arms.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"))
+    return m.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        rnd(F.expr(_R) / 100.0, 6).alias("revenue_per_event"),
+        rnd(F.sqrt(F.expr(_VAR_RATIO)) / 100.0, 6).alias("std_err"),
+        rnd(F.expr(_MY), 4).alias("events_per_user"))

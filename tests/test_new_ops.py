@@ -1340,3 +1340,76 @@ def test_importance_sampling_upweights_long_docs(spark):
         assert a[lang] == b[lang]  # deterministic
         if a[lang]["n_kept"] > 20:
             assert a[lang]["kept_avg_words"] > a[lang]["all_avg_words"]
+
+
+def test_srm_check_replays_and_is_calibrated(spark):
+    """Arm counts replay exactly from the salted hash; χ² matches the
+    closed form; a fair hash split at n=150 should not flag."""
+    import hashlib
+
+    row = E.queries()["ml_ab_srm_check"](spark, SF_ORACLE).collect()[0]
+    users = {r["user_id"] for r in
+             spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+             .select("user_id").distinct().collect()}
+    arms = [int(hashlib.md5(f"{u}|ab".encode()).hexdigest()[:4], 16) % 2
+            for u in users]
+    n_a = arms.count(0)
+    n = len(arms)
+    assert (row["n_users"], row["n_arm_a"], row["n_arm_b"]) == (
+        n, n_a, n - n_a)
+    chi2 = ((n_a - n / 2) ** 2 + (n - n_a - n / 2) ** 2) / (n / 2)
+    assert abs(row["chi2"] - chi2) < 1e-5
+    assert row["srm_flag"] == int(chi2 > 3.841458820694124)
+
+
+def test_ratio_delta_method_replay(spark):
+    """Per-arm ratio and delta-method SE replay in numpy from per-user
+    (purchase cents, event count) pairs."""
+    import hashlib
+    import collections
+    import numpy as np
+
+    rows = {r["arm"]: r for r in
+            E.queries()["ml_ratio_delta_method"](spark, SF_ORACLE).collect()}
+    per = collections.defaultdict(lambda: [0, 0])
+    for u, ts, et, cents in _event_rows_py(spark, SF_ORACLE):
+        per[u][1] += 1
+        if et == "purchase":
+            per[u][0] += cents
+    by_arm = collections.defaultdict(list)
+    for u, (x, y) in per.items():
+        arm = int(hashlib.md5(f"{u}|ab".encode()).hexdigest()[:4], 16) % 2
+        by_arm[arm].append((x, y))
+    for arm, pairs in by_arm.items():
+        x = np.array([p[0] for p in pairs], dtype=np.float64)
+        y = np.array([p[1] for p in pairs], dtype=np.float64)
+        n = len(pairs)
+        r = x.sum() / y.sum()
+        var = ((x.var() - 2 * r * ((x - x.mean()) * (y - y.mean())).mean()
+                + r * r * y.var()) / (y.mean() ** 2) / n)
+        out = rows[arm]
+        assert out["n_users"] == n
+        assert abs(out["revenue_per_event"] - r / 100.0) < 1e-5
+        assert abs(out["std_err"] - np.sqrt(var) / 100.0) < 1e-5
+
+
+def test_zipf_slope_is_negative_powerlawish(spark):
+    """Slope must be negative (frequency decreases with rank), r² in
+    (0,1], and the fit replays from the exact top-200 vocabulary."""
+    import collections
+    import numpy as np
+
+    row = E.queries()["text_zipf_slope"](spark, SF_ORACLE).collect()[0]
+    freq = collections.Counter()
+    for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect():
+        for w in r["text"].split(" "):
+            if w:
+                freq[w] += 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    z = np.log(np.array([c for _, c in top], dtype=np.float64))
+    slope, intercept = np.polyfit(x, z, 1)
+    assert row["n_points"] == len(top)
+    assert row["zipf_slope"] < 0
+    assert abs(row["zipf_slope"] - slope) < 1e-3
+    assert 0.0 < row["r2"] <= 1.0
