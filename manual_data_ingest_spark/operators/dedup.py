@@ -674,3 +674,59 @@ def dedup_span_chunks_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("|", F.transform(
             F.array_sort(F.collect_list(kept_struct)),
             lambda s: s["chunk"]))).alias("kept_md5")))
+
+
+@register("dedup_template_mask", """
+WITH masked AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS tpl_hash
+  FROM documents
+), tpl AS (
+  SELECT tpl_hash, count(*) AS n_instances,
+         min(doc_id) AS exemplar_doc
+  FROM masked GROUP BY tpl_hash
+)
+SELECT CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(sum(CASE WHEN n_instances > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_templated,
+       CAST(sum(CASE WHEN n_instances > 1 THEN n_instances ELSE 0 END)
+            AS BIGINT) AS n_docs_in_templates,
+       CAST(max(n_instances) AS BIGINT) AS max_family,
+       CAST(min(CASE WHEN n_instances > 1 THEN exemplar_doc END) AS BIGINT)
+           AS first_exemplar
+FROM tpl
+""")
+def dedup_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family dedup: mask the volatile slots (digit runs →
+    ``<NUM>``) and exact-hash what remains — boilerplate pages that
+    differ only in ids/dates/prices collapse into one family. The
+    CommonCrawl reality this covers: templated pages are EXACT
+    duplicates after slot masking, which shingle/MinHash dedup spends
+    enormous effort rediscovering pair by pair; masking finds the
+    whole family with ONE hash-aggregate shuffle.
+
+    Deterministic: the mask is a regexp both engines implement
+    identically on ASCII digit runs, the family hash is md5 of the
+    masked text, and the exemplar is min(doc_id). Output is the audit
+    summary (families, templated docs, largest family).
+
+    At 100 TB this is the cheap FIRST pass of the dedup cascade
+    (`pipeline_llm_prep` ordering): exact → template-mask → MinHash,
+    each pass shrinking the candidate set for the next.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    masked = d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"))
+        .alias("tpl_hash"))
+    tpl = (masked.groupBy("tpl_hash")
+           .agg(F.count("*").alias("n_instances"),
+                F.min("doc_id").alias("exemplar_doc")))
+    dup = F.col("n_instances") > 1
+    return tpl.agg(
+        F.count("*").alias("n_templates"),
+        F.sum(F.when(dup, 1).otherwise(0)).alias("n_templated"),
+        F.sum(F.when(dup, F.col("n_instances")).otherwise(0))
+        .alias("n_docs_in_templates"),
+        F.max("n_instances").alias("max_family"),
+        F.min(F.when(dup, F.col("exemplar_doc"))).alias("first_exemplar"))

@@ -873,3 +873,149 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("max_drawdown"),
                     rnd(F.col("equity").cast("double") / 100.0)
                     .alias("equity_at_trough")))
+
+
+@register("agg_rfm_segments", """
+WITH rfm AS (
+  SELECT c_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS monetary_c
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+), scored AS (
+  SELECT c_custkey,
+         ntile(5) OVER (ORDER BY last_order, c_custkey)  AS r_score,
+         ntile(5) OVER (ORDER BY frequency, c_custkey)   AS f_score,
+         ntile(5) OVER (ORDER BY monetary_c, c_custkey)  AS m_score,
+         monetary_c
+  FROM rfm
+), seg AS (
+  SELECT CASE
+           WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+           WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+           WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+           WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+           ELSE 'core'
+         END AS segment,
+         monetary_c
+  FROM scored
+)
+SELECT segment,
+       count(*) AS n_customers,
+       floor(CAST(sum(monetary_c) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+           AS total_monetary
+FROM seg GROUP BY segment
+""")
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — quintile-score recency, frequency
+    and monetary value, then map score combinations to the marketing
+    segments (champion / new / at-risk / hibernating / core) and
+    report each segment's size and revenue. The curator-analytics
+    staple that turns three windows into an actionable list.
+
+    Determinism: every ntile ORDER BY carries the c_custkey tie-break
+    (ntile over a non-total order is engine-divergent on boundary
+    rows); monetary is exact integer cents. The three ntiles share ONE
+    global sort domain each — at 100 TB these become the percentile
+    pre-pass (`agg_quantile_sketch_merge`) + a map-side score lookup,
+    same downstream segment algebra.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("c_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count("*").alias("frequency"),
+                F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                      .cast("long")).alias("monetary_c")))
+    r_s = F.ntile(5).over(Window.orderBy("last_order", "c_custkey"))
+    f_s = F.ntile(5).over(Window.orderBy("frequency", "c_custkey"))
+    m_s = F.ntile(5).over(Window.orderBy("monetary_c", "c_custkey"))
+    scored = rfm.select("c_custkey", "monetary_c",
+                        r_s.alias("r_score"), f_s.alias("f_score"),
+                        m_s.alias("m_score"))
+    seg = F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
+                 & (F.col("m_score") >= 4), "champion") \
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new") \
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk") \
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2),
+              "hibernating") \
+        .otherwise("core")
+    return (scored.select(seg.alias("segment"), "monetary_c")
+            .groupBy("segment")
+            .agg(F.count("*").alias("n_customers"),
+                 rnd(F.sum("monetary_c").cast("double") / 100.0)
+                 .alias("total_monetary")))
+
+
+@register("agg_cohort_ltv_curve", """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts::TIMESTAMP)) AS cohort_week
+  FROM events GROUP BY user_id
+), rev AS (
+  SELECT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week,
+                        date_trunc('week', e.ts::TIMESTAMP)) AS BIGINT)
+             AS week_no,
+         CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = 'purchase'
+), weekly AS (
+  SELECT cohort_week, week_no, sum(cents) AS wk_cents
+  FROM rev GROUP BY cohort_week, week_no
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM firsts
+  GROUP BY cohort_week
+)
+SELECT strftime(w.cohort_week, '%Y-%m-%d') AS cohort_week,
+       w.week_no,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       floor(CAST(sum(w.wk_cents) OVER (PARTITION BY w.cohort_week
+                                        ORDER BY w.week_no) AS DOUBLE)
+             / s.cohort_users / 100.0 * 10000.0 + 0.5) / 10000.0
+           AS cum_ltv_per_user
+FROM weekly w JOIN sizes s USING (cohort_week)
+""")
+def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users cohorted by first-event week; cumulative
+    purchase revenue per cohort member at each week-since-signup — the
+    monetary twin of `win_retention_cohorts`, and the curve a growth
+    team reads to see whether newer cohorts monetize faster.
+
+    Exactness: cohort assignment and week arithmetic are calendar
+    functions over identical timestamps; revenue accumulates as exact
+    integer cents through the ordered window, divided once by the
+    exact cohort size and rounded once.
+
+    100 TB: first-event per user and the (cohort, week) rollup are the
+    two fact-sized aggregates (both key-partitioned); the cumulative
+    window runs over dim-sized (cohort × week) cells.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.date_trunc("week", F.col("ts")))
+                   .alias("cohort_week")))
+    rev = (ev.filter(F.col("event_type") == "purchase")
+           .join(firsts, "user_id")
+           .select("cohort_week",
+                   ((F.unix_date(F.to_date(F.date_trunc("week", F.col("ts"))))
+                     - F.unix_date(F.to_date(F.col("cohort_week")))) / 7)
+                   .cast("long").alias("week_no"),
+                   F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+                   .alias("cents")))
+    weekly = (rev.groupBy("cohort_week", "week_no")
+              .agg(F.sum("cents").alias("wk_cents")))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users"))
+    w = Window.partitionBy("cohort_week").orderBy("week_no")
+    return (weekly.join(F.broadcast(sizes), "cohort_week")
+            .select(F.date_format("cohort_week", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    "week_no", "cohort_users",
+                    rnd(F.sum("wk_cents").over(w).cast("double")
+                        / F.col("cohort_users") / 100.0, 4)
+                    .alias("cum_ltv_per_user")))

@@ -1413,3 +1413,47 @@ def test_zipf_slope_is_negative_powerlawish(spark):
     assert row["zipf_slope"] < 0
     assert abs(row["zipf_slope"] - slope) < 1e-3
     assert 0.0 < row["r2"] <= 1.0
+
+
+def test_template_mask_counts_replay(spark):
+    """Template families replay exactly from a python digit-mask."""
+    import re
+    import collections
+
+    row = E.queries()["dedup_template_mask"](spark, SF_ORACLE).collect()[0]
+    fam = collections.defaultdict(list)
+    for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet").collect():
+        fam[re.sub(r"[0-9]+", "<NUM>", r["text"])].append(r["doc_id"])
+    dups = {k: v for k, v in fam.items() if len(v) > 1}
+    assert row["n_templates"] == len(fam)
+    assert row["n_templated"] == len(dups)
+    assert row["n_docs_in_templates"] == sum(map(len, dups.values()))
+    assert row["max_family"] == max(map(len, fam.values()))
+
+
+def test_rfm_segments_partition_customers(spark):
+    """Segment sizes sum to the customer-with-orders count and every
+    segment label is from the fixed vocabulary."""
+    rows = E.queries()["agg_rfm_segments"](spark, SF_ORACLE).collect()
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert {r["segment"] for r in rows} <= {
+        "champion", "new", "at_risk", "hibernating", "core"}
+
+
+def test_cohort_ltv_curve_is_monotone(spark):
+    """Cumulative LTV never decreases along week_no within a cohort,
+    and cohort sizes sum to the distinct-user count."""
+    rows = E.queries()["agg_cohort_ltv_curve"](spark, SF_ORACLE).collect()
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(
+            (r["week_no"], r["cum_ltv_per_user"], r["cohort_users"]))
+    assert sum(v[0][2] for v in by_cohort.values()) == n_users
+    for curve in by_cohort.values():
+        curve.sort()
+        ltvs = [p[1] for p in curve]
+        assert ltvs == sorted(ltvs)  # monotone non-decreasing
