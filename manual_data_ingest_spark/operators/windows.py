@@ -1019,3 +1019,126 @@ def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.sum("wk_cents").over(w).cast("double")
                         / F.col("cohort_users") / 100.0, 4)
                     .alias("cum_ltv_per_user")))
+
+
+@register("agg_markov_transition", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), row_tot AS (
+  SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.event_type AS next_type,
+       CAST(p.n AS BIGINT) AS n_transitions,
+       floor(CAST(p.n AS DOUBLE) / t.tot * 1000000.0 + 0.5) / 1000000.0
+           AS prob
+FROM pairs p JOIN row_tot t USING (prev_type)
+""")
+def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous), with raw transition
+    counts — the behavioral fingerprint behind session simulation,
+    anomaly scoring ('error after purchase spiked this week') and
+    funnel design.
+
+    The per-user ordered lag carries a (ts, event_id) total order so
+    simultaneous events cannot swap between engines; counts are exact
+    ints, each probability one rounded exact-int division.
+
+    100 TB: ONE shuffle on user_id for the sequence window (sessions
+    are contiguous within partitions), then a 25-cell aggregate with
+    partials; the row-normalizer is cell-count-sized and broadcasts.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    pairs = (seq.filter(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", "event_type")
+             .agg(F.count("*").alias("n")))
+    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (pairs.join(F.broadcast(row_tot), "prev_type")
+            .select("prev_type", F.col("event_type").alias("next_type"),
+                    F.col("n").alias("n_transitions"),
+                    rnd(F.col("n").cast("double") / F.col("tot"), 6)
+                    .alias("prob")))
+
+
+@register("agg_seasonality_strength", """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS day,
+         CAST(dayofweek(date_trunc('day', ts::TIMESTAMP)) AS BIGINT) AS dow,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS x
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts::TIMESTAMP)
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM daily GROUP BY event_type
+), grp AS (
+  SELECT event_type, dow,
+         CAST(count(*) AS DOUBLE) AS gn,
+         CAST(sum(x) AS DOUBLE) AS gsx
+  FROM daily GROUP BY event_type, dow
+), between_var AS (
+  SELECT g.event_type,
+         sum(g.gn * (g.gsx / g.gn - m.sx / m.n)
+                  * (g.gsx / g.gn - m.sx / m.n)) / max(m.n) AS vb
+  FROM grp g JOIN m ON m.event_type = g.event_type
+  GROUP BY g.event_type
+)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT) AS n_days,
+       floor(b.vb / ((m.sxx - (m.sx * m.sx) / m.n) / m.n)
+             * 1000000.0 + 0.5) / 1000000.0 AS seasonality_strength
+FROM m JOIN between_var b USING (event_type)
+""")
+def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength per event type: the fraction of
+    daily-total variance explained by day-of-week means (between-group
+    over total variance, η² for the weekday factor) — ~0 for a flat
+    series, →1 when weekday alone predicts the day. The one-number
+    screen that decides whether the forecast baseline needs the
+    seasonal term (`win_seasonal_backtest`'s day−7 join) at all.
+
+    Exactness: daily totals are exact cents; group and total moments
+    are exact-int sums; the η² expression is a fixed IEEE sequence
+    over them, rounded once.
+
+    100 TB: the (type, day) rollup is the single fact-sized pass;
+    both moment layers aggregate dim-sized intermediates.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+                  .alias("x"))
+             .withColumn("dow", F.dayofweek(F.col("day")).cast("long")))
+    m = (daily.groupBy("event_type")
+         .agg(F.count("*").cast("double").alias("n"),
+              F.sum("x").cast("double").alias("sx"),
+              F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx")))
+    grp = (daily.groupBy("event_type", "dow")
+           .agg(F.count("*").cast("double").alias("gn"),
+                F.sum("x").cast("double").alias("gsx")))
+    dev = F.col("gsx") / F.col("gn") - F.col("sx") / F.col("n")
+    vb = (grp.join(F.broadcast(m), "event_type")
+          .groupBy("event_type")
+          .agg((F.sum(F.col("gn") * dev * dev) / F.max("n")).alias("vb")))
+    vtot = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    return (m.join(vb, "event_type")
+            .select("event_type", F.col("n").cast("long").alias("n_days"),
+                    rnd(F.col("vb") / vtot, 6)
+                    .alias("seasonality_strength")))

@@ -482,3 +482,84 @@ def pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                         6).alias("error_rate"),
                     F.when(F.col("n_purch").isNull(), 0).otherwise(1)
                     .alias("label")))
+
+
+@register("pipeline_attribution", """
+WITH purch AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS pts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, ts::TIMESTAMP AS tts, event_type, event_id AS touch_id
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+), attributed AS (
+  SELECT event_id, cents, event_type FROM (
+    SELECT p.event_id, p.cents, t.event_type,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY t.tts DESC, t.touch_id) AS rn
+    FROM purch p
+    JOIN touch t ON t.user_id = p.user_id
+                AND t.tts < p.pts
+                AND t.tts >= p.pts - INTERVAL 1 HOUR
+  ) WHERE rn = 1
+), base AS (
+  SELECT count(*) AS n_purchases,
+         sum(cents) AS total_cents
+  FROM purch
+)
+SELECT a.event_type AS channel,
+       count(*) AS n_attributed,
+       floor(CAST(sum(a.cents) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+           AS attributed_revenue,
+       floor(CAST(count(*) AS DOUBLE)
+             / (SELECT n_purchases FROM base) * 1000000.0 + 0.5)
+           / 1000000.0 AS purchase_share
+FROM attributed a
+GROUP BY a.event_type
+""")
+def pipeline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue is
+    credited to the LAST click/view/signup by the same user within the
+    preceding hour; per-channel attributed revenue and purchase share.
+    The composition is the backward as-of join (`join_asof` semantics)
+    feeding a channel rollup — the attribution job every
+    events-warehouse runs, expressed in the engine's existing
+    primitives.
+
+    Determinism: the as-of pick tie-breaks (touch ts DESC, touch id);
+    revenue is exact integer cents; the share is an exact-int ratio.
+
+    100 TB: user_id carries the shuffle, the 1-hour band bounds the
+    per-purchase candidate fan-out (without it, last-touch degenerates
+    to per-user cross products — the same load-bearing tolerance as
+    the as-of trio), and the per-purchase window collapses candidates
+    before the channel aggregate.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", F.col("ts").alias("pts"),
+                     F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+                     .alias("cents")))
+    touch = (ev.filter(F.col("event_type").isin("click", "view", "signup"))
+             .select(F.col("user_id").alias("t_user"),
+                     F.col("ts").alias("tts"), "event_type",
+                     F.col("event_id").alias("touch_id")))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("tts").desc(), F.col("touch_id"))
+    attributed = (purch.join(
+        touch, (F.col("t_user") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1))
+    base = purch.agg(F.count("*").alias("n_purchases"))
+    return (attributed.groupBy(F.col("event_type").alias("channel"))
+            .agg(F.count("*").alias("n_attributed"),
+                 rnd(F.sum("cents").cast("double") / 100.0)
+                 .alias("attributed_revenue"))
+            .crossJoin(F.broadcast(base))
+            .select("channel", "n_attributed", "attributed_revenue",
+                    rnd(F.col("n_attributed").cast("double")
+                        / F.col("n_purchases"), 6).alias("purchase_share")))

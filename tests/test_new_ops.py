@@ -1457,3 +1457,91 @@ def test_cohort_ltv_curve_is_monotone(spark):
         curve.sort()
         ltvs = [p[1] for p in curve]
         assert ltvs == sorted(ltvs)  # monotone non-decreasing
+
+
+def test_attribution_credits_at_most_one_touch_per_purchase(spark):
+    """Attributed purchases ≤ total purchases; python replay of the
+    last-touch pick (ts desc, touch_id) agrees at sf0.001."""
+    import collections
+    import datetime
+
+    rows = {r["channel"]: r for r in
+            E.queries()["pipeline_attribution"](spark, SF_SMALL).collect()}
+    ev = sorted(_event_rows_py(spark, SF_SMALL), key=lambda e: e[1])
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet").collect()
+    ids = {}
+    for r in raw:
+        ids[(r["user_id"], r["event_type"], int(r["value"] * 100 + 0.5),
+             str(r["ts"]))] = r["event_id"]
+    by_user = collections.defaultdict(list)
+    for r in raw:
+        ts = r["ts"]
+        if isinstance(ts, int):
+            ts = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(microseconds=ts // 1000))
+        by_user[r["user_id"]].append((ts, r["event_type"], r["event_id"],
+                                      int(r["value"] * 100.0 + 0.5)))
+    credit = collections.defaultdict(lambda: [0, 0])
+    n_purch = 0
+    for u, evs in by_user.items():
+        for ts, et, eid, cents in evs:
+            if et != "purchase":
+                continue
+            n_purch += 1
+            cand = [(t2, -tid, et2) for t2, et2, tid, _ in evs
+                    if et2 in ("click", "view", "signup")
+                    and t2 < ts and t2 >= ts - datetime.timedelta(hours=1)]
+            if cand:
+                _, _, ch = max(cand)
+                credit[ch][0] += 1
+                credit[ch][1] += cents
+    assert sum(r["n_attributed"] for r in rows.values()) <= n_purch
+    for ch, r in rows.items():
+        assert r["n_attributed"] == credit[ch][0]
+        assert abs(r["attributed_revenue"] - credit[ch][1] / 100.0) < 0.011
+
+
+def test_markov_rows_are_probability_rows(spark):
+    """Each prev_type's probabilities sum to ~1 and transition counts
+    conserve: total transitions = events − users (per-user chains)."""
+    import collections
+
+    rows = E.queries()["agg_markov_transition"](spark, SF_ORACLE).collect()
+    ev = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == n_events - n_users
+    by_prev = collections.defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["prob"]
+    for tot in by_prev.values():
+        assert abs(tot - 1.0) < 1e-4
+
+
+def test_seasonality_strength_is_eta_squared(spark):
+    """η² ∈ [0,1] and replays from a python variance decomposition."""
+    import collections
+
+    rows = {r["event_type"]: r for r in
+            E.queries()["agg_seasonality_strength"](spark,
+                                                    SF_ORACLE).collect()}
+    daily = collections.defaultdict(int)
+    for u, ts, et, cents in _event_rows_py(spark, SF_ORACLE):
+        daily[(et, ts.date())] += cents
+    series = collections.defaultdict(dict)
+    for (et, day), x in daily.items():
+        series[et][day] = x
+    for et, days in series.items():
+        xs = list(days.values())
+        n = len(xs)
+        mean = sum(xs) / n
+        vtot = sum((x - mean) ** 2 for x in xs) / n
+        groups = collections.defaultdict(list)
+        for day, x in days.items():
+            groups[day.weekday()].append(x)
+        vb = sum(len(g) * (sum(g) / len(g) - mean) ** 2
+                 for g in groups.values()) / n
+        r = rows[et]
+        assert 0.0 <= r["seasonality_strength"] <= 1.0
+        assert abs(r["seasonality_strength"] - vb / vtot) < 1e-4
+        assert r["n_days"] == n
