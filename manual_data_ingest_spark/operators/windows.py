@@ -1031,14 +1031,13 @@ WITH seq AS (
   SELECT prev_type, event_type, count(*) AS n
   FROM seq WHERE prev_type IS NOT NULL
   GROUP BY prev_type, event_type
-), row_tot AS (
-  SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY prev_type
 )
-SELECT p.prev_type, p.event_type AS next_type,
-       CAST(p.n AS BIGINT) AS n_transitions,
-       floor(CAST(p.n AS DOUBLE) / t.tot * 1000000.0 + 0.5) / 1000000.0
-           AS prob
-FROM pairs p JOIN row_tot t USING (prev_type)
+SELECT prev_type, event_type AS next_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       floor(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type)
+             * 1000000.0 + 0.5) / 1000000.0 AS prob
+FROM pairs
 """)
 def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
@@ -1053,7 +1052,7 @@ def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: ONE shuffle on user_id for the sequence window (sessions
     are contiguous within partitions), then a 25-cell aggregate with
-    partials; the row-normalizer is cell-count-sized and broadcasts.
+    partials; the row normalizer is a window over the 25-cell result — no second branch, no rescan.
     """
     from manual_data_ingest_spark.io import load_events
 
@@ -1064,12 +1063,11 @@ def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (seq.filter(F.col("prev_type").isNotNull())
              .groupBy("prev_type", "event_type")
              .agg(F.count("*").alias("n")))
-    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
-    return (pairs.join(F.broadcast(row_tot), "prev_type")
-            .select("prev_type", F.col("event_type").alias("next_type"),
-                    F.col("n").alias("n_transitions"),
-                    rnd(F.col("n").cast("double") / F.col("tot"), 6)
-                    .alias("prob")))
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type", F.col("event_type").alias("next_type"),
+        F.col("n").alias("n_transitions"),
+        rnd(F.col("n").cast("double") / tot, 6).alias("prob"))
 
 
 @register("agg_seasonality_strength", """

@@ -522,3 +522,59 @@ def test_q21_pipeline_rides_orderkey_distribution(spark):
     fact_keys = [k for k in keys if k != "s_name"]
     assert fact_keys and all(k == "l_orderkey" for k in fact_keys), keys
     assert "TakeOrderedAndProject" in plan  # top-100, not a full sort
+
+
+def test_feature_store_spine_broadcast_no_cartesian(spark):
+    """The 3-row snapshot spine joins the fact via broadcast (non-equi
+    ts < snap → BroadcastNestedLoopJoin over the broadcast spine) —
+    never a CartesianProduct, and the fact is never shuffled for it."""
+    plan = _plan(spark, "pipeline_feature_store")
+    assert "CartesianProduct" not in plan, plan[:600]
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_attribution_band_join_is_not_cartesian(spark):
+    """Last-touch attribution joins on user_id + time band: the equi
+    conjunct must carry the join (hash keys on user ids), with the
+    band as residual — a cartesian here explodes at any scale."""
+    plan = _plan(spark, "pipeline_attribution")
+    assert "CartesianProduct" not in plan, plan[:600]
+    # equi conjunct carries the join: either a user-keyed exchange (big
+    # touch side) or a broadcast hash join (small side fits) — at
+    # sf0.01 the touch table broadcasts, which is the better plan
+    keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9]+)", plan)
+    assert ("BroadcastHashJoin" in plan
+            or any(k in ("user_id", "t_user") for k in keys)), plan[:800]
+
+
+def test_markov_sequence_rides_one_user_shuffle(spark):
+    """The sequence lag needs exactly one user_id exchange; the pair
+    aggregate's partials ride it and only the tiny (prev,next) regroup
+    may exchange again."""
+    plan = _plan(spark, "agg_markov_transition")
+    keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9]+)", plan)
+    assert keys.count("user_id") == 1, keys
+    # the row-normalizing window rides the (prev,next) aggregate — no
+    # self-join branch that would re-plan the sequence exchange
+
+
+def test_kmeans_centroids_broadcast_every_iteration(spark):
+    """The K·D centroid table must BROADCAST into each distance join —
+    a shuffled centroid join would re-exchange the N·D fact per
+    iteration."""
+    plan = _plan(spark, "ml_kmeans_embeddings")
+    # intermediate iterations already ran eagerly (localCheckpoint), so
+    # the returned plan shows the FINAL assign — its centroid join must
+    # broadcast the K·D table into the N·D fact
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+
+
+def test_logistic_moments_partial_aggregate(spark):
+    """Each IRLS step's 9-moment aggregate must partial-aggregate
+    before the scalar gather (map-side combine on the fact scan)."""
+    plan = _plan(spark, "ml_logistic_newton")
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    # the scalar β rows ride broadcast joins, never shuffled joins
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
