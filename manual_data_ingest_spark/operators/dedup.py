@@ -197,13 +197,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count. Same rows, linear-ish in near-dup density instead of n².
     """
     d = load_table(spark, sf_dir, "documents")
+    # One aggregation, not two: sum(cnt * w(h)) over DISTINCT (doc, h)
+    # equals sum(w(h)) over token INSTANCES, so the (doc_id, h) count
+    # pre-pass (a full extra shuffle over the token stream) is pure
+    # overhead — measured 1.38 s → ~0.8 s exec at sf0.1. The oracle
+    # keeps the counted form; the integer sums are identical.
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-           .groupBy("doc_id",
-                    F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10)"
-                           " as bigint)").alias("h"))
-           .agg(F.count("*").alias("cnt")))
+           .select("doc_id",
+                   F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10)"
+                          " as bigint)").alias("h")))
     fps = (tok.groupBy("doc_id")
-           .agg(*[F.expr(f"sum(cnt * (((shiftright(h, {b})) & 1) * 2 - 1))")
+           .agg(*[F.expr(f"sum((((shiftright(h, {b})) & 1) * 2 - 1))")
                   .alias(f"s{b}") for b in range(_SH_BITS)])
            .select("doc_id", F.expr(_SH_SPARK_FP).alias("fp")))
     chunks = F.array(*[

@@ -6,13 +6,18 @@ quantizer or LSH bucket) so the candidate set per probe is a partition,
 not the whole corpus.
 
 Performance design (measured, not guessed — BENCH history):
-- The dot product is an UNROLLED 64-term left-associated sum
-  ``cast(a[0])*cast(b[0]) + …`` applied DIRECTLY to the raw
-  array<float> attributes. Spark's higher-order ``aggregate`` lambda is
-  evaluated interpretively per element; the unrolled expression joins
-  whole-stage codegen — same float semantics (left-to-right
-  accumulation == DuckDB list_dot_product's sequential fold, verified
-  bit-exact by the oracle harness), ~10× faster.
+- Scoring is Arrow-batched numpy (``cos_arrow`` / the BLAS block path in
+  ``sim_threshold_pairs``): one compact UDF node, SIMD arithmetic. The
+  alternative codegen strategies were both measured worse here: the HOF
+  ``aggregate`` lambda is evaluated interpretively per element (~10×
+  slower than the unrolled expression), and the UNROLLED 64-term
+  expression — while codegen-fast to EXECUTE — costs Catalyst 0.6-0.8 s
+  per action just to analyze/optimize its ~600-node tree (sim_topk at
+  sf0.1 is 2 000 vectors; arithmetic is microseconds — the plan work WAS
+  the query). The unrolled form (``dot_unrolled``/``cosine``) remains
+  the bit-exact sequential-fold twin used where left-to-right float
+  parity with DuckDB's ``list_dot_product`` matters at full precision
+  (``sim_normalize_materialize``'s norms, ``sim_threshold_expr``).
 - DO NOT pre-project normalized vectors: Catalyst's CollapseProject
   inlines the projected expression into every downstream use — 64
   getItems × a 64-term normalization tree = a combinatorial expression
@@ -38,6 +43,8 @@ from __future__ import annotations
 
 import functools
 import operator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -72,6 +79,53 @@ def dot_unrolled(a: Column | str, b: Column | str, dim: int = _DIM) -> Column:
     terms = [a.getItem(i).cast("double") * b.getItem(i).cast("double")
              for i in range(dim)]
     return functools.reduce(operator.add, terms)
+
+
+def _make_cos_arrow():
+    """Arrow-batched numpy cosine over two array<float> columns.
+
+    Why a UDF when the module header preaches codegen expressions: the
+    unrolled 3-dot form is ~600 expression NODES, and Catalyst pays to
+    analyze/optimize that tree on EVERY action — measured 0.6-0.8 s per
+    bench run on sim_topk/sim_ann_lsh at sf0.1 (2 000 vectors — the
+    arithmetic itself is microseconds). One ScalarPandasUDF node keeps
+    the plan tiny; scoring is vectorized numpy over Arrow batches (the
+    same per-block BLAS shape as ``sim_threshold_pairs``). Measured:
+    sim_topk 0.83→~0.3 s, sim_ann_lsh 0.72→~0.25 s end-to-end.
+
+    Float note: numpy reduces pairwise, not left-to-right; after the
+    shared 6dp rounder the oracle hash stays exact (verified by the
+    sweep), same argument as ``sim_threshold_pairs``.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_arrow(pv: pd.Series, emb: pd.Series) -> pd.Series:
+        if len(pv) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(pv.to_numpy()).astype(np.float64)
+        b = np.stack(emb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b))
+        return pd.Series(num / den)
+
+    return cos_arrow
+
+
+_COS_ARROW = None
+
+
+def cos_arrow(pv: Column, emb: Column) -> Column:
+    """Lazy wrapper: pandas_udf construction parses its return type via
+    the active SparkContext, so building it at import time breaks any
+    import without a live session (pytest collection). Built on first
+    use and cached for the process."""
+    global _COS_ARROW
+    if _COS_ARROW is None:
+        _COS_ARROW = _make_cos_arrow()
+    return _COS_ARROW(pv, emb)
 
 
 def dot_fold(a: Column, b: Column) -> Column:
@@ -127,7 +181,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter((F.col("rn") == 1) & (F.col("label") < 5))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("pv")))
-    score = cosine("pv", "embedding")
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
     return (F.broadcast(probes)
             .join(e, F.col("vec_id") != F.col("probe_id"))
             .select("probe_id", F.col("vec_id").alias("neighbor_id"),
@@ -181,7 +235,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter((F.col("rn") == 1) & (F.col("label") < 5))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("embedding").alias("pv"), "bucket"))
-    score = cosine("pv", "embedding")
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
     return (F.broadcast(probes)
             .join(b, ["bucket"])
             .filter(F.col("vec_id") != F.col("probe_id"))
@@ -222,7 +276,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("label").alias("plabel"),
                       F.col("embedding").alias("pv")))
-    score = cosine("pv", "embedding")
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
     return (F.broadcast(probes)
             .join(e, (F.col("plabel") == F.col("label"))
                   & (F.col("vec_id") != F.col("probe_id")))
@@ -410,7 +464,7 @@ def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("label").alias("plabel"),
                       F.col("embedding").alias("pv")))
-    score = cosine("pv", "embedding")
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
     return (F.broadcast(probes)
             .join(e, (F.col("plabel") == F.col("label"))
                   & (F.col("vec_id") != F.col("probe_id")))

@@ -68,8 +68,18 @@ def _events_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events table (schema from a batch probe;
-    ns→µs ts conversion as in io.load_events)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ns→µs ts conversion as in io.load_events). The RAW schema probe
+    (pre-conversion — the stream source needs the on-disk bigint ts) is
+    cached per session like io.load_table's plans: footer reads cost
+    ~50 ms per streaming query otherwise."""
+    cache = getattr(spark, "_mdis_raw_schema_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_raw_schema_cache = cache
+    schema = cache.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        cache[sf_dir] = schema
     st = spark.readStream.schema(schema).parquet(_events_dir(sf_dir))
     if dict(st.dtypes).get("ts") == "bigint":
         st = st.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
