@@ -252,13 +252,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-safe under AQE. At 100 TB the label blocker is an ANN index
     (IVF cells / LSH buckets, see sim_ann_*); the drop rule is the same.
     """
-    from manual_data_ingest_spark.operators.similarity import cosine
+    from manual_data_ingest_spark.operators.similarity import cos_arrow
 
     e = load_table(spark, sf_dir, "embeddings")
     a, b = e.alias("a"), e.alias("b")
     drops = (a.join(b, (F.col("a.label") == F.col("b.label"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .filter(cosine("a.embedding", "b.embedding") >= 0.35)
+             .filter(cos_arrow(F.col("a.embedding"), F.col("b.embedding"))
+                     >= 0.35)
              .select(F.col("b.vec_id").alias("vec_id"))
              .distinct())
     return (e.join(drops, "vec_id", "left_anti")

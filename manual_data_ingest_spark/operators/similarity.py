@@ -114,7 +114,35 @@ def _make_cos_arrow():
     return cos_arrow
 
 
+def _make_intdot_arrow():
+    """Arrow-batched EXACT dot product over integer-valued array columns
+    (quantized vectors): int64 accumulation, so unlike float folds the
+    result is identical under ANY summation order — swapping the HOF
+    fold (interpreted per element) for this is correctness-free speed."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def intdot_arrow(qa: pd.Series, qb: pd.Series) -> pd.Series:
+        if len(qa) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(qa.to_numpy()).astype(np.int64)
+        b = np.stack(qb.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", a, b).astype(np.float64))
+
+    return intdot_arrow
+
+
 _COS_ARROW = None
+_INTDOT_ARROW = None
+
+
+def intdot_arrow(qa: Column, qb: Column) -> Column:
+    """Lazy wrapper (see ``cos_arrow``)."""
+    global _INTDOT_ARROW
+    if _INTDOT_ARROW is None:
+        _INTDOT_ARROW = _make_intdot_arrow()
+    return _INTDOT_ARROW(qa, qb)
 
 
 def cos_arrow(pv: Column, emb: Column) -> Column:
@@ -536,8 +564,9 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter((F.col("rn") == 1) & (F.col("label") < 5))
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("s").alias("ps"), F.col("qv").alias("pqv")))
-    qdot = (F.aggregate(F.zip_with("pqv", "qv", lambda x, y: x * y),
-                        F.lit(0.0), lambda acc, v: acc + v)
+    # exact int64 dot via Arrow (order-free — integer sums), then the two
+    # per-vector scales; the previous HOF fold was interpreted per element
+    qdot = (intdot_arrow(F.col("pqv"), F.col("qv"))
             * F.col("ps") * F.col("s"))
     return (F.broadcast(probes)
             .join(q, F.col("vec_id") != F.col("probe_id"))

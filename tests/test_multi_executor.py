@@ -1,0 +1,74 @@
+"""Multi-executor smoke: the engine on ``local-cluster`` mode.
+
+``local[N]`` runs every task in the driver JVM, which hides the failure
+modes a real cluster has: Python UDF closures that don't pickle,
+broadcast variables that never cross a process boundary, shuffle files
+written/read by different JVMs. ``local-cluster[2,4,2048]`` launches two
+REAL executor JVMs (4 cores, 2 GiB each) with the standalone scheduler —
+the closest local approximation of the 1000-executor deployment the
+engine is designed for (SURVEY.md §4 / SCALE.md).
+
+The cluster run happens in a SUBPROCESS: Spark allows one SparkContext
+per JVM/process, and the suite's shared local-mode session must survive
+this module. One representative operator per risk class, each compared
+row-for-row against the same query on the in-process local session:
+- ``flagship_q3``        — broadcast joins + shuffle agg + TakeOrdered
+- ``dedup_near_minhash`` — multi-shuffle pipeline (explode, band join)
+- ``sim_topk``           — broadcast + Arrow pandas-UDF scoring across JVMs
+- ``udf_grouped_map``    — applyInPandas closure shipped to executors
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF = "/root/testdata/sf0.01"
+
+_QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map"]
+
+_RUNNER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+from manual_data_ingest_spark.session import get_spark
+spark = get_spark("mdis-local-cluster", master="local-cluster[2,4,2048]")
+import __spark_entry__ as E
+qs = E.queries()
+out = {{}}
+for name in {queries!r}:
+    rows = qs[name](spark, {sf!r}).collect()
+    out[name] = sorted([str(v) for v in r] for r in rows)
+print("RESULT::" + json.dumps(out))
+spark.stop()
+"""
+
+
+@pytest.fixture(scope="module")
+def cluster_results():
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         _RUNNER.format(repo=_REPO, queries=_QUERIES, sf=SF)],
+        capture_output=True, text=True, timeout=600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT::"):
+            return json.loads(line[len("RESULT::"):])
+    raise AssertionError(
+        f"local-cluster runner produced no result\nstdout tail: "
+        f"{proc.stdout[-2000:]}\nstderr tail: {proc.stderr[-2000:]}")
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_cluster_matches_local(cluster_results, spark, name):
+    import __spark_entry__ as E
+
+    rows = E.queries()[name](spark, SF).collect()
+    local = sorted([str(v) for v in r] for r in rows)
+    assert cluster_results[name] == local
