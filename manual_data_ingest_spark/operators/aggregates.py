@@ -1319,3 +1319,59 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(obs, 6).alias("obs_share"),
         exp.alias("exp_share"),
         rnd((obs - exp) * (obs - exp) / exp, 9).alias("chi2_term"))
+
+
+@register("agg_percentile_weighted", """
+WITH d AS (
+    SELECT l_returnflag AS rf, l_extendedprice AS price,
+           l_quantity::BIGINT AS wt, l_orderkey, l_linenumber
+    FROM lineitem
+), c AS (
+    SELECT rf, price,
+           sum(wt) OVER (PARTITION BY rf
+                         ORDER BY price, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(wt) OVER (PARTITION BY rf) AS tot
+    FROM d
+)
+SELECT rf AS l_returnflag,
+       round(min(CASE WHEN cum * 2 >= tot THEN price END), 2) AS p50_w,
+       round(min(CASE WHEN cum * 10 >= tot * 9 THEN price END), 2) AS p90_w
+FROM c GROUP BY rf
+""")
+def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (quantity-weighted price p50/p90 per return
+    flag) — the pricing/inventory primitive Spark has no built-in for
+    (``percentile_approx`` is unweighted; ML feature pipelines and
+    revenue analytics both need the weighted form).
+
+    Lower weighted quantile: sort by value, accumulate integer weights,
+    take the first value whose cumulative weight reaches q·total.
+    Determinism: weights cast to BIGINT so the running and total sums
+    are EXACT; the threshold test is pure integer arithmetic
+    (``cum·2 ≥ tot``, ``cum·10 ≥ 9·tot``) — no float literal whose
+    DECIMAL-vs-DOUBLE reading could flip a boundary row (the PARITY #21
+    class). ORDER BY ends in the unique (orderkey, linenumber) so the
+    running sum is identical on both engines.
+
+    100 TB: one shuffle on the group key serves both windows and the
+    final aggregate (same partitioning); per-group state is a running
+    integer — no per-group buffering of values, unlike a sort-based
+    exact percentile. Skewed groups split under AQE.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_returnflag"),
+                  F.col("l_extendedprice").alias("price"),
+                  F.col("l_quantity").cast("bigint").alias("wt"),
+                  "l_orderkey", "l_linenumber")
+    w_cum = (Window.partitionBy("l_returnflag")
+             .orderBy("price", "l_orderkey", "l_linenumber")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("l_returnflag")
+    c = (d.withColumn("cum", F.sum("wt").over(w_cum))
+         .withColumn("tot", F.sum("wt").over(w_tot)))
+    return (c.groupBy("l_returnflag")
+            .agg(rnd(F.min(F.when(F.col("cum") * 2 >= F.col("tot"),
+                                  F.col("price"))), 2).alias("p50_w"),
+                 rnd(F.min(F.when(F.col("cum") * 10 >= F.col("tot") * 9,
+                                  F.col("price"))), 2).alias("p90_w")))

@@ -1140,3 +1140,82 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.col("n").cast("long").alias("n_days"),
                     rnd(F.col("vb") / vtot, 6)
                     .alias("seasonality_strength")))
+
+
+@register("win_interval_coalesce", """
+WITH iv AS (
+    SELECT l_suppkey AS sk,
+           l_shipdate::DATE AS s,
+           l_shipdate::DATE + CAST(l_quantity AS INT) AS e,
+           l_orderkey, l_linenumber
+    FROM lineitem WHERE l_suppkey <= 20
+), marked AS (
+    SELECT sk, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY sk
+                                  ORDER BY s, e, l_orderkey, l_linenumber
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY sk
+                                      ORDER BY s, e, l_orderkey, l_linenumber
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island,
+           l_orderkey, l_linenumber
+    FROM iv
+), isl AS (
+    SELECT sk, s, e,
+           sum(new_island) OVER (PARTITION BY sk
+                                 ORDER BY s, e, l_orderkey, l_linenumber
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM marked
+)
+SELECT sk AS l_suppkey, island_id::BIGINT AS island_id,
+       min(s) AS island_start, max(e) AS island_end,
+       count(*) AS n_intervals
+FROM isl GROUP BY sk, island_id
+""")
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands over RANGES): merge each
+    supplier's overlapping busy periods [shipdate, shipdate+quantity
+    days] into maximal islands — the range twin of ``win_sessionize``'s
+    point-gap sessions (availability windows, maintenance periods,
+    coverage gaps all reduce to this).
+
+    The running-max trick: a row starts a new island iff its start lies
+    strictly past the MAX end of every earlier interval (not merely the
+    previous row's end — an earlier long interval can span a later short
+    one, the classic bug naive lag-based merges have). Island id = the
+    running count of starts; one groupBy per (supplier, island).
+
+    Determinism: pure date/integer arithmetic, no floats anywhere; the
+    window order ends in the unique line key. 100 TB: one shuffle on the
+    supplier key serves both windows AND the final aggregate (group keys
+    contain the partition key, so clustering is already satisfied); the
+    running max/count carry scalar state only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    iv = li.select(
+        F.col("l_suppkey").alias("sk"),
+        F.to_date("l_shipdate").alias("s"),
+        F.expr("date_add(to_date(l_shipdate), CAST(l_quantity AS INT))")
+        .alias("e"),
+        "l_orderkey", "l_linenumber")
+    w = (Window.partitionBy("sk")
+         .orderBy("s", "e", "l_orderkey", "l_linenumber"))
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0))
+    isl = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (isl.groupBy("sk", "island_id")
+            .agg(F.min("s").alias("island_start"),
+                 F.max("e").alias("island_end"),
+                 F.count("*").alias("n_intervals"))
+            .select(F.col("sk").alias("l_suppkey"),
+                    F.col("island_id").cast("long").alias("island_id"),
+                    "island_start", "island_end", "n_intervals"))

@@ -578,3 +578,51 @@ def test_logistic_moments_partial_aggregate(spark):
     assert "CartesianProduct" not in plan
     # the scalar β rows ride broadcast joins, never shuffled joins
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """At 100 TB, Spark's runtime bloom-filter injection
+    (InjectRuntimeFilter) builds a bloom filter from the selective dim
+    side of a shuffle join and applies `might_contain` on the fact side
+    BEFORE its shuffle — cutting shuffle volume by the dim selectivity.
+    The trigger thresholds (creation side ≤ 10 MB, application side scan
+    ≥ 10 GB by default) are sized for exactly that regime, so fixture
+    scans never trip them naturally; this audit lowers the application
+    threshold to prove the engine's session config leaves the feature
+    armed and the plan shape is the one we rely on at scale."""
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    from manual_data_ingest_spark.io import load_table
+
+    thr_key = ("spark.sql.optimizer.runtime.bloomFilter."
+               "applicationSideScanSizeThreshold")
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bc = spark.conf.get(thr_key), spark.conf.get(bc_key)
+    # broadcast disabled so the join shuffles (the bloom filter's whole
+    # point); note a join-strategy HINT would suppress injection — a
+    # real gotcha found here: hinted joins skip InjectRuntimeFilter
+    spark.conf.set(thr_key, "1KB")
+    spark.conf.set(bc_key, "-1")
+    try:
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        part = load_table(spark, SF_ORACLE, "part").filter(
+            F.col("p_brand") == "Brand#13")
+        j = (li.join(part, li.l_partkey == part.p_partkey)
+             .groupBy("p_brand").agg(F.count("*").alias("n")))
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+        plan = j._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set(thr_key, old_thr)
+        spark.conf.set(bc_key, old_bc)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+
+
+def test_interval_coalesce_single_shuffle(spark):
+    """win_interval_coalesce: the supplier-key shuffle must serve both
+    windows AND the final (sk, island_id) aggregate — the group key
+    contains the partition key, so clustering is already satisfied and
+    a second exchange would be a planner regression."""
+    plan = _plan(spark, "win_interval_coalesce")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
