@@ -1375,3 +1375,67 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("price"))), 2).alias("p50_w"),
                  rnd(F.min(F.when(F.col("cum") * 10 >= F.col("tot") * 9,
                                   F.col("price"))), 2).alias("p90_w")))
+
+
+@register("agg_ks_test", """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+), per_v AS (
+    SELECT value,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+    FROM ev GROUP BY value
+), tot AS (
+    SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM per_v
+), cums AS (
+    SELECT sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+           sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_b
+    FROM per_v
+)
+SELECT round(max(abs(cum_a * nb - cum_b * na))::DOUBLE
+             / (na::DOUBLE * nb::DOUBLE), 6) AS ks_d,
+       na AS n_click, nb AS n_purchase
+FROM cums, tot
+GROUP BY na, nb
+""")
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``value``
+    distributions of click vs purchase events — the standard
+    distribution-drift check a data pipeline runs between snapshots or
+    A/B arms (D = max |ECDF_a − ECDF_b| over the pooled support).
+
+    Integer-exact inside: D's argmax is taken over
+    |cum_a·n_b − cum_b·n_a| (exact integers), with ONE float division at
+    the end — so no running-sum float drift can reorder the max (the
+    PARITY #12/#21 classes are structurally excluded). The global-order
+    window runs over the VALUE-LEVEL aggregate (distinct values, already
+    reduced by a keyed shuffle), not the raw events — the serial window
+    input is bounded by support cardinality, the same shape every exact
+    order statistic has; a 100 TB deployment bins the support first
+    (`agg_histogram_equidepth`) and runs the same max over bin edges.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = (load_events(spark, sf_dir)
+          .filter(F.col("event_type").isin("click", "purchase")))
+    per_v = (ev.groupBy("value")
+             .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                        .otherwise(0)).cast("long").alias("ca"),
+                  F.sum(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).cast("long").alias("cb")))
+    tot = per_v.agg(F.sum("ca").cast("long").alias("na"),
+                    F.sum("cb").cast("long").alias("nb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    cums = per_v.select(F.sum("ca").over(w).cast("long").alias("cum_a"),
+                        F.sum("cb").over(w).cast("long").alias("cum_b"))
+    return (cums.crossJoin(F.broadcast(tot))
+            .groupBy("na", "nb")
+            .agg(rnd(F.max(F.abs(F.col("cum_a") * F.col("nb")
+                                 - F.col("cum_b") * F.col("na")))
+                     .cast("double")
+                     / (F.col("na").cast("double")
+                        * F.col("nb").cast("double")), 6).alias("ks_d"))
+            .select("ks_d", F.col("na").alias("n_click"),
+                    F.col("nb").alias("n_purchase")))

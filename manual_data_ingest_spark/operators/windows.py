@@ -1219,3 +1219,66 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("sk").alias("l_suppkey"),
                     F.col("island_id").cast("long").alias("island_id"),
                     "island_start", "island_end", "n_intervals"))
+
+
+@register("win_autocorr_lag1", """
+WITH daily AS (
+    SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS x
+    FROM events GROUP BY 1
+), pairs AS (
+    SELECT x,
+           lag(x) OVER (ORDER BY day) AS px
+    FROM daily
+), s AS (
+    SELECT count(*)::BIGINT AS n,
+           sum(x)::BIGINT AS sx, sum(px)::BIGINT AS sp,
+           sum(x * px)::BIGINT AS sxp,
+           sum(x * x)::BIGINT AS sxx, sum(px * px)::BIGINT AS spp
+    FROM pairs WHERE px IS NOT NULL
+)
+SELECT n AS n_pairs,
+       round((n::DOUBLE * sxp::DOUBLE - sx::DOUBLE * sp::DOUBLE)
+             / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)),
+             6) AS autocorr_lag1
+FROM s
+""")
+def win_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-value series — the
+    first question asked of any metric time series (is today predictive
+    of tomorrow?), and the diagnostic behind seasonality/trend detection
+    (`agg_seasonality_strength`'s scalar cousin).
+
+    Exact-integer discipline: daily values are summed as integer CENTS,
+    so every power sum (Σx, Σxy, Σx²) is an exact integer — Pearson r
+    over (x_t, x_{t-1}) is assembled from those sums with FLOAT ARITHMETIC
+    ONLY IN THE FINAL EXPRESSION (the explicit-moment pattern that fixed
+    the r1 skew/kurtosis red, PARITY #16). The lag window runs over the
+    DAILY aggregate (≤ one row per day — bounded, not data-sized), after
+    one keyed shuffle over events.
+    """
+    from manual_data_ingest_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+                  .cast("long").alias("x")))
+    pairs = (daily.select("x", F.lag("x").over(Window.orderBy("day"))
+                          .alias("px"))
+             .filter(F.col("px").isNotNull()))
+    s = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("px").cast("long").alias("sp"),
+        F.sum(F.col("x") * F.col("px")).cast("long").alias("sxp"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("px") * F.col("px")).cast("long").alias("spp"))
+    n, sx, sp = F.col("n").cast("double"), F.col("sx").cast("double"), \
+        F.col("sp").cast("double")
+    sxp, sxx, spp = F.col("sxp").cast("double"), F.col("sxx").cast("double"), \
+        F.col("spp").cast("double")
+    r = (n * sxp - sx * sp) / (F.sqrt(n * sxx - sx * sx)
+                               * F.sqrt(n * spp - sp * sp))
+    return s.select(F.col("n").alias("n_pairs"),
+                    rnd(r, 6).alias("autocorr_lag1"))

@@ -563,3 +563,84 @@ def pipeline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("channel", "n_attributed", "attributed_revenue",
                     rnd(F.col("n_attributed").cast("double")
                         / F.col("n_purchases"), 6).alias("purchase_share")))
+
+
+def _bpe_oracle(iters: int) -> str:
+    """Unrolled DuckDB twin of the BPE merge loop (same generator
+    pattern as the PQ-codebook oracle): each iteration counts adjacent
+    token pairs, picks the (count DESC, pair ASC) winner, and rewrites
+    the corpus with the pair fused."""
+    parts = ["WITH d0 AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents)"]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+    SELECT pair, count(*) AS cnt FROM (
+        SELECT unnest([l[j] || ' ' || l[j+1]
+                       for j in generate_series(1, len(l) - 1)]) AS pair
+        FROM (SELECT string_split(trim(t), ' ') AS l FROM d{i-1})
+        WHERE len(l) >= 2)
+    GROUP BY pair
+), t{i} AS (
+    SELECT pair, cnt FROM c{i} ORDER BY cnt DESC, pair LIMIT 1
+), d{i} AS (
+    SELECT doc_id,
+           replace(t, ' ' || pair || ' ',
+                   ' ' || replace(pair, ' ', '_') || ' ') AS t
+    FROM d{i-1}, t{i}
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT {i} AS iteration, pair AS merged_pair, cnt FROM t{i}"
+        for i in range(1, iters + 1))
+    return "".join(parts) + "\n" + sel
+
+
+_BPE_ITERS = 3
+
+
+@register("pipeline_bpe_train", _bpe_oracle(_BPE_ITERS))
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style tokenizer training over the corpus: ``_BPE_ITERS``
+    rounds of (count adjacent token pairs globally) → (merge the most
+    frequent pair corpus-wide) → repeat; emits the learned merge table
+    (iteration, pair, frequency) — the core loop of byte-pair-encoding
+    vocabulary construction, run as pure DataFrame algebra.
+
+    Deterministic merge rule: winner = (count DESC, pair ASC); the
+    rewrite is single-delimiter string replacement, which both engines
+    scan LEFT-TO-RIGHT NON-OVERLAPPING with the matched text consumed
+    (probe-verified identical on ``' a b a b '`` and ``' a a a '``) —
+    alternating repeats merge conservatively, identically on both
+    engines. Each round's top-1 is a 1-row broadcast into the next
+    rewrite — the full loop stays ONE lazy plan, no driver collect.
+
+    100 TB: per round = one explode + one partial-agg shuffle of (pair,
+    count) partials + a 1-row broadcast; rounds compose linearly. This
+    is exactly how production BPE trainers distribute (pair-count
+    reduce, driver-side argmax of a TINY aggregate, broadcast rule) —
+    with real vocab sizes the argmax batches the top-k pairs per round
+    instead of top-1.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", F.concat(F.lit(" "), "text", F.lit(" "))
+                      .alias("t"))
+    merges = []
+    for i in range(1, _BPE_ITERS + 1):
+        toks = cur.select(F.split(F.trim("t"), " ").alias("l"))
+        pairs = (toks.filter(F.size("l") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(1, size(l) - 1),"
+                     " j -> concat(element_at(l, j), ' ',"
+                     " element_at(l, j + 1)))")).alias("pair")))
+        counts = pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+        top1 = counts.orderBy(F.col("cnt").desc(), "pair").limit(1)
+        merges.append(top1.select(F.lit(i).alias("iteration"),
+                                  F.col("pair").alias("merged_pair"),
+                                  "cnt"))
+        cur = (cur.crossJoin(F.broadcast(top1))
+               .select("doc_id",
+                       F.expr("replace(t, ' ' || pair || ' ',"
+                              " ' ' || replace(pair, ' ', '_') || ' ')")
+                       .alias("t")))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

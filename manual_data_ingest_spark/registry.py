@@ -85,6 +85,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_unigram_logprob", "text_zipf_slope",
     "multimodal_shard_assign",
     "pipeline_training_mix", "pipeline_seq_pack", "pipeline_rag_index",
+    "pipeline_bpe_train",
 )
 
 #: hash-green in CORRECTNESS_r01.json — verdicts already on record.
