@@ -102,6 +102,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
     n_nodes = nodes.count()  # dim-sized scalar (25), not a fact collect
+    if n_nodes == 0:
+        # empty graph: empty ranking, not a 1/0 (empty-input sweep)
+        return (nodes.select(F.col("node").alias("n_nationkey"), "n_name",
+                             F.lit(0.0).alias("pagerank")))
     src_nodes = p.select("src").distinct()
 
     r = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))

@@ -743,11 +743,14 @@ def ingest_dq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         F.countDistinct("o_orderstatus").cast("double").alias("n_status"))
+    # ratio guarded for the empty-table case (ANSI division errors on
+    # 0 denominators; NULL ratio -> rule graded failed, not a crash)
+    _ratio = lambda num: F.when(F.col("n") > 0, num / F.col("n"))
     rows = [
-        ("completeness_custkey", rnd(F.col("n_cust") / F.col("n"), 6),
-         F.col("n_cust") / F.col("n") >= 0.999),
-        ("uniqueness_orderkey", rnd(F.col("n_keys") / F.col("n"), 6),
-         F.col("n_keys") / F.col("n") >= 0.999),
+        ("completeness_custkey", rnd(_ratio(F.col("n_cust")), 6),
+         _ratio(F.col("n_cust")) >= 0.999),
+        ("uniqueness_orderkey", rnd(_ratio(F.col("n_keys")), 6),
+         _ratio(F.col("n_keys")) >= 0.999),
         ("min_totalprice_nonneg", rnd(F.col("min_price"), 6),
          F.col("min_price") >= 0.0),
         ("max_totalprice_bounded", rnd(F.col("max_price"), 6),
@@ -1106,5 +1109,6 @@ def ingest_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "table_name", "n_before", "n_erased",
         (F.col("n_before") - F.col("n_erased")).alias("n_after"),
-        rnd(F.col("n_erased").cast("double") / F.col("n_before"), 6)
+        rnd(F.when(F.col("n_before") > 0,
+                   F.col("n_erased").cast("double") / F.col("n_before")), 6)
         .alias("erased_frac"))

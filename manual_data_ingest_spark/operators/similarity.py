@@ -478,13 +478,16 @@ def sim_ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cache is None:
         cache = {}
         spark._mdis_cache = cache
+    emb_schema = load_table(spark, sf_dir, "embeddings").schema
     if key not in cache:
         from manual_data_ingest_spark.sources.scans import _tmpdir
         d = _tmpdir("mdis_ivf_")
         (load_table(spark, sf_dir, "embeddings")
          .write.mode("overwrite").partitionBy("label").parquet(d))
         cache[key] = d
-    e = spark.read.parquet(cache[key])
+    # explicit schema: an empty corpus writes zero part files and
+    # inference fails (empty-input sweep finding)
+    e = spark.read.schema(emb_schema).parquet(cache[key])
 
     wp = Window.partitionBy("label").orderBy("vec_id")
     probes = (e.withColumn("rn", F.row_number().over(wp))

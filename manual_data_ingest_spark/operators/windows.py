@@ -460,8 +460,11 @@ def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = p.agg(F.count("*").alias("n_buy_after_click"))
     return (nv.crossJoin(nc).crossJoin(np_)
             .select("n_view", "n_click_after_view", "n_buy_after_click",
-                    rnd(F.col("n_buy_after_click").cast("double")
-                        / F.col("n_view"), 6).alias("conversion")))
+                    # NULL (not ANSI error) when the funnel top is empty
+                    # — the empty-partition backfill case
+                    rnd(F.when(F.col("n_view") > 0,
+                               F.col("n_buy_after_click").cast("double")
+                               / F.col("n_view")), 6).alias("conversion")))
 
 
 @register("win_retention_cohorts", """

@@ -122,7 +122,8 @@ def pipeline_ingest_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     from manual_data_ingest_spark.sources.scans import _tmpdir
     out = _tmpdir("mdis_register_")
     manifest.write.mode("overwrite").partitionBy("bucket").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: zero part files (empty input) breaks inference
+    back = spark.read.schema(manifest.schema).parquet(out)
     return (back.groupBy(F.col("bucket").cast("long").alias("bucket"))
             .agg(F.count("*").alias("n_docs"),
                  F.countDistinct("minted_id").alias("n_ids"),

@@ -115,9 +115,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comes from the re-read so directory layout is what's verified
     o = load_table(spark, sf_dir, "orders")
     out = _tmpdir("mdis_part_")
-    (o.withColumn("o_year", F.year("o_orderdate"))
-     .write.mode("overwrite").partitionBy("o_year").parquet(out))
-    back = spark.read.parquet(out)
+    w = o.withColumn("o_year", F.year("o_orderdate"))
+    w.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    # explicit schema on read-back: an all-empty input writes zero part
+    # files and schema inference then fails — the empty-partition case
+    # every production backfill hits (empty-input sweep finding)
+    back = spark.read.schema(w.schema).parquet(out)
     return (back.groupBy(F.col("o_year").cast("long").alias("o_year"))
             .agg(F.count("*").alias("cnt")))
 
@@ -298,13 +301,16 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _tmpdir("mdis_merge_")
     # 1. standing snapshot
-    (latest(ev.filter(F.col("ts") < cutoff))
-     .write.mode("overwrite").partitionBy("event_type").parquet(out))
+    snap = latest(ev.filter(F.col("ts") < cutoff))
+    snap.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # explicit read-back schema: zero part files (empty input) breaks
+    # inference — the empty-partition backfill case (empty-input sweep)
+    snap_schema = snap.schema
     # 2. merge the delta into ONLY its partitions
     delta = latest(ev.filter(F.col("ts") >= cutoff))
     touched = [r.event_type
                for r in delta.select("event_type").distinct().collect()]
-    existing = (spark.read.parquet(out)
+    existing = (spark.read.schema(snap_schema).parquet(out)
                 .filter(F.col("event_type").isin(touched))
                 .select("user_id", "event_type", "event_id", "ts", "value"))
     (latest(existing.unionByName(delta))
@@ -312,7 +318,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("event_type").parquet(out))
     # 3. verify on-disk state
-    back = spark.read.parquet(out)
+    back = spark.read.schema(snap_schema).parquet(out)
     return (back.groupBy("event_type")
             .agg(F.count("*").alias("n_keys"),
                  F.max("event_id").alias("max_event_id"),
@@ -739,8 +745,14 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = [m for m in manifest
                 if m.max_dt >= lo_dt and m.min_dt <= hi_dt]
     paths = [f"{base}/orders/y={m.y}" for m in selected]
-    back = (spark.read.parquet(*paths)
-            .filter(F.col("o_orderdate").between(lo, hi)))
+    if paths:
+        back = (spark.read.parquet(*paths)
+                .filter(F.col("o_orderdate").between(lo, hi)))
+    else:
+        # nothing selected (e.g. empty input wrote no file groups):
+        # an empty relation with the data schema, not a read of zero
+        # paths (which cannot infer a schema)
+        back = spark.createDataFrame([], data.drop("y").schema)
     from manual_data_ingest_spark.functions.rounding import rnd
     return back.agg(
         F.count("*").alias("n_rows"),
@@ -904,6 +916,10 @@ def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
                     st = rg.column(idx).statistics
+                    if rg.num_rows == 0 or st is None or st.min is None:
+                        # empty row group / file: no stats to fold
+                        # (empty-input sweep finding)
+                        continue
                     rows.append(rg.num_rows)
                     mins.append(pd.Timestamp(st.min).value)  # ns
                     maxs.append(pd.Timestamp(st.max).value)
