@@ -103,7 +103,10 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrays don't hash portably across engines / in the driver's
     # canonicalizer, strings do.
     ev = load_table(spark, sf_dir, "events")
-    per_type = (ev.groupBy("user_id", "event_type")
+    # NULL event types cannot be map keys (NULL_MAP_KEY) — exclude the
+    # null group, matching a map keyed by a defined event type
+    per_type = (ev.filter(F.col("event_type").isNotNull())
+                .groupBy("user_id", "event_type")
                 .agg(F.count("*").alias("cnt")))
     m = F.map_from_entries(F.collect_list(F.struct("event_type", "cnt")))
     keys = F.sort_array(F.map_keys("type_counts"))
@@ -199,7 +202,9 @@ def map_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds every map op through an entry-level representation before
     # hashing (SURVEY §2.9 discipline).
     ev = load_table(spark, sf_dir, "events")
-    m = (ev.groupBy("user_id", "event_type").count()
+    # exclude NULL event types: they cannot be map keys (NULL_MAP_KEY)
+    m = (ev.filter(F.col("event_type").isNotNull())
+         .groupBy("user_id", "event_type").count()
          .groupBy("user_id")
          .agg(F.map_from_entries(
              F.collect_list(F.struct("event_type", "count"))).alias("m")))

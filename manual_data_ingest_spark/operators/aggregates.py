@@ -723,7 +723,9 @@ def agg_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 16
     b = (ev.groupBy((F.col("event_id") % 32).alias("bucket"))
          .agg(F.sort_array(F.collect_list("value")).alias("arr"),
-              F.count("*").alias("n")))
+              # count the VALUES, not the rows: collect_list skips NULLs,
+              # so count(*) would index past the array (NULL sweep)
+              F.count("value").alias("n")))
     points = (b.select(
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(K - 1)),
@@ -1140,7 +1142,7 @@ def agg_histogram_sketch_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 16
     b = (o.groupBy((F.col("o_orderkey") % 32).alias("bucket"))
          .agg(F.sort_array(F.collect_list("o_totalprice")).alias("arr"),
-              F.count("*").alias("n")))
+              F.count("o_totalprice").alias("n")))  # NULLs skipped by collect_list
     points = (b.select(
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(K - 1)),

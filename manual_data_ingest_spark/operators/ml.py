@@ -447,6 +447,9 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gram_batches(batches):
         import numpy as np
         for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]  # NULL vectors carry no mass
+            if len(pdf) == 0:
+                continue
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             G = M.T @ M
             d1, d2 = np.meshgrid(np.arange(1, _DIM + 1),

@@ -101,7 +101,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for buf in pdf["media"]:
                 if real is not None:  # pragma: no cover
                     raise NotImplementedError("real decoder not wired")
-                arr = np.frombuffer(buf, dtype=np.uint8)
+                arr = np.frombuffer(buf or b"", dtype=np.uint8)  # NULL media = empty
                 n = arr.size
                 n_bytes.append(n)
                 width.append(1 + n % 640)
@@ -165,7 +165,7 @@ def _frame_sample_batches(batches):
     for pdf in batches:
         n_frames, first_b, last_b = [], [], []
         for buf in pdf["media"]:
-            arr = np.frombuffer(buf, dtype=np.uint8)
+            arr = np.frombuffer(buf or b"", dtype=np.uint8)  # NULL media = empty
             frames = arr[::500]
             n_frames.append(len(frames))
             first_b.append(int(frames[0]) if len(frames) else None)
@@ -194,7 +194,7 @@ def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             dur, rms = [], []
             for buf in pdf["media"]:
-                arr = np.frombuffer(buf, dtype=np.uint8)
+                arr = np.frombuffer(buf or b"", dtype=np.uint8)  # NULL media = empty
                 dur.append(np.floor(arr.size / 16000.0 * 1e6 + 0.5) / 1e6)
                 rms.append(np.floor((int(arr.sum(dtype=np.int64)) % 1000)
                                     / 1000.0 * 1e6 + 0.5) / 1e6)

@@ -102,14 +102,18 @@ def _make_cos_arrow():
 
     @pandas_udf("double")
     def cos_arrow(pv: pd.Series, emb: pd.Series) -> pd.Series:
-        if len(pv) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.stack(pv.to_numpy()).astype(np.float64)
-        b = np.stack(emb.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", a, b)
-        den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
-            np.einsum("ij,ij->i", b, b))
-        return pd.Series(num / den)
+        # NULL-in -> NULL-out, like any SQL scalar expression
+        # (np.stack cannot carry None rows — NULL-injection sweep)
+        out = pd.Series(np.nan, index=pv.index, dtype="float64")
+        ok = pv.notna() & emb.notna()
+        if ok.any():
+            a = np.stack(pv[ok].to_numpy()).astype(np.float64)
+            b = np.stack(emb[ok].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+                np.einsum("ij,ij->i", b, b))
+            out[ok] = num / den
+        return out
 
     return cos_arrow
 
@@ -124,11 +128,13 @@ def _make_intdot_arrow():
 
     @pandas_udf("double")
     def intdot_arrow(qa: pd.Series, qb: pd.Series) -> pd.Series:
-        if len(qa) == 0:
-            return pd.Series([], dtype="float64")
-        a = np.stack(qa.to_numpy()).astype(np.int64)
-        b = np.stack(qb.to_numpy()).astype(np.int64)
-        return pd.Series(np.einsum("ij,ij->i", a, b).astype(np.float64))
+        out = pd.Series(np.nan, index=qa.index, dtype="float64")
+        ok = qa.notna() & qb.notna()
+        if ok.any():
+            a = np.stack(qa[ok].to_numpy()).astype(np.int64)
+            b = np.stack(qb[ok].to_numpy()).astype(np.int64)
+            out[ok] = np.einsum("ij,ij->i", a, b).astype(np.float64)
+        return out
 
     return intdot_arrow
 
@@ -385,6 +391,12 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = _SIM_THRESHOLD
 
     def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf[pdf["embedding"].notna()]  # NULL vectors score nothing
+        if len(pdf) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int32"),
+                                 "score": pd.Series([], dtype="float64")})
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

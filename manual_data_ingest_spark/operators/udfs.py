@@ -92,9 +92,16 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def wavg(price: pd.Series, qty: pd.Series) -> float:
-        cents = np.floor(price.to_numpy() * 100 + 0.5).astype("int64")
-        q = np.floor(qty.to_numpy() + 0.5).astype("int64")
-        return (float((cents * q).sum()) / 100.0) / float(q.sum())
+        # SQL-aggregate NULL semantics: pairs with a NULL side are
+        # ignored; an all-NULL (or zero-weight) group yields NULL,
+        # not a ZeroDivisionError (NULL-injection sweep finding)
+        ok = price.notna() & qty.notna()
+        cents = np.floor(price[ok].to_numpy() * 100 + 0.5).astype("int64")
+        q = np.floor(qty[ok].to_numpy() + 0.5).astype("int64")
+        qsum = int(q.sum())
+        if qsum == 0:
+            return None
+        return (float((cents * q).sum()) / 100.0) / float(qsum)
 
     li = load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_partkey")

@@ -139,7 +139,7 @@ def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         for row in docs.toLocalIterator():
             with open(os.path.join(d, f"{row.doc_id}.bin"), "wb") as f:
-                f.write(row.text.encode())
+                f.write((row.text or "").encode())  # NULL text = empty file
         _BINFILE_DIRS[sf_dir] = d
     return _BINFILE_DIRS[sf_dir]
 
@@ -743,7 +743,8 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_dt = _dt.datetime(1996, 6, 1)
     hi_dt = _dt.datetime(1997, 3, 31)
     selected = [m for m in manifest
-                if m.max_dt >= lo_dt and m.min_dt <= hi_dt]
+                if m.max_dt is not None and m.min_dt is not None
+                and m.max_dt >= lo_dt and m.min_dt <= hi_dt]
     paths = [f"{base}/orders/y={m.y}" for m in selected]
     if paths:
         back = (spark.read.parquet(*paths)

@@ -66,3 +66,54 @@ def test_no_crash_on_empty_tables(spark, empty_dir, name):
 
     rows = E.queries()[name](spark, empty_dir).collect()
     assert isinstance(rows, list)  # any row count is fine; crashing is not
+
+
+#: operators that originally crashed the NULL-injection sweep (10% NULLs
+#: in every non-key column): np.stack over None vectors, None media
+#: buffers, NULL map keys, zero-weight groups, collect_list-vs-count(*)
+#: index overruns in the sketches, None manifest stats
+NULL_PROBES = [
+    "sim_topk", "sim_threshold_pairs", "sim_quantize_int8",
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_audio_stub",
+    "agg_quantile_sketch_merge", "agg_histogram_sketch_bins",
+    "map_ops", "map_transform_filter", "scan_binaryfile",
+    "scan_manifest_pruned", "udf_grouped_agg", "ml_pca_power",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """Every non-key column gets a NULL on every 10th row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    keycols = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+               "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+               "n_nationkey", "r_regionkey", "user_id", "ts"}
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("mdis_nulls"))
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(f"{src}/{f}")
+        cols = []
+        for i, cname in enumerate(t.column_names):
+            col = t.column(i)
+            if cname in keycols:
+                cols.append(col)
+                continue
+            n = len(t)
+            mask = pa.array([(j % 10) == 3 for j in range(n)])
+            cols.append(pc.if_else(mask, pa.nulls(n, col.type),
+                                   col.combine_chunks()))
+        pq.write_table(pa.table(cols, names=t.column_names), f"{dst}/{f}")
+    return dst
+
+
+@pytest.mark.parametrize("name", NULL_PROBES)
+def test_no_crash_on_null_cells(spark, nulls_dir, name):
+    import __spark_entry__ as E
+
+    rows = E.queries()[name](spark, nulls_dir).collect()
+    assert isinstance(rows, list)
