@@ -73,13 +73,23 @@ def _sf_from_dir(d: str) -> float:
 
 
 def measure_floor(spark) -> float:
-    """Spark local-mode fixed per-query cost: schedule + plan + commit a
-    1-row noop write. Embedded DuckDB's equivalent is ~0, so sub-second
-    ratios measure floor-vs-floor; this number lets a reader subtract
-    the floor and see per-row throughput (BASELINE.md floor analysis)."""
+    """Spark local-mode fixed per-query cost, measured as a MINIMAL REAL
+    query: parquet scan (5-row dim table) → shuffle aggregate → noop
+    commit. A bare `range(1)` write measures only ~26 ms because it has
+    no scan stage and no exchange; every benched query pays at least one
+    of each, so this probe is the honest subtractable floor. Embedded
+    DuckDB's equivalent is ~0, so sub-second ratios measure
+    floor-vs-floor; `ratio_above_floor` subtracts this number
+    (BASELINE.md floor analysis)."""
+    from pyspark.sql import functions as F
+    from manual_data_ingest_spark.io import load_table
+
+    region = load_table(spark, SF_DIR, "region")
+
     def run() -> float:
         t0 = time.perf_counter()
-        spark.range(1).write.mode("overwrite").format("noop").save()
+        (region.groupBy("r_regionkey").agg(F.count("*").alias("n"))
+         .write.mode("overwrite").format("noop").save())
         return time.perf_counter() - t0
 
     run()
