@@ -117,3 +117,48 @@ def test_no_crash_on_null_cells(spark, nulls_dir, name):
 
     rows = E.queries()[name](spark, nulls_dir).collect()
     assert isinstance(rows, list)
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    """Non-ASCII text appended to every 7th document: accents, CJK,
+    Cyrillic, emoji (astral-plane codepoints), an embedded tab."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("mdis_unicode"))
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{src}/{f}", f"{dst}/{f}")
+    t = pq.read_table(f"{dst}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    extra = ["héllo wörld", "日本語 テスト",
+             "emoji \U0001f680\U0001f525 test", "综合 数据 管理",
+             "naïve café déjà-vu", "кириллица тест", "plain", "tab\tchar"]
+    for i in range(len(texts)):
+        if i % 7 == 2:
+            texts[i] = (texts[i] or "") + " " + extra[i % len(extra)]
+    cols = {n: t.column(n) for n in t.column_names}
+    cols["text"] = pa.array(texts, type=pa.string())
+    pq.write_table(pa.table(cols), f"{dst}/documents.parquet")
+    return dst
+
+
+def test_text_family_oracle_exact_on_unicode(spark, unicode_dir):
+    """Beyond no-crash: the text/dedup family must stay HASH-EXACT vs
+    the DuckDB oracle on non-ASCII input — string length semantics
+    (codepoints vs bytes), regex classes, md5-of-UTF-8, and case
+    mapping are all classic cross-engine divergence points. A swept
+    subset (the codepoint-sensitive operators) runs the full oracle
+    comparison on the unicode fixture."""
+    from tests.oracle_check import run_all
+
+    names = ["text_stats", "text_wordcount", "text_ngrams", "text_lang_id",
+             "text_token_bpe", "text_fingerprint", "dedup_exact",
+             "pipeline_bpe_train"]
+    results = run_all(sf_dir=unicode_dir, only=names, spark=spark)
+    bad = [r.name for r in results if not r.ok]
+    assert not bad, bad
