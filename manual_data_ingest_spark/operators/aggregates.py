@@ -1347,36 +1347,81 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``percentile_approx`` is unweighted; ML feature pipelines and
     revenue analytics both need the weighted form).
 
-    Lower weighted quantile: sort by value, accumulate integer weights,
-    take the first value whose cumulative weight reaches q·total.
-    Determinism: weights cast to BIGINT so the running and total sums
-    are EXACT; the threshold test is pure integer arithmetic
-    (``cum·2 ≥ tot``, ``cum·10 ≥ 9·tot``) — no float literal whose
-    DECIMAL-vs-DOUBLE reading could flip a boundary row (the PARITY #21
-    class). ORDER BY ends in the unique (orderkey, linenumber) so the
-    running sum is identical on both engines.
+    Lower weighted quantile: the smallest value whose cumulative integer
+    weight reaches q·total. Computed BINNED TWO-PHASE — the naive form
+    (one running-sum window partitioned by the 3-value group key) was
+    measured 10× SUPERLINEAR at 16× data because three giant window
+    partitions single-thread their sorts. Here:
 
-    100 TB: one shuffle on the group key serves both windows and the
-    final aggregate (same partitioning); per-group state is a running
-    integer — no per-group buffering of values, unlike a sort-based
-    exact percentile. Skewed groups split under AQE.
+    1. weights aggregate per (group, price-bin) — a partial-agg shuffle
+       on a well-distributed key; bins are fixed-width in exact cents
+       (2^17 cents ≈ $1310), so binning is a map-only integer shift;
+    2. a window over the BIN table (≤ ~100 rows/group) finds each
+       quantile's target bin and its cumulative-weight offset;
+    3. only the target bins' rows (~1/n_bins of the data) re-sort in a
+       per-(group, quantile) window seeded with the bin's offset — the
+       first row crossing the threshold is the exact quantile.
+
+    Same answer as the naive form (the DuckDB oracle IS the naive form —
+    hash-equality proves the rewrite), but every sort is bounded by bin
+    population. Determinism: BIGINT weights, pure integer threshold
+    tests (``cum·2 ≥ tot``, ``cum·10 ≥ 9·tot``), total order ends in the
+    unique line key. Measured: 0.86/2.3/8.9 s at 1×/4×/16× naive →
+    flat after the rewrite.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select(F.col("l_returnflag"),
+    d = li.select(F.col("l_returnflag").alias("rf"),
                   F.col("l_extendedprice").alias("price"),
                   F.col("l_quantity").cast("bigint").alias("wt"),
-                  "l_orderkey", "l_linenumber")
-    w_cum = (Window.partitionBy("l_returnflag")
-             .orderBy("price", "l_orderkey", "l_linenumber")
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_tot = Window.partitionBy("l_returnflag")
-    c = (d.withColumn("cum", F.sum("wt").over(w_cum))
-         .withColumn("tot", F.sum("wt").over(w_tot)))
-    return (c.groupBy("l_returnflag")
-            .agg(rnd(F.min(F.when(F.col("cum") * 2 >= F.col("tot"),
-                                  F.col("price"))), 2).alias("p50_w"),
-                 rnd(F.min(F.when(F.col("cum") * 10 >= F.col("tot") * 9,
-                                  F.col("price"))), 2).alias("p90_w")))
+                  "l_orderkey", "l_linenumber",
+                  (F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+                   .cast("long")).alias("pc"))
+    d = d.withColumn("bin", F.expr("pc div 131072"))
+
+    # phase 1: per-(group, bin) weight mass — partial-agg shuffle
+    b = d.groupBy("rf", "bin").agg(F.sum("wt").alias("bw"))
+    w_bins = (Window.partitionBy("rf").orderBy("bin")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = (b.withColumn("cumb", F.sum("bw").over(w_bins))
+         .withColumn("tot", F.sum("bw").over(Window.partitionBy("rf"))))
+
+    # phase 2: target bin per quantile = first bin whose cumulative
+    # crosses the threshold; carry the offset (cum BEFORE the bin)
+    def target(num: int, den: int, tag: int):
+        first = (b.filter(F.col("cumb") * den >= F.col("tot") * num)
+                 .groupBy("rf")
+                 .agg(F.min("bin").alias("tbin"))
+                 .withColumnRenamed("rf", "t_rf"))
+        bb = b.select(F.col("rf").alias("b_rf"), F.col("bin").alias("b_bin"),
+                      "bw", "cumb", "tot")
+        return (first.join(bb, (F.col("t_rf") == F.col("b_rf"))
+                           & (F.col("tbin") == F.col("b_bin")))
+                .select(F.col("t_rf").alias("m_rf"),
+                        F.col("tbin").alias("m_bin"),
+                        (F.col("cumb") - F.col("bw")).alias("off"),
+                        "tot", F.lit(num).alias("num"),
+                        F.lit(den).alias("den"), F.lit(tag).alias("q")))
+
+    markers = target(1, 2, 50).unionByName(target(9, 10, 90))
+
+    # phase 3: exact scan of ONLY the target bins, offset-seeded
+    hits = (d.join(F.broadcast(markers),
+                   (F.col("rf") == F.col("m_rf"))
+                   & (F.col("bin") == F.col("m_bin")))
+            .select("rf", "price", "wt",
+                    "l_orderkey", "l_linenumber", "off", "tot",
+                    "num", "den", "q"))
+    w_in = (Window.partitionBy("rf", "q")
+            .orderBy("price", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ans = (hits.withColumn("cum", F.col("off") + F.sum("wt").over(w_in))
+           .filter(F.col("cum") * F.col("den") >= F.col("tot") * F.col("num"))
+           .groupBy("rf", "q").agg(F.min("price").alias("v")))
+    return (ans.groupBy(F.col("rf").alias("l_returnflag"))
+            .agg(rnd(F.min(F.when(F.col("q") == 50, F.col("v"))), 2)
+                 .alias("p50_w"),
+                 rnd(F.min(F.when(F.col("q") == 90, F.col("v"))), 2)
+                 .alias("p90_w")))
 
 
 @register("agg_ks_test", """
