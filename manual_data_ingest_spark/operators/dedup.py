@@ -152,20 +152,34 @@ _SH_CHUNKS = 4         # pigeonhole blocking: 4 byte-chunks guarantee any
 #                        pair at hamming <= 3 shares at least one exact chunk
 
 
-def _simhash_fp_sql(hash_expr: str, shift: str) -> tuple[str, str]:
-    """(bit-sum select list, fingerprint expr) for a weighted 32-bit
+def _simhash_fp_sql(hash_expr: str, shift: str,
+                    bits: int = _SH_BITS) -> tuple[str, str]:
+    """(bit-sum select list, fingerprint expr) for a weighted ``bits``-wide
     SimHash. ``shift`` is the dialect's right-shift spelling with {h}/{b}
     placeholders — Spark ``shiftright(h, b)``, DuckDB ``h >> b``."""
     sums = ", ".join(
         f"sum(cnt * ((({shift.format(h=hash_expr, b=b)}) & 1) * 2 - 1)) AS s{b}"
-        for b in range(_SH_BITS))
+        for b in range(bits))
     fp = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS))
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
     return sums, fp
 
 
 _SH_DUCK_SUMS, _SH_DUCK_FP = _simhash_fp_sql("h", "({h} >> {b})")
 _SH_SPARK_SUMS, _SH_SPARK_FP = _simhash_fp_sql("h", "shiftright({h}, {b})")
+
+#: Wide variant: 60-bit fingerprints (15 md5 hex chars — stays inside
+#: signed-positive BIGINT on both engines, unlike the full 64), 4 chunks
+#: of 15 bits. Same pigeonhole guarantee (hamming <= 3 shares >= 1 exact
+#: chunk) but 2^15 bucket values per chunk instead of 2^8 — 128x fewer
+#: random chunk collisions, the knob the narrow variant's scaling table
+#: names as "the production lever".
+_SHW_BITS = 60
+_SHW_HAMMING = 3
+_SHW_CHUNKS = 4
+_SHW_CHUNK_BITS = 15
+_SHW_DUCK_SUMS, _SHW_DUCK_FP = _simhash_fp_sql("h", "({h} >> {b})", _SHW_BITS)
+_SHW_SPARK_FP = _simhash_fp_sql("h", "shiftright({h}, {b})", _SHW_BITS)[1]
 
 
 @register("dedup_simhash", f"""
@@ -222,6 +236,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.cv") == F.col("b.cv"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .filter(ham <= _SH_HAMMING)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct())
+
+
+@register("dedup_simhash_wide", f"""
+WITH tok AS (
+    SELECT doc_id, count(*) AS cnt,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY doc_id, h
+),
+sums AS (SELECT doc_id, {_SHW_DUCK_SUMS} FROM tok GROUP BY doc_id),
+fps AS (SELECT doc_id, {_SHW_DUCK_FP} AS fp FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {_SHW_HAMMING}
+""")
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-fingerprint SimHash near-dup pairs (60-bit, hamming <= 3) —
+    the production-scale twin of ``dedup_simhash``.
+
+    The narrow (32-bit) variant's 1x/4x scaling run grew 6.2x because
+    8-bit chunk buckets collide at random: occupancy per bucket value
+    grows linearly with corpus size, so candidate pairs grow
+    quadratically. This variant widens the fingerprint to 60 bits (15
+    md5 hex chars — the widest that stays signed-positive BIGINT on
+    both engines) and blocks on 4 chunks of 15 bits: identical
+    pigeonhole guarantee (any pair at hamming <= 3 agrees exactly on
+    >= 1 chunk) but 2^15 bucket values per chunk, so random chunk
+    collisions drop ~128x and candidates track true near-dup density
+    instead of n^2/2^8. Measured beside the narrow variant in
+    BASELINE.md's scaling table.
+
+    Plan shape is unchanged from the narrow twin: one token-stream
+    aggregation builds fingerprints (60 partial-agg bit-sums, map-side
+    combined), chunk explode (x4), equi-join on (chunk_idx, chunk_val),
+    bit_count only on candidates, distinct to collapse multi-chunk hits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .select("doc_id",
+                   F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10)"
+                          " as bigint)").alias("h")))
+    fps = (tok.groupBy("doc_id")
+           .agg(*[F.expr(f"sum((((shiftright(h, {b})) & 1) * 2 - 1))")
+                  .alias(f"s{b}") for b in range(_SHW_BITS)])
+           .select("doc_id", F.expr(_SHW_SPARK_FP).alias("fp")))
+    mask = (1 << _SHW_CHUNK_BITS) - 1
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("ci"),
+                 F.expr(f"(shiftright(fp, {c * _SHW_CHUNK_BITS}) & {mask})")
+                 .alias("cv"))
+        for c in range(_SHW_CHUNKS)])
+    blocked = (fps.select("doc_id", "fp", F.explode(chunks).alias("ch"))
+               .select("doc_id", "fp", "ch.ci", "ch.cv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.expr("bit_count(a.fp ^ b.fp)")
+    return (a.join(b, (F.col("a.ci") == F.col("b.ci"))
+                   & (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .filter(ham <= _SHW_HAMMING)
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"),
                     ham.alias("hamming"))
