@@ -119,8 +119,19 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-Jaccard pairs >= threshold (filter on the RAW
     quotient, round-6 only in the output — rounding before the filter
-    would admit/reject edge pairs differently from the SQL oracle)."""
-    sh = _shingles(d)
+    would admit/reject edge pairs differently from the SQL oracle).
+
+    The posting shuffle keys on ``xxhash64(shingle)`` rather than the
+    ~30-byte shingle string: ~4x less shuffle volume and long-vs-long
+    grouping comparisons. Measured (median of 3): 3.17 -> 2.78 s at
+    sf0.1, 3.73 -> 3.15 s at 4x replicas, ~even at 16x where the
+    quadratic pair expansion (not the shuffle) dominates — the shuffle
+    -volume win matters most exactly where 100 TB lives, before postings
+    get hot. Collisions would merge two postings (2^-64 per pair, ~3e-8
+    over a 1M-shingle corpus); the oracle keys on the raw string, so the
+    cross-engine hash-equality gate at three SFs IS the collision
+    regression check."""
+    sh = _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
     postings = (sh.groupBy("shingle")
                 .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
                 .filter(F.size("ds") >= 2))
