@@ -626,3 +626,70 @@ def test_interval_coalesce_single_shuffle(spark):
     a second exchange would be a planner regression."""
     plan = _plan(spark, "win_interval_coalesce")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_cbo_join_reorder_rewrites_bad_order(spark, tmp_path):
+    """The DP join-reorderer must actually CHANGE a bad join order when
+    column statistics say so — beyond merely reading row counts.
+
+    Query text joins (lineitem JOIN orders) JOIN customer with a
+    selective customer predicate: left-deep as written, the huge l⋈o
+    intermediate comes first. With cbo + joinReorder + ANALYZE FOR ALL
+    COLUMNS stats, the optimizer should start from the small filtered
+    side instead — observable as a different relation order in the
+    optimized logical plan (left-deep trees print leaf relations in
+    join order, and the suffix tags each leaf's catalog table)."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:10]
+    names = {}
+    for t in ("lineitem", "orders", "customer"):
+        from manual_data_ingest_spark.io import load_table
+
+        names[t] = f"mdis_cbo_{t}_{tag}"
+        load_table(spark, SF_ORACLE, t).write.saveAsTable(names[t])
+        spark.sql(f"ANALYZE TABLE {names[t]} COMPUTE STATISTICS FOR ALL COLUMNS")
+    sql = f"""
+        SELECT c.c_name, sum(l.l_extendedprice) AS rev
+        FROM {names['lineitem']} l
+        JOIN {names['orders']} o ON l.l_orderkey = o.o_orderkey
+        JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+        GROUP BY c.c_name
+    """
+
+    def leaf_order(plan_str: str) -> list[str]:
+        hits = [(plan_str.index(names[t]), t) for t in names
+                if names[t] in plan_str]
+        return [t for _, t in sorted(hits)]
+
+    prev = {k: spark.conf.get(k, None) for k in
+            ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")}
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        off = str(spark.sql(sql)._jdf.queryExecution().optimizedPlan())
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        on = str(spark.sql(sql)._jdf.queryExecution().optimizedPlan())
+        assert leaf_order(off) == ["lineitem", "orders", "customer"], leaf_order(off)
+        # reordered: the selective customer side must move off the tail —
+        # lineitem (the giant) must no longer be the leading leaf
+        assert leaf_order(on) != leaf_order(off), (
+            "join reorder did not change the plan:\n" + on)
+        assert leaf_order(on)[0] != "lineitem", leaf_order(on)
+        # same answer either way (reorder changes float-sum ORDER, so
+        # compare with an epsilon; keys must match exactly)
+        rows_on = sorted(map(tuple, spark.sql(sql).collect()))
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        rows_off = sorted(map(tuple, spark.sql(sql).collect()))
+        assert [r[0] for r in rows_on] == [r[0] for r in rows_off]
+        assert all(abs(a[1] - b[1]) < 1e-4 * max(1.0, abs(b[1]))
+                   for a, b in zip(rows_on, rows_off))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
