@@ -37,6 +37,19 @@ Performance design (measured, not guessed — BENCH history):
 
 Float discipline: cast float→double per element before arithmetic;
 round scores 6dp with the cross-engine deterministic rounder.
+
+Probe derivation (every sim_* query's first stage) stays the
+``row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1`` window
+DELIBERATELY: Spark's InferWindowGroupLimit rewrites the rn=1 filter
+into a partial WindowGroupLimit that keeps one row per label per input
+partition BEFORE the shuffle — effectively a map-side min. The "obvious"
+scale rewrite (groupBy(label).agg(min_by(embedding, vec_id))) was
+measured SLOWER across all four probe queries at sf0.1 (sim_topk
+0.70→1.11 s, sim_ann_lsh 0.59→0.80, sim_ann_ivf 0.50→0.62,
+sim_quantize_int8 1.06→1.41): min_by over array payloads falls out of
+codegen HashAggregate into object aggregation, while the group-limit
+ships whole rows with no per-group buffer. Plan-asserted in
+tests/test_plans.py::test_probe_derivation_uses_window_group_limit.
 """
 
 from __future__ import annotations

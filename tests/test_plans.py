@@ -693,3 +693,15 @@ def test_cbo_join_reorder_rewrites_bad_order(spark, tmp_path):
                 spark.conf.set(k, v)
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_probe_derivation_uses_window_group_limit(spark):
+    """The sim_* probe stage (rn = 1 over label) must compile to a
+    partial WindowGroupLimit — a map-side top-1 per label before the
+    shuffle — NOT a full window sort. This is why the window form beats
+    the min_by-agg rewrite on array payloads (module header note)."""
+    for name in ("sim_topk", "sim_ann_lsh", "sim_ann_ivf"):
+        plan = _plan(spark, name)
+        assert "WindowGroupLimit" in plan, name
+        assert "Partial" in plan.split("WindowGroupLimit")[0][-200:] or \
+            plan.count("WindowGroupLimit") >= 2, name  # partial + final pair
