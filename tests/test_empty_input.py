@@ -41,7 +41,8 @@ PROBES = [
     "scan_footer_stats",
     # family representatives
     "flagship_q3", "agg_pricing_summary", "win_rank_trio",
-    "dedup_near_minhash", "sim_topk", "text_quality",
+    "dedup_near_minhash", "dedup_simhash_wide", "dedup_embedding_ann",
+    "sim_topk", "text_quality",
     "pipeline_llm_prep", "stream_session", "agg_ks_test",
     "pipeline_bpe_train",
 ]
@@ -74,6 +75,7 @@ def test_no_crash_on_empty_tables(spark, empty_dir, name):
 #: index overruns in the sketches, None manifest stats
 NULL_PROBES = [
     "sim_topk", "sim_threshold_pairs", "sim_quantize_int8",
+    "dedup_simhash_wide", "dedup_embedding_ann",
     "multimodal_decode", "multimodal_frame_sample", "multimodal_audio_stub",
     "agg_quantile_sketch_merge", "agg_histogram_sketch_bins",
     "map_ops", "map_transform_filter", "scan_binaryfile",
