@@ -350,6 +350,115 @@ def agg_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
 
 
+@register("agg_gapfill_interp", f"""
+WITH months AS (
+    SELECT n_nationkey,
+           unnest(generate_series(DATE '1995-01-01', DATE '1996-12-01',
+                                  INTERVAL 1 MONTH))::DATE AS month_start
+    FROM nation
+),
+actual AS (
+    SELECT c_nationkey, date_trunc('month', o_orderdate)::DATE AS month_start,
+           {sql_rnd('sum(o_totalprice)')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1997-01-01'
+      AND o_totalprice > 450000
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT s.n_nationkey, s.month_start, a.revenue,
+           (12 * (year(s.month_start) - 1995)
+            + month(s.month_start) - 1) AS m
+    FROM months s
+    LEFT JOIN actual a ON a.c_nationkey = s.n_nationkey
+                      AND a.month_start = s.month_start
+),
+w AS (
+    SELECT *,
+           last_value(revenue IGNORE NULLS) OVER (
+               PARTITION BY n_nationkey ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN revenue IS NOT NULL THEN m END IGNORE NULLS)
+               OVER (PARTITION BY n_nationkey ORDER BY m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+           first_value(revenue IGNORE NULLS) OVER (
+               PARTITION BY n_nationkey ORDER BY m
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN revenue IS NOT NULL THEN m END IGNORE NULLS)
+               OVER (PARTITION BY n_nationkey ORDER BY m
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+    FROM j
+)
+SELECT n_nationkey, month_start,
+       CASE WHEN revenue IS NOT NULL THEN revenue
+            WHEN pv IS NULL OR nv IS NULL THEN NULL
+            ELSE {sql_rnd('pv + (nv - pv) * (m - pm) / (nm - pm)')}
+       END AS revenue_interp,
+       (revenue IS NULL) AS was_gap
+FROM w
+""")
+def agg_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-interpolated gapfill — the hypertable ``interpolate()``
+    companion to ``agg_gapfill_timeseries``'s zero-fill and
+    ``win_forward_fill``'s LOCF: missing (nation, month) revenue points
+    take the straight line between the nearest present neighbors;
+    leading/trailing gaps (no neighbor on one side) stay NULL, flagged
+    by ``was_gap``.
+
+    The actuals are made genuinely sparse (only orders > 450k) so the
+    interpolation path is exercised, not vacuous. Bracketing neighbors
+    come from four IGNORE-NULLS running windows (last value/index
+    before, first value/index after) — one shuffle on the entity key
+    serves all four plus the output sort. Determinism: month index m is
+    an exact integer, both engines compute the identical
+    ``pv + (nv-pv)*(m-pm)/(nm-pm)`` shape, and the result passes the
+    shared round-half-up 2dp rounder before comparison.
+
+    100 TB: identical scale story to the zero-fill twin — the spine is
+    entities × buckets (independent of event volume), the actuals
+    aggregate ONCE with a partial agg, and the windows run over
+    spine-sized partitions, never event-sized ones.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spine = n.select(
+        "n_nationkey",
+        F.explode(F.expr("sequence(DATE '1995-01-01', DATE '1996-12-01',"
+                         " INTERVAL 1 MONTH)")).alias("month_start"))
+    actual = (o.join(c, o.o_custkey == c.c_custkey)
+              .filter((F.col("o_orderdate") >= "1995-01-01")
+                      & (F.col("o_orderdate") < "1997-01-01")
+                      & (F.col("o_totalprice") > 450000))
+              .groupBy(F.col("c_nationkey"),
+                       F.date_trunc("month", "o_orderdate").cast("date")
+                       .alias("month_start"))
+              .agg(rnd(F.sum("o_totalprice")).alias("revenue")))
+    j = (spine.join(actual,
+                    (actual.c_nationkey == spine.n_nationkey)
+                    & (actual.month_start == spine.month_start), "left")
+         .select("n_nationkey", spine.month_start, "revenue",
+                 (12 * (F.year(spine.month_start) - 1995)
+                  + F.month(spine.month_start) - 1).alias("m")))
+    wp = (Window.partitionBy("n_nationkey").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("n_nationkey").orderBy("m")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    marked = F.when(F.col("revenue").isNotNull(), F.col("m"))
+    out = (j.withColumn("pv", F.last("revenue", ignorenulls=True).over(wp))
+           .withColumn("pm", F.last(marked, ignorenulls=True).over(wp))
+           .withColumn("nv", F.first("revenue", ignorenulls=True).over(wn))
+           .withColumn("nm", F.first(marked, ignorenulls=True).over(wn)))
+    interp = rnd(F.col("pv") + (F.col("nv") - F.col("pv"))
+                 * (F.col("m") - F.col("pm")) / (F.col("nm") - F.col("pm")))
+    return out.select(
+        "n_nationkey", "month_start",
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(interp).alias("revenue_interp"),
+        F.col("revenue").isNull().alias("was_gap"))
+
+
 @register("agg_skew_kurtosis", f"""
 WITH mu AS (
     SELECT o_orderstatus, avg(o_totalprice) AS mu
