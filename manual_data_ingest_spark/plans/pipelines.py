@@ -566,11 +566,11 @@ def pipeline_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n_purchases"), 6).alias("purchase_share")))
 
 
-def _bpe_oracle(iters: int) -> str:
-    """Unrolled DuckDB twin of the BPE merge loop (same generator
-    pattern as the PQ-codebook oracle): each iteration counts adjacent
-    token pairs, picks the (count DESC, pair ASC) winner, and rewrites
-    the corpus with the pair fused."""
+def _bpe_cte(iters: int) -> str:
+    """Shared WITH-chain of the BPE merge loop (used by the trainer AND
+    the encoder oracle): each iteration counts adjacent token pairs,
+    picks the (count DESC, pair ASC) winner, and rewrites the corpus
+    with the pair fused."""
     parts = ["WITH d0 AS (SELECT doc_id, ' ' || text || ' ' AS t FROM documents)"]
     for i in range(1, iters + 1):
         parts.append(f""", c{i} AS (
@@ -588,10 +588,27 @@ def _bpe_oracle(iters: int) -> str:
                    ' ' || replace(pair, ' ', '_') || ' ') AS t
     FROM d{i-1}, t{i}
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(iters: int) -> str:
+    """Unrolled DuckDB twin of BPE training: the learned merge table."""
     sel = "\nUNION ALL ".join(
         f"SELECT {i} AS iteration, pair AS merged_pair, cnt FROM t{i}"
         for i in range(1, iters + 1))
-    return "".join(parts) + "\n" + sel
+    return _bpe_cte(iters) + "\n" + sel
+
+
+def _bpe_encode_oracle(iters: int) -> str:
+    """Unrolled DuckDB twin of BPE ENCODING: the corpus after the same
+    merge chain, reduced to per-doc token statistics."""
+    return _bpe_cte(iters) + f"""
+SELECT d.doc_id,
+       len(string_split(trim(s.text), ' ')) AS n_tok_raw,
+       len(string_split(trim(d.t), ' ')) AS n_tok_enc,
+       len(list_filter(string_split(trim(d.t), ' '),
+                       x -> contains(x, '_'))) AS n_merged
+FROM d{iters} d JOIN documents s USING (doc_id)"""
 
 
 _BPE_ITERS = 3
@@ -645,3 +662,49 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register("text_bpe_encode", _bpe_encode_oracle(_BPE_ITERS))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus — the ENCODE half of
+    the ``pipeline_bpe_train`` pair (a tokenizer you can only train but
+    not apply is half a tokenizer). Re-derives the same ``_BPE_ITERS``
+    (count DESC, pair ASC) merges as the trainer (each round's winner is
+    a 1-row broadcast into the next rewrite, the whole chain one lazy
+    plan) and emits per-doc encoding stats: raw token count, encoded
+    token count, and how many encoded tokens are merged units
+    (underscore-fused — the fixture corpus is underscore-free, so the
+    count is exactly the applied merges).
+
+    100 TB: encoding with a FIXED merge table is embarrassingly
+    parallel (map-only rewrite per document); here the merges are
+    re-derived in-plan to stay self-contained, adding the trainer's
+    per-round pair-count shuffles. Production splits the two: train
+    once, broadcast the merge list, encode map-only — exactly how the
+    plan decomposes (the final three rewrites + stats are shuffle-free).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", F.concat(F.lit(" "), "text", F.lit(" "))
+                      .alias("t"))
+    for _ in range(_BPE_ITERS):
+        toks = cur.select(F.split(F.trim("t"), " ").alias("l"))
+        pairs = (toks.filter(F.size("l") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(1, size(l) - 1),"
+                     " j -> concat(element_at(l, j), ' ',"
+                     " element_at(l, j + 1)))")).alias("pair")))
+        top1 = (pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "pair").limit(1))
+        cur = (cur.crossJoin(F.broadcast(top1))
+               .select("doc_id",
+                       F.expr("replace(t, ' ' || pair || ' ',"
+                              " ' ' || replace(pair, ' ', '_') || ' ')")
+                       .alias("t")))
+    enc = cur.select("doc_id", F.split(F.trim("t"), " ").alias("l"))
+    raw = docs.select("doc_id",
+                      F.size(F.split(F.trim("text"), " ")).alias("n_tok_raw"))
+    return (raw.join(enc, "doc_id")
+            .select("doc_id", "n_tok_raw",
+                    F.size("l").alias("n_tok_enc"),
+                    F.size(F.filter("l", lambda x: x.contains("_")))
+                    .alias("n_merged")))
