@@ -157,6 +157,14 @@ def main() -> None:
     ratio_above_floor = {
         k: round(max(spark_times[k] - floor, 0.0001) / duck_times[k], 2)
         for k in spark_times if k in duck_times and duck_times[k] > 0}
+    # deliberately-kept strategy-comparison twins: NOT the engine's
+    # default answer for their task (sim_threshold_expr exists to record
+    # the measured expression-vs-BLAS gap; sim_threshold_pairs is the
+    # default). The headline total/median keep the full canonical set
+    # for cross-round comparability; the *_default keys show the
+    # engine's actual strategy performance.
+    twins = {"sim_threshold_expr"}
+    default_ratios = [v for k, v in ratio.items() if k not in twins]
     out = {
         "metric": "headline query wall time, Spark local vs DuckDB comparator",
         "value": round(sum(spark_times.values()), 4),
@@ -167,6 +175,11 @@ def main() -> None:
         "ratio": ratio,
         "spark_query_floor_sec": floor,
         "ratio_above_floor": ratio_above_floor,
+        "median_ratio": round(statistics.median(ratio.values()), 2),
+        "median_ratio_default_paths": round(
+            statistics.median(default_ratios), 2),
+        "value_default_paths": round(
+            sum(v for k, v in spark_times.items() if k not in twins), 4),
     }
     print(json.dumps(out))
 
