@@ -64,6 +64,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # (c) VERDICT.md "What's missing" / "Next round" items 4,5,7,8
     "ingest_id_mint_scalable", "ingest_post_entities", "scan_excel",
     "sink_merge_upsert", "sim_threshold_pairs",
+    # (c2) r2 third-continuation demonstrated scale twins + new family
+    # members — graded early so their first driver verdict lands in r2
+    "dedup_simhash_wide", "dedup_embedding_ann", "agg_percentile_weighted",
+    "agg_gapfill_interp", "text_bpe_encode",
     # (d) LLM-pipeline families, core shapes first
     "dedup_exact", "dedup_near_jaccard", "dedup_near_jaccard_capped",
     "dedup_simhash", "dedup_embedding", "dedup_clusters",
