@@ -36,6 +36,11 @@ TIMED_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 # are single files, so default 128m splits give one scan task)
 os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+# third data-size knob (session.py): in one JVM, building+broadcasting
+# a >2 MB hash relation loses to an 8-partition shuffle — measured
+# full-bench A/B: total 14.6→13.5 s, wins on every join-bearing
+# headline (q3 0.93→0.64). Explicit broadcast() hints are unaffected.
+os.environ.setdefault("SPARK_GRAFT_AUTO_BROADCAST", "2097152")
 
 #: headline queries — one per major operator family (SURVEY.md §2)
 HEADLINE = [
