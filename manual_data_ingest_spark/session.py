@@ -110,6 +110,7 @@ CORRECTNESS_CONFIGS: frozenset[str] = frozenset({
 _EXTERNAL_KEEP: frozenset[str] = frozenset({
     "spark.sql.shuffle.partitions",
     "spark.sql.files.maxPartitionBytes",
+    "spark.sql.autoBroadcastJoinThreshold",
 })
 
 
