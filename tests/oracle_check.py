@@ -38,11 +38,16 @@ class UnhashableOutput(TypeError):
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for name in ("region", "nation", "customer", "supplier", "part", "orders",
                  "lineitem", "events", "documents", "embeddings"):
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):  # replica fixtures are part-file dirs
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
@@ -164,10 +169,13 @@ def run_all(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
     only = sys.argv[1:] or None
-    results = run_all(only=only)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    print(f"# oracle sweep against {sf_dir}", file=sys.stderr)
+    results = run_all(sf_dir=sf_dir, only=only)
     for r in results:
         flag = "OK " if r.ok else ("~~ " if r.tolerant else "BAD")
         print(f"{flag} {r.name:28s} rows={r.spark_rows}/{r.duck_rows} {r.detail[:500]}")
