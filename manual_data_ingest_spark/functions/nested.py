@@ -87,7 +87,8 @@ def higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("map_ops", """
 WITH per_type AS (
     SELECT user_id, event_type, count(*) AS cnt
-    FROM events GROUP BY user_id, event_type
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY user_id, event_type
 )
 SELECT user_id,
        array_to_string(list(event_type ORDER BY event_type), ',')
@@ -191,7 +192,8 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("map_transform_filter", """
 SELECT user_id, event_type, cnt * 2 AS doubled
 FROM (SELECT user_id, event_type, count(*) AS cnt
-      FROM events GROUP BY user_id, event_type)
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type)
 WHERE cnt >= 5
 """)
 def map_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

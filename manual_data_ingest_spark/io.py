@@ -53,6 +53,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def clear_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop cached analyzed plans for ``sf_dir`` (or everything).
+
+    The ``load_table`` cache assumes fixture dirs are IMMUTABLE for the
+    session lifetime — true for /root/testdata and for replica dirs
+    written once. If a replica dir (e.g. /tmp/mdis_scale_Nx) is
+    regenerated IN-PLACE inside a live session, the cached plan holds a
+    stale file listing; call this first (r2 advisor item, io.py:53).
+    tests/make_replicas.py skips completed dirs (_COMPLETE marker) for
+    the same reason.
+    """
+    cache = getattr(spark, "_mdis_table_cache", None)
+    if cache is None:
+        return
+    if sf_dir is None:
+        cache.clear()
+    else:
+        for key in [k for k in cache if k[0] == sf_dir]:
+            del cache[key]
+
+
 def _convert_event_ts(df: DataFrame) -> DataFrame:
     """bigint-nanos → TimestampType(µs), truncating (positive epochs: floor)."""
     if dict(df.dtypes).get("ts") == "bigint":

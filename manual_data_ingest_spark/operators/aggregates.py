@@ -790,8 +790,8 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_quantile_sketch_merge", f"""
 WITH b AS (
   SELECT event_id % 32 AS bucket,
-         list(value ORDER BY value) AS arr,
-         count(*) AS n
+         list(value ORDER BY value) FILTER (WHERE value IS NOT NULL) AS arr,
+         count(value) AS n
   FROM events GROUP BY 1
 ), p AS (
   SELECT arr[cast(floor((i + 0.5) * n / 16) AS INT) + 1] AS v,
@@ -1208,8 +1208,9 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_histogram_sketch_bins", f"""
 WITH b AS (
   SELECT o_orderkey % 32 AS bucket,
-         list(o_totalprice ORDER BY o_totalprice) AS arr,
-         count(*) AS n
+         list(o_totalprice ORDER BY o_totalprice)
+             FILTER (WHERE o_totalprice IS NOT NULL) AS arr,
+         count(o_totalprice) AS n
   FROM orders GROUP BY 1
 ), p AS (
   SELECT arr[cast(floor((i + 0.5) * n / 16) AS INT) + 1] AS v,

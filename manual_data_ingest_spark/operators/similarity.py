@@ -115,9 +115,14 @@ def _make_cos_arrow():
 
     @pandas_udf("double")
     def cos_arrow(pv: pd.Series, emb: pd.Series) -> pd.Series:
-        # NULL-in -> NULL-out, like any SQL scalar expression
-        # (np.stack cannot carry None rows — NULL-injection sweep)
-        out = pd.Series(np.nan, index=pv.index, dtype="float64")
+        # NULL-in -> NULL-out, like any SQL scalar expression. The
+        # result uses the pandas nullable Float64 dtype with a true
+        # null MASK: a plain float64 series can only carry np.nan,
+        # which Arrow hands to Spark as NaN — and Spark orders NaN
+        # ABOVE every double, so NULL-embedding rows would rank FIRST
+        # in sim_topk/sim_ann_* score orderings instead of being
+        # excluded like a SQL NULL (r2 advisor catch).
+        out = pd.Series(pd.NA, index=pv.index, dtype="Float64")
         ok = pv.notna() & emb.notna()
         if ok.any():
             a = np.stack(pv[ok].to_numpy()).astype(np.float64)
@@ -141,7 +146,8 @@ def _make_intdot_arrow():
 
     @pandas_udf("double")
     def intdot_arrow(qa: pd.Series, qb: pd.Series) -> pd.Series:
-        out = pd.Series(np.nan, index=qa.index, dtype="float64")
+        # true null mask, not NaN — same rationale as cos_arrow
+        out = pd.Series(pd.NA, index=qa.index, dtype="Float64")
         ok = qa.notna() & qb.notna()
         if ok.any():
             a = np.stack(qa[ok].to_numpy()).astype(np.int64)

@@ -42,6 +42,16 @@ DIMS = ["region", "nation", "supplier", "part"]
 
 
 def build(n: int, src: str, out: str) -> None:
+    # Idempotent: a completed replica dir is NEVER rebuilt in-place —
+    # load_table caches analyzed plans per (sf_dir, table), so an
+    # in-place regeneration inside a live session would serve stale
+    # file listings (io.clear_table_cache documents the contract).
+    # Delete the dir (or the marker) to force a rebuild.
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        print(f"{out}: already built, skipping (rm {marker} to rebuild)",
+              file=sys.stderr)
+        return
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
@@ -58,6 +68,8 @@ def build(n: int, src: str, out: str) -> None:
                     rep = rep.set_column(rep.schema.get_field_index(k), k, col)
             pq.write_table(rep, f"{d}/part-{i:03d}.parquet")
         print(f"{t}: {n} replicas, {tbl.num_rows * n} rows", file=sys.stderr)
+    with open(marker, "w") as fh:
+        fh.write(f"replicas={n} src={src}\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,62 @@
+"""Threshold guard-band checks (r2 advisor item, dedup.py:360).
+
+``dedup_embedding`` / ``dedup_embedding_ann`` / ``sim_threshold_pairs``
+filter on the RAW (unrounded) cosine at 0.35. numpy's pairwise
+summation can differ in the last bits from DuckDB's sequential
+``list_dot_product`` fold, so a pair lying within float-epsilon of the
+threshold could be admitted by one engine and rejected by the other.
+These tests pin the *fixture-level* precondition that makes the raw
+filter safe: on every fixture scale the driver touches, NO candidate
+pair's cosine lies within GUARD of the threshold, so any summation
+order yields the same admit/reject verdict.
+
+Pure pyarrow+numpy — no Spark session, runs in milliseconds; if a
+future fixture regeneration lands a borderline pair, this fails loudly
+and the fix is to switch threshold FILTERS back to the bit-exact
+left-associated fold (reserving cos_arrow for emitted-and-rounded
+scores).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+THRESHOLD = 0.35  # similarity._SIM_THRESHOLD and the dedup_embedding rule
+#: worst-case |pairwise - sequential| divergence for a 64-term float64
+#: dot product is ~dim * eps * |terms| ~ 1e-13; 1e-9 is 4 orders over
+GUARD = 1e-9
+
+SF_DIRS = [d for d in ("/root/testdata/sf0.001",
+                       "/root/testdata/sf0.01",
+                       "/root/testdata/sf0.1")
+           if os.path.isdir(d)]
+
+
+def _load(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["label", "embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    labels = np.asarray(t["label"].to_pylist())
+    return labels, emb
+
+
+def _cos_matrix(emb: np.ndarray) -> np.ndarray:
+    norms = np.sqrt(np.einsum("ij,ij->i", emb, emb))
+    return (emb @ emb.T) / np.outer(norms, norms)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_no_pair_within_guard_band_of_threshold(sf_dir: str) -> None:
+    labels, emb = _load(sf_dir)
+    cos = _cos_matrix(emb)
+    iu = np.triu_indices(len(emb), k=1)
+    # strictest superset of every operator's candidate set: ALL pairs
+    # (label blocking / LSH bucketing only shrink it)
+    gaps = np.abs(cos[iu] - THRESHOLD)
+    assert gaps.min() > GUARD, (
+        f"{sf_dir}: pair within {gaps.min():.3e} of the {THRESHOLD} "
+        f"threshold — raw-score filters are no longer order-safe")

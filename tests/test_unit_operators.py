@@ -73,6 +73,31 @@ def test_groupby_all_null_keys(spark):
     assert got == {None: 3, "a": 3}  # nulls form ONE group (SQL semantics)
 
 
+def test_cos_arrow_null_in_null_out_true_null(spark):
+    """NULL embeddings must yield SQL NULL scores, not NaN: Spark orders
+    NaN ABOVE every double, so a NaN score would rank a NULL-embedding
+    row FIRST in sim_topk/sim_ann_* orderings (r2 advisor item)."""
+    from manual_data_ingest_spark.operators.similarity import (
+        cos_arrow, intdot_arrow)
+
+    df = spark.createDataFrame(
+        [Row(id=1, a=[1.0, 0.0], b=[1.0, 0.0]),
+         Row(id=2, a=None, b=[1.0, 0.0]),
+         Row(id=3, a=[0.0, 1.0], b=None)],
+        "id int, a array<double>, b array<double>")
+    got = (df.select("id", cos_arrow("a", "b").alias("cos"),
+                     intdot_arrow("a", "b").alias("dot"))
+           .collect())
+    by_id = {r.id: r for r in got}
+    assert by_id[1].cos == 1.0 and by_id[1].dot == 1.0
+    assert by_id[2].cos is None and by_id[2].dot is None  # true NULL
+    assert by_id[3].cos is None and by_id[3].dot is None
+    # ordering check: NULL scores sort LAST under desc (NaN would sort first)
+    order = [r.id for r in df.select(
+        "id", cos_arrow("a", "b").alias("c")).orderBy(F.desc("c")).collect()]
+    assert order[0] == 1
+
+
 def test_join_null_keys_never_match(spark):
     left = spark.createDataFrame([Row(k=None, x=1), Row(k="a", x=2)],
                                  "k string, x int")
