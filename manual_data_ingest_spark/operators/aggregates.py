@@ -1596,3 +1596,91 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("nb").cast("double")), 6).alias("ks_d"))
             .select("ks_d", F.col("na").alias("n_click"),
                     F.col("nb").alias("n_purchase")))
+
+
+@register("agg_user_overlap_jaccard", f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE event_type IS NOT NULL),
+sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+common AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_common
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       {sql_rnd('n_common::DOUBLE / (sa.n + sb.n - n_common)', 6)} AS jaccard
+FROM common
+JOIN sizes sa ON type_a = sa.event_type
+JOIN sizes sb ON type_b = sb.event_type
+""")
+def agg_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: |users(a) ∩
+    users(b)| / |users(a) ∪ users(b)| for every type pair — the
+    segment-overlap matrix every analytics product renders.
+
+    Same inverted-index algebra as `dedup_near_jaccard`, over USERS
+    instead of shingles: one distinct pass, a self-join keyed on
+    user_id (each user contributes |types(u)| choose 2 pairs — bounded
+    by the type-universe, NOT by corpus size), then set sizes join back.
+    Exact answer; at 100 TB with a large segment universe the same
+    report runs on HLL sketches per segment (`agg_hll_partitioned`'s
+    merge property gives |a ∪ b| directly, and inclusion-exclusion the
+    intersection) — the pair-expansion shape is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = (ev.filter(F.col("event_type").isNotNull())
+          .select("user_id", "event_type").distinct())
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    common = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                     & (F.col("a.event_type") < F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("type_a"),
+                       F.col("b.event_type").alias("type_b"))
+              .agg(F.count("*").alias("n_common")))
+    jac = (F.col("n_common").cast("double")
+           / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")))
+    return (common
+            .join(F.broadcast(sizes.alias("sa")),
+                  F.col("type_a") == F.col("sa.event_type"))
+            .join(F.broadcast(sizes.alias("sb")),
+                  F.col("type_b") == F.col("sb.event_type"))
+            .select("type_a", "type_b",
+                    F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
+                    "n_common", rnd(jac, 6).alias("jaccard")))
+
+
+@register("agg_time_decay_score", f"""
+WITH mx AS (SELECT max(ts) AS anchor FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       {sql_rnd("sum(value * exp(-(date_diff('second', ts,"
+                " (SELECT anchor FROM mx)) / 86400.0) / 30.0))", 6)}
+           AS decayed_score
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id
+""")
+def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score: Σ value · exp(−age/30 d) per
+    user, aged against the corpus max timestamp (pure function of the
+    data — never wall-clock now(), which is untestable and makes
+    backfills non-reproducible).
+
+    The standard exponential-decay feature for churn/LTV models. Weight
+    computation is map-side codegen (no UDF); one partial-agg shuffle
+    on user_id. The incremental-maintenance property that matters at
+    100 TB: an exp-decay score ages multiplicatively, so yesterday's
+    aggregate re-anchors by one multiply instead of a rescan —
+    `ingest_incremental_agg` shows that update pattern.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("anchor"))
+    age_days = (F.col("anchor").cast("long") - F.col("ts").cast("long")) / 86400.0
+    return (ev.filter(F.col("value").isNotNull())
+            .crossJoin(F.broadcast(anchor))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 rnd(F.sum(F.col("value") * F.exp(-age_days / 30.0)), 6)
+                 .alias("decayed_score")))

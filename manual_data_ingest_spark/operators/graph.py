@@ -351,3 +351,107 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("_raw").desc(), F.col("u"), F.col("v"))
             .limit(20)
             .select("u", "v", "common_neighbors", "jaccard"))
+
+
+_CC_ITERS = 8
+
+_CC_EDGE_CTE = """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+), pair AS (
+  SELECT a.sk AS u, b.sk AS v_, count(*) AS co
+  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk
+  GROUP BY a.sk, b.sk
+), sym AS (
+  SELECT u AS node, v_ AS nbr, co FROM pair
+  UNION ALL
+  SELECT v_ AS node, u AS nbr, co FROM pair
+), topk AS (
+  SELECT node, nbr FROM sym
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY co DESC, nbr) <= 8
+), e AS (
+  SELECT a.node AS u, a.nbr AS v_
+  FROM topk a JOIN topk b ON a.node = b.nbr AND a.nbr = b.node
+  WHERE a.node < a.nbr
+), adj AS MATERIALIZED (
+  SELECT u AS node, v_ AS nbr FROM e
+  UNION ALL
+  SELECT v_ AS node, u AS nbr FROM e
+)"""
+
+
+def _cc_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration min-label propagation as portable SQL.
+
+    Every CTE level is AS MATERIALIZED: the optimizer's default CTE
+    INLINING duplicates l{k-1} at each of its two references, which
+    compounds to 2^iters copies of the whole edge-extraction pipeline —
+    the unrolled query went from minutes (killed) to milliseconds with
+    materialization. The Spark twin needs the identical move
+    (per-round localCheckpoint) for the identical reason.
+    """
+    steps = [", l0 AS MATERIALIZED "
+             "(SELECT DISTINCT node, node AS comp FROM adj)"]
+    for k in range(1, iters + 1):
+        steps.append(f""", l{k} AS MATERIALIZED (
+  SELECT l.node,
+         least(l.comp, coalesce(min(nb.comp), l.comp)) AS comp
+  FROM l{k-1} l
+  LEFT JOIN adj ON adj.node = l.node
+  LEFT JOIN l{k-1} nb ON nb.node = adj.nbr
+  GROUP BY l.node, l.comp
+)""")
+    tail = f"""
+SELECT comp AS component, count(*) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM l{iters}
+GROUP BY comp
+"""
+    return _CC_EDGE_CTE + "".join(steps) + tail
+
+
+@register("graph_connected_components", _cc_oracle(_CC_ITERS))
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the mutual top-8 co-supplier graph by
+    FIXED-iteration min-label propagation (8 rounds): every node adopts
+    the smallest node id within 8 hops; component rows report size and
+    id range.
+
+    Fixed iteration count (not run-to-convergence) is the contract:
+    both engines execute the identical recurrence, so the result is
+    hash-exact even on a graph whose diameter exceeds the budget — the
+    same determinism move as `graph_pagerank`. Each round is one
+    (node)-keyed shuffle over |adj| rows, degree-bounded (≤ 8·|V|) by
+    the mutual-kNN extraction, which runs ONCE (localCheckpoint shared
+    with the other graph ops). Production CC at 100 TB swaps the
+    recurrence for large-star/small-star (Kiveris et al.), which
+    converges in O(log n) rounds of the same shuffle shape;
+    `dedup_clusters` runs the same loop with a convergence counter.
+    """
+    e = _mutual_topk_edges(spark, sf_dir)
+    adj = (e.select(F.col("u").alias("node"), F.col("v_").alias("nbr"))
+           .unionAll(e.select(F.col("v_").alias("node"),
+                              F.col("u").alias("nbr"))))
+    adj = adj.localCheckpoint(eager=True)  # 8 consumers of a tiny edge list
+    labels = adj.select("node").distinct().withColumn("comp", F.col("node"))
+    for _ in range(_CC_ITERS):
+        nbr_min = (adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                   .groupBy("node").agg(F.min("comp").alias("nbr_comp")))
+        labels = (labels.join(nbr_min, "node", "left")
+                  .select("node",
+                          F.least(F.col("comp"),
+                                  F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                          .alias("comp"))
+                  # truncate lineage EVERY round: labels feeds two plans
+                  # per iteration, so without this the logical plan (and
+                  # Catalyst's analyze cost) doubles per round — 2^8
+                  # subtrees by round 8, measured minutes of pure
+                  # plan-build. The node-set is |V|-sized; checkpointing
+                  # it is the iterative-algorithm discipline every
+                  # Pregel-style loop needs (same move as dedup_clusters).
+                  .localCheckpoint(eager=True))
+    return (labels.groupBy(F.col("comp").alias("component"))
+            .agg(F.count("*").alias("n_nodes"),
+                 F.min("node").alias("min_node"),
+                 F.max("node").alias("max_node")))

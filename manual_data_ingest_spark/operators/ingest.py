@@ -1112,3 +1112,42 @@ def ingest_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.when(F.col("n_before") > 0,
                    F.col("n_erased").cast("double") / F.col("n_before")), 6)
         .alias("erased_frac"))
+
+
+@register("ingest_freshness_slo", f"""
+WITH mx AS (SELECT max(ts) AS global_max FROM events)
+SELECT event_type,
+       count(*) AS n,
+       max(ts) AS last_seen,
+       {sql_rnd("date_diff('second', max(ts), (SELECT global_max FROM mx))"
+                " / 3600.0", 6)} AS lag_hours,
+       CASE WHEN date_diff('second', max(ts), (SELECT global_max FROM mx))
+                 <= 24 * 3600 THEN 1 ELSE 0 END AS slo_ok
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+""")
+def ingest_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO report: per source (event_type), last-seen
+    timestamp and its lag behind the freshest record anywhere, graded
+    against a 24 h staleness budget.
+
+    The reference's curator pipelines `[PK, med]` alert on stale feeds
+    before registration; this is that check as one aggregation. The lag
+    anchor is max(ts) over the whole table — NOT wall-clock now(), which
+    would be nondeterministic and untestable — so the report is a pure
+    function of the data. One partial-agg shuffle on event_type; the
+    one-row global max broadcasts. At 100 TB the per-source agg reads
+    partition-pruned tails (ts-sorted layout), not full history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = (ev.filter(F.col("event_type").isNotNull())
+           .groupBy("event_type")
+           .agg(F.count("*").alias("n"), F.max("ts").alias("last_seen")))
+    gmax = ev.agg(F.max("ts").alias("global_max"))
+    lag_h = (F.col("global_max").cast("long")
+             - F.col("last_seen").cast("long")) / 3600.0
+    return (per.crossJoin(F.broadcast(gmax))
+            .select("event_type", "n", "last_seen",
+                    rnd(lag_h, 6).alias("lag_hours"),
+                    F.when(lag_h <= 24.0, 1).otherwise(0).alias("slo_ok")))

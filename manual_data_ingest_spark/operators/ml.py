@@ -1002,3 +1002,86 @@ def ml_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr(_R) / 100.0, 6).alias("revenue_per_event"),
         rnd(F.sqrt(F.expr(_VAR_RATIO)) / 100.0, 6).alias("std_err"),
         rnd(F.expr(_MY), 4).alias("events_per_user"))
+
+
+@register("ml_naive_bayes", """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), cls AS MATERIALIZED (
+    SELECT lang AS cand, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+), tot AS (
+    SELECT cand, sum(cnt)::DOUBLE AS tot FROM cls GROUP BY 1
+), vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tok),
+langs AS (SELECT DISTINCT lang AS cand FROM documents),
+priors AS (
+    SELECT lang AS cand, ln(count(*)::DOUBLE /
+           (SELECT count(*) FROM documents)) AS logprior
+    FROM documents GROUP BY lang
+), scored AS (
+    SELECT t.doc_id, t.lang, l.cand,
+           sum(ln((coalesce(c.cnt, 0) + 1.0) / (tt.tot + (SELECT v FROM vocab))))
+               AS loglik
+    FROM tok t
+    CROSS JOIN langs l
+    LEFT JOIN cls c ON c.cand = l.cand AND c.token = t.token
+    JOIN tot tt ON tt.cand = l.cand
+    GROUP BY t.doc_id, t.lang, l.cand
+), pred AS (
+    SELECT doc_id, lang, cand AS predicted
+    FROM (SELECT s.*, p.logprior + s.loglik AS score FROM scored s
+          JOIN priors p ON p.cand = s.cand)
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand) = 1
+)
+SELECT lang AS actual, predicted, count(*) AS n_docs
+FROM pred GROUP BY lang, predicted
+""")
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and scored
+    on the corpus in one lazy plan; output is the confusion matrix
+    (actual, predicted, n_docs).
+
+    Laplace-smoothed token likelihoods ln((cnt+1)/(tot+V)) with
+    log-priors; prediction is argmax with a lang-ascending tie-break
+    (total-order discipline). All model state — class-token counts,
+    class totals, vocab size, priors — is AGGREGATES that broadcast:
+    training is one groupBy, scoring is a map-side broadcast join per
+    token, so at 100 TB the model (≈|V|·|classes| rows) ships to
+    executors while the corpus never shuffles — the same topology as
+    `dedup_decontaminate`. The integer-count output makes the oracle
+    comparison insensitive to float summation order everywhere except
+    a score TIE, which the tie-break resolves identically.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang",
+                   F.explode(F.split("text", " ")).alias("token"))
+    cls = (tok.groupBy(F.col("lang").alias("cand"), "token")
+           .agg(F.count("*").alias("cnt")))
+    tot = cls.groupBy("cand").agg(F.sum("cnt").cast("double").alias("tot"))
+    vocab = tok.select("token").distinct().agg(
+        F.count("*").cast("double").alias("v"))
+    n_total = d.agg(F.count("*").alias("n_total"))
+    priors = (d.groupBy(F.col("lang").alias("cand"))
+              .agg(F.count("*").alias("n_lang"))
+              .crossJoin(F.broadcast(n_total))
+              .select("cand", F.log(F.col("n_lang").cast("double")
+                                    / F.col("n_total")).alias("logprior")))
+    langs = d.select(F.col("lang").alias("cand")).distinct()
+    scored = (tok
+              .crossJoin(F.broadcast(langs))
+              .join(F.broadcast(cls), ["cand", "token"], "left")
+              .join(F.broadcast(tot), "cand")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id", "lang", "cand")
+              .agg(F.sum(F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                               / (F.col("tot") + F.col("v"))))
+                   .alias("loglik")))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("logprior") + F.col("loglik")).desc(), F.col("cand"))
+    pred = (scored.join(F.broadcast(priors), "cand")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (pred.groupBy(F.col("lang").alias("actual"),
+                         F.col("cand").alias("predicted"))
+            .agg(F.count("*").alias("n_docs")))

@@ -253,3 +253,74 @@ def multimodal_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bytes").alias("total_bytes"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+@register("multimodal_phash_dedup", """
+WITH chars AS MATERIALIZED (
+    SELECT doc_id, ascii(substring(text, i, 1)) // 16 AS bin
+    FROM documents, unnest(generate_series(1, length(text))) AS g(i)
+    WHERE text IS NOT NULL AND length(text) > 0
+), hist AS (
+    SELECT doc_id, bin, count(*)::DOUBLE AS cnt FROM chars GROUP BY 1, 2
+), avgc AS (
+    SELECT doc_id, avg(cnt) AS a FROM hist GROUP BY 1
+), ph AS (
+    SELECT h.doc_id,
+           sum(CASE WHEN h.cnt > avgc.a THEN (1::BIGINT << h.bin)
+                    ELSE 0 END)::BIGINT AS phash
+    FROM hist h JOIN avgc ON h.doc_id = avgc.doc_id
+    GROUP BY h.doc_id
+)
+SELECT phash, count(*) AS n_docs,
+       min(doc_id) AS keep_id, max(doc_id) AS max_dup_id
+FROM ph GROUP BY phash HAVING count(*) >= 2
+""")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the binary media column: documents
+    whose byte-HISTOGRAM signature collides form a duplicate group
+    (keep lowest id). A real deployment computes a DCT pHash inside the
+    decode UDF (env-gated here like `multimodal_decode`); the stand-in
+    is honestly perceptual-SHAPED — a 16-bin byte histogram thresholded
+    at its own mean, so it is invariant to byte ORDER (re-encoded /
+    shuffled media with the same intensity distribution collide), not
+    an exact-content md5.
+
+    Spark-side plumbing is the real thing: bytes cross to Python as
+    Arrow binary batches via ``mapInPandas``, numpy ``bincount`` builds
+    each histogram, and only the 8-byte signature returns — at 100 TB
+    the shuffle carries (doc_id, phash), never media bytes, and the
+    group-by is `dedup_exact`'s single hash-agg shape. The mean
+    threshold divides identical operands in both engines (sum of int
+    counts / bin count, one IEEE division), so the signature is
+    hash-exact cross-engine.
+    """
+    import numpy as np
+    import pandas as pd
+
+    real = _try_real_decoder()
+
+    def phash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                if real is not None:  # pragma: no cover
+                    raise NotImplementedError("real pHash not wired")
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                counts = np.bincount(arr >> 4, minlength=16)
+                nz = np.nonzero(counts)[0]
+                a = counts[nz].sum() / float(len(nz))
+                h = int(((counts[nz] > a).astype(np.int64)
+                         << nz.astype(np.int64)).sum())
+                ids.append(doc_id)
+                hashes.append(h)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    d = load_table(spark, sf_dir, "documents")
+    media = (d.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+             .select("doc_id", F.col("text").cast("binary").alias("media")))
+    sigs = media.mapInPandas(phash, schema="doc_id long, phash long")
+    return (sigs.groupBy("phash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keep_id"),
+                 F.max("doc_id").alias("max_dup_id"))
+            .filter(F.col("n_docs") >= 2))

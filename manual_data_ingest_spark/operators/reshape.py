@@ -288,3 +288,47 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("kept_avg_words"),
                  rnd(F.sum("n_words").cast("double") / F.count("*"))
                  .alias("all_avg_words")))
+
+
+@register("sample_group_holdout", f"""
+WITH assigned AS (
+    SELECT user_id, value,
+           CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INT % 10
+                     <= 7 THEN 'train'
+                WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::INT % 10
+                     = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+)
+SELECT split,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       {sql_rnd('sum(value)', 2)} AS sum_value
+FROM assigned
+GROUP BY split
+""")
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-whole-groups-out split: every USER lands in exactly one of
+    train/val/test (80/10/10 by md5 bucket of user_id), so no user's
+    events straddle a split boundary — the contamination
+    `sample_train_val_test` (row-granular) cannot rule out when rows of
+    one entity are correlated.
+
+    The group key is hashed, never the row, so assignment is stable
+    under any data growth for that user and reproducible across engines
+    (md5 parity, the `sample_hash` pattern). Assignment is map-side
+    codegen; the only shuffle is the report aggregation. At 100 TB this
+    decides eval membership for dedup/decontamination, so determinism
+    under backfills is the load-bearing property.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 4), 16, 10)"
+        " as int) % 10")
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (ev.withColumn("split", split)
+            .groupBy("split")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count("*").alias("n_events"),
+                 rnd(F.sum("value"), 2).alias("sum_value")))

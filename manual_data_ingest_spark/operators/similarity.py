@@ -612,3 +612,79 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 5)
             .select("probe_id", "neighbor_id",
                     rnd(F.col("raw"), 6).alias("score_q"), "rn"))
+
+
+@register("sim_sparse_tfidf_topk", f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS MATERIALIZED (
+    SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), df AS (
+    SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS MATERIALIZED (
+    SELECT doc_id, token, tf * ln((SELECT n FROM n) / df) AS w
+    FROM tf JOIN df USING (token)
+), norm AS (
+    SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+), wn AS MATERIALIZED (
+    SELECT w.doc_id, token, w / nrm AS wn
+    FROM w JOIN norm ON w.doc_id = norm.doc_id
+    WHERE nrm > 0
+), sims AS (
+    SELECT p.doc_id AS probe_id, c.doc_id AS neighbor_id,
+           sum(p.wn * c.wn) AS score_raw
+    FROM wn p JOIN wn c ON p.token = c.token AND p.doc_id <> c.doc_id
+    WHERE p.doc_id < 10
+    GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id, {sql_rnd('score_raw', 6)} AS score, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY score_raw DESC, neighbor_id) AS rn
+      FROM sims)
+WHERE rn <= 3
+""")
+def sim_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine top-k over tf-idf vectors via the INVERTED-INDEX
+    join — text similarity without dense embeddings, and the sparse
+    complement to `sim_topk`'s dense brute force.
+
+    tf-idf weights L2-normalize per doc, so the cosine is a plain dot
+    product; the dot product of SPARSE vectors is a posting-list join:
+    probes and corpus meet ON TOKEN (only terms they share contribute),
+    then partial-sum per (probe, doc). Nothing is ever all-pairs — the
+    candidate set is bounded by shared-token postings, exactly the
+    structure `dedup_near_jaccard` exploits, with weights instead of
+    counts. At 100 TB: idf and norms are per-term/per-doc aggregates
+    (broadcastable model state); hot stop-words dominate postings and
+    get dropped by an idf floor — the stop-shingle cutoff's twin. The
+    10 lowest doc_ids probe; top-3 neighbors each, (score desc, id)
+    tie-broken.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    w = (tf.join(df, "token").crossJoin(F.broadcast(n))
+         .select("doc_id", "token",
+                 (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w")))
+    norm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                                   .alias("nrm"))
+    wn = (w.join(norm, "doc_id").filter(F.col("nrm") > 0)
+          .select("doc_id", "token", (F.col("w") / F.col("nrm")).alias("wn")))
+    probes = (wn.filter(F.col("doc_id") < 10)
+              .select(F.col("doc_id").alias("probe_id"), "token",
+                      F.col("wn").alias("pwn")))
+    sims = (F.broadcast(probes)
+            .join(wn, "token")
+            .filter(F.col("doc_id") != F.col("probe_id"))
+            .groupBy("probe_id", F.col("doc_id").alias("neighbor_id"))
+            .agg(F.sum(F.col("pwn") * F.col("wn")).alias("score_raw")))
+    rn = F.row_number().over(
+        Window.partitionBy("probe_id")
+        .orderBy(F.col("score_raw").desc(), F.col("neighbor_id")))
+    return (sims.withColumn("rn", rn).filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("score_raw"), 6).alias("score"), "rn"))

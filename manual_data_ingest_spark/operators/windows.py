@@ -1285,3 +1285,60 @@ def win_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * F.sqrt(n * spp - sp * sp))
     return s.select(F.col("n").alias("n_pairs"),
                     rnd(r, 6).alias("autocorr_lag1"))
+
+
+@register("agg_ohlc_bars", f"""
+WITH base AS (
+    SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM base
+)
+SELECT event_type, day,
+       {sql_rnd('min(CASE WHEN rn_a = 1 THEN value END)', 6)} AS open,
+       {sql_rnd('max(value)', 6)} AS high,
+       {sql_rnd('min(value)', 6)} AS low,
+       {sql_rnd('min(CASE WHEN rn_d = 1 THEN value END)', 6)} AS close,
+       count(*) AS volume
+FROM r
+GROUP BY event_type, day
+""")
+def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars (open / high / low /
+    close / volume) per event type — the resample primitive financial
+    and metrics pipelines run before charting or modeling.
+
+    Open/close are FIRST/LAST by (ts, event_id) — the event_id
+    tie-break makes same-timestamp days deterministic (SURVEY §5
+    total-order discipline). Both row_number windows share one
+    (event_type, day) exchange; high/low/volume ride the subsequent
+    hash aggregate. At 100 TB this is the canonical hypertable rollup:
+    day-partitioned input means the window never crosses a partition,
+    and continuous aggregation maintains bars incrementally
+    (`ingest_incremental_agg`'s pattern) instead of rescanning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = (ev.filter(F.col("event_type").isNotNull()
+                      & F.col("value").isNotNull())
+            .select("event_type", F.date_trunc("day", "ts").alias("day"),
+                    "ts", "event_id", "value"))
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = base.select(
+        "event_type", "day", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"))
+    return (r.groupBy("event_type", "day")
+            .agg(rnd(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
+                 .alias("open"),
+                 rnd(F.max("value"), 6).alias("high"),
+                 rnd(F.min("value"), 6).alias("low"),
+                 rnd(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
+                 .alias("close"),
+                 F.count("*").alias("volume")))

