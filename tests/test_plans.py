@@ -705,3 +705,66 @@ def test_probe_derivation_uses_window_group_limit(spark):
         assert "WindowGroupLimit" in plan, name
         assert "Partial" in plan.split("WindowGroupLimit")[0][-200:] or \
             plan.count("WindowGroupLimit") >= 2, name  # partial + final pair
+
+
+# ----------------------------------------------------------------- r3 batch
+
+def test_naive_bayes_model_broadcasts_corpus_never_shuffles(spark):
+    """Training state (class counts / totals / priors / vocab) must ship
+    to the corpus as broadcasts; the token stream's only exchanges are
+    the per-doc score aggregation and the argmax window."""
+    plan = _plan(spark, "ml_naive_bayes")
+    assert plan.count("BroadcastExchange") >= 4  # cls, tot, vocab, priors(+langs)
+    # the scoring join on (cand, token) is a broadcast join, not SMJ:
+    assert "SortMergeJoin" not in plan
+
+
+def test_sparse_tfidf_probes_broadcast(spark):
+    """The probe posting list broadcasts; the corpus side of the
+    token join must not be re-shuffled for the join itself."""
+    plan = _plan(spark, "sim_sparse_tfidf_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the 1-row scalar broadcasts (corpus
+    # size N — it appears once per self-join branch since the tf-idf
+    # weight pipeline is computed on both sides); the token join itself
+    # must be a broadcast HASH join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 4
+
+
+def test_phash_dedup_shuffles_signatures_not_media(spark):
+    """The exchange after the mapInPandas stage must carry only
+    (doc_id, phash) — never the binary payload."""
+    plan = _plan(spark, "multimodal_phash_dedup")
+    # formatted mode puts exchange args in the detail section
+    m = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m, plan
+    assert all("media" not in g for g in m), m
+    assert "MapInPandas" in plan
+    # partial aggregation fires BEFORE the exchange (map-side combine)
+    assert plan.index("partial_count") < plan.index("hashpartitioning(")
+
+
+def test_ohlc_windows_share_one_exchange(spark):
+    """Both row_number orders partition by (event_type, day): one
+    exchange feeds two sorts, not two exchanges."""
+    plan = _plan(spark, "agg_ohlc_bars")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # window partition + final agg
+
+
+def test_freshness_slo_single_scan_branch_broadcast(spark):
+    """The global-max anchor is a 1-row broadcast, never a shuffle of
+    the fact table to one partition."""
+    plan = _plan(spark, "ingest_freshness_slo")
+    assert "BroadcastExchange" in plan
+    assert "Exchange SinglePartition" not in plan.split(
+        "BroadcastExchange")[0]  # no pre-broadcast global sort
+
+
+def test_group_holdout_assignment_is_map_side(spark):
+    """Split assignment must not introduce an exchange before the
+    report aggregation: one shuffle total (the groupBy)."""
+    plan = _plan(spark, "sample_group_holdout")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
