@@ -607,3 +607,59 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr(_ZSLOPE), 4).alias("zipf_slope"),
         rnd(F.expr(_ZINTC), 4).alias("log_intercept"),
         rnd(F.expr(_ZR2), 4).alias("r2"))
+
+
+@register("text_vocab_growth", """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), bounds AS (
+    SELECT d AS decile,
+           (SELECT max(doc_id) + 1 FROM documents) * d / 10 AS bound
+    FROM unnest(generate_series(1, 10)) AS g(d)
+), first_seen AS MATERIALIZED (
+    SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
+), tokens_cum AS (
+    SELECT b.decile, count(*) AS n_tokens
+    FROM bounds b JOIN tok t ON t.doc_id < b.bound
+    GROUP BY b.decile
+), vocab_cum AS (
+    SELECT b.decile, count(*) AS n_vocab
+    FROM bounds b JOIN first_seen f ON f.first_doc < b.bound
+    GROUP BY b.decile
+)
+SELECT t.decile, t.n_tokens, v.n_vocab,
+       floor(v.n_vocab::DOUBLE / t.n_tokens * 1000000.0 + 0.5) / 1000000.0
+           AS type_token_ratio
+FROM tokens_cum t JOIN vocab_cum v ON t.decile = v.decile
+""")
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative token count,
+    cumulative DISTINCT vocabulary, and type-token ratio at each corpus
+    decile (by doc_id order) — the corpus-health curve that flags
+    crawl loops (vocab plateaus) and boilerplate floods (TTR collapse)
+    before training data ships.
+
+    Cumulative-distinct does NOT need a running window over tokens: a
+    token enters the vocabulary at its FIRST document (one groupBy
+    min), so each decile's vocab is a count of first_doc < bound — the
+    same first-occurrence trick `win_cumulative_distinct` uses. Both
+    fact-sized passes are partial aggs; the 10-row bound table
+    broadcasts. TTR denominators via one shared token scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    max_id = d.agg((F.max("doc_id") + 1).alias("m"))
+    bounds = (spark.range(1, 11).select(F.col("id").alias("decile"))
+              .crossJoin(F.broadcast(max_id))
+              .select("decile", (F.col("m") * F.col("decile") / 10)
+                      .alias("bound")))
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    tokens_cum = (tok.join(F.broadcast(bounds), F.col("doc_id") < F.col("bound"))
+                  .groupBy("decile").agg(F.count("*").alias("n_tokens")))
+    vocab_cum = (first_seen
+                 .join(F.broadcast(bounds), F.col("first_doc") < F.col("bound"))
+                 .groupBy("decile").agg(F.count("*").alias("n_vocab")))
+    return (tokens_cum.join(vocab_cum, "decile")
+            .select("decile", "n_tokens", "n_vocab",
+                    rnd(F.col("n_vocab").cast("double") / F.col("n_tokens"), 6)
+                    .alias("type_token_ratio")))

@@ -435,22 +435,25 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("u").alias("nbr"))))
     adj = adj.localCheckpoint(eager=True)  # 8 consumers of a tiny edge list
     labels = adj.select("node").distinct().withColumn("comp", F.col("node"))
-    for _ in range(_CC_ITERS):
+    for i in range(_CC_ITERS):
         nbr_min = (adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
                    .groupBy("node").agg(F.min("comp").alias("nbr_comp")))
         labels = (labels.join(nbr_min, "node", "left")
                   .select("node",
                           F.least(F.col("comp"),
                                   F.coalesce(F.col("nbr_comp"), F.col("comp")))
-                          .alias("comp"))
-                  # truncate lineage EVERY round: labels feeds two plans
-                  # per iteration, so without this the logical plan (and
-                  # Catalyst's analyze cost) doubles per round — 2^8
-                  # subtrees by round 8, measured minutes of pure
-                  # plan-build. The node-set is |V|-sized; checkpointing
-                  # it is the iterative-algorithm discipline every
-                  # Pregel-style loop needs (same move as dedup_clusters).
-                  .localCheckpoint(eager=True))
+                          .alias("comp")))
+        # truncate lineage every SECOND round: labels feeds two plans
+        # per iteration, so unchecked the logical plan (and Catalyst's
+        # analyze cost) doubles per round — 2^8 subtrees by round 8,
+        # measured MINUTES of pure plan-build. Checkpoint cadence is a
+        # measured trade (sf0.1, median of 3): every round 3.65 s,
+        # every 2nd 2.25 s, every 4th 3.12 s — eager materialization
+        # costs a job, plan growth costs analysis; 2 balances them.
+        # The node-set is |V|-sized; truncating its lineage is the
+        # Pregel-loop discipline (same move as dedup_clusters).
+        if i % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
     return (labels.groupBy(F.col("comp").alias("component"))
             .agg(F.count("*").alias("n_nodes"),
                  F.min("node").alias("min_node"),

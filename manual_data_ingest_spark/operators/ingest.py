@@ -1151,3 +1151,57 @@ def ingest_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n", "last_seen",
                     rnd(lag_h, 6).alias("lag_hours"),
                     F.when(lag_h <= 24.0, 1).otherwise(0).alias("slo_ok")))
+
+
+@register("ingest_late_data_report", f"""
+WITH arr AS (
+    SELECT event_type, event_id, ts,
+           max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_watermark
+    FROM events WHERE event_type IS NOT NULL
+), late AS (
+    SELECT event_type,
+           CASE WHEN high_watermark > ts
+                THEN date_diff('microsecond', ts, high_watermark) / 1000000.0
+                ELSE 0.0 END AS lateness_s
+    FROM arr
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE lateness_s > 0) AS n_late,
+       {sql_rnd('max(lateness_s)', 6)} AS max_lateness_s,
+       {sql_rnd("coalesce(avg(CASE WHEN lateness_s > 0 THEN lateness_s END),"
+                " 0.0)", 6)} AS avg_lateness_s
+FROM late GROUP BY event_type
+""")
+def ingest_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile: per source, how many events arrive
+    BEHIND the running event-time high-watermark (arrival order =
+    event_id, the mint sequence) and by how much — the measurement that
+    sizes `stream_watermark_late`'s watermark delay instead of guessing
+    it.
+
+    One (event_type)-partitioned window over arrival order computes the
+    preceding high-watermark; lateness is its event-time shortfall.
+    Everything after is a partial agg. At 100 TB arrival order is the
+    ingestion log offset, the window is per-source-partition streaming
+    state (exactly what Structured Streaming's watermark tracker keeps),
+    and the report aggregates shard-local profiles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("event_type").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    hwm = F.max("ts").over(w)
+    late_us = F.when(hwm > F.col("ts"),
+                     F.unix_micros(hwm) - F.unix_micros("ts")).otherwise(0)
+    late_s = late_us / 1_000_000.0
+    return (ev.filter(F.col("event_type").isNotNull())
+            .select("event_type", late_s.alias("lateness_s"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count(F.when(F.col("lateness_s") > 0, 1)).alias("n_late"),
+                 rnd(F.max("lateness_s"), 6).alias("max_lateness_s"),
+                 rnd(F.coalesce(F.avg(F.when(F.col("lateness_s") > 0,
+                                             F.col("lateness_s"))),
+                                F.lit(0.0)), 6).alias("avg_lateness_s")))

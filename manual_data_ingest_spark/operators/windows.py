@@ -1342,3 +1342,118 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
                  .alias("close"),
                  F.count("*").alias("volume")))
+
+
+@register("win_pareto_share", f"""
+WITH cust AS (
+    SELECT o_custkey, sum(o_totalprice) AS revenue
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey, revenue,
+           row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+           sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+           sum(revenue) OVER () AS total_rev,
+           count(*) OVER () AS n_cust
+    FROM cust
+)
+SELECT rnk, o_custkey,
+       {sql_rnd('revenue', 2)} AS revenue,
+       {sql_rnd('cum_rev / total_rev', 6)} AS cum_share,
+       {sql_rnd('rnk::DOUBLE / n_cust', 6)} AS cust_frac
+FROM ranked
+WHERE rnk <= 25
+""")
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration curve: customers ranked by revenue
+    with cumulative revenue share and customer fraction — the top-25
+    rows of the whale curve every revenue team draws.
+
+    The per-customer rollup is the only fact-sized shuffle; the ranking
+    windows run over the CUSTOMER aggregate (dim-sized). The unbounded
+    global window single-threads by construction — at 100 TB the rollup
+    stays distributed and only the customer-level curve (millions of
+    rows, not billions) pays the global order, or switches to the
+    two-phase rank (`ingest_id_mint_scalable`) if even that saturates.
+    Total-order tie-break on custkey (SURVEY §5).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    wrank = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    wcum = wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    return (cust.select(
+        F.row_number().over(wrank).alias("rnk"),
+        "o_custkey", "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+        F.count("*").over(wall).alias("n_cust"))
+        .filter(F.col("rnk") <= 25)
+        .select("rnk", "o_custkey",
+                rnd(F.col("revenue"), 2).alias("revenue"),
+                rnd(F.col("cum_rev") / F.col("total_rev"), 6)
+                .alias("cum_share"),
+                rnd(F.col("rnk").cast("double") / F.col("n_cust"), 6)
+                .alias("cust_frac")))
+
+
+@register("agg_session_bounce", """
+WITH ordered AS (
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+           CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                  OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                     > INTERVAL 12 HOUR
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id,
+           (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
+    FROM ordered
+), per_sess AS (
+    SELECT user_id, session_no, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_no
+)
+SELECT count(*) AS n_sessions,
+       count(*) FILTER (WHERE n_events = 1) AS n_bounces,
+       CASE WHEN count(*) > 0
+            THEN floor(count(*) FILTER (WHERE n_events = 1)::DOUBLE
+                       / count(*) * 1000000.0 + 0.5) / 1000000.0
+       END AS bounce_rate,
+       floor(avg(n_events) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_session_events,
+       max(n_events) AS max_session_events
+FROM per_sess
+""")
+def agg_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session quality summary on top of the gaps-and-islands
+    sessionization: bounce rate (single-event sessions), mean and max
+    session length — the engagement KPIs a product dashboard reads off
+    sessionized history.
+
+    Same 12 h session rule as `win_sessionize`; the lag window, running
+    sum, and per-session aggregate all ride ONE user_id distribution,
+    and the final summary is a constant-size partial agg. Adds no new
+    shuffle over plain sessionization at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(gap_us.isNull() | (gap_us > 12 * 3600 * 1_000_000),
+                      1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_sess = (ev.withColumn("new_sess", new_sess)
+                .withColumn("session_no", F.sum("new_sess").over(run))
+                .groupBy("user_id", "session_no")
+                .agg(F.count("*").alias("n_events")))
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        # guard the empty corpus: ANSI mode makes 0/0 a crash, not NaN
+        rnd(F.when(F.count("*") > 0,
+                   bounce.cast("double") / F.count("*")), 6)
+        .alias("bounce_rate"),
+        rnd(F.avg("n_events"), 6).alias("avg_session_events"),
+        F.max("n_events").alias("max_session_events"))

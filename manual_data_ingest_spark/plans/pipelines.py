@@ -708,3 +708,103 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("l").alias("n_tok_enc"),
                     F.size(F.filter("l", lambda x: x.contains("_")))
                     .alias("n_merged")))
+
+
+_TES_BUCKET_DUCK = "('0x' || substr(md5(doc_id::VARCHAR || '|nbsplit'), 1, 4))::INT % 10"
+_TES_BUCKET_SPARK = ("cast(conv(substring(md5(concat(cast(doc_id as string),"
+                     " '|nbsplit')), 1, 4), 16, 10) as int) % 10")
+
+
+@register("pipeline_train_eval_split", f"""
+WITH tagged AS MATERIALIZED (
+    SELECT doc_id, lang, text,
+           CASE WHEN {_TES_BUCKET_DUCK} <= 7 THEN 'train' ELSE 'test' END
+               AS split
+    FROM documents
+), tok AS MATERIALIZED (
+    SELECT doc_id, lang, split, unnest(string_split(text, ' ')) AS token
+    FROM tagged
+), cls AS MATERIALIZED (
+    SELECT lang AS cand, token, count(*) AS cnt FROM tok
+    WHERE split = 'train' GROUP BY 1, 2
+), tot AS (SELECT cand, sum(cnt)::DOUBLE AS tot FROM cls GROUP BY 1),
+vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tok
+          WHERE split = 'train'),
+langs AS (SELECT DISTINCT lang AS cand FROM tagged WHERE split = 'train'),
+priors AS (
+    SELECT lang AS cand, ln(count(*)::DOUBLE /
+           (SELECT count(*) FROM tagged WHERE split = 'train')) AS logprior
+    FROM tagged WHERE split = 'train' GROUP BY lang
+), scored AS (
+    SELECT t.doc_id, t.lang, l.cand,
+           sum(ln((coalesce(c.cnt, 0) + 1.0)
+                  / (tt.tot + (SELECT v FROM vocab)))) AS loglik
+    FROM tok t
+    CROSS JOIN langs l
+    LEFT JOIN cls c ON c.cand = l.cand AND c.token = t.token
+    JOIN tot tt ON tt.cand = l.cand
+    WHERE t.split = 'test'
+    GROUP BY t.doc_id, t.lang, l.cand
+), pred AS (
+    SELECT doc_id, lang, cand AS predicted
+    FROM (SELECT s.*, p.logprior + s.loglik AS score FROM scored s
+          JOIN priors p ON p.cand = s.cand)
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand) = 1
+)
+SELECT lang AS actual, predicted, count(*) AS n_docs
+FROM pred GROUP BY lang, predicted
+""")
+def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe model evaluation END TO END in one plan: hash-split
+    the corpus 80/20 at DOCUMENT granularity (salted, so independent of
+    every other doc_id hash in the engine), train the naive-Bayes
+    language model ONLY on the train split, score ONLY the held-out
+    split, emit the held-out confusion matrix.
+
+    This is `ml_naive_bayes` made honest: resubstitution accuracy
+    overstates every model, and the difference between the two
+    operators' matrices IS the generalization gap. The split is the
+    `sample_train_val_test` hash contract (map-side, reproducible under
+    backfills); training state stays broadcastable aggregates; the test
+    corpus never shuffles. The composition order — split BEFORE any
+    training statistic — is the contract the leakage bug violates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_TES_BUCKET_SPARK)
+    tagged = d.select(
+        "doc_id", "lang", "text",
+        F.when(bucket <= 7, "train").otherwise("test").alias("split"))
+    tok = tagged.select("doc_id", "lang", "split",
+                        F.explode(F.split("text", " ")).alias("token"))
+    train_tok = tok.filter(F.col("split") == "train")
+    train_docs = tagged.filter(F.col("split") == "train")
+    cls = (train_tok.groupBy(F.col("lang").alias("cand"), "token")
+           .agg(F.count("*").alias("cnt")))
+    tot = cls.groupBy("cand").agg(F.sum("cnt").cast("double").alias("tot"))
+    vocab = train_tok.select("token").distinct().agg(
+        F.count("*").cast("double").alias("v"))
+    n_train = train_docs.agg(F.count("*").alias("n_train"))
+    priors = (train_docs.groupBy(F.col("lang").alias("cand"))
+              .agg(F.count("*").alias("n_lang"))
+              .crossJoin(F.broadcast(n_train))
+              .select("cand", F.log(F.col("n_lang").cast("double")
+                                    / F.col("n_train")).alias("logprior")))
+    langs = train_docs.select(F.col("lang").alias("cand")).distinct()
+    scored = (tok.filter(F.col("split") == "test")
+              .crossJoin(F.broadcast(langs))
+              .join(F.broadcast(cls), ["cand", "token"], "left")
+              .join(F.broadcast(tot), "cand")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc_id", "lang", "cand")
+              .agg(F.sum(F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                               / (F.col("tot") + F.col("v"))))
+                   .alias("loglik")))
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("logprior") + F.col("loglik")).desc(), F.col("cand"))
+    pred = (scored.join(F.broadcast(priors), "cand")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (pred.groupBy(F.col("lang").alias("actual"),
+                         F.col("cand").alias("predicted"))
+            .agg(F.count("*").alias("n_docs")))

@@ -49,6 +49,8 @@ PROBES = [
     "graph_connected_components", "ml_naive_bayes", "sim_sparse_tfidf_topk",
     "multimodal_phash_dedup", "agg_ohlc_bars", "agg_user_overlap_jaccard",
     "agg_time_decay_score", "sample_group_holdout", "ingest_freshness_slo",
+    "win_pareto_share", "agg_session_bounce", "ingest_late_data_report",
+    "text_vocab_growth", "pipeline_train_eval_split",
 ]
 
 
@@ -89,6 +91,8 @@ NULL_PROBES = [
     "graph_connected_components", "ml_naive_bayes", "sim_sparse_tfidf_topk",
     "multimodal_phash_dedup", "agg_ohlc_bars", "agg_user_overlap_jaccard",
     "agg_time_decay_score", "sample_group_holdout", "ingest_freshness_slo",
+    "win_pareto_share", "agg_session_bounce", "ingest_late_data_report",
+    "text_vocab_growth", "pipeline_train_eval_split",
 ]
 
 

@@ -1725,3 +1725,79 @@ def test_user_overlap_jaccard_bounds_and_symmetric_sizes(spark):
         assert 0 < r.n_common <= min(r.n_a, r.n_b)
         expect = r.n_common / (r.n_a + r.n_b - r.n_common)
         assert abs(r.jaccard - round(expect, 6)) < 1e-9
+
+
+def test_pareto_share_monotone_and_bounded(spark):
+    out = sorted(E.queries()["win_pareto_share"](spark, SF_ORACLE).collect(),
+                 key=lambda r: r.rnk)
+    assert [r.rnk for r in out] == list(range(1, len(out) + 1))
+    shares = [r.cum_share for r in out]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert 0 < shares[0] and shares[-1] <= 1.0
+    # revenue ranks descend
+    revs = [r.revenue for r in out]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_session_bounce_consistent_with_sessionize(spark):
+    """Bounce KPIs must replay from win_sessionize's session table."""
+    sess = E.queries()["win_sessionize"](spark, SF_ORACLE).collect()
+    out = E.queries()["agg_session_bounce"](spark, SF_ORACLE).collect()[0]
+    assert out.n_sessions == len(sess)
+    assert out.n_bounces == sum(1 for s in sess if s.n_events == 1)
+    assert out.max_session_events == max(s.n_events for s in sess)
+
+
+def test_late_data_report_replay(spark):
+    """Python replay of the high-watermark lateness per type."""
+    from manual_data_ingest_spark.io import load_table
+
+    ev = (load_table(spark, SF_ORACLE, "events")
+          .filter(F.col("event_type").isNotNull())
+          .select("event_type", "event_id", "ts").collect())
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(r)
+    got = {r.event_type: r
+           for r in E.queries()["ingest_late_data_report"](spark, SF_ORACLE)
+           .collect()}
+    for t, rows in by_type.items():
+        rows.sort(key=lambda r: r.event_id)
+        hwm, n_late = None, 0
+        for r in rows:
+            if hwm is not None and r.ts < hwm:
+                n_late += 1
+            hwm = r.ts if hwm is None else max(hwm, r.ts)
+        assert got[t].n_events == len(rows)
+        assert got[t].n_late == n_late, t
+
+
+def test_vocab_growth_monotone_and_exact_at_ten(spark):
+    from manual_data_ingest_spark.io import load_table
+
+    out = sorted(E.queries()["text_vocab_growth"](spark, SF_ORACLE).collect(),
+                 key=lambda r: r.decile)
+    toks = [r.n_tokens for r in out]
+    vocab = [r.n_vocab for r in out]
+    assert all(a <= b for a, b in zip(toks, toks[1:]))
+    assert all(a <= b for a, b in zip(vocab, vocab[1:]))
+    # decile 10 covers the whole corpus exactly
+    d = load_table(spark, SF_ORACLE, "documents")
+    total_tokens = d.select(F.explode(F.split("text", " "))).count()
+    total_vocab = (d.select(F.explode(F.split("text", " ")).alias("t"))
+                   .select("t").distinct().count())
+    assert toks[-1] == total_tokens and vocab[-1] == total_vocab
+
+
+def test_train_eval_split_holds_out_and_generalizes_worse(spark):
+    """The held-out matrix covers only test docs, and held-out accuracy
+    must not EXCEED resubstitution accuracy (the generalization gap is
+    non-negative up to small-sample noise)."""
+    held = E.queries()["pipeline_train_eval_split"](spark, SF_ORACLE).collect()
+    resub = E.queries()["ml_naive_bayes"](spark, SF_ORACLE).collect()
+    n_test = sum(r.n_docs for r in held)
+    n_all = sum(r.n_docs for r in resub)
+    assert 0 < n_test < n_all
+    acc_held = sum(r.n_docs for r in held if r.actual == r.predicted) / n_test
+    acc_resub = sum(r.n_docs for r in resub if r.actual == r.predicted) / n_all
+    assert acc_held <= acc_resub + 0.05
