@@ -1684,3 +1684,35 @@ def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  rnd(F.sum(F.col("value") * F.exp(-age_days / 30.0)), 6)
                  .alias("decayed_score")))
+
+
+@register("agg_activity_heatmap", f"""
+SELECT dayofweek(ts) + 1 AS dow,
+       hour(ts) AS hod,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       {sql_rnd('sum(value)', 2)} AS sum_value
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY dayofweek(ts), hour(ts)
+""")
+def agg_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap: events, distinct
+    users, and value per calendar cell — the seasonality readout behind
+    every ops dashboard and the capacity-planning input for ingest.
+
+    One grouped pass; the (dow, hod) key space is ≤ 168 cells, so the
+    shuffle carries partial aggregates bounded by cells×tasks no matter
+    the corpus size (distinct-user is the only term that scales — at
+    100 TB it swaps for the HLL sketch, `agg_hll_partitioned`'s merge).
+    Dialect trap: Spark dayofweek is Sunday=1..7 while DuckDB's is
+    Sunday=0..6 — the oracle shifts +1; both read the same UTC session
+    rendering (PARITY: session timeZone pinned).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.filter(F.col("ts").isNotNull())
+            .groupBy(F.dayofweek("ts").alias("dow"),
+                     F.hour("ts").alias("hod"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 rnd(F.sum("value"), 2).alias("sum_value")))

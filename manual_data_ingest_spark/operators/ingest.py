@@ -1205,3 +1205,58 @@ def ingest_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.coalesce(F.avg(F.when(F.col("lateness_s") > 0,
                                              F.col("lateness_s"))),
                                 F.lit(0.0)), 6).alias("avg_lateness_s")))
+
+
+@register("ingest_row_fingerprint", """
+WITH h AS (
+    SELECT o_orderstatus,
+           md5(o_orderkey::VARCHAR || '|' ||
+               coalesce(o_custkey::VARCHAR, '') || '|' ||
+               coalesce(o_orderstatus, '') || '|' ||
+               coalesce(printf('%.2f', o_totalprice), '') || '|' ||
+               coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '') || '|' ||
+               coalesce(o_orderpriority, '')) AS row_md5
+    FROM orders
+)
+SELECT o_orderstatus AS partition_key,
+       count(*) AS n_rows,
+       count(DISTINCT row_md5) AS n_distinct_rows,
+       bit_xor(('0x' || substr(row_md5, 1, 15))::BIGINT) AS xor_digest
+FROM h GROUP BY o_orderstatus
+""")
+def ingest_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed change detection: a canonical per-row md5 over
+    EVERY column (typed rendering pinned: 2dp money, second-precision
+    timestamps, empty string for NULL), rolled up per partition key —
+    two snapshots of a table compare by fingerprint without comparing
+    rows, the cheap half of `ingest_manifest_diff`.
+
+    The canonical rendering IS the contract: float formatting and
+    timestamp formatting are pinned to forms both engines produce
+    byte-identically (printf %.2f, yyyy-MM-dd HH:mm:ss), because a
+    fingerprint that renders differently across engines is useless for
+    cross-system audits. Map-side hash, one grouped pass; the group
+    digest is a bit_xor FOLD of 60-bit hash prefixes — order-
+    insensitive (so partition layout never matters), constant-size,
+    and any single changed row flips it (a min/max digest, the first
+    draft, misses every change that isn't the extremal row — caught by
+    this operator's own mutation test).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_md5 = F.md5(F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("o_orderstatus"), F.lit("")),
+        F.coalesce(F.format_string("%.2f", "o_totalprice"), F.lit("")),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                   F.lit("")),
+        F.coalesce(F.col("o_orderpriority"), F.lit(""))))
+    return (o.select(F.col("o_orderstatus").alias("partition_key"),
+                     row_md5.alias("row_md5"))
+            .groupBy("partition_key")
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("row_md5").alias("n_distinct_rows"),
+                 F.bit_xor(F.expr(
+                     "cast(conv(substring(row_md5, 1, 15), 16, 10) as bigint)"))
+                 .alias("xor_digest")))

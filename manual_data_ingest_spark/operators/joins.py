@@ -446,3 +446,52 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.unix_micros(F.col("click_ts"))
                       - F.unix_micros(F.col("ts"))) / 1000000.0)
                     .alias("followup_gap_sec")))
+
+
+@register("join_asof_tolerance", """
+WITH p AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+           WHERE event_type = 'click')
+SELECT event_id, ts, click_ts,
+       CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END AS matched
+FROM (
+    SELECT p.event_id, p.ts,
+           c.ts AS click_ts,
+           row_number() OVER (PARTITION BY p.event_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 2 HOUR
+) WHERE rn = 1
+""")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE band (pandas `merge_asof(tolerance=...)`
+    semantics): the most recent prior click per purchase, but only
+    within 2 h — older matches are discarded, purchases with no
+    in-window click keep a NULL row and a `matched=0` flag.
+
+    The tolerance bound is not just semantics — it is THE scale lever
+    the unbounded as-of lacks: the band predicate caps the per-row
+    candidate fan-out (an unbounded backward join over a year of
+    history scans a user's whole past; a 2 h band prunes to a bounded
+    slice, and a range-partitioned layout turns it into partition-local
+    work). Completes the as-of family: backward (`join_asof`), nearest
+    (`join_asof_nearest`), forward (`join_asof_forward`), banded (this).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("c_user_id"))
+    band = ((c.click_ts <= p.ts)
+            & (c.click_ts >= p.ts - F.expr("INTERVAL 2 HOURS")))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc(), F.col("c_event_id").desc())
+    return (p.join(c, (p.user_id == c.c_user_id) & band, "left")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "ts", "click_ts",
+                    F.when(F.col("click_ts").isNull(), 0).otherwise(1)
+                    .alias("matched")))

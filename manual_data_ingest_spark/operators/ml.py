@@ -1053,6 +1053,102 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison insensitive to float summation order everywhere except
     a score TIE, which the tie-break resolves identically.
     """
+    return (_nb_predictions(spark, sf_dir)
+            .groupBy("actual", "predicted")
+            .agg(F.count("*").alias("n_docs")))
+
+
+@register("ml_eval_metrics", """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), cls AS MATERIALIZED (
+    SELECT lang AS cand, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+), tot AS (
+    SELECT cand, sum(cnt)::DOUBLE AS tot FROM cls GROUP BY 1
+), vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tok),
+langs AS (SELECT DISTINCT lang AS cand FROM documents),
+priors AS (
+    SELECT lang AS cand, ln(count(*)::DOUBLE /
+           (SELECT count(*) FROM documents)) AS logprior
+    FROM documents GROUP BY lang
+), scored AS (
+    SELECT t.doc_id, t.lang, l.cand,
+           sum(ln((coalesce(c.cnt, 0) + 1.0) / (tt.tot + (SELECT v FROM vocab))))
+               AS loglik
+    FROM tok t
+    CROSS JOIN langs l
+    LEFT JOIN cls c ON c.cand = l.cand AND c.token = t.token
+    JOIN tot tt ON tt.cand = l.cand
+    GROUP BY t.doc_id, t.lang, l.cand
+), pred AS MATERIALIZED (
+    SELECT doc_id, lang AS actual, cand AS predicted
+    FROM (SELECT s.*, p.logprior + s.loglik AS score FROM scored s
+          JOIN priors p ON p.cand = s.cand)
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand) = 1
+), per_class AS (
+    SELECT l.cand AS class,
+           (SELECT count(*) FROM pred WHERE actual = l.cand
+                                        AND predicted = l.cand) AS tp,
+           (SELECT count(*) FROM pred WHERE actual <> l.cand
+                                        AND predicted = l.cand) AS fp,
+           (SELECT count(*) FROM pred WHERE actual = l.cand
+                                        AND predicted <> l.cand) AS fn
+    FROM langs l
+)
+SELECT class, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN floor(tp::DOUBLE / (tp + fp)
+            * 1000000.0 + 0.5) / 1000000.0 END AS precision_,
+       CASE WHEN tp + fn > 0 THEN floor(tp::DOUBLE / (tp + fn)
+            * 1000000.0 + 0.5) / 1000000.0 END AS recall_,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN floor(2.0 * tp / (2 * tp + fp + fn) * 1000000.0 + 0.5)
+                 / 1000000.0 END AS f1
+FROM per_class
+""")
+def ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 over the naive-Bayes
+    predictions — the classifier-eval readout every ML pipeline ends
+    with, computed in-engine from the prediction table (no sklearn
+    round-trip of N rows to the driver).
+
+    TP/FP/FN are integer conditional aggregates over the (doc, actual,
+    predicted) table — one grouped pass per axis fused into a single
+    job; the ratios are guarded divisions (ANSI-safe on empty classes,
+    PARITY #30). The prediction stage reuses `ml_naive_bayes`'s
+    broadcast-model topology wholesale (shared `_nb_predictions`).
+    """
+    pred = _nb_predictions(spark, sf_dir)
+    langs = (load_table(spark, sf_dir, "documents")
+             .select(F.col("lang").alias("class")).distinct())
+    stats = (langs.join(pred, F.lit(True), "left")
+             .groupBy("class")
+             .agg(F.count(F.when((F.col("actual") == F.col("class"))
+                                 & (F.col("predicted") == F.col("class")), 1))
+                  .alias("tp"),
+                  F.count(F.when((F.col("actual") != F.col("class"))
+                                 & (F.col("predicted") == F.col("class")), 1))
+                  .alias("fp"),
+                  F.count(F.when((F.col("actual") == F.col("class"))
+                                 & (F.col("predicted") != F.col("class")), 1))
+                  .alias("fn")))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp").cast("double") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp").cast("double") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp")
+                                     + F.col("fn")))
+    return stats.select("class", "tp", "fp", "fn",
+                        rnd(prec, 6).alias("precision_"),
+                        rnd(rec, 6).alias("recall_"),
+                        rnd(f1, 6).alias("f1"))
+
+
+def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, actual, predicted) from the resubstitution naive Bayes —
+    the shared prediction stage of `ml_naive_bayes` / `ml_eval_metrics`."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang",
                    F.explode(F.split("text", " ")).alias("token"))
@@ -1068,8 +1164,7 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("cand", F.log(F.col("n_lang").cast("double")
                                     / F.col("n_total")).alias("logprior")))
     langs = d.select(F.col("lang").alias("cand")).distinct()
-    scored = (tok
-              .crossJoin(F.broadcast(langs))
+    scored = (tok.crossJoin(F.broadcast(langs))
               .join(F.broadcast(cls), ["cand", "token"], "left")
               .join(F.broadcast(tot), "cand")
               .crossJoin(F.broadcast(vocab))
@@ -1079,9 +1174,8 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("loglik")))
     w = Window.partitionBy("doc_id").orderBy(
         (F.col("logprior") + F.col("loglik")).desc(), F.col("cand"))
-    pred = (scored.join(F.broadcast(priors), "cand")
+    return (scored.join(F.broadcast(priors), "cand")
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
-    return (pred.groupBy(F.col("lang").alias("actual"),
-                         F.col("cand").alias("predicted"))
-            .agg(F.count("*").alias("n_docs")))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("lang").alias("actual"),
+                    F.col("cand").alias("predicted")))

@@ -51,6 +51,8 @@ PROBES = [
     "agg_time_decay_score", "sample_group_holdout", "ingest_freshness_slo",
     "win_pareto_share", "agg_session_bounce", "ingest_late_data_report",
     "text_vocab_growth", "pipeline_train_eval_split",
+    "join_asof_tolerance", "agg_activity_heatmap", "ml_eval_metrics",
+    "ingest_row_fingerprint",
 ]
 
 
@@ -93,6 +95,8 @@ NULL_PROBES = [
     "agg_time_decay_score", "sample_group_holdout", "ingest_freshness_slo",
     "win_pareto_share", "agg_session_bounce", "ingest_late_data_report",
     "text_vocab_growth", "pipeline_train_eval_split",
+    "join_asof_tolerance", "agg_activity_heatmap", "ml_eval_metrics",
+    "ingest_row_fingerprint",
 ]
 
 

@@ -1801,3 +1801,91 @@ def test_train_eval_split_holds_out_and_generalizes_worse(spark):
     acc_held = sum(r.n_docs for r in held if r.actual == r.predicted) / n_test
     acc_resub = sum(r.n_docs for r in resub if r.actual == r.predicted) / n_all
     assert acc_held <= acc_resub + 0.05
+
+
+def test_asof_tolerance_is_subset_of_unbounded_asof(spark):
+    """Within-band matches must agree with the unbounded as-of pick;
+    out-of-band purchases are NULL here but matched there (or NULL in
+    both)."""
+    unbounded = {r.event_id: r.click_ts
+                 for r in E.queries()["join_asof"](spark, SF_ORACLE).collect()}
+    banded = E.queries()["join_asof_tolerance"](spark, SF_ORACLE).collect()
+    assert len(banded) == len(unbounded)
+    n_matched = 0
+    for r in banded:
+        if r.matched:
+            n_matched += 1
+            # the banded pick IS the unbounded pick (same most-recent rule)
+            assert r.click_ts == unbounded[r.event_id]
+            assert (r.ts.timestamp() - r.click_ts.timestamp()) <= 2 * 3600
+        else:
+            u = unbounded[r.event_id]
+            assert u is None or (r.ts.timestamp() - u.timestamp()) > 2 * 3600
+    assert 0 < n_matched < len(banded)  # the band actually bites
+
+
+def test_activity_heatmap_covers_corpus(spark):
+    from manual_data_ingest_spark.io import load_table
+
+    out = E.queries()["agg_activity_heatmap"](spark, SF_ORACLE).collect()
+    ev = load_table(spark, SF_ORACLE, "events")
+    assert sum(r.n_events for r in out) == ev.filter(
+        F.col("ts").isNotNull()).count()
+    for r in out:
+        assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
+        assert r.n_users <= r.n_events
+
+
+def test_eval_metrics_replay_from_confusion(spark):
+    conf = E.queries()["ml_naive_bayes"](spark, SF_ORACLE).collect()
+    out = {r["class"]: r
+           for r in E.queries()["ml_eval_metrics"](spark, SF_ORACLE).collect()}
+    classes = {r.actual for r in conf} | {r.predicted for r in conf}
+    for c in classes:
+        tp = sum(r.n_docs for r in conf if r.actual == c and r.predicted == c)
+        fp = sum(r.n_docs for r in conf if r.actual != c and r.predicted == c)
+        fn = sum(r.n_docs for r in conf if r.actual == c and r.predicted != c)
+        m = out[c]
+        assert (m.tp, m.fp, m.fn) == (tp, fp, fn), c
+        if tp + fp:
+            assert m.precision_ == round(tp / (tp + fp), 6)
+        if tp + fn:
+            assert m.recall_ == round(tp / (tp + fn), 6)
+
+
+def test_row_fingerprint_detects_single_cell_change(spark, tmp_path):
+    """The operator's purpose: one changed cell changes the partition's
+    digest while untouched partitions keep theirs."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = SF_ORACLE
+    dst = str(tmp_path / "mut")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{src}/{f}", f"{dst}/{f}")
+    t = pq.read_table(f"{dst}/orders.parquet")
+    prices = t.column("o_totalprice").to_pylist()
+    prices[0] = (prices[0] or 0.0) + 0.01  # one cent, one row
+    changed_status = t.column("o_orderstatus").to_pylist()[0]
+    idx = t.schema.get_field_index("o_totalprice")
+    t = t.set_column(idx, "o_totalprice",
+                     pa.array(prices, type=t.schema.field(idx).type))
+    pq.write_table(t, f"{dst}/orders.parquet")
+    before = {r.partition_key: (r.xor_digest, r.n_rows)
+              for r in E.queries()["ingest_row_fingerprint"](spark, src)
+              .collect()}
+    after = {r.partition_key: (r.xor_digest, r.n_rows)
+             for r in E.queries()["ingest_row_fingerprint"](spark, dst)
+             .collect()}
+    assert before.keys() == after.keys()
+    # the mutated partition's digest flips...
+    assert before[changed_status] != after[changed_status]
+    # ...and untouched partitions keep theirs
+    for k in before:
+        if k != changed_status:
+            assert before[k] == after[k], k
