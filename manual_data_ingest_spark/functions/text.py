@@ -663,3 +663,52 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("decile", "n_tokens", "n_vocab",
                     rnd(F.col("n_vocab").cast("double") / F.col("n_tokens"), 6)
                     .alias("type_token_ratio")))
+
+
+@register("text_top_terms", f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS MATERIALIZED (
+    SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), df AS (
+    SELECT token, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT doc_id, token,
+       {sql_rnd('tf * ln((SELECT n FROM n) / df)', 6)} AS tfidf, rn
+FROM (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf * ln((SELECT n FROM n) / df.df)
+                                       DESC, tf.token) AS rn
+    FROM tf JOIN df USING (token)
+)
+WHERE rn <= 3 AND doc_id < 50
+""")
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 tf-idf terms per document (first 50
+    docs emitted) — the tag/keyword generator for search facets and
+    the quick what-is-this-document summary.
+
+    Reuses `sim_sparse_tfidf_topk`'s weight algebra without the
+    similarity join: tf and idf are the same two partial aggregates,
+    the per-doc top-k is a WindowGroupLimit (map-side partial top-k
+    before the doc shuffle). Tie-break on token keeps equal-weight
+    terms deterministic. At 100 TB the idf table broadcasts and the
+    window rides the tf aggregation's existing doc distribution.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    weighted = (tf.join(F.broadcast(df), "token")
+                .crossJoin(F.broadcast(n))
+                .select("doc_id", "token",
+                        (F.col("tf") * F.log(F.col("n") / F.col("df")))
+                        .alias("w")))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("token")))
+    return (weighted.withColumn("rn", rn)
+            .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+            .select("doc_id", "token", rnd(F.col("w"), 6).alias("tfidf"), "rn"))

@@ -902,3 +902,52 @@ def dedup_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_docs_in_templates"),
         F.max("n_instances").alias("max_family"),
         F.min(F.when(dup, F.col("exemplar_doc"))).alias("first_exemplar"))
+
+
+@register("dedup_cross_source", f"""
+WITH all_docs AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_OFFSET} AS doc_id, 'mirror_' || source AS source, text
+    FROM documents WHERE doc_id % 3 = 0
+), h AS (
+    SELECT doc_id, source, md5(lower(trim(text))) AS content_md5
+    FROM all_docs
+), g AS (
+    SELECT content_md5,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS keep_id
+    FROM h GROUP BY content_md5
+)
+SELECT content_md5, n_docs, n_sources, keep_id
+FROM g WHERE n_sources >= 2
+""")
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact duplicates: content that appears under TWO OR
+    MORE sources — the syndicated/mirrored-content detector. Same-source
+    re-crawls are `dedup_exact`'s business; a doc republished across
+    feeds is a different curation decision (keep once, credit the
+    earliest id), so the grouping key adds the distinct-source count.
+
+    The fixture has zero natural cross-source dupes, so (the
+    `dedup_exact` move) every third document gains a synthesized
+    mirror-feed copy — the operator's filter then provably selects
+    exactly the mirrored content and nothing else. One normalized-digest
+    hash-agg shuffle; the n_sources >= 2 filter runs post-aggregate on
+    group-sized data. At 100 TB the distinct-source term is exact while
+    the source universe is small (it is), or an HLL merge when it isn't.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = (d.filter(F.col("doc_id") % 3 == 0)
+              .select((F.col("doc_id") + _OFFSET).alias("doc_id"),
+                      F.concat(F.lit("mirror_"), F.col("source"))
+                      .alias("source"), "text"))
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    return (d.unionByName(mirror)
+            .select("doc_id", "source", digest.alias("content_md5"))
+            .groupBy("content_md5")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources"),
+                 F.min("doc_id").alias("keep_id"))
+            .filter(F.col("n_sources") >= 2))

@@ -1260,3 +1260,62 @@ def ingest_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bit_xor(F.expr(
                      "cast(conv(substring(row_md5, 1, 15), 16, 10) as bigint)"))
                  .alias("xor_digest")))
+
+
+@register("ingest_volume_anomaly", f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+    FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+), w AS (
+    SELECT event_type, day, n,
+           avg(n)  OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+           stddev_samp(n) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sigma,
+           count(*) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_hist
+    FROM daily
+)
+SELECT event_type, day, n,
+       {sql_rnd('mu', 6)} AS trailing_mean,
+       CASE WHEN n_hist >= 3 AND sigma > 0
+            THEN floor(abs(n - mu) / sigma * 1000000.0 + 0.5) / 1000000.0
+       END AS zscore,
+       CASE WHEN n_hist >= 3 AND sigma > 0 AND abs(n - mu) / sigma > 3.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM w
+""")
+def ingest_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-volume anomaly detection: each (source, day)'s event count
+    z-scored against its own trailing 7-day window — the "did the crawl
+    break / double-ingest" alarm that runs before anything downstream
+    trusts the day's data.
+
+    Daily rollup (one partial-agg shuffle) then trailing-frame windows
+    over the DAY-sized series — the window input is days×types, not
+    events, so the frame computation is free at any corpus size. Cold
+    starts (< 3 days of history) and zero-variance windows emit NULL
+    z-scores rather than fake confidence; the 3σ flag is the standard
+    control-chart rule. Complements `ingest_freshness_slo` (late feed)
+    with the volume axis (wrong-sized feed).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type").isNotNull()
+                       & F.col("ts").isNotNull())
+             .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-7, -1))
+    mu, sigma = F.avg("n").over(w), F.stddev_samp("n").over(w)
+    n_hist = F.count("*").over(w)
+    z = F.abs(F.col("n") - F.col("mu")) / F.col("sigma")
+    return (daily.select("event_type", "day", "n",
+                         mu.alias("mu"), sigma.alias("sigma"),
+                         n_hist.alias("n_hist"))
+            .select("event_type", "day", "n",
+                    rnd(F.col("mu"), 6).alias("trailing_mean"),
+                    rnd(F.when((F.col("n_hist") >= 3) & (F.col("sigma") > 0),
+                               z), 6).alias("zscore"),
+                    F.when((F.col("n_hist") >= 3) & (F.col("sigma") > 0)
+                           & (z > 3.0), 1).otherwise(0).alias("is_anomaly")))

@@ -52,7 +52,8 @@ PROBES = [
     "win_pareto_share", "agg_session_bounce", "ingest_late_data_report",
     "text_vocab_growth", "pipeline_train_eval_split",
     "join_asof_tolerance", "agg_activity_heatmap", "ml_eval_metrics",
-    "ingest_row_fingerprint",
+    "ingest_row_fingerprint", "ingest_volume_anomaly", "dedup_cross_source",
+    "text_top_terms",
 ]
 
 
@@ -96,7 +97,8 @@ NULL_PROBES = [
     "win_pareto_share", "agg_session_bounce", "ingest_late_data_report",
     "text_vocab_growth", "pipeline_train_eval_split",
     "join_asof_tolerance", "agg_activity_heatmap", "ml_eval_metrics",
-    "ingest_row_fingerprint",
+    "ingest_row_fingerprint", "ingest_volume_anomaly", "dedup_cross_source",
+    "text_top_terms",
 ]
 
 

@@ -1889,3 +1889,61 @@ def test_row_fingerprint_detects_single_cell_change(spark, tmp_path):
     for k in before:
         if k != changed_status:
             assert before[k] == after[k], k
+
+
+def test_cross_source_dedup_finds_exactly_the_mirrored_docs(spark):
+    """Every synthesized mirror (doc_id % 3 == 0) must form a group of
+    exactly 2 docs / 2 sources keeping the original id; nothing else
+    qualifies."""
+    from manual_data_ingest_spark.io import load_table
+
+    out = E.queries()["dedup_cross_source"](spark, SF_ORACLE).collect()
+    d = load_table(spark, SF_ORACLE, "documents")
+    # distinct texts among doc_id % 3 == 0 (identical texts merge groups)
+    expected = (d.filter(F.col("doc_id") % 3 == 0)
+                .select(F.md5(F.lower(F.trim("text")))).distinct().count())
+    assert len(out) == expected
+    for r in out:
+        assert r.n_sources >= 2 and r.n_docs >= 2
+        assert r.keep_id < 1_000_000  # original wins, never the mirror
+
+
+def test_volume_anomaly_zscores_replay(spark):
+    """Python replay of one type's trailing-window z-scores."""
+    import statistics as st
+
+    from manual_data_ingest_spark.io import load_table
+
+    rows = (load_table(spark, SF_ORACLE, "events")
+            .filter(F.col("event_type") == "click")
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("day").collect())
+    got = {r.day: r for r in
+           E.queries()["ingest_volume_anomaly"](spark, SF_ORACLE).collect()
+           if r.event_type == "click"}
+    ns = [r.n for r in rows]
+    for i, r in enumerate(rows):
+        hist = ns[max(0, i - 7):i]
+        g = got[r.day]
+        if len(hist) >= 3 and len(set(hist)) > 1:
+            mu, sigma = st.mean(hist), st.stdev(hist)
+            assert g.zscore == round(abs(r.n - mu) / sigma, 6), r.day
+            assert g.is_anomaly == (1 if abs(r.n - mu) / sigma > 3 else 0)
+        elif len(hist) < 3:
+            assert g.zscore is None
+
+
+def test_top_terms_are_rare_not_stopwords(spark):
+    """tf-idf must rank corpus-rare tokens above ubiquitous ones: no
+    doc's top term may be a token present in >90% of documents."""
+    from manual_data_ingest_spark.io import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    n_docs = d.count()
+    df = (d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+          .distinct().groupBy("t").count().collect())
+    ubiquitous = {r.t for r in df if r["count"] > 0.9 * n_docs}
+    out = E.queries()["text_top_terms"](spark, SF_ORACLE).collect()
+    top1 = [r.token for r in out if r.rn == 1]
+    assert top1 and not (set(top1) & ubiquitous)
