@@ -1716,3 +1716,81 @@ def agg_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users"),
                  rnd(F.sum("value"), 2).alias("sum_value")))
+
+
+@register("agg_theil_index", f"""
+WITH pos AS (
+  SELECT c_nationkey, c_acctbal FROM customer WHERE c_acctbal > 0
+), mu AS (
+  SELECT c_nationkey, avg(c_acctbal) AS mu, count(*) AS n
+  FROM pos GROUP BY c_nationkey
+)
+SELECT n_name,
+       {sql_rnd('sum((c_acctbal / mu) * ln(c_acctbal / mu)) / n', 6)}
+           AS theil_t,
+       n AS n_customers
+FROM pos
+JOIN mu USING (c_nationkey)
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name, n
+""")
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of positive account balances per nation
+    — the decomposable inequality measure (0 = perfect equality,
+    ln(n) = one customer holds everything) economists prefer over Gini
+    when indices must aggregate across subgroups.
+
+    T = (1/n) Σ (x/μ)·ln(x/μ). Two passes over the same c_nationkey
+    distribution (mean, then the ln sum), so ONE shuffle key reused;
+    the nation join is a 25-row broadcast. ln appears only inside a
+    6dp-rounded sum of O(n) bounded terms (PARITY #31 discipline —
+    never a raw threshold). Negative/zero balances are excluded up
+    front, which also keeps ln's domain safe in ANSI mode.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    n = load_table(spark, sf_dir, "nation")
+    mu = (c.groupBy("c_nationkey")
+          .agg(F.avg("c_acctbal").alias("mu"), F.count("*").alias("n")))
+    ratio = F.col("c_acctbal") / F.col("mu")
+    return (c.join(mu, "c_nationkey")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name", "n")
+            .agg(rnd(F.sum(ratio * F.log(ratio)) / F.first("n"), 6)
+                 .alias("theil_t"))
+            .select("n_name", "theil_t", F.col("n").alias("n_customers")))
+
+
+@register("agg_apdex", f"""
+SELECT event_type,
+       count(*) AS n,
+       count(CASE WHEN value <= 10.0 THEN 1 END) AS n_satisfied,
+       count(CASE WHEN value > 10.0 AND value <= 40.0 THEN 1 END)
+           AS n_tolerating,
+       {sql_rnd('(count(CASE WHEN value <= 10.0 THEN 1 END)::DOUBLE'
+                ' + count(CASE WHEN value > 10.0 AND value <= 40.0'
+                ' THEN 1 END)::DOUBLE / 2.0) / count(*)::DOUBLE', 6)}
+           AS apdex
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""")
+def agg_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per event_type (target T=10, tolerating ≤ 4T): the
+    SLO headline metric — (satisfied + tolerating/2) / total — that
+    compresses a latency distribution into one number operators can
+    alert on.
+
+    Pure conditional aggregation: one grouped pass, three counters per
+    group riding the same partial-agg shuffle (the ingest_dq_suite
+    lesson — never one scan per predicate). NULL values are excluded
+    on both engines so the denominator is the measured population.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sat = F.count(F.when(F.col("value") <= 10.0, 1))
+    tol = F.count(F.when((F.col("value") > 10.0) & (F.col("value") <= 40.0), 1))
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 sat.alias("n_satisfied"),
+                 tol.alias("n_tolerating"),
+                 rnd((sat.cast("double") + tol.cast("double") / 2.0)
+                     / F.count("*").cast("double"), 6).alias("apdex")))

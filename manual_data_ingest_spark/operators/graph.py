@@ -458,3 +458,54 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_nodes"),
                  F.min("node").alias("min_node"),
                  F.max("node").alias("max_node")))
+
+
+@register("graph_bfs_levels", """
+WITH RECURSIVE pe AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+  FROM lineitem WHERE l_quantity <= 2
+), ss AS (
+  SELECT DISTINCT a.s AS src, b.s AS dst FROM pe a JOIN pe b ON a.p = b.p
+), bfs AS (
+  SELECT 1::BIGINT AS node, 0 AS lvl
+  UNION
+  SELECT ss.dst, bfs.lvl + 1
+  FROM bfs JOIN ss ON ss.src = bfs.node
+  WHERE bfs.lvl < 4
+)
+SELECT node AS supp_key, min(lvl) AS lvl FROM bfs GROUP BY node
+""")
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop BFS from supplier 1 over the co-supply graph (suppliers
+    joined when a shared part links them in small-quantity lineitems):
+    per reachable supplier, its hop distance — the supply-chain blast-
+    radius query ("how far does a recall propagate").
+
+    Frontier BFS, the scale-correct shape: the supplier-supplier edge
+    list is built ONCE (self-join of the distinct supplier-part pairs
+    on the part key — one shuffle), then each of the 4 fixed rounds
+    joins only the FRONTIER (nodes first reached last round) against
+    the edges and anti-joins the visited set, so per-round work decays
+    as the frontier saturates instead of re-expanding every path the
+    way the oracle's recursive UNION does. 4 rounds keeps the unrolled
+    lineage trivially small (the graph_pagerank note); deeper searches
+    would localCheckpoint on the dedup_clusters cadence.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pe = (li.filter(F.col("l_quantity") <= 2)
+          .select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    ss = (pe.alias("a").join(pe.alias("b"), "p")
+          .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+          .distinct())
+    frontier = spark.range(1, 2).select(F.col("id").alias("node"))
+    visited = frontier.withColumn("lvl", F.lit(0))
+    for k in range(1, 5):
+        nxt = (frontier.join(ss, frontier.node == ss.src)
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited, "node", "left_anti")
+               .withColumn("lvl", F.lit(k)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select(F.col("node").alias("supp_key"), "lvl")

@@ -332,3 +332,40 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").alias("n_users"),
                  F.count("*").alias("n_events"),
                  rnd(F.sum("value"), 2).alias("sum_value")))
+
+
+@register("sample_balanced_label", """
+WITH ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5(vec_id::VARCHAR)) AS rn
+  FROM embeddings WHERE label IS NOT NULL
+), mn AS (
+  SELECT min(c) AS k FROM (
+    SELECT count(*) AS c FROM embeddings
+    WHERE label IS NOT NULL GROUP BY label)
+)
+SELECT vec_id, label FROM ranked WHERE rn <= (SELECT k FROM mn)
+""")
+def sample_balanced_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: every label keeps exactly
+    min-class-count rows, chosen by md5(vec_id) rank — the classifier-
+    training prep that stops a 99:1 majority class from drowning the
+    loss, with engine-reproducible row selection (no rand seeds).
+
+    One label shuffle for the rank window; the per-class counts reduce
+    to a one-row broadcast scalar (min), so the final filter is
+    map-side. At 100 TB the same shape balances trillion-row corpora:
+    the scalar subquery stays one row no matter the input, and
+    upsampling the minority instead is this plan with the rank
+    replaced by a modular replication index.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull())
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")))
+    k = (e.groupBy("label").agg(F.count("*").alias("c"))
+         .agg(F.min("c").alias("k")))
+    return (e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+            .join(F.broadcast(k), F.col("rn") <= F.col("k"))
+            .select("vec_id", "label"))

@@ -1457,3 +1457,49 @@ def agg_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bounce_rate"),
         rnd(F.avg("n_events"), 6).alias("avg_session_events"),
         F.max("n_events").alias("max_session_events"))
+
+
+@register("win_rolling_median", f"""
+WITH m AS (
+  SELECT event_id, event_type,
+         list_sort(list(value) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, event_type,
+       {sql_rnd('(arr[(len(arr)+1)//2] + arr[len(arr)//2+1]) / 2.0', 4)}
+           AS rolling_median
+FROM m WHERE len(arr) >= 4
+""")
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row median of event value per event_type — the
+    robust-location twin of the rolling mean: one sensor spike moves a
+    trailing mean for 7 rows but the median not at all, which is why
+    ops dashboards smooth with medians.
+
+    Neither engine's native median is used: DuckDB interpolates
+    `lower + (upper-lower)/2` while a naive `(a+b)/2` differs in the
+    last ulp, so BOTH sides compute the identical explicit form —
+    sort the frame, average the two middle elements with the same
+    `(a+b)/2` expression. Bit-exact by construction, same discipline
+    as the rounding helpers (functions/rounding.py).
+
+    Scale: one event_type shuffle; the frame is ROWS-bounded (7), so
+    state per row is O(7) regardless of corpus size — collect_list
+    over a bounded frame is safe where an unbounded frame would OOM.
+    Rows with < 4 non-null points are suppressed (warm-up).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-6, 0))
+    arr = F.sort_array(F.collect_list("value").over(w))
+    return (ev.select("event_id", "event_type", arr.alias("arr"))
+            .withColumn("n", F.size("arr"))
+            .filter(F.col("n") >= 4)
+            .select("event_id", "event_type",
+                    rnd((F.element_at("arr", ((F.col("n") + 1) / 2)
+                                      .cast("int"))
+                         + F.element_at("arr", (F.col("n") / 2)
+                                        .cast("int") + 1)) / 2.0, 4)
+                    .alias("rolling_median")))

@@ -54,6 +54,8 @@ PROBES = [
     "join_asof_tolerance", "agg_activity_heatmap", "ml_eval_metrics",
     "ingest_row_fingerprint", "ingest_volume_anomaly", "dedup_cross_source",
     "text_top_terms",
+    "win_rolling_median", "agg_theil_index", "agg_apdex",
+    "sample_balanced_label", "graph_bfs_levels",
 ]
 
 
@@ -99,6 +101,8 @@ NULL_PROBES = [
     "join_asof_tolerance", "agg_activity_heatmap", "ml_eval_metrics",
     "ingest_row_fingerprint", "ingest_volume_anomaly", "dedup_cross_source",
     "text_top_terms",
+    "win_rolling_median", "agg_theil_index", "agg_apdex",
+    "sample_balanced_label", "graph_bfs_levels",
 ]
 
 
