@@ -712,3 +712,49 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (weighted.withColumn("rn", rn)
             .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
             .select("doc_id", "token", rnd(F.col("w"), 6).alias("tfidf"), "rn"))
+
+
+@register("text_boilerplate_prefix", f"""
+WITH pref AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+  FROM documents WHERE text IS NOT NULL
+), df AS (
+  SELECT prefix, count(*) AS pdf FROM pref GROUP BY prefix
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN pdf >= 2 THEN 1 END) AS n_boilerplate,
+       {sql_rnd('count(CASE WHEN pdf >= 2 THEN 1 END)::DOUBLE'
+                ' / count(*)::DOUBLE', 6)} AS boilerplate_share
+FROM pref JOIN df USING (prefix)
+GROUP BY source
+""")
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-header detector: docs whose leading 5-word prefix
+    recurs across the corpus (navigation chrome, license headers,
+    scraped-template intros) — per source, the count and share of
+    boilerplate-prefixed docs. The C4/Gopher-style cleanup signal that
+    catches what full-document dedup misses: documents that differ in
+    body but share scraped chrome.
+
+    The prefix is a bounded slice (5 words regardless of doc length) so
+    the grouped key stays small; one hash-agg builds the prefix DF table
+    and one broadcast-able join tags the docs (prefix cardinality ≤
+    corpus, typically ≪ — at 100 TB the DF table is the only shuffle
+    and the hot prefixes are exactly the skew AQE splits).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    pref = d.select(
+        "doc_id", "source",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+        .alias("prefix"))
+    dfreq = pref.groupBy("prefix").agg(F.count("*").alias("pdf"))
+    boiler = F.count(F.when(F.col("pdf") >= 2, 1))
+    return (pref.join(dfreq, "prefix")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 boiler.alias("n_boilerplate"),
+                 rnd(boiler.cast("double") / F.count("*").cast("double"), 6)
+                 .alias("boilerplate_share")))

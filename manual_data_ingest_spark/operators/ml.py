@@ -1179,3 +1179,51 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("doc_id", F.col("lang").alias("actual"),
                     F.col("cand").alias("predicted")))
+
+
+@register("ml_calibration_bins", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), binned AS (
+  SELECT y, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS score_decile
+  FROM lab
+)
+SELECT score_decile,
+       count(*) AS n,
+       count(CASE WHEN y = 1 THEN 1 END) AS n_pos,
+       {sql_rnd('count(CASE WHEN y = 1 THEN 1 END)::DOUBLE'
+                ' / count(*)::DOUBLE', 6)} AS pos_rate
+FROM binned GROUP BY score_decile
+""")
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for an account-balance propensity score: rank
+    customers into score deciles (acctbal as the monotone score proxy)
+    and report the observed conversion rate (has ≥1 order) per decile
+    — the reliability-diagram input every deployed classifier is
+    audited with.
+
+    Label via EXISTS/semi-flag join on the order keys (no row
+    multiplication from multi-order customers); the decile ntile
+    carries the c_custkey tie-break so boundary rows land identically
+    on both engines (the `agg_rfm_segments` rule). The global ntile
+    single-threads the entity-level rank — fine at dim scale; at 100 TB
+    the swap is approx-quantile cut points broadcast as bin edges, same
+    downstream algebra.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_custkey", "c_acctbal",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    pos = F.count(F.when(F.col("y") == 1, 1))
+    return (lab.withColumn("score_decile", F.ntile(10).over(w))
+            .groupBy("score_decile")
+            .agg(F.count("*").alias("n"),
+                 pos.alias("n_pos"),
+                 rnd(pos.cast("double") / F.count("*").cast("double"), 6)
+                 .alias("pos_rate")))

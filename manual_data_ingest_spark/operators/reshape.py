@@ -369,3 +369,49 @@ def sample_balanced_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
             .join(F.broadcast(k), F.col("rn") <= F.col("k"))
             .select("vec_id", "label"))
+
+
+@register("sample_negative_pairs", """
+WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+h AS (SELECT doc_id, md5(text) AS th FROM documents),
+cand AS (
+  SELECT a.doc_id, (a.doc_id + k.k * 37) % (SELECT n FROM n) AS neg_id, k.k
+  FROM documents a, (SELECT unnest([1, 2, 3]) AS k) k
+)
+SELECT c.doc_id, c.neg_id, c.k
+FROM cand c
+JOIN h ha ON ha.doc_id = c.doc_id
+JOIN h hb ON hb.doc_id = c.neg_id
+WHERE c.neg_id <> c.doc_id AND ha.th <> hb.th
+""")
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training:
+    each document gets 3 pseudo-random partners by fixed stride
+    ((doc_id + k·37) mod N), with exact-duplicate texts excluded so a
+    "negative" is never secretly a positive — the standard in-batch-
+    negatives prep, made reproducible (re-runs and backfills mint the
+    SAME pairs, unlike rand() mining).
+
+    The stride assignment is map-only arithmetic off a one-row
+    broadcast scalar (N); the only data joins are two doc_id-keyed hash
+    lookups to compare content digests — the join key is the 8-byte id
+    and the digest is 32 bytes, so the shuffled payload stays tiny at
+    any corpus size. Hard-negative upgrades (same-label strides,
+    `sim_knn_graph` mid-rank picks) keep this exact topology.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg((F.max("doc_id") + 1).alias("n"))
+    h = d.select("doc_id", F.md5("text").alias("th"))
+    cand = (d.select("doc_id")
+            .join(F.broadcast(n))
+            .select("doc_id",
+                    F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                    .alias("k"), "n")
+            .select("doc_id", ((F.col("doc_id") + F.col("k") * 37)
+                               % F.col("n")).alias("neg_id"), "k"))
+    ha = h.select(F.col("doc_id").alias("doc_id"), F.col("th").alias("tha"))
+    hb = h.select(F.col("doc_id").alias("neg_id"), F.col("th").alias("thb"))
+    return (cand.filter(F.col("neg_id") != F.col("doc_id"))
+            .join(ha, "doc_id").join(hb, "neg_id")
+            .filter(F.col("tha") != F.col("thb"))
+            .select("doc_id", "neg_id", "k"))

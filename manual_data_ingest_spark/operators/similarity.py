@@ -688,3 +688,47 @@ def sim_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sims.withColumn("rn", rn).filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id",
                     rnd(F.col("score_raw"), 6).alias("score"), "rn"))
+
+
+@register("sim_knn_graph", f"""
+WITH {_E_CTE},
+pop AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0)
+SELECT src, dst, score, rn FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           {sql_rnd(_COS, 6)} AS score,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rn
+    FROM pop a JOIN pop b ON b.vec_id <> a.vec_id
+) WHERE rn <= 5
+""")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-population kNN graph (k=5, cosine) over the every-5th
+    subcorpus: the edge list feeding graph clustering / connected-
+    components dedup (`dedup_clusters` consumes exactly this shape) and
+    the offline build step of graph-ANN indexes.
+
+    Unlike `sim_topk` (5 fixed probes), EVERY population vector is a
+    query. The query side broadcasts (n/5 rows of 64 floats — KB-scale
+    here, and still ≪ executor memory at sf100); the corpus side
+    streams partition-local, so no shuffle moves vectors — only the
+    per-src top-k window shuffles (src, dst, score) triples, bounded at
+    k·|pop|. At 100 TB the broadcast gives way to IVF blocking
+    (`sim_ann_ivf`'s coarse quantizer) with the SAME window tail; the
+    scoring stage (`cos_arrow`, Arrow-batched numpy) is shared with the
+    whole sim_* family.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pop = e.filter(F.col("vec_id") % 5 == 0)
+    q = pop.select(F.col("vec_id").alias("src"),
+                   F.col("embedding").alias("pv"))
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
+    return (F.broadcast(q)
+            .join(pop, F.col("vec_id") != F.col("src"))
+            .select("src", F.col("vec_id").alias("dst"),
+                    score.alias("score_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("src")
+                .orderBy(F.col("score_raw").desc(), F.col("dst"))))
+            .filter(F.col("rn") <= 5)
+            .select("src", "dst", rnd(F.col("score_raw"), 6).alias("score"),
+                    "rn"))

@@ -56,6 +56,8 @@ PROBES = [
     "text_top_terms",
     "win_rolling_median", "agg_theil_index", "agg_apdex",
     "sample_balanced_label", "graph_bfs_levels",
+    "sim_knn_graph", "ml_calibration_bins", "dedup_fuzzy_key",
+    "text_boilerplate_prefix", "sample_negative_pairs",
 ]
 
 
@@ -103,6 +105,8 @@ NULL_PROBES = [
     "text_top_terms",
     "win_rolling_median", "agg_theil_index", "agg_apdex",
     "sample_balanced_label", "graph_bfs_levels",
+    "sim_knn_graph", "ml_calibration_bins", "dedup_fuzzy_key",
+    "text_boilerplate_prefix", "sample_negative_pairs",
 ]
 
 
