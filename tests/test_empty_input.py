@@ -58,6 +58,7 @@ PROBES = [
     "sample_balanced_label", "graph_bfs_levels",
     "sim_knn_graph", "ml_calibration_bins", "dedup_fuzzy_key",
     "text_boilerplate_prefix", "sample_negative_pairs",
+    "sim_knn_graph_blocked",
 ]
 
 
@@ -107,6 +108,7 @@ NULL_PROBES = [
     "sample_balanced_label", "graph_bfs_levels",
     "sim_knn_graph", "ml_calibration_bins", "dedup_fuzzy_key",
     "text_boilerplate_prefix", "sample_negative_pairs",
+    "sim_knn_graph_blocked",
 ]
 
 

@@ -93,3 +93,29 @@ def test_int8_quantized_topk_recall(spark):
     overlaps = [len(exact[p] & quant[p]) / 5 for p in exact]
     assert min(overlaps) >= 0.6, overlaps
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+def test_knn_graph_blocked_recall_and_rank_fidelity(spark, qs):
+    """The LSH-blocked kNN graph may MISS cross-bucket neighbors but
+    must never mis-rank within its candidate set, and same-bucket
+    recall of the exact graph's edges is pinned."""
+    exact = {}
+    for r in qs["sim_knn_graph"](spark, SF_ORACLE).collect():
+        exact.setdefault(r.src, {})[r.dst] = r.score
+    rows = qs["sim_knn_graph_blocked"](spark, SF_ORACLE).collect()
+    assert rows
+    hits = 0
+    total_exact = sum(len(v) for v in exact.values())
+    for r in rows:
+        s = exact.get(r.src, {}).get(r.dst)
+        if s is not None:
+            hits += 1
+            # an edge kept by blocking carries the identical exact score
+            assert abs(s - r.score) < 1e-9, r
+    recall = hits / total_exact
+    # 16 sign buckets over a 100-vector population of RANDOM unclustered
+    # vectors is the LSH worst case (~6 candidates/bucket vs k=5):
+    # observed 0.106, pinned as deterministic floor. Rank fidelity above
+    # is the semantic law; recall is the documented knob (more bits /
+    # multi-probe / IVF key on clustered real corpora).
+    assert recall >= 0.10, f"blocked kNN recall collapsed: {recall:.3f}"
