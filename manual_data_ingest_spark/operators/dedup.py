@@ -987,3 +987,50 @@ def dedup_fuzzy_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("p_partkey").alias("canonical_key"),
                  F.max("p_partkey").alias("max_key"))
             .filter(F.col("n_parts") > 1))
+
+
+@register("dedup_survivorship", """
+WITH keyed AS (
+  SELECT p_partkey, p_retailprice,
+         array_to_string(list_sort(string_split(lower(p_name), ' ')), ' ')
+             AS fuzzy_key
+  FROM part WHERE p_name IS NOT NULL
+), ranked AS (
+  SELECT p_partkey, p_retailprice, fuzzy_key,
+         count(*) OVER (PARTITION BY fuzzy_key) AS n_dups,
+         row_number() OVER (PARTITION BY fuzzy_key
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM keyed
+)
+SELECT fuzzy_key, p_partkey AS survivor_key,
+       p_retailprice AS survivor_price, n_dups
+FROM ranked WHERE rk = 1 AND n_dups > 1
+""")
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: within each fuzzy-duplicate group
+    (`dedup_fuzzy_key`\'s token-sort normalization), elect ONE canonical
+    part by an explicit quality rule (highest retail price, then lowest
+    key) — the step after dedup detection that MDM / curation pipelines
+    actually ship, where "which copy do we keep" is a business rule,
+    not an accident of scan order.
+
+    Both windows (group size, quality rank) ride ONE normalized-key
+    shuffle; the key is a bounded token string, the `dedup_exact` scale
+    shape. Richer rules (prefer trusted source, freshest ingest) are
+    the same plan with more ORDER BY terms — which is exactly why the
+    rule lives in one window spec.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").isNotNull())
+    key = F.array_join(F.array_sort(F.split(F.lower("p_name"), " ")), " ")
+    keyed = p.select("p_partkey", "p_retailprice", key.alias("fuzzy_key"))
+    wd = Window.partitionBy("fuzzy_key")
+    wr = Window.partitionBy("fuzzy_key").orderBy(
+        F.col("p_retailprice").desc(), "p_partkey")
+    return (keyed
+            .withColumn("n_dups", F.count("*").over(wd))
+            .withColumn("rk", F.row_number().over(wr))
+            .filter((F.col("rk") == 1) & (F.col("n_dups") > 1))
+            .select("fuzzy_key",
+                    F.col("p_partkey").alias("survivor_key"),
+                    F.col("p_retailprice").alias("survivor_price"),
+                    "n_dups"))

@@ -1319,3 +1319,63 @@ def ingest_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                                z), 6).alias("zscore"),
                     F.when((F.col("n_hist") >= 3) & (F.col("sigma") > 0)
                            & (z > 3.0), 1).otherwise(0).alias("is_anomaly")))
+
+
+@register("ingest_reconcile_totals", f"""
+WITH line_units AS (
+  -- exact integers: cents × (100+tax_c) × (100−disc_c); 1 dollar = 1e6 units
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+             * (100 + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT))
+             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+             AS line_units
+  FROM lineitem GROUP BY l_orderkey
+), recon AS (
+  SELECT o_orderpriority,
+         abs(coalesce(line_units, 0)
+             - CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) * 10000)
+             AS diff_units
+  FROM orders LEFT JOIN line_units ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(CASE WHEN diff_units <= 10000 THEN 1 END) AS n_reconciled,
+       count(CASE WHEN diff_units > 10000 THEN 1 END) AS n_mismatched,
+       {sql_rnd('max(diff_units)::DOUBLE / 1000000.0', 2)} AS max_abs_diff
+FROM recon GROUP BY o_orderpriority
+""")
+def ingest_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order header
+    total equal its lineitems' Σ price·(1+tax)·(1−discount)? Per
+    priority class: reconciled / mismatched counts (±$0.01) and the
+    worst discrepancy — the ledger-integrity audit every ingest of
+    transactional feeds runs before publishing.
+
+    The comparison is EXACT integer arithmetic end to end: 2dp money
+    and rates are re-scaled to integer cents/percent (floor(x·100+.5),
+    the shared rounder), so one line is ≤ 2e11 units and a 7-line order
+    sums far inside 2^53 — no float threshold can flip a verdict
+    across engines (the PARITY #21 class, applied to money). One
+    orderkey-keyed rollup + one id join; headerless orders reconcile
+    against 0 via the LEFT join, orphan lineitems are
+    `ingest_validate`'s referential check, not this one.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cents = lambda c: F.floor(F.col(c) * 100.0 + F.lit(0.5)).cast("long")
+    units = (cents("l_extendedprice")
+             * (F.lit(100) + cents("l_tax"))
+             * (F.lit(100) - cents("l_discount")))
+    lu = li.groupBy("l_orderkey").agg(F.sum(units).alias("line_units"))
+    diff = F.abs(F.coalesce(F.col("line_units"), F.lit(0))
+                 - cents("o_totalprice") * 10000)
+    recon = (o.join(lu, o.o_orderkey == lu.l_orderkey, "left")
+             .select("o_orderpriority", diff.alias("diff_units")))
+    return (recon.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.count(F.when(F.col("diff_units") <= 10000, 1))
+                 .alias("n_reconciled"),
+                 F.count(F.when(F.col("diff_units") > 10000, 1))
+                 .alias("n_mismatched"),
+                 rnd(F.max("diff_units").cast("double") / 1000000.0, 2)
+                 .alias("max_abs_diff")))

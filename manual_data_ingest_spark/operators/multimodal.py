@@ -324,3 +324,57 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("keep_id"),
                  F.max("doc_id").alias("max_dup_id"))
             .filter(F.col("n_docs") >= 2))
+
+
+@register("multimodal_pair_batches", f"""
+WITH pairs AS (
+  SELECT d.doc_id, d.lang,
+         length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_words,
+         e.label,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || '|clip'), 1, 4))::INT % 16
+             AS batch_id
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+  WHERE d.text IS NOT NULL AND e.embedding IS NOT NULL
+)
+SELECT batch_id,
+       count(*) AS n_pairs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT label) AS n_labels,
+       {sql_rnd('avg(n_words::DOUBLE)', 4)} AS avg_words
+FROM pairs GROUP BY batch_id
+""")
+def multimodal_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style contrastive-batch assembly: pair each caption
+    (documents) with its media embedding (embeddings, vec_id = doc_id),
+    assign pairs to 16 training batches by salted content-key hash, and
+    report per-batch composition (pairs, language/label diversity, mean
+    caption length) — the batch-balance audit run before contrastive
+    training, where a batch full of near-identical captions collapses
+    the loss.
+
+    The pair join is id-keyed (co-partitionable/bucketable at 100 TB);
+    batch assignment is map-side salted-md5 (the `sample_hash` portable
+    pattern — reproducible across engines and backfills, unlike rand()
+    batching); the report is one 16-group partial agg. Real media
+    plumbing (binary columns, Arrow batches) lives in
+    `multimodal_decode`/`frame_sample`; this operator is the PAIRING
+    stage between them and the trainer.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
+    n_words = (F.length("text")
+               - F.length(F.regexp_replace("text", " ", "")) + 1)
+    batch = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '|clip')),"
+        " 1, 4), 16, 10) as int) % 16")
+    return (d.join(e, d.doc_id == e.vec_id)
+            .select("doc_id", "lang", "label",
+                    n_words.alias("n_words"), batch.alias("batch_id"))
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("label").alias("n_labels"),
+                 rnd(F.avg(F.col("n_words").cast("double")), 4)
+                 .alias("avg_words")))

@@ -1503,3 +1503,95 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + F.element_at("arr", (F.col("n") / 2)
                                         .cast("int") + 1)) / 2.0, 4)
                     .alias("rolling_median")))
+
+
+@register("win_gap_distribution", """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts)
+          - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id)) // 1000000
+             AS gap_s
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       CASE WHEN gap_s < 60 THEN 'a_under_1m'
+            WHEN gap_s < 600 THEN 'b_1m_10m'
+            WHEN gap_s < 3600 THEN 'c_10m_1h'
+            WHEN gap_s < 86400 THEN 'd_1h_1d'
+            ELSE 'e_over_1d' END AS gap_bucket,
+       count(*) AS n,
+       min(gap_s) AS min_gap_s,
+       max(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY event_type, gap_bucket
+""")
+def win_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap histogram per event type (fixed human-scale
+    buckets: <1m, 1-10m, 10m-1h, 1h-1d, ≥1d) — the feed-cadence
+    fingerprint that sizes streaming watermarks (`stream_watermark_
+    late`'s lateness bound SHOULD be read off this table, not guessed)
+    and flags dying feeds before `ingest_freshness_slo` pages.
+
+    One event_type shuffle for the lag; the bucket edges are explicit
+    integer CASE arms (never log-scale math — the PARITY libm rule);
+    gaps in exact integer seconds via unix_micros // 1e6, both engines
+    flooring the same integer division.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+           / F.lit(1000000)).cast("long")
+    bucket = (F.when(F.col("gap_s") < 60, "a_under_1m")
+              .when(F.col("gap_s") < 600, "b_1m_10m")
+              .when(F.col("gap_s") < 3600, "c_10m_1h")
+              .when(F.col("gap_s") < 86400, "d_1h_1d")
+              .otherwise("e_over_1d"))
+    return (ev.select("event_type", gap.alias("gap_s"))
+            .filter(F.col("gap_s").isNotNull())
+            .select("event_type", bucket.alias("gap_bucket"), "gap_s")
+            .groupBy("event_type", "gap_bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("gap_s").alias("min_gap_s"),
+                 F.max("gap_s").alias("max_gap_s")))
+
+
+@register("win_time_to_convert", """
+WITH first_signup AS (
+  SELECT user_id, min(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN first_signup s
+    ON e.user_id = s.user_id AND e.ts >= s.s_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000 AS convert_s
+FROM first_signup s JOIN first_purchase p ON p.user_id = s.user_id
+""")
+def win_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency per user: seconds from the
+    FIRST signup to the first purchase AT OR AFTER it (a purchase
+    before signup — imported history — must not count as converting).
+    The funnel-velocity metric growth teams watch, and the input to
+    `agg_survival`-style analyses.
+
+    Two conditional-min rollups on the SAME user_id key — the second
+    joins the first to apply the at-or-after guard, so both aggregates
+    and the final join reuse one partitioning; nothing event-sized
+    crosses a second shuffle. Latency is exact integer seconds
+    (epoch-µs floor-div, both engines flooring the same integers).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(s, "user_id")
+         .filter(F.col("ts") >= F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (s.join(p, "user_id")
+            .select("user_id",
+                    ((F.unix_micros("p_ts") - F.unix_micros("s_ts"))
+                     / F.lit(1000000)).cast("long").alias("convert_s")))

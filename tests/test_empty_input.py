@@ -59,6 +59,8 @@ PROBES = [
     "sim_knn_graph", "ml_calibration_bins", "dedup_fuzzy_key",
     "text_boilerplate_prefix", "sample_negative_pairs",
     "sim_knn_graph_blocked",
+    "multimodal_pair_batches", "dedup_survivorship", "win_gap_distribution",
+    "ingest_reconcile_totals", "win_time_to_convert",
 ]
 
 
@@ -109,6 +111,8 @@ NULL_PROBES = [
     "sim_knn_graph", "ml_calibration_bins", "dedup_fuzzy_key",
     "text_boilerplate_prefix", "sample_negative_pairs",
     "sim_knn_graph_blocked",
+    "multimodal_pair_batches", "dedup_survivorship", "win_gap_distribution",
+    "ingest_reconcile_totals", "win_time_to_convert",
 ]
 
 
