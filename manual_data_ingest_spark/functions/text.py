@@ -758,3 +758,70 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  boiler.alias("n_boilerplate"),
                  rnd(boiler.cast("double") / F.count("*").cast("double"), 6)
                  .alias("boilerplate_share")))
+
+
+@register("text_ngram_novelty", f"""
+WITH grams AS (
+  SELECT doc_id, source,
+         array_to_string(words[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents WHERE text IS NOT NULL),
+       (SELECT unnest(range(1, 200)) AS i)
+  WHERE i + 2 <= len(words)
+), first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         count(*) AS n_grams,
+         count(CASE WHEN f.first_doc = g.doc_id THEN 1 END) AS n_novel
+  FROM grams g JOIN first_seen f ON f.gram = g.gram
+  GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_grams)::BIGINT AS total_grams,
+       sum(n_novel)::BIGINT AS novel_grams,
+       {sql_rnd('sum(n_novel)::DOUBLE / sum(n_grams)::DOUBLE', 6)}
+           AS novelty_rate
+FROM per_doc GROUP BY source
+""")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty scoring: the fraction of each source's 3-grams
+    FIRST seen in its own documents (by ingestion order = doc_id) —
+    the "is this feed adding new content or re-serving the corpus"
+    signal that decides whether to keep paying for a crawl source.
+    Near-zero novelty = the source is recombining what earlier docs
+    already said; dedup won't catch it because no single document
+    matches.
+
+    One explode (posting-list shape, the `dedup_near_jaccard`
+    infrastructure) → min-agg per gram → join back on the gram key;
+    both gram-keyed stages share one shuffle layout. The 3-gram space
+    is Zipf-bounded like every posting table; at 100 TB first_seen is
+    the same rolling dictionary an incremental ingest maintains
+    (`pipeline_incremental_refresh` shape) instead of a full re-scan.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    words = F.split("text", " ")
+    grams = (d.select("doc_id", "source", words.alias("words"))
+             .select("doc_id", "source",
+                     F.posexplode(F.expr(
+                         "transform(sequence(0, size(words) - 3),"
+                         " j -> concat_ws(' ', words[j], words[j+1],"
+                         " words[j+2]))")).alias("i", "gram"))
+             .filter(F.col("gram").isNotNull())
+             .select("doc_id", "source", "gram"))
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (grams.join(first_seen, "gram")
+               .groupBy("doc_id", "source")
+               .agg(F.count("*").alias("n_grams"),
+                    F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+                    .alias("n_novel")))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_grams").alias("total_grams"),
+                 F.sum("n_novel").alias("novel_grams"),
+                 rnd(F.sum("n_novel").cast("double")
+                     / F.sum("n_grams").cast("double"), 6)
+                 .alias("novelty_rate")))

@@ -509,3 +509,47 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(F.col("node").alias("supp_key"), "lvl")
+
+
+@register("graph_degree_distribution", """
+WITH pe AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+  FROM lineitem WHERE l_quantity <= 2
+), deg AS (
+  SELECT a.s AS node, count(DISTINCT b.s) AS degree
+  FROM pe a JOIN pe b ON a.p = b.p AND b.s <> a.s
+  GROUP BY a.s
+)
+SELECT degree, count(*) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node
+FROM deg GROUP BY degree
+""")
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree frequency table of the co-supplier graph (same edge rule
+    as `graph_bfs_levels`): how many suppliers have k distinct
+    co-suppliers — the first diagnostic run on ANY derived graph,
+    because every downstream choice (wedge bounds for triangles,
+    bucket widths for LSH, skew salting for joins) is a read off this
+    table's tail.
+
+    The degree computation is the part-keyed self-join aggregated by
+    node — hot parts (high-degree hubs) are exactly the AQE skew-split
+    case; the distribution itself is a bounded second agg (distinct
+    degrees ≪ nodes). No full edge materialization is kept: the
+    count(DISTINCT) collapses parallel edges in the same pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pe = (li.filter(F.col("l_quantity") <= 2)
+          .select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    a = pe.alias("a")
+    b = pe.alias("b")
+    deg = (a.join(b, (F.col("a.p") == F.col("b.p"))
+                  & (F.col("b.s") != F.col("a.s")))
+           .groupBy(F.col("a.s").alias("node"))
+           .agg(F.countDistinct(F.col("b.s")).alias("degree")))
+    return (deg.groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"),
+                 F.min("node").alias("min_node"),
+                 F.max("node").alias("max_node")))

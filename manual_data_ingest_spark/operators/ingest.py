@@ -1379,3 +1379,75 @@ def ingest_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_mismatched"),
                  rnd(F.max("diff_units").cast("double") / 1000000.0, 2)
                  .alias("max_abs_diff")))
+
+
+_PSI_BUCKET_SQL = """CASE WHEN n_chars < 150 THEN 'b1'
+              WHEN n_chars < 250 THEN 'b2'
+              WHEN n_chars < 350 THEN 'b3'
+              WHEN n_chars < 450 THEN 'b4'
+              ELSE 'b5' END"""
+
+
+@register("ingest_psi_drift", f"""
+WITH binned AS (
+  SELECT source, {_PSI_BUCKET_SQL} AS bin
+  FROM documents WHERE n_chars IS NOT NULL
+), per_src AS (
+  SELECT source, bin, count(*) AS c FROM binned GROUP BY source, bin
+), src_tot AS (
+  SELECT source, sum(c)::BIGINT AS tot FROM per_src GROUP BY source
+), global_bins AS (
+  SELECT bin, sum(c)::BIGINT AS gc FROM per_src GROUP BY bin
+), gtot AS (SELECT sum(gc)::BIGINT AS g FROM global_bins),
+grid AS (
+  SELECT s.source, b.bin, s.tot, b.gc, (SELECT g FROM gtot) AS g,
+         coalesce(p.c, 0)::BIGINT AS c
+  FROM src_tot s CROSS JOIN global_bins b
+  LEFT JOIN per_src p ON p.source = s.source AND p.bin = b.bin
+)
+SELECT source,
+       {sql_rnd("sum((greatest(c::DOUBLE / tot::DOUBLE, 0.000001)"
+                " - greatest(gc::DOUBLE / g::DOUBLE, 0.000001))"
+                " * ln(greatest(c::DOUBLE / tot::DOUBLE, 0.000001)"
+                " / greatest(gc::DOUBLE / g::DOUBLE, 0.000001)))", 6)}
+           AS psi
+FROM grid GROUP BY source
+""")
+def ingest_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's length distribution
+    against the corpus: PSI = Σ(p−q)·ln(p/q) over fixed bins — the
+    standard model-ops drift score (<0.1 stable, >0.25 investigate),
+    here answering "which feed's documents stopped looking like the
+    corpus" before that drift poisons a training mix.
+
+    Bins are explicit integer CASE edges (never quantile-derived at
+    query time — edges must be FROZEN for PSI to compare runs); empty
+    cells are clamped at 1e-6 on BOTH engines (the standard PSI
+    epsilon), and ln appears only inside the 6dp-rounded bounded sum
+    (PARITY #31). Everything reduces on (source, bin) partials; the
+    5-bin × source grid is dim-sized, built from two broadcastable
+    aggregates.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull())
+    bucket = (F.when(F.col("n_chars") < 150, "b1")
+              .when(F.col("n_chars") < 250, "b2")
+              .when(F.col("n_chars") < 350, "b3")
+              .when(F.col("n_chars") < 450, "b4")
+              .otherwise("b5"))
+    per_src = (d.select("source", bucket.alias("bin"))
+               .groupBy("source", "bin").agg(F.count("*").alias("c")))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))
+    gbins = per_src.groupBy("bin").agg(F.sum("c").alias("gc"))
+    gtot = gbins.agg(F.sum("gc").alias("g"))
+    grid = (src_tot.crossJoin(F.broadcast(gbins))
+            .join(F.broadcast(gtot))
+            .join(per_src, ["source", "bin"], "left")
+            .select("source", "bin", "tot", "gc", "g",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    p = F.greatest(F.col("c").cast("double") / F.col("tot").cast("double"),
+                   F.lit(0.000001))
+    q = F.greatest(F.col("gc").cast("double") / F.col("g").cast("double"),
+                   F.lit(0.000001))
+    return (grid.groupBy("source")
+            .agg(rnd(F.sum((p - q) * F.log(p / q)), 6).alias("psi")))

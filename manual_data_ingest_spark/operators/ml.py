@@ -1227,3 +1227,72 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                  pos.alias("n_pos"),
                  rnd(pos.cast("double") / F.count("*").cast("double"), 6)
                  .alias("pos_rate")))
+
+
+@register("ml_lift_chart", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), binned AS (
+  SELECT y, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+             AS score_decile
+  FROM lab
+), per AS (
+  SELECT score_decile, count(*) AS n,
+         count(CASE WHEN y = 1 THEN 1 END) AS n_pos
+  FROM binned GROUP BY score_decile
+), cum AS (
+  SELECT score_decile, n, n_pos,
+         sum(n) OVER w AS cum_n, sum(n_pos) OVER w AS cum_pos,
+         sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+  FROM per
+  WINDOW w AS (ORDER BY score_decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT score_decile, n, n_pos,
+       {sql_rnd('(cum_pos::DOUBLE / cum_n::DOUBLE)'
+                ' / (tot_pos::DOUBLE / tot_n::DOUBLE)', 6)} AS cum_lift,
+       {sql_rnd('cum_pos::DOUBLE / tot_pos::DOUBLE', 6)} AS gain
+FROM cum
+""")
+def ml_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lift & gains by score decile (decile 1 = highest
+    score): "target the top-k deciles, capture what share of converters
+    at what lift over random" — the campaign-targeting readout that
+    pairs with `ml_calibration_bins` (calibration says scores are
+    honest; lift says they're USEFUL).
+
+    Same EXISTS-label + tie-broken ntile stage as the calibration op;
+    the cumulative windows then run over the 10-ROW decile aggregate
+    (dim-sized — the window never touches entity rows). All counts are
+    exact integers; the two ratios are single IEEE divisions rounded
+    6dp.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_acctbal", "c_custkey",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    per = (lab.withColumn("score_decile", F.ntile(10).over(w))
+           .groupBy("score_decile")
+           .agg(F.count("*").alias("n"),
+                F.count(F.when(F.col("y") == 1, 1)).alias("n_pos")))
+    wc = (Window.orderBy("score_decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy()
+    cum = (per
+           .withColumn("cum_n", F.sum("n").over(wc))
+           .withColumn("cum_pos", F.sum("n_pos").over(wc))
+           .withColumn("tot_n", F.sum("n").over(wt))
+           .withColumn("tot_pos", F.sum("n_pos").over(wt)))
+    rate = F.col("cum_pos").cast("double") / F.col("cum_n").cast("double")
+    base = F.col("tot_pos").cast("double") / F.col("tot_n").cast("double")
+    return cum.select(
+        "score_decile", "n", "n_pos",
+        rnd(rate / base, 6).alias("cum_lift"),
+        rnd(F.col("cum_pos").cast("double")
+            / F.col("tot_pos").cast("double"), 6).alias("gain"))

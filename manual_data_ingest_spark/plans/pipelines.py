@@ -808,3 +808,58 @@ def pipeline_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pred.groupBy(F.col("lang").alias("actual"),
                          F.col("cand").alias("predicted"))
             .agg(F.count("*").alias("n_docs")))
+
+
+@register("pipeline_filter_funnel", f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+         CASE WHEN text IS NULL OR length(text) < 40 THEN 'r1_too_short'
+              WHEN lang NOT IN ('en', 'de', 'fr') THEN 'r2_lang'
+              WHEN (length(text) - length(replace(text, ' ', '')) + 1) < 20
+                  THEN 'r3_too_few_words'
+              WHEN ('0x' || substr(md5(text), 1, 4))::INT % 20 = 0
+                  THEN 'r4_sampled_out'
+              ELSE 'kept' END AS verdict
+  FROM documents
+)
+SELECT verdict,
+       count(*) AS n_docs,
+       {sql_rnd('count(*)::DOUBLE / (SELECT count(*) FROM documents)', 6)}
+           AS share
+FROM scored GROUP BY verdict
+""")
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attribution: run the cleaning cascade (min length →
+    language allowlist → min words → hash downsample) as ONE CASE
+    expression that records WHICH rule dropped each document — per-rule
+    drop counts and shares. When a corpus shrinks 40% overnight, this
+    table says which rule did it; a pipeline of bare `.filter()`s
+    cannot (the drops are indistinguishable).
+
+    First-match-wins ordering makes attribution exclusive (a short
+    German doc counts as 'too_short', not 'lang'), mirroring the
+    real cascade's short-circuit. Map-side verdict + one bounded-key
+    agg; the denominator is a broadcast scalar. The kept-set itself is
+    the same predicate composed — this operator is the OBSERVABILITY
+    twin the `pipeline_llm_prep` cascade reads.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_words = (F.length("text")
+               - F.length(F.regexp_replace("text", " ", "")) + 1)
+    bucket = F.expr(
+        "cast(conv(substring(md5(text), 1, 4), 16, 10) as int) % 20")
+    verdict = (F.when(F.col("text").isNull()
+                      | (F.length("text") < 40), "r1_too_short")
+               .when(~F.col("lang").isin("en", "de", "fr"), "r2_lang")
+               .when(n_words < 20, "r3_too_few_words")
+               .when(bucket == 0, "r4_sampled_out")
+               .otherwise("kept"))
+    total = d.agg(F.count("*").alias("total"))
+    return (d.select(verdict.alias("verdict"))
+            .groupBy("verdict")
+            .agg(F.count("*").alias("n_docs"))
+            .join(F.broadcast(total))
+            .select("verdict", "n_docs",
+                    rnd(F.col("n_docs").cast("double") / F.col("total"), 6)
+                    .alias("share")))

@@ -61,6 +61,8 @@ PROBES = [
     "sim_knn_graph_blocked",
     "multimodal_pair_batches", "dedup_survivorship", "win_gap_distribution",
     "ingest_reconcile_totals", "win_time_to_convert",
+    "pipeline_filter_funnel", "text_ngram_novelty",
+    "graph_degree_distribution", "ml_lift_chart", "ingest_psi_drift",
 ]
 
 
@@ -113,6 +115,8 @@ NULL_PROBES = [
     "sim_knn_graph_blocked",
     "multimodal_pair_batches", "dedup_survivorship", "win_gap_distribution",
     "ingest_reconcile_totals", "win_time_to_convert",
+    "pipeline_filter_funnel", "text_ngram_novelty",
+    "graph_degree_distribution", "ml_lift_chart", "ingest_psi_drift",
 ]
 
 
