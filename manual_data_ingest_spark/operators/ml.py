@@ -1296,3 +1296,91 @@ def ml_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(rate / base, 6).alias("cum_lift"),
         rnd(F.col("cum_pos").cast("double")
             / F.col("tot_pos").cast("double"), 6).alias("gain"))
+
+
+@register("ml_feature_hashing", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+)
+SELECT doc_id,
+       ('0x' || substr(md5(w), 1, 4))::INT % 16 AS feature,
+       count(*) AS cnt
+FROM tok WHERE w <> ''
+GROUP BY doc_id, feature
+""")
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: featurize every 10th document into a fixed
+    16-dim sparse count vector by hashing tokens into buckets — the
+    vocabulary-free featurization that needs NO fitted dictionary, no
+    OOV handling, and no vocab broadcast, which is why it is the
+    default for streaming / billion-doc feature pipelines (collisions
+    are the accepted trade).
+
+    Map-side explode + hash + ONE (doc, feature) partial agg —
+    shuffle rows are bounded by docs × 16 regardless of text length.
+    md5-derived buckets (the `sample_hash` portable pattern) keep the
+    featurization engine-reproducible: the model trained on these
+    features scores identically against any engine's re-featurization.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    feat = F.expr(
+        "cast(conv(substring(md5(w), 1, 4), 16, 10) as int) % 16")
+    return (tok.filter(F.col("w") != "")
+            .select("doc_id", feat.alias("feature"))
+            .groupBy("doc_id", "feature")
+            .agg(F.count("*").alias("cnt")))
+
+
+@register("ml_target_encoding", f"""
+WITH lab AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), prior AS (
+  SELECT sum(y)::BIGINT AS gy, count(*)::BIGINT AS gn FROM lab
+)
+SELECT n_name,
+       count(*) AS n,
+       sum(y)::BIGINT AS n_pos,
+       {sql_rnd('(sum(y)::DOUBLE + 10.0 * ((SELECT gy FROM prior)::DOUBLE'
+                ' / (SELECT gn FROM prior)::DOUBLE))'
+                ' / (count(*)::DOUBLE + 10.0)', 6)} AS encoded
+FROM lab JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+""")
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding of the nation categorical:
+    enc = (Σy + m·prior)/(n + m), m=10 — the feature-engineering
+    standard for high-cardinality categoricals, where the smoothing
+    prior keeps rare categories from memorizing their few labels
+    (the leakage `sample_group_holdout` guards at the split level,
+    handled here at the encoder level).
+
+    One label rollup per category riding a 25-row nation broadcast;
+    the global prior is a one-row broadcast scalar. Counts are exact
+    integers; the encoder is a fixed two-division IEEE sequence
+    rounded 6dp. At 100 TB the per-category aggregate IS the encoder
+    table a feature store would materialize.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    n = load_table(spark, sf_dir, "nation")
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_nationkey",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    prior = lab.agg(F.sum("y").alias("gy"), F.count("*").alias("gn"))
+    enc = ((F.sum("y").cast("double")
+            + 10.0 * (F.first("gy").cast("double")
+                      / F.first("gn").cast("double")))
+           / (F.count("*").cast("double") + 10.0))
+    return (lab.join(F.broadcast(n), lab.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(prior))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n"),
+                 F.sum("y").alias("n_pos"),
+                 rnd(enc, 6).alias("encoded")))

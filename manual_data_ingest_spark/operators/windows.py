@@ -1595,3 +1595,67 @@ def win_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id",
                     ((F.unix_micros("p_ts") - F.unix_micros("s_ts"))
                      / F.lit(1000000)).cast("long").alias("convert_s")))
+
+
+@register("win_rolling_regression", f"""
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, day
+), m AS (
+  SELECT event_type, day,
+         count(*) OVER w AS n,
+         sum(day) OVER w AS sx,
+         sum(cents) OVER w AS sy,
+         sum(day * cents) OVER w AS sxy,
+         sum(day * day) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       {sql_rnd('(n * sxy - sx * sy)::DOUBLE'
+                ' / (n * sxx - sx * sx)::DOUBLE', 6)} AS slope_cents_per_day
+FROM m WHERE n = 7
+""")
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day trend slope per event type: OLS slope of daily
+    value (in cents) against the day index over a trailing week — the
+    "is this metric rising or falling, and how fast" readout behind
+    burn-rate alerts, smoother than day-over-day deltas and earlier
+    than monthly aggregates.
+
+    The `ml_ols_normal_equations` discipline applied to a WINDOW: all
+    five moment sums are EXACT integers (days are epoch-day ints,
+    values floor-rescaled cents; 7-row sums stay far inside 2^53), so
+    the slope is one identical IEEE division on both engines — no
+    float accumulation order can flip it. One event_type shuffle
+    serves the daily rollup AND all five window moments (same
+    partitioning); warm-up rows (n<7) suppressed.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    daily = (ev.select("event_type",
+                       (F.unix_micros("ts") / F.lit(86400000000))
+                       .cast("long").alias("day"),
+                       F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                       .cast("long").alias("c"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("c").alias("cents")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-6, 0))
+    m = (daily
+         .withColumn("n", F.count("*").over(w))
+         .withColumn("sx", F.sum("day").over(w))
+         .withColumn("sy", F.sum("cents").over(w))
+         .withColumn("sxy", F.sum(F.col("day") * F.col("cents")).over(w))
+         .withColumn("sxx", F.sum(F.col("day") * F.col("day")).over(w)))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             .cast("double")
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             .cast("double"))
+    return (m.filter(F.col("n") == 7)
+            .select("event_type", "day",
+                    rnd(slope, 6).alias("slope_cents_per_day")))

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
@@ -514,3 +514,43 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "purchase_id", "click_id",
         F.when(F.col("click_id").isNull(), 0).otherwise(1).alias("matched"))
+
+
+@register("stream_topk_windowed", """
+WITH counts AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, cnt, rk FROM (
+  SELECT window_start, event_type, cnt,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY cnt DESC, event_type) AS rk
+  FROM counts
+) WHERE rk <= 3
+""")
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-3 event types per tumbling hour by count.
+    The windowed aggregation RUNS in the stream (incremental state per
+    (window, type)); the rank runs on the sink table — which is how
+    real deployments ship it, because rank-over-aggregate is not
+    incrementally maintainable in a streaming query (a late event can
+    reorder a whole window, so the serving layer ranks the
+    materialized counts instead).
+
+    Total-order tie-break (count desc, type asc) keeps the top-3
+    deterministic across engines. State per window is |event types|,
+    the rank input is windows×types — both bounded regardless of event
+    volume.
+    """
+    st = read_events_stream(spark, sf_dir)
+    agg = (st.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count("*").alias("cnt"))
+           .select(F.col("window.start").alias("window_start"),
+                   "event_type", "cnt"))
+    sink = run_to_batch(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), "event_type")
+    return (sink.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("window_start", "event_type", "cnt", "rk"))

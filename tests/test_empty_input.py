@@ -63,6 +63,8 @@ PROBES = [
     "ingest_reconcile_totals", "win_time_to_convert",
     "pipeline_filter_funnel", "text_ngram_novelty",
     "graph_degree_distribution", "ml_lift_chart", "ingest_psi_drift",
+    "stream_topk_windowed", "win_rolling_regression", "ml_feature_hashing",
+    "ml_target_encoding",
 ]
 
 
@@ -117,6 +119,8 @@ NULL_PROBES = [
     "ingest_reconcile_totals", "win_time_to_convert",
     "pipeline_filter_funnel", "text_ngram_novelty",
     "graph_degree_distribution", "ml_lift_chart", "ingest_psi_drift",
+    "stream_topk_windowed", "win_rolling_regression", "ml_feature_hashing",
+    "ml_target_encoding",
 ]
 
 
