@@ -1794,3 +1794,147 @@ def agg_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tol.alias("n_tolerating"),
                  rnd((sat.cast("double") + tol.cast("double") / 2.0)
                      / F.count("*").cast("double"), 6).alias("apdex")))
+
+
+@register("agg_dau_wau", f"""
+WITH d AS (
+  SELECT DISTINCT date_trunc('week', ts)::DATE AS wk,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day, user_id
+  FROM events WHERE ts IS NOT NULL
+), dau AS (
+  SELECT wk, day, count(*) AS dau FROM d GROUP BY wk, day
+), wau AS (
+  SELECT wk, count(DISTINCT user_id) AS wau FROM d GROUP BY wk
+)
+SELECT dau.wk AS week, count(*) AS n_days,
+       {sql_rnd('avg(dau.dau::DOUBLE)', 4)} AS avg_dau,
+       wau.wau,
+       {sql_rnd('avg(dau.dau::DOUBLE) / wau.wau::DOUBLE', 6)} AS stickiness
+FROM dau JOIN wau ON dau.wk = wau.wk
+GROUP BY dau.wk, wau.wau
+""")
+def agg_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — the engagement headline (what
+    share of the weekly audience shows up on an average day); 0.14 is
+    a weekly tool, 1.0 a daily habit. (The monthly variant is the same
+    plan with month truncation; the fixtures span one month, so the
+    week grain is the one with a non-trivial series.)
+
+    Both layers reduce from ONE (week, day, user) distinct pass — the
+    daily count and the weekly distinct ride the same collapsed
+    relation, so events are deduplicated once and never re-scanned.
+    The week join is weeks-sized. At 100 TB the distinct pass is the
+    only fact-scale shuffle, and it swaps for the HLL-sketch merge
+    (`agg_hll_partitioned`) when exactness can yield.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = (ev.select(F.date_trunc("week", "ts").cast("date").alias("wk"),
+                   (F.unix_micros("ts") / F.lit(86400000000))
+                   .cast("long").alias("day"),
+                   "user_id")
+         .distinct())
+    dau = d.groupBy("wk", "day").agg(F.count("*").alias("dau"))
+    wau = d.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return (dau.join(wau, "wk")
+            .groupBy(F.col("wk").alias("week"), "wau")
+            .agg(F.count("*").alias("n_days"),
+                 rnd(F.avg(F.col("dau").cast("double")), 4).alias("avg_dau"),
+                 rnd(F.avg(F.col("dau").cast("double"))
+                     / F.col("wau").cast("double"), 6).alias("stickiness"))
+            .select("week", "n_days", "avg_dau", "wau", "stickiness"))
+
+
+@register("agg_ship_latency", f"""
+WITH lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS lat_days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+)
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       min(lat_days) AS min_days,
+       max(lat_days) AS max_days,
+       {sql_rnd('avg(lat_days::DOUBLE)', 4)} AS avg_days,
+       count(CASE WHEN lat_days > 60 THEN 1 END) AS n_breached
+FROM lat GROUP BY o_orderpriority
+""")
+def agg_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency SLA per priority class: min/avg/max days
+    between order placement and line shipment, plus the count breaching
+    a 60-day SLA — the fulfillment-ops readout that tells you whether
+    '1-URGENT' actually ships faster than '5-LOW'.
+
+    One orderkey equi-join (the l_orderkey side arrives pre-shuffled
+    from the fact layout at scale; bucketing both by orderkey makes
+    this exchange-free — `sink_bucketed_join`'s demonstrated shape),
+    then a 5-group conditional agg. Date subtraction is exact integer
+    days on both engines; the single float op is the rounded average.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .filter(F.col("l_shipdate").isNotNull()
+                   & F.col("o_orderdate").isNotNull())
+           .select("o_orderpriority",
+                   F.datediff("l_shipdate", "o_orderdate").alias("lat_days")))
+    return (lat.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"),
+                 F.min("lat_days").alias("min_days"),
+                 F.max("lat_days").alias("max_days"),
+                 rnd(F.avg(F.col("lat_days").cast("double")), 4)
+                 .alias("avg_days"),
+                 F.count(F.when(F.col("lat_days") > 60, 1))
+                 .alias("n_breached")))
+
+
+@register("agg_price_index", f"""
+WITH yearly AS (
+  SELECT year(l_shipdate)::BIGINT AS yr,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+             AS cents,
+         sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+  GROUP BY yr
+), based AS (
+  SELECT yr, cents, qty,
+         first_value(cents) OVER (ORDER BY yr) AS base_cents,
+         first_value(qty) OVER (ORDER BY yr) AS base_qty
+  FROM yearly
+)
+SELECT yr, qty::BIGINT AS total_qty,
+       {sql_rnd('(cents::DOUBLE / qty::DOUBLE)'
+                ' / (base_cents::DOUBLE / base_qty::DOUBLE) * 100.0', 4)}
+           AS price_index
+FROM based
+""")
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price index by ship year (base year = 100): the quantity-
+    weighted average unit price of each year relative to the first —
+    the inflation/pricing-power readout a revenue team separates from
+    volume growth ("are we selling more, or the same for more money").
+
+    Moments are EXACT integers (floor-rescaled cents, integer
+    quantities) aggregated once per year; the base-year reference is a
+    first_value window over the years-sized rollup (never a self-join
+    back to facts). The index is a fixed 3-division IEEE sequence both
+    engines evaluate identically, rounded 4dp.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull())
+    yearly = (li.select(F.year("l_shipdate").cast("long").alias("yr"),
+                        F.floor(F.col("l_extendedprice") * 100.0
+                                + F.lit(0.5)).cast("long").alias("c"),
+                        F.col("l_quantity").cast("long").alias("q"))
+              .groupBy("yr")
+              .agg(F.sum("c").alias("cents"), F.sum("q").alias("qty")))
+    w = Window.orderBy("yr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    based = (yearly
+             .withColumn("base_cents", F.first("cents").over(w))
+             .withColumn("base_qty", F.first("qty").over(w)))
+    idx = ((F.col("cents").cast("double") / F.col("qty").cast("double"))
+           / (F.col("base_cents").cast("double")
+              / F.col("base_qty").cast("double")) * 100.0)
+    return (based.select("yr", F.col("qty").alias("total_qty"),
+                         rnd(idx, 4).alias("price_index")))

@@ -1384,3 +1384,41 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.sum("y").alias("n_pos"),
                  rnd(enc, 6).alias("encoded")))
+
+
+@register("ml_kfold_assign", f"""
+WITH folds AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|kfold'), 1, 4))::INT % 5
+             AS fold
+  FROM documents
+)
+SELECT fold, count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM folds GROUP BY fold
+""")
+def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    salted-md5 bucket of the doc key — every document lands in exactly
+    one fold, assignment survives re-runs/backfills/appends (a new doc
+    never reshuffles old folds), and any engine reproduces it. The
+    fold-balance report (sizes, language coverage) is the sanity check
+    before training 5 models.
+
+    Map-side assignment + one 5-group agg, the `sample_train_val_test`
+    topology with k buckets; the '|kfold' salt isolates these buckets
+    from every other doc_id-hash decision in the pipeline (unsalted
+    hashes would correlate fold membership with split membership —
+    a subtle leakage class).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fold = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '|kfold')),"
+        " 1, 4), 16, 10) as int) % 5")
+    return (d.select("doc_id", "lang", fold.alias("fold"))
+            .groupBy("fold")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))

@@ -554,3 +554,42 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sink.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .select("window_start", "event_type", "cnt", "rk"))
+
+
+@register("stream_error_rate_alert", f"""
+WITH w AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+         count(*) AS n_events,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT window_start, n_events, n_errors,
+       {sql_rnd('n_errors::DOUBLE / n_events::DOUBLE', 6)} AS error_rate,
+       (n_errors * 4 > n_events) AS alert
+FROM w
+""")
+def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO guard: per tumbling hour, total events, errors,
+    error rate, and an alert flag when errors exceed 25% — the paging
+    rule expressed IN the stream, so the alert fires with the window,
+    not after a batch ETL catches up.
+
+    The threshold compare is exact INTEGER algebra (n_errors·4 >
+    n_events — never a float literal against a float rate, the PARITY
+    #21 rule), so the flag cannot flip between engines; the rate
+    column is display-only, rounded. Conditional counters ride one
+    windowed state per hour — O(windows) state, any event volume.
+    """
+    st = read_events_stream(spark, sf_dir)
+    agg = (st.groupBy(F.window("ts", "1 hour"))
+           .agg(F.count("*").alias("n_events"),
+                F.count(F.when(F.col("event_type") == "error", 1))
+                .alias("n_errors"))
+           .select(F.col("window.start").alias("window_start"),
+                   "n_events", "n_errors"))
+    sink = run_to_batch(agg, "complete")
+    return sink.select(
+        "window_start", "n_events", "n_errors",
+        rnd(F.col("n_errors").cast("double")
+            / F.col("n_events").cast("double"), 6).alias("error_rate"),
+        (F.col("n_errors") * 4 > F.col("n_events")).alias("alert"))

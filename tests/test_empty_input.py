@@ -65,6 +65,8 @@ PROBES = [
     "graph_degree_distribution", "ml_lift_chart", "ingest_psi_drift",
     "stream_topk_windowed", "win_rolling_regression", "ml_feature_hashing",
     "ml_target_encoding",
+    "agg_dau_wau", "agg_ship_latency", "agg_price_index",
+    "ml_kfold_assign", "stream_error_rate_alert",
 ]
 
 
@@ -121,6 +123,8 @@ NULL_PROBES = [
     "graph_degree_distribution", "ml_lift_chart", "ingest_psi_drift",
     "stream_topk_windowed", "win_rolling_regression", "ml_feature_hashing",
     "ml_target_encoding",
+    "agg_dau_wau", "agg_ship_latency", "agg_price_index",
+    "ml_kfold_assign", "stream_error_rate_alert",
 ]
 
 
