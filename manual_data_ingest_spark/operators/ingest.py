@@ -219,44 +219,57 @@ SELECT 'documents.n_chars.mismatch',
        (SELECT count(*) FROM documents WHERE length(text) <> n_chars)
 """)
 def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ingest-validation-tools-style rule table: null checks, FK orphans,
-    # controlled-vocabulary domains, self-consistency. Each rule is an
-    # independent aggregate; Spark runs them as parallel jobs of one
-    # unioned plan. Anti-joins (orphans) broadcast the smaller key set.
+    """ingest-validation-tools-style rule table: null checks, FK
+    orphans, controlled-vocabulary domains, self-consistency — one
+    row per rule with its violation count.
+
+    Plan shape (A/B-measured at the bench 4× replica, cold per-call):
+    orders is scanned ONCE for both of its rules — the null count and
+    the customer-orphan count ride one broadcast left join, and the
+    one-row aggregate fans into two rule rows via a map-explode
+    (duplicating the subtree across two union branches re-executed it:
+    measured). 5-branch union → 4 branches, 6 scans → 5: 1.02 s →
+    0.89 s cold; the remaining cost is broadcast-build + stage
+    scheduling, the documented local floor (each branch alone is
+    0.15-0.5 s). Anti-joins broadcast the smaller key set — at 100 TB
+    the parent-key side stays the broadcastable one (keys, not rows).
+    """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     customer = load_table(spark, sf_dir, "customer")
     events = load_table(spark, sf_dir, "events")
     documents = load_table(spark, sf_dir, "documents")
 
-    def rule(name: str, cnt_df: DataFrame) -> DataFrame:
-        return cnt_df.select(F.lit(name).alias("rule"),
-                             F.col("violations").cast("long").alias("violations"))
-
-    null_check = rule(
-        "orders.o_custkey.null",
-        orders.agg(F.count(F.when(F.col("o_custkey").isNull(), 1))
-                   .alias("violations")))
-    li_orphans = rule(
-        "lineitem.orphan_orderkey",
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey,
-                      "left_anti").agg(F.count("*").alias("violations")))
-    o_orphans = rule(
-        "orders.orphan_custkey",
-        orders.join(customer, orders.o_custkey == customer.c_custkey,
-                    "left_anti").agg(F.count("*").alias("violations")))
-    domain = rule(
-        "events.event_type.domain",
-        events.filter(~F.col("event_type").isin(
-            "click", "purchase", "error", "signup", "view"))
-        .agg(F.count("*").alias("violations")))
-    consistency = rule(
-        "documents.n_chars.mismatch",
-        documents.filter(F.length("text") != F.col("n_chars"))
-        .agg(F.count("*").alias("violations")))
-
-    return (null_check.unionByName(li_orphans).unionByName(o_orphans)
-            .unionByName(domain).unionByName(consistency))
+    ck = (customer.select(F.col("c_custkey").alias("o_custkey"))
+          .withColumn("has_c", F.lit(1)))
+    o2 = (orders.select("o_custkey")
+          .join(F.broadcast(ck), "o_custkey", "left")
+          .agg(F.count(F.when(F.col("o_custkey").isNull(), 1))
+               .cast("long").alias("n_null"),
+               F.count(F.when(F.col("o_custkey").isNotNull()
+                              & F.col("has_c").isNull(), 1))
+               .cast("long").alias("n_orph")))
+    r12 = o2.select(F.explode(F.create_map(
+        F.lit("orders.o_custkey.null"), F.col("n_null"),
+        F.lit("orders.orphan_custkey"), F.col("n_orph")))
+        .alias("rule", "violations"))
+    ok = orders.select("o_orderkey")
+    li = (lineitem.select("l_orderkey")
+          .join(F.broadcast(ok), lineitem.l_orderkey == ok.o_orderkey,
+                "left_anti")
+          .agg(F.count("*").cast("long").alias("violations"))
+          .select(F.lit("lineitem.orphan_orderkey").alias("rule"),
+                  "violations"))
+    dom = (events.filter(~F.col("event_type").isin(
+        "click", "purchase", "error", "signup", "view"))
+        .agg(F.count("*").cast("long").alias("violations"))
+        .select(F.lit("events.event_type.domain").alias("rule"),
+                "violations"))
+    cons = (documents.filter(F.length("text") != F.col("n_chars"))
+            .agg(F.count("*").cast("long").alias("violations"))
+            .select(F.lit("documents.n_chars.mismatch").alias("rule"),
+                    "violations"))
+    return r12.unionByName(li).unionByName(dom).unionByName(cons)
 
 
 @register("ingest_upsert_latest", """
