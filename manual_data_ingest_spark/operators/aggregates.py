@@ -1938,3 +1938,54 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
               / F.col("base_qty").cast("double")) * 100.0)
     return (based.select("yr", F.col("qty").alias("total_qty"),
                          rnd(idx, 4).alias("price_index")))
+
+
+@register("agg_reorder_rate", f"""
+WITH cp AS (
+  SELECT l_partkey, o_custkey, count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_partkey, o_custkey
+), per_part AS (
+  SELECT l_partkey,
+         count(*) AS n_customers,
+         count(CASE WHEN n_orders >= 2 THEN 1 END) AS n_repeat
+  FROM cp GROUP BY l_partkey
+)
+SELECT p_brand,
+       sum(n_customers)::BIGINT AS n_customers,
+       sum(n_repeat)::BIGINT AS n_repeat,
+       {sql_rnd('sum(n_repeat)::DOUBLE / sum(n_customers)::DOUBLE', 6)}
+           AS reorder_rate
+FROM per_part JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+""")
+def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by brand: of the (customer, part) pairs
+    ever bought, what share were bought in ≥2 DISTINCT orders — the
+    retention-of-demand metric that separates staples (bought again)
+    from one-shot purchases, aggregated to the brand level a buyer
+    team acts on.
+
+    The (part, customer, order) distinct collapse is the one
+    fact-scale shuffle; the per-part and per-brand layers reduce on
+    progressively smaller keys, and the part dim joins broadcast-side.
+    All counts exact integers; one rounded division at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    cp = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy("l_partkey", "o_custkey")
+          .agg(F.countDistinct("l_orderkey").alias("n_orders")))
+    per_part = (cp.groupBy("l_partkey")
+                .agg(F.count("*").alias("n_customers"),
+                     F.count(F.when(F.col("n_orders") >= 2, 1))
+                     .alias("n_repeat")))
+    return (per_part.join(F.broadcast(p),
+                          per_part.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("n_customers").alias("n_customers"),
+                 F.sum("n_repeat").alias("n_repeat"),
+                 rnd(F.sum("n_repeat").cast("double")
+                     / F.sum("n_customers").cast("double"), 6)
+                 .alias("reorder_rate")))

@@ -1422,3 +1422,51 @@ def ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("lang").alias("n_langs"),
                  F.min("doc_id").alias("min_doc"),
                  F.max("doc_id").alias("max_doc")))
+
+
+@register("ml_embedding_qc", f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         len(embedding) AS dim
+  FROM embeddings WHERE embedding IS NOT NULL
+), normed AS (
+  SELECT vec_id, label, dim,
+         floor(sqrt(list_dot_product(v, v)) * 1000000.0 + 0.5) / 1000000.0
+             AS norm
+  FROM e
+)
+SELECT label,
+       count(*) AS n_vecs,
+       count(CASE WHEN dim <> 64 THEN 1 END) AS n_bad_dim,
+       count(CASE WHEN norm = 0.0 THEN 1 END) AS n_zero,
+       min(norm) AS min_norm,
+       max(norm) AS max_norm
+FROM normed GROUP BY label
+""")
+def ml_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ingest QC per label: vector count, wrong-dimension
+    count, zero-vector count, and the norm range — the audit every
+    ANN/dedup pipeline runs BEFORE indexing, because one zero vector
+    makes cosine undefined (`sim_*` would divide by zero) and one
+    wrong-dim vector kills a BLAS batch mid-job.
+
+    Map-side norm via the unrolled bit-exact dot (same expression
+    text as the sim_* family), rounded 6dp BEFORE min/max so the
+    extremal choice itself is parity-safe; one label-grouped
+    conditional agg. The zero-count check is an exact compare against
+    the rounded 0.0 — a true zero vector rounds to exactly 0.0 on
+    both engines.
+    """
+    from manual_data_ingest_spark.operators.similarity import _dot_sql
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
+    norm = rnd(F.sqrt(F.expr(_dot_sql("embedding", "embedding"))), 6)
+    qc = e.select("label", F.size("embedding").alias("dim"),
+                  norm.alias("norm"))
+    return (qc.groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.count(F.when(F.col("dim") != 64, 1)).alias("n_bad_dim"),
+                 F.count(F.when(F.col("norm") == 0.0, 1)).alias("n_zero"),
+                 F.min("norm").alias("min_norm"),
+                 F.max("norm").alias("max_norm")))

@@ -1659,3 +1659,48 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (m.filter(F.col("n") == 7)
             .select("event_type", "day",
                     rnd(slope, 6).alias("slope_cents_per_day")))
+
+
+@register("win_top_paths", """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS step
+  FROM events WHERE ts IS NOT NULL
+), paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM seq WHERE step <= 3
+  GROUP BY user_id
+)
+SELECT path, count(*) AS n_users FROM paths
+GROUP BY path HAVING count(*) >= 3
+""")
+def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path mining: each user's first three events as an ordered
+    path string ('signup>click>purchase'), counted across users —
+    the onboarding-flow readout that shows which first-session
+    journeys actually happen vs the one the product team designed.
+    Paths under 3 users are suppressed (noise floor + k-anonymity for
+    a published report — the `ingest_k_anonymity` rule applied at the
+    source).
+
+    One user_id shuffle carries the step window AND the path
+    concat (group key = partition key); the path-count agg runs on
+    user-sized rows with a ≤3-element string payload. Deterministic:
+    the step order ties on event_id and the concat order is pinned
+    on both engines (ORDER BY inside string_agg / sorted collect).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (ev.withColumn("step", F.row_number().over(w))
+             .filter(F.col("step") <= 3)
+             .groupBy("user_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("step", "event_type"))),
+                     lambda s: s.event_type), ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_users"))
+            .filter(F.col("n_users") >= 3))

@@ -67,6 +67,7 @@ PROBES = [
     "ml_target_encoding",
     "agg_dau_wau", "agg_ship_latency", "agg_price_index",
     "ml_kfold_assign", "stream_error_rate_alert",
+    "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
 ]
 
 
@@ -125,6 +126,7 @@ NULL_PROBES = [
     "ml_target_encoding",
     "agg_dau_wau", "agg_ship_latency", "agg_price_index",
     "ml_kfold_assign", "stream_error_rate_alert",
+    "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
 ]
 
 
