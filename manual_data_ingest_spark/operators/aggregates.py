@@ -1989,3 +1989,71 @@ def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.sum("n_repeat").cast("double")
                      / F.sum("n_customers").cast("double"), 6)
                  .alias("reorder_rate")))
+
+
+@register("agg_revenue_recognition", f"""
+WITH svc AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         o_orderdate::DATE AS svc_start,
+         o_orderdate::DATE + 89 AS svc_end
+  FROM orders WHERE o_orderdate IS NOT NULL
+), months AS (
+  SELECT o_orderkey, cents, svc_start, svc_end,
+         unnest(generate_series(date_trunc('month', svc_start)::DATE,
+                                svc_end, INTERVAL 1 MONTH))::DATE AS m
+  FROM svc
+), prorated AS (
+  SELECT date_trunc('month', m)::DATE AS month,
+         cents,
+         (least(svc_end, (m + INTERVAL 1 MONTH)::DATE - 1)
+          - greatest(svc_start, date_trunc('month', m)::DATE) + 1)
+             AS days_in_month
+  FROM months
+)
+SELECT month,
+       count(*) AS n_slices,
+       sum(days_in_month)::BIGINT AS svc_days,
+       {sql_rnd('sum(cents * days_in_month)::DOUBLE / 90.0 / 100.0', 2)}
+           AS recognized_revenue
+FROM prorated WHERE days_in_month > 0
+GROUP BY month
+""")
+def agg_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue recognition: each order's total prorated day-by-day over
+    a 90-day service window and recognized into calendar months — the
+    ASC-606-style deferral schedule finance closes the books with,
+    where cash in January becomes revenue in Jan+Feb+Mar.
+
+    The month explosion is a built-in `explode(sequence(...))` — 3-4
+    rows per order, NO UDF and no driver loop; day counts are exact
+    integer date arithmetic and the money stays integer cents until
+    the single final division (cents·days / 90 / 100). One grouped
+    pass over the exploded slices; months are the bounded group key.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull())
+    svc = o.select(
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("svc_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 89).alias("svc_end"))
+    months = svc.select(
+        "cents", "svc_start", "svc_end",
+        F.explode(F.sequence(
+            F.trunc("svc_start", "month"), F.col("svc_end"),
+            F.expr("interval 1 month"))).alias("m"))
+    days = (F.datediff(
+        F.least(F.col("svc_end"),
+                F.date_sub(F.add_months(F.col("m"), 1), 1)),
+        F.greatest(F.col("svc_start"), F.trunc("m", "month"))) + 1)
+    prorated = months.select(
+        F.trunc("m", "month").alias("month"), "cents",
+        days.alias("days_in_month"))
+    return (prorated.filter(F.col("days_in_month") > 0)
+            .groupBy("month")
+            .agg(F.count("*").alias("n_slices"),
+                 F.sum("days_in_month").alias("svc_days"),
+                 rnd(F.sum(F.col("cents") * F.col("days_in_month"))
+                     .cast("double") / 90.0 / 100.0, 2)
+                 .alias("recognized_revenue")))

@@ -1704,3 +1704,63 @@ def win_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (paths.groupBy("path")
             .agg(F.count("*").alias("n_users"))
             .filter(F.col("n_users") >= 3))
+
+
+@register("win_peak_concurrency", """
+WITH busy AS (
+  SELECT l_suppkey,
+         l_shipdate::DATE AS s,
+         l_shipdate::DATE + CAST(l_quantity AS INTEGER) AS e
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+), pts AS (
+  SELECT l_suppkey, s AS d, 1 AS delta FROM busy
+  UNION ALL
+  SELECT l_suppkey, e + 1 AS d, -1 AS delta FROM busy
+), sweep AS (
+  SELECT l_suppkey, d,
+         sum(delta) OVER (PARTITION BY l_suppkey ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS conc
+  FROM (SELECT l_suppkey, d, sum(delta) AS delta
+        FROM pts GROUP BY l_suppkey, d)
+)
+SELECT l_suppkey AS supp_key,
+       max(conc)::BIGINT AS peak_concurrency,
+       count(*) AS n_change_points
+FROM sweep GROUP BY l_suppkey HAVING max(conc) >= 4
+""")
+def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent jobs per supplier (sweep line over busy
+    intervals [ship, ship+qty days]): the capacity question
+    `win_interval_coalesce` can't answer — coalescing says WHEN a
+    supplier was busy, the sweep says HOW DEEP the overlap stacked
+    (the staffing/slot-sizing number). Suppliers peaking ≥4 reported.
+
+    Classic event-point sweep, fully relational: ±1 deltas at interval
+    ends, collapsed per (supplier, day) FIRST (bounds the window input
+    to change-points, not intervals), then one running sum + max.
+    The collapse, the ordered window, and the final max all ride ONE
+    supplier-keyed shuffle. Exact integer arithmetic throughout.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull())
+    busy = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.expr("date_add(cast(l_shipdate as date),"
+               " cast(l_quantity as int))").alias("e"))
+    pts = (busy.select("l_suppkey", F.col("s").alias("d"),
+                       F.lit(1).alias("delta"))
+           .unionByName(
+               busy.select("l_suppkey",
+                           F.date_add(F.col("e"), 1).alias("d"),
+                           F.lit(-1).alias("delta"))))
+    collapsed = pts.groupBy("l_suppkey", "d").agg(
+        F.sum("delta").alias("delta"))
+    w = (Window.partitionBy("l_suppkey").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sweep = collapsed.withColumn("conc", F.sum("delta").over(w))
+    return (sweep.groupBy(F.col("l_suppkey").alias("supp_key"))
+            .agg(F.max("conc").alias("peak_concurrency"),
+                 F.count("*").alias("n_change_points"))
+            .filter(F.col("peak_concurrency") >= 4))

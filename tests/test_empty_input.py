@@ -68,6 +68,7 @@ PROBES = [
     "agg_dau_wau", "agg_ship_latency", "agg_price_index",
     "ml_kfold_assign", "stream_error_rate_alert",
     "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
+    "agg_revenue_recognition", "win_peak_concurrency",
 ]
 
 
@@ -127,6 +128,7 @@ NULL_PROBES = [
     "agg_dau_wau", "agg_ship_latency", "agg_price_index",
     "ml_kfold_assign", "stream_error_rate_alert",
     "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
+    "agg_revenue_recognition", "win_peak_concurrency",
 ]
 
 
