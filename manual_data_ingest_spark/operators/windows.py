@@ -1764,3 +1764,56 @@ def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("conc").alias("peak_concurrency"),
                  F.count("*").alias("n_change_points"))
             .filter(F.col("peak_concurrency") >= 4))
+
+
+@register("win_wma", f"""
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, day
+), lagged AS (
+  SELECT event_type, day, cents,
+         lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+         lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+         lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day,
+       {sql_rnd('(7 * cents + 6 * c1 + 5 * c2 + 4 * c3 + 3 * c4'
+                ' + 2 * c5 + 1 * c6)::DOUBLE / 28.0 / 100.0', 4)}
+           AS wma
+FROM lagged WHERE c6 IS NOT NULL
+""")
+def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted 7-day moving average of daily value per event
+    type (today×7 … 6-days-ago×1, /28): the trend smoother between the
+    flat SMA (`win_moving_range`) and the infinite-memory EWMA
+    (`win_ewma`) — full weight decay inside a BOUNDED window, so the
+    streaming state is 7 values, not a recurrence.
+
+    Explicit lag columns instead of a frame aggregate keep every term
+    an EXACT integer (cents × small weights, far inside 2^53); the
+    single float step is the final /28/100 rounded 4dp. All six lags
+    ride ONE event_type window ordering; warm-up rows suppressed.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    daily = (ev.select("event_type",
+                       (F.unix_micros("ts") / F.lit(86400000000))
+                       .cast("long").alias("day"),
+                       F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                       .cast("long").alias("c"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("c").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "cents",
+        *[F.lag("cents", k).over(w).alias(f"c{k}") for k in range(1, 7)])
+    wma = ((7 * F.col("cents") + 6 * F.col("c1") + 5 * F.col("c2")
+            + 4 * F.col("c3") + 3 * F.col("c4") + 2 * F.col("c5")
+            + F.col("c6")).cast("double") / 28.0 / 100.0)
+    return (lagged.filter(F.col("c6").isNotNull())
+            .select("event_type", "day", rnd(wma, 4).alias("wma")))

@@ -69,6 +69,7 @@ PROBES = [
     "ml_kfold_assign", "stream_error_rate_alert",
     "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
     "agg_revenue_recognition", "win_peak_concurrency",
+    "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
 ]
 
 
@@ -129,6 +130,7 @@ NULL_PROBES = [
     "ml_kfold_assign", "stream_error_rate_alert",
     "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
     "agg_revenue_recognition", "win_peak_concurrency",
+    "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
 ]
 
 
