@@ -1817,3 +1817,68 @@ def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("c6")).cast("double") / 28.0 / 100.0)
     return (lagged.filter(F.col("c6").isNotNull())
             .select("event_type", "day", rnd(wma, 4).alias("wma")))
+
+
+@register("win_rolling_mad", f"""
+WITH m AS (
+  SELECT event_id, event_type, value,
+         list_sort(list(value) OVER (PARTITION BY event_type
+             ORDER BY ts, event_id
+             ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)) AS arr
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_id, event_type, value, arr,
+         (arr[(len(arr)+1)//2] + arr[len(arr)//2+1]) / 2.0 AS med
+  FROM m WHERE len(arr) >= 10
+), dev AS (
+  SELECT event_id, event_type, value, med,
+         list_sort(list_transform(arr, x -> abs(x - med))) AS devs
+  FROM med
+), scored AS (
+  SELECT event_id, event_type, value, med,
+         (devs[(len(devs)+1)//2] + devs[len(devs)//2+1]) / 2.0 AS mad
+  FROM dev
+)
+SELECT event_id, event_type,
+       {sql_rnd('(value - med) / mad', 4)} AS robust_z
+FROM scored
+WHERE mad > 0.0 AND abs(value - med) > 5.0 * mad
+""")
+def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median/MAD outlier detector: each event scored against
+    the MEDIAN and median-absolute-deviation of its type's previous 14
+    events — the robust twin of `win_zscore_rolling`, which a single
+    earlier spike can blind (the spike inflates the trailing stddev
+    and masks the next one; the median absorbs it).
+
+    Same bounded-frame discipline as `win_rolling_median` (O(14)
+    state/row), self-excluded frame (-14..-1), and the same explicit
+    (a+b)/2 middle-element form for BOTH medians on both engines —
+    the whole med/MAD/threshold chain is one shared IEEE sequence, so
+    the 5×MAD flag cannot flip between engines. One event_type
+    shuffle; flagged rows only.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-14, -1))
+    arr = F.sort_array(F.collect_list("value").over(w))
+    m = (ev.select("event_id", "event_type", "value", arr.alias("arr"))
+         .filter(F.size("arr") >= 10))
+    # F.get (0-based) instead of element_at: Catalyst fuses the mad>0
+    # conjunct into one predicate with the size guard, and conjunct
+    # evaluation is NOT short-circuited across subexpressions — an
+    # element_at there threw INVALID_INDEX_OF_ZERO on warm-up rows.
+    # get() returns NULL out-of-bounds, so those rows filter out.
+    mid = lambda a: (F.get(a, ((F.size(a) + 1) / 2).cast("int") - 1)
+                     + F.get(a, (F.size(a) / 2).cast("int"))) / 2.0
+    med = m.withColumn("med", mid(F.col("arr")))
+    devs = F.sort_array(F.transform(
+        F.col("arr"), lambda x: F.abs(x - F.col("med"))))
+    scored = med.withColumn("mad", mid(devs))
+    return (scored
+            .filter((F.col("mad") > 0.0)
+                    & (F.abs(F.col("value") - F.col("med"))
+                       > 5.0 * F.col("mad")))
+            .select("event_id", "event_type",
+                    rnd((F.col("value") - F.col("med")) / F.col("mad"), 4)
+                    .alias("robust_z")))

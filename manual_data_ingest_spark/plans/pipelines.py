@@ -861,3 +861,60 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("n_docs").cast("double")
                         / F.sum("n_docs").over(Window.partitionBy())
                         .cast("double"), 6).alias("share")))
+
+
+@register("pipeline_eval_pack", """
+WITH tagged AS (
+  SELECT doc_id, lang, text,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|evalpack'), 1, 4))::INT
+             % 10 AS bucket
+  FROM documents WHERE text IS NOT NULL
+), train_digests AS (
+  SELECT DISTINCT md5(text) AS th FROM tagged WHERE bucket <= 7
+), eligible AS (
+  SELECT t.doc_id, t.lang
+  FROM tagged t
+  WHERE t.bucket = 9
+    AND NOT EXISTS (SELECT 1 FROM train_digests d
+                    WHERE d.th = md5(t.text))
+)
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR)) AS rk
+  FROM eligible
+) WHERE rk <= 10
+""")
+def pipeline_eval_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-pack assembly, the last mile before a benchmark ships:
+    take the held-out hash bucket, DROP any doc whose exact content
+    also appears in the train buckets (a duplicated doc straddling
+    the split would leak eval answers into training — the
+    `dedup_decontaminate` failure mode at the split boundary), then
+    draw a balanced 10-per-language sample by hash rank.
+
+    Composes three already-oracled stages in ONE plan: salted-hash
+    split (`sample_train_val_test`), content-digest anti-join
+    (`dedup_exact`'s key, broadcast from the small eval side's
+    perspective — the digest set shuffles, never the text), and
+    per-stratum hash-rank sampling (`sample_stratified`). Everything
+    is engine-reproducible: re-running after a backfill mints the
+    SAME eval pack unless content actually changed.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string),"
+        " '|evalpack')), 1, 4), 16, 10) as int) % 10")
+    tagged = d.select("doc_id", "lang", "text", bucket.alias("bucket"))
+    train_digests = (tagged.filter(F.col("bucket") <= 7)
+                     .select(F.md5("text").alias("th")).distinct())
+    eligible = (tagged.filter(F.col("bucket") == 9)
+                .withColumn("th", F.md5("text"))
+                .join(train_digests, "th", "left_anti")
+                .select("doc_id", "lang"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")))
+    return (eligible.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("doc_id", "lang", "rk"))

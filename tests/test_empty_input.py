@@ -70,6 +70,7 @@ PROBES = [
     "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
     "agg_revenue_recognition", "win_peak_concurrency",
     "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
+    "win_rolling_mad", "pipeline_eval_pack",
 ]
 
 
@@ -131,6 +132,7 @@ NULL_PROBES = [
     "win_top_paths", "agg_reorder_rate", "ml_embedding_qc",
     "agg_revenue_recognition", "win_peak_concurrency",
     "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
+    "win_rolling_mad", "pipeline_eval_pack",
 ]
 
 
