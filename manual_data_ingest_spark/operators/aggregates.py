@@ -2057,3 +2057,46 @@ def agg_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.sum(F.col("cents") * F.col("days_in_month"))
                      .cast("double") / 90.0 / 100.0, 2)
                  .alias("recognized_revenue")))
+
+
+@register("agg_new_vs_returning", """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day
+  FROM events WHERE ts IS NOT NULL
+), first_day AS (
+  SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id
+)
+SELECT ud.day,
+       count(*) AS active_users,
+       count(CASE WHEN ud.day = f.d0 THEN 1 END) AS new_users,
+       count(CASE WHEN ud.day > f.d0 THEN 1 END) AS returning_users
+FROM ud JOIN first_day f ON f.user_id = ud.user_id
+GROUP BY ud.day
+""")
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily actives: per day, how many active users
+    are seen for the FIRST time vs coming back — the growth-accounting
+    split (acquisition vs retention) under every "DAU is up, but why"
+    question.
+
+    The (user, day) distinct collapse and the per-user min reduce on
+    the SAME user_id key, and the tag join rides that layout too —
+    one fact-scale shuffle total, then a days-sized agg. First-touch
+    is exact integer epoch-days; no timezone arithmetic can shift a
+    user's birth day differently across engines (UTC-pinned session,
+    integer floor-division).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ud = (ev.select("user_id",
+                    (F.unix_micros("ts") / F.lit(86400000000))
+                    .cast("long").alias("day"))
+          .distinct())
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (ud.join(first_day, "user_id")
+            .groupBy("day")
+            .agg(F.count("*").alias("active_users"),
+                 F.count(F.when(F.col("day") == F.col("d0"), 1))
+                 .alias("new_users"),
+                 F.count(F.when(F.col("day") > F.col("d0"), 1))
+                 .alias("returning_users")))

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
 from manual_data_ingest_spark.io import load_table
 from manual_data_ingest_spark.registry import register
+from manual_data_ingest_spark.operators.similarity import _COS as _SIM_COS
 
 _K = 8
 _ITERS = 3
@@ -1542,3 +1543,62 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_pos") * (F.col("n_pos") + 1) / 2).cast("double")
            / (F.col("n_pos") * F.col("n_neg")).cast("double"))
     return agg.select("n_pos", "n_neg", rnd(auc, 6).alias("auc"))
+
+
+@register("ml_precision_at_k", f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+probes AS (
+    SELECT vec_id AS probe_id, label AS probe_label, v FROM e
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+), ranked AS (
+    SELECT a.probe_id, a.probe_label, b.label AS n_label,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {{_COS}} DESC, b.vec_id) AS rn
+    FROM (SELECT probe_id, probe_label, v FROM probes WHERE probe_label < 5) a
+    JOIN e b ON b.vec_id <> a.probe_id
+)
+SELECT probe_id, probe_label,
+       count(CASE WHEN n_label = probe_label THEN 1 END) AS n_match,
+       {sql_rnd('count(CASE WHEN n_label = probe_label THEN 1 END)::DOUBLE'
+                ' / 5.0', 6)} AS precision_at_5
+FROM ranked WHERE rn <= 5
+GROUP BY probe_id, probe_label
+""".replace("{_COS}", _SIM_COS))
+def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@5 of the embedding space itself: for each probe, how
+    many of its 5 nearest neighbors share its label — the retrieval-
+    quality number that decides whether an embedding model is good
+    enough to ship BEFORE any ANN index exists (if exact top-k can't
+    find same-label neighbors, no index will).
+
+    Reuses the `sim_topk` topology verbatim (probes broadcast, corpus
+    never shuffled, raw-score ordering with vec_id tie-break) and adds
+    only the label equality aggregate — eval riding the established
+    scoring stage, the `ml_eval_metrics`-beside-`ml_naive_bayes`
+    pattern applied to retrieval.
+    """
+    from manual_data_ingest_spark.operators.similarity import cos_arrow
+    e = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (e.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("probe_label"),
+                      F.col("embedding").alias("pv")))
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
+    ranked = (F.broadcast(probes)
+              .join(e, F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", "probe_label",
+                      F.col("vec_id").alias("n_id"),
+                      F.col("label").alias("n_label"),
+                      score.alias("score_raw"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("probe_id")
+                  .orderBy(F.col("score_raw").desc(), F.col("n_id"))))
+              )
+    match = F.count(F.when(F.col("n_label") == F.col("probe_label"), 1))
+    return (ranked.filter(F.col("rn") <= 5)
+            .groupBy("probe_id", "probe_label")
+            .agg(match.alias("n_match"),
+                 rnd(match.cast("double") / 5.0, 6).alias("precision_at_5")))

@@ -18,6 +18,7 @@ enrichment) maps to Spark's Python UDF family. Design rules:
 from __future__ import annotations
 
 import pandas as pd
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -269,3 +270,34 @@ def udtf_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, t.pos, t.token
         FROM mdis_udtf_docs_arrow, LATERAL mdis_tokenize_arrow(text) t
     """)
+
+
+@register("udf_pandas_scalar_iter", """
+SELECT doc_id,
+       length(regexp_replace(text, '[0-9]', '', 'g')) AS n_nondigit
+FROM documents WHERE text IS NOT NULL
+""")
+def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF (Iterator[Series] → Iterator[Series]) —
+    the API-surface member its Series→Series sibling can't substitute:
+    the generator body runs ONCE per partition, so expensive setup
+    (here a compiled regex; in production a tokenizer or ONNX model)
+    is paid per-TASK, not per-batch. This is the shape every
+    model-scoring UDF at 100 TB should take — per-batch model loading
+    is the classic 10× regression.
+
+    Semantics kept trivially oracle-able (non-digit char count) so the
+    comparison isolates the API path, same policy as
+    `udf_python_scalar` vs `cond_funcs`.
+    """
+    @pandas_udf("long")
+    def nondigit_len(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+        digit = re.compile(r"[0-9]")  # compiled once per partition/task
+        for texts in it:
+            yield texts.map(
+                lambda t: len(digit.sub("", t)) if t is not None else None)
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    return d.select("doc_id", nondigit_len("text").alias("n_nondigit"))

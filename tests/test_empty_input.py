@@ -71,6 +71,7 @@ PROBES = [
     "agg_revenue_recognition", "win_peak_concurrency",
     "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
     "win_rolling_mad", "pipeline_eval_pack",
+    "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
 ]
 
 
@@ -133,6 +134,7 @@ NULL_PROBES = [
     "agg_revenue_recognition", "win_peak_concurrency",
     "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
     "win_rolling_mad", "pipeline_eval_pack",
+    "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
 ]
 
 
