@@ -1602,3 +1602,79 @@ def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("probe_id", "probe_label")
             .agg(match.alias("n_match"),
                  rnd(match.cast("double") / 5.0, 6).alias("precision_at_5")))
+
+
+@register("ml_threshold_sweep", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+), binned AS (
+  SELECT y, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+             AS score_decile
+  FROM lab
+), per AS (
+  SELECT score_decile, count(*) AS n,
+         count(CASE WHEN y = 1 THEN 1 END) AS n_pos
+  FROM binned GROUP BY score_decile
+), cum AS (
+  SELECT score_decile,
+         sum(n) OVER w AS pred_pos, sum(n_pos) OVER w AS tp,
+         sum(n_pos) OVER () AS all_pos
+  FROM per
+  WINDOW w AS (ORDER BY score_decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT score_decile AS threshold_decile,
+       {sql_rnd('tp::DOUBLE / pred_pos::DOUBLE', 6)} AS precision,
+       {sql_rnd('tp::DOUBLE / all_pos::DOUBLE', 6)} AS recall,
+       {sql_rnd('2.0 * tp::DOUBLE'
+                ' / (pred_pos::DOUBLE + all_pos::DOUBLE)', 6)} AS f1,
+       (40 * tp >= 19 * (pred_pos + all_pos)) AS above_f1_095
+FROM cum
+""")
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep: precision / recall / F1 at every
+    "predict positive down to decile k" cut — the table a deployed
+    classifier's threshold is actually chosen from (AUC says the model
+    ranks; THIS says where to cut). F1 uses the 2TP/(predP+allP)
+    identity so no harmonic-mean division chain stacks float error,
+    and the 0.95-F1 flag is EXACT integer algebra (40·tp ≥
+    19·(pred+all) ⇔ 2tp/(pred+all) ≥ 19/20 — the PARITY #21
+    integer-compare rule).
+
+    Same decile stage as `ml_lift_chart`; the cumulative windows run
+    on the 10-row aggregate. Completes the eval suite: calibration,
+    lift, AUC, and now the operating point.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_acctbal", "c_custkey",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    per = (lab.withColumn("score_decile", F.ntile(10).over(w))
+           .groupBy("score_decile")
+           .agg(F.count("*").alias("n"),
+                F.count(F.when(F.col("y") == 1, 1)).alias("n_pos")))
+    wc = (Window.orderBy("score_decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy()
+    cum = (per.withColumn("pred_pos", F.sum("n").over(wc))
+           .withColumn("tp", F.sum("n_pos").over(wc))
+           .withColumn("all_pos", F.sum("n_pos").over(wt)))
+    tp = F.col("tp").cast("double")
+    return cum.select(
+        F.col("score_decile").alias("threshold_decile"),
+        rnd(tp / F.col("pred_pos").cast("double"), 6).alias("precision"),
+        rnd(tp / F.col("all_pos").cast("double"), 6).alias("recall"),
+        rnd(2.0 * tp / (F.col("pred_pos").cast("double")
+                        + F.col("all_pos").cast("double")), 6).alias("f1"),
+        (40 * F.col("tp") >= 19 * (F.col("pred_pos") + F.col("all_pos")))
+        .alias("above_f1_095"))

@@ -72,6 +72,7 @@ PROBES = [
     "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
     "win_rolling_mad", "pipeline_eval_pack",
     "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
+    "join_fuzzy_levenshtein", "ml_threshold_sweep",
 ]
 
 
@@ -135,6 +136,7 @@ NULL_PROBES = [
     "ml_auc_roc", "win_wma", "text_cooccurrence_pmi",
     "win_rolling_mad", "pipeline_eval_pack",
     "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
+    "join_fuzzy_levenshtein", "ml_threshold_sweep",
 ]
 
 
