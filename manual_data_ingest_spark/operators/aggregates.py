@@ -2100,3 +2100,56 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("new_users"),
                  F.count(F.when(F.col("day") > F.col("d0"), 1))
                  .alias("returning_users")))
+
+
+@register("agg_skyline_2d", """
+WITH pts AS (
+  SELECT p_partkey, p_size,
+         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+  FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+), sizes AS (
+  SELECT p_size, min(price_cents) AS minp FROM pts GROUP BY p_size
+), frontier_sizes AS (
+  SELECT p_size, minp,
+         min(minp) OVER (ORDER BY p_size DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS best_bigger
+  FROM sizes
+)
+SELECT p.p_partkey, p.p_size, p.price_cents
+FROM pts p
+JOIN frontier_sizes f
+  ON f.p_size = p.p_size AND p.price_cents = f.minp
+WHERE f.best_bigger IS NULL OR f.best_bigger > f.minp
+""")
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not DOMINATED on
+    (size↑ better, price↓ better) — q dominates p iff q is ≥ on both
+    axes and strictly better on one. The multi-criteria shortlist
+    ("show me the efficient frontier") that no single ORDER BY can
+    express.
+
+    Sort-filter skyline done at the SIZE level first: per-size min
+    price (a size survives iff no strictly-bigger size is as cheap —
+    running min over the size-desc order), then points join back and
+    only same-size price-ties on the surviving minimum remain (equal
+    on both axes = mutually non-dominated, all kept). O(n log n),
+    one grouped pass + a sizes-sized window + one id join — the naive
+    NOT EXISTS dominance test is O(n²). Exact integer cents; at
+    100 TB the size rollup is the only fact-scale shuffle.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull())
+    pts = p.select(
+        "p_partkey", "p_size",
+        F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5)).cast("long")
+        .alias("price_cents"))
+    sizes = pts.groupBy("p_size").agg(F.min("price_cents").alias("minp"))
+    w = (Window.orderBy(F.col("p_size").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    fs = (sizes.withColumn("best_bigger", F.min("minp").over(w))
+          .filter(F.col("best_bigger").isNull()
+                  | (F.col("best_bigger") > F.col("minp"))))
+    return (pts.join(F.broadcast(fs), "p_size")
+            .filter(F.col("price_cents") == F.col("minp"))
+            .select("p_partkey", "p_size", "price_cents"))

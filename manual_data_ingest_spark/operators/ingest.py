@@ -1464,3 +1464,50 @@ def ingest_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(0.000001))
     return (grid.groupBy("source")
             .agg(rnd(F.sum((p - q) * F.log(p / q)), 6).alias("psi")))
+
+
+@register("ingest_missing_hours_report", """
+WITH hours AS (
+  SELECT DISTINCT event_type,
+         (epoch_us(ts) // 3600000000)::BIGINT AS hr
+  FROM events WHERE ts IS NOT NULL
+), gaps AS (
+  SELECT event_type, hr,
+         lag(hr) OVER (PARTITION BY event_type ORDER BY hr) AS prev_hr
+  FROM hours
+)
+SELECT event_type,
+       prev_hr + 1 AS gap_start_hr,
+       hr - 1 AS gap_end_hr,
+       hr - prev_hr - 1 AS missing_hours
+FROM gaps WHERE prev_hr IS NOT NULL AND hr - prev_hr > 1
+""")
+def ingest_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-outage report: for each event type, the exact hour ranges
+    with NO data between observed hours — the feed-gap evidence an
+    on-call engineer needs ("purchases missing 14:00-16:00") where
+    `ingest_freshness_slo` only says the feed is currently stale and
+    `agg_gapfill_timeseries` silently papers over the hole. (Hour
+    grain because the fixtures are day-dense; the day-grain report is
+    this plan with the divisor swapped.)
+
+    The distinct (type, hour) collapse bounds the lag window input to
+    hours, not events; one type-keyed shuffle. Gaps are pure integer
+    epoch-hour arithmetic. The complement of gap-FILLING: this
+    operator makes holes VISIBLE, the gapfill family makes them
+    disappear — a pipeline needs both, in that order.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hours = (ev.select("event_type",
+                       (F.unix_micros("ts") / F.lit(3600000000))
+                       .cast("long").alias("hr"))
+             .distinct())
+    w = Window.partitionBy("event_type").orderBy("hr")
+    gaps = hours.withColumn("prev_hr", F.lag("hr").over(w))
+    return (gaps.filter(F.col("prev_hr").isNotNull()
+                        & (F.col("hr") - F.col("prev_hr") > 1))
+            .select("event_type",
+                    (F.col("prev_hr") + 1).alias("gap_start_hr"),
+                    (F.col("hr") - 1).alias("gap_end_hr"),
+                    (F.col("hr") - F.col("prev_hr") - 1)
+                    .alias("missing_hours")))

@@ -73,6 +73,7 @@ PROBES = [
     "win_rolling_mad", "pipeline_eval_pack",
     "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
+    "ingest_missing_hours_report", "agg_skyline_2d",
 ]
 
 
@@ -137,6 +138,7 @@ NULL_PROBES = [
     "win_rolling_mad", "pipeline_eval_pack",
     "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
+    "ingest_missing_hours_report", "agg_skyline_2d",
 ]
 
 
