@@ -31,6 +31,12 @@ PROBES = [
     "graph_pagerank",            # iterative float propagation
     "agg_seasonality_strength",  # variance ratios
     "ml_ols_normal_equations",   # matrix normal equations
+    # r3 additions: the new float-heavy surfaces
+    "agg_theil_index",           # ln-sum inequality index
+    "ingest_psi_drift",          # ln-ratio drift over clamped shares
+    "sim_knn_graph",             # Arrow cosine, all-population ranking
+    "text_cooccurrence_pmi",     # ln PMI over integer-ranked pairs
+    "win_rolling_mad",           # double-median chain + float threshold
 ]
 
 
