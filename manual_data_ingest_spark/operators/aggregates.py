@@ -2153,3 +2153,65 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pts.join(F.broadcast(fs), "p_size")
             .filter(F.col("price_cents") == F.col("minp"))
             .select("p_partkey", "p_size", "price_cents"))
+
+
+@register("agg_abc_classification", f"""
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, cents,
+         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+         sum(cents) OVER () AS tot
+  FROM rev
+), classed AS (
+  SELECT l_partkey, cents,
+         CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+)
+SELECT abc,
+       count(*) AS n_parts,
+       floor((sum(cents)::DOUBLE / 100.0) * 100.0 + 0.5) / 100.0 AS revenue,
+       floor((sum(cents)::DOUBLE / sum(sum(cents)) OVER ()::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+FROM classed GROUP BY abc
+""")
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head up to 80% of cumulative revenue, B to 95%, C the tail —
+    the warehouse-policy partition (count A daily, B weekly, C yearly)
+    that `win_pareto_share`'s curve is usually read INTO.
+
+    Class boundaries are EXACT integer comparisons (cum·10 ≤ tot·8,
+    cum·100 ≤ tot·95 — the PARITY #21 rule; a float 0.8·tot literal
+    could flip a boundary part between engines). The rank window runs
+    over the per-part rollup, not facts; the three-row report divides
+    once at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.floor(F.col("l_extendedprice") * 100.0
+                              + F.lit(0.5)).cast("long")).alias("cents")))
+    wc = (Window.orderBy(F.col("cents").desc(), "l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy()
+    ranked = (rev.withColumn("cum", F.sum("cents").over(wc))
+              .withColumn("tot", F.sum("cents").over(wt)))
+    abc = (F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+           .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+           .otherwise("C"))
+    return (ranked.withColumn("abc", abc)
+            .groupBy("abc")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("cents").alias("cents"))
+            .select("abc", "n_parts",
+                    rnd(F.col("cents").cast("double") / 100.0, 2)
+                    .alias("revenue"),
+                    rnd(F.col("cents").cast("double")
+                        / F.sum("cents").over(Window.partitionBy())
+                        .cast("double"), 6).alias("revenue_share")))

@@ -1511,3 +1511,62 @@ def ingest_missing_hours_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("hr") - 1).alias("gap_end_hr"),
                     (F.col("hr") - F.col("prev_hr") - 1)
                     .alias("missing_hours")))
+
+
+@register("ingest_mix_shift_chi2", f"""
+WITH wk AS (
+  SELECT date_trunc('week', ts)::DATE AS week, event_type,
+         count(*) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY week, event_type
+), wt AS (SELECT week, sum(c)::BIGINT AS wtot FROM wk GROUP BY week),
+g AS (SELECT event_type, sum(c)::BIGINT AS gc FROM wk GROUP BY event_type),
+gt AS (SELECT sum(gc)::BIGINT AS g FROM g),
+grid AS (
+  SELECT w.week, e.event_type, w.wtot, e.gc, (SELECT g FROM gt) AS g,
+         coalesce(k.c, 0)::BIGINT AS c
+  FROM wt w CROSS JOIN g e
+  LEFT JOIN wk k ON k.week = w.week AND k.event_type = e.event_type
+)
+SELECT week,
+       {sql_rnd('sum(power(c::DOUBLE - wtot::DOUBLE * gc::DOUBLE'
+                ' / g::DOUBLE, 2) / (wtot::DOUBLE * gc::DOUBLE'
+                ' / g::DOUBLE))', 6)} AS chi2,
+       (sum(power(c::DOUBLE - wtot::DOUBLE * gc::DOUBLE / g::DOUBLE, 2)
+            / (wtot::DOUBLE * gc::DOUBLE / g::DOUBLE))
+        > 9.487729036781154) AS shifted
+FROM grid GROUP BY week
+""")
+def ingest_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-shift detector: χ² of each week's event-type
+    mix against the corpus mix, flagged at the 95% critical value for
+    4 dof (shared literal, the `ml_ab_srm_check` discipline — no
+    inverse-CDF at query time). `ingest_volume_anomaly` pages when a
+    feed's VOLUME moves; this pages when volume looks fine but the
+    COMPOSITION drifted (a silent client release stops sending one
+    event type).
+
+    The (week, type) counts are one grouped pass; the expectation grid
+    is weeks×types (dim-sized) built from two broadcastable rollups.
+    Counts exact integers; χ² is a fixed IEEE sequence per cell,
+    rounded 6dp; the flag compares the UNROUNDED double to the shared
+    literal identically on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    wk = (ev.groupBy(F.date_trunc("week", "ts").cast("date").alias("week"),
+                     "event_type")
+          .agg(F.count("*").alias("c")))
+    wt = wk.groupBy("week").agg(F.sum("c").alias("wtot"))
+    g = wk.groupBy("event_type").agg(F.sum("c").alias("gc"))
+    gt = g.agg(F.sum("gc").alias("g"))
+    grid = (wt.crossJoin(F.broadcast(g)).join(F.broadcast(gt))
+            .join(wk, ["week", "event_type"], "left")
+            .select("week", "event_type", "wtot", "gc", "g",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    exp = (F.col("wtot").cast("double") * F.col("gc").cast("double")
+           / F.col("g").cast("double"))
+    term = F.pow(F.col("c").cast("double") - exp, 2) / exp
+    chi2 = F.sum(term)
+    return (grid.groupBy("week")
+            .agg(rnd(chi2, 6).alias("chi2"),
+                 (chi2 > 9.487729036781154).alias("shifted")))

@@ -1882,3 +1882,54 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type",
                     rnd((F.col("value") - F.col("med")) / F.col("mad"), 4)
                     .alias("robust_z")))
+
+
+@register("win_error_burst", """
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL
+), grp AS (
+  SELECT user_id, is_err,
+         rn - row_number() OVER (PARTITION BY user_id, is_err
+                                 ORDER BY rn) AS island
+  FROM seq
+), runs AS (
+  SELECT user_id, count(*) AS run_len
+  FROM grp WHERE is_err = 1
+  GROUP BY user_id, island
+)
+SELECT user_id,
+       max(run_len)::BIGINT AS max_error_burst,
+       count(*) AS n_bursts
+FROM runs GROUP BY user_id HAVING max(run_len) >= 3
+""")
+def win_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detector: each user's longest run of CONSECUTIVE
+    error events (classic gaps-and-islands on the event sequence) —
+    the reliability signal that separates "errors sprinkled through a
+    session" (network noise) from "N errors in a row" (the user is
+    stuck and about to churn). Users peaking ≥3 reported.
+
+    Two stacked row_numbers (global seq, per-kind seq) whose
+    DIFFERENCE is constant within a run — both windows and the run
+    aggregate ride ONE user_id shuffle. No self-join, no lag chains;
+    run length is an exact count.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "ts", "event_id", is_err.alias("is_err")) \
+            .withColumn("rn", F.row_number().over(w1))
+    w2 = Window.partitionBy("user_id", "is_err").orderBy("rn")
+    grp = seq.withColumn("island",
+                         F.col("rn") - F.row_number().over(w2))
+    runs = (grp.filter(F.col("is_err") == 1)
+            .groupBy("user_id", "island")
+            .agg(F.count("*").alias("run_len")))
+    return (runs.groupBy("user_id")
+            .agg(F.max("run_len").alias("max_error_burst"),
+                 F.count("*").alias("n_bursts"))
+            .filter(F.col("max_error_burst") >= 3))

@@ -74,6 +74,7 @@ PROBES = [
     "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
     "ingest_missing_hours_report", "agg_skyline_2d",
+    "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
 ]
 
 
@@ -139,6 +140,7 @@ NULL_PROBES = [
     "udf_pandas_scalar_iter", "ml_precision_at_k", "agg_new_vs_returning",
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
     "ingest_missing_hours_report", "agg_skyline_2d",
+    "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
 ]
 
 
