@@ -1034,3 +1034,64 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p_partkey").alias("survivor_key"),
                     F.col("p_retailprice").alias("survivor_price"),
                     "n_dups"))
+
+
+@register("sim_hamming_topk", f"""
+WITH tok AS (
+    SELECT doc_id, count(*) AS cnt,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY doc_id, h
+),
+sums AS (SELECT doc_id, {_SHW_DUCK_SUMS} FROM tok GROUP BY doc_id),
+fps AS (SELECT doc_id, {_SHW_DUCK_FP} AS fp FROM sums)
+SELECT probe_id, neighbor_id, hamming, rn FROM (
+    SELECT a.doc_id AS probe_id, b.doc_id AS neighbor_id,
+           bit_count(xor(a.fp, b.fp)) AS hamming,
+           row_number() OVER (PARTITION BY a.doc_id
+                              ORDER BY bit_count(xor(a.fp, b.fp)),
+                                       b.doc_id) AS rn
+    FROM (SELECT * FROM fps WHERE doc_id % 100 = 0 AND doc_id < 5000) a
+    JOIN fps b ON b.doc_id <> a.doc_id
+) WHERE rn <= 3
+""")
+def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature retrieval: top-3 nearest documents per probe by
+    HAMMING distance over the 60-bit SimHash fingerprint — the
+    memory ladder's bottom rung (64 floats → int8 → PQ codes →
+    ONE long per doc), where a billion-doc index is 8 GB and distance
+    is a single xor+popcount instruction.
+
+    Signatures come from the same weighted-SimHash aggregation as
+    `dedup_simhash_wide` (one token shuffle); probes (every 100th doc of the first 5000 —
+    a FIXED probe set, so scale runs measure corpus growth, not probe
+    growth) broadcast against the fp table — the `sim_topk` topology with
+    integer distance, so ordering needs no float discipline at all
+    (bit_count ties break on neighbor id). At scale the brute scan
+    swaps for the chunk-blocked candidate join the dedup twin already
+    demonstrates.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .select("doc_id",
+                   F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10)"
+                          " as bigint)").alias("h")))
+    fps = (tok.groupBy("doc_id")
+           .agg(*[F.expr(f"sum((((shiftright(h, {b})) & 1) * 2 - 1))")
+                  .alias(f"s{b}") for b in range(_SHW_BITS)])
+           .select("doc_id", F.expr(_SHW_SPARK_FP).alias("fp")))
+    probes = (fps.filter((F.col("doc_id") % 100 == 0)
+                         & (F.col("doc_id") < 5000))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.col("fp").alias("pfp")))
+    ham = F.expr("bit_count(pfp ^ fp)")
+    w = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    return (F.broadcast(probes)
+            .join(fps, F.col("doc_id") != F.col("probe_id"))
+            .select("probe_id", F.col("doc_id").alias("neighbor_id"),
+                    ham.alias("hamming"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id", "hamming", "rn"))

@@ -918,3 +918,58 @@ def pipeline_eval_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (eligible.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 10)
             .select("doc_id", "lang", "rk"))
+
+
+@register("pipeline_preference_pairs", """
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk_top,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id) AS rk_bot,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT t.lang, t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.n_chars AS chosen_chars, b.n_chars AS rejected_chars, t.rk_top AS pair_rank
+FROM (SELECT * FROM scored WHERE rk_top <= 3 AND n_lang >= 10) t
+JOIN (SELECT * FROM scored WHERE rk_bot <= 3 AND n_lang >= 10) b
+  ON b.lang = t.lang AND b.rk_bot = t.rk_top
+WHERE t.doc_id <> b.doc_id
+""")
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (DPO/RLHF data prep): per language,
+    pair the 3 highest-quality documents (chosen) with the 3 lowest
+    (rejected), matched by rank — the contrastive training pairs a
+    reward model or DPO run consumes. Quality here is the length
+    proxy; in production the ORDER BY is the reward-model score and
+    the plan is unchanged — which is the point: pair minting is a
+    WINDOW SPEC, not bespoke code.
+
+    Both rank directions and the stratum-size guard (≥10 docs, so
+    chosen and rejected can't overlap meaningfully) ride ONE lang
+    shuffle; the rank-matched join is 3 rows per lang per side.
+    Deterministic under re-runs: (score, doc_id) total order, no
+    sampling.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    wt = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    wb = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), "doc_id")
+    wn = Window.partitionBy("lang")
+    scored = (d.select("doc_id", "lang", "n_chars")
+              .withColumn("rk_top", F.row_number().over(wt))
+              .withColumn("rk_bot", F.row_number().over(wb))
+              .withColumn("n_lang", F.count("*").over(wn)))
+    t = (scored.filter((F.col("rk_top") <= 3) & (F.col("n_lang") >= 10))
+         .select("lang", F.col("doc_id").alias("chosen_id"),
+                 F.col("n_chars").alias("chosen_chars"),
+                 F.col("rk_top").alias("pair_rank")))
+    b = (scored.filter((F.col("rk_bot") <= 3) & (F.col("n_lang") >= 10))
+         .select("lang", F.col("doc_id").alias("rejected_id"),
+                 F.col("n_chars").alias("rejected_chars"),
+                 F.col("rk_bot").alias("pair_rank")))
+    return (t.join(b, ["lang", "pair_rank"])
+            .filter(F.col("chosen_id") != F.col("rejected_id"))
+            .select("lang", "chosen_id", "rejected_id",
+                    "chosen_chars", "rejected_chars", "pair_rank"))

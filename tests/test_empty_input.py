@@ -75,6 +75,7 @@ PROBES = [
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
     "ingest_missing_hours_report", "agg_skyline_2d",
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
+    "sim_hamming_topk", "pipeline_preference_pairs",
 ]
 
 
@@ -141,6 +142,7 @@ NULL_PROBES = [
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
     "ingest_missing_hours_report", "agg_skyline_2d",
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
+    "sim_hamming_topk", "pipeline_preference_pairs",
 ]
 
 
