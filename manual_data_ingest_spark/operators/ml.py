@@ -1678,3 +1678,45 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.col("all_pos").cast("double")), 6).alias("f1"),
         (40 * F.col("tp") >= 19 * (F.col("pred_pos") + F.col("all_pos")))
         .alias("above_f1_095"))
+
+
+@register("ml_embedding_dim_profile", f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  WHERE embedding IS NOT NULL
+)
+SELECT dim,
+       count(*) AS n,
+       {sql_rnd('avg(x)', 6)} AS mean,
+       {sql_rnd('stddev_pop(x)', 6)} AS std,
+       {sql_rnd('min(x)', 6)} AS min_x,
+       {sql_rnd('max(x)', 6)} AS max_x
+FROM dims GROUP BY dim
+""")
+def ml_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding profile (mean/std/range for each of the
+    64 coordinates) — the whitening table: standardizing retrieval
+    embeddings per-dim measurably improves cosine recall, and a dim
+    whose std is ~0 is dead weight the index pays for anyway. The
+    per-dim complement of `ml_embedding_qc`'s per-label norms.
+
+    Long-form explode (posexplode — 64 rows per vector) into a
+    (dim)-grouped moment pass: the shuffle carries partial aggregates
+    per (dim × task), bounded at 64·tasks regardless of corpus size.
+    The same long-form relation is `ml_pca_power`'s input — this
+    profile is step zero of that pipeline. Moments ride builtin
+    avg/stddev_pop on doubles; 6dp rounding absorbs summation-order
+    drift (PARITY #23 class, values are O(1) floats).
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull())
+    dims = e.select("vec_id",
+                    F.posexplode(F.col("embedding")).alias("dim", "xf")) \
+            .select("dim", F.col("xf").cast("double").alias("x"))
+    return (dims.groupBy("dim")
+            .agg(F.count("*").alias("n"),
+                 rnd(F.avg("x"), 6).alias("mean"),
+                 rnd(F.stddev_pop("x"), 6).alias("std"),
+                 rnd(F.min("x"), 6).alias("min_x"),
+                 rnd(F.max("x"), 6).alias("max_x")))

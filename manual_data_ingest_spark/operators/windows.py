@@ -1933,3 +1933,52 @@ def win_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("run_len").alias("max_error_burst"),
                  F.count("*").alias("n_bursts"))
             .filter(F.col("max_error_burst") >= 3))
+
+
+@register("win_twap", f"""
+WITH seq AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id)
+             - epoch_us(ts) AS dt_us
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_type, day,
+       count(*) AS n_intervals,
+       {sql_rnd('sum(cents * dt_us)::DOUBLE / sum(dt_us)::DOUBLE'
+                ' / 100.0', 4)} AS twap
+FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
+GROUP BY event_type, day
+""")
+def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (event type, day): each value
+    weighted by how LONG it prevailed (µs until the next observation)
+    — the standard TWAP/sensor-average that a plain avg() gets wrong
+    whenever sampling is irregular (a value held for 6 hours counts
+    6 h, not 1 sample). `agg_ohlc_bars` gives the endpoints; this
+    gives the exposure-correct level between them.
+
+    One event_type shuffle for the lead; weights are exact integer µs
+    and values exact cents — the weighted sums stay inside BIGINT
+    (~4e17 max here, documented headroom to 9.2e18) so both engines
+    aggregate exactly and divide once. Zero-length intervals (equal
+    timestamps) are excluded on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+        .alias("dt_us"))
+    return (seq.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
+            .groupBy("event_type", "day")
+            .agg(F.count("*").alias("n_intervals"),
+                 rnd(F.sum(F.col("cents") * F.col("dt_us")).cast("double")
+                     / F.sum("dt_us").cast("double") / 100.0, 4)
+                 .alias("twap")))

@@ -76,6 +76,7 @@ PROBES = [
     "ingest_missing_hours_report", "agg_skyline_2d",
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
     "sim_hamming_topk", "pipeline_preference_pairs",
+    "ml_embedding_dim_profile", "win_twap",
 ]
 
 
@@ -143,6 +144,7 @@ NULL_PROBES = [
     "ingest_missing_hours_report", "agg_skyline_2d",
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
     "sim_hamming_topk", "pipeline_preference_pairs",
+    "ml_embedding_dim_profile", "win_twap",
 ]
 
 
