@@ -1720,3 +1720,90 @@ def ml_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.stddev_pop("x"), 6).alias("std"),
                  rnd(F.min("x"), 6).alias("min_x"),
                  rnd(F.max("x"), 6).alias("max_x")))
+
+
+@register("ml_cohens_kappa", """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), cls AS MATERIALIZED (
+    SELECT lang AS cand, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+), tot AS (
+    SELECT cand, sum(cnt)::DOUBLE AS tot FROM cls GROUP BY 1
+), vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tok),
+langs AS (SELECT DISTINCT lang AS cand FROM documents),
+priors AS (
+    SELECT lang AS cand, ln(count(*)::DOUBLE /
+           (SELECT count(*) FROM documents)) AS logprior
+    FROM documents GROUP BY lang
+), scored AS (
+    SELECT t.doc_id, t.lang, l.cand,
+           sum(ln((coalesce(c.cnt, 0) + 1.0) / (tt.tot + (SELECT v FROM vocab))))
+               AS loglik
+    FROM tok t
+    CROSS JOIN langs l
+    LEFT JOIN cls c ON c.cand = l.cand AND c.token = t.token
+    JOIN tot tt ON tt.cand = l.cand
+    GROUP BY t.doc_id, t.lang, l.cand
+), pred AS MATERIALIZED (
+    SELECT doc_id, lang AS actual, cand AS predicted
+    FROM (SELECT s.*, p.logprior + s.loglik AS score FROM scored s
+          JOIN priors p ON p.cand = s.cand)
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cand) = 1
+), marg AS (
+    SELECT count(*)::BIGINT AS n,
+           count(CASE WHEN actual = predicted THEN 1 END)::BIGINT AS agree,
+           (SELECT sum(a.c * p.c)::BIGINT FROM
+              (SELECT actual AS k, count(*) AS c FROM pred GROUP BY 1) a
+              JOIN
+              (SELECT predicted AS k, count(*) AS c FROM pred GROUP BY 1) p
+              ON p.k = a.k) AS chance_prod
+    FROM pred
+)
+SELECT n, agree,
+       CASE WHEN n > 0 THEN
+         floor((agree::DOUBLE / n::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+       END AS accuracy,
+       CASE WHEN n * n - chance_prod > 0 THEN
+         floor(((agree::DOUBLE * n::DOUBLE - chance_prod::DOUBLE)
+                / (n::DOUBLE * n::DOUBLE - chance_prod::DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS kappa
+FROM marg
+""")
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the NB classifier against truth: agreement
+    corrected for CHANCE agreement — the statistic that exposes a
+    classifier that "scores 86% accuracy" by always predicting the
+    majority class (kappa ≈ 0). κ = (n·agree − Σ row·col marginal
+    products) / (n² − Σ products), algebraically identical to
+    (po−pe)/(1−pe) but with every term an exact INTEGER until the
+    single final division (the `ml_auc_roc` discipline).
+
+    Reuses the shared `_nb_predictions` stage; on top of it: one
+    3-counter agg + a 5×5 marginal product — dims-sized work. The
+    same formula scores annotator-vs-annotator agreement in labeling
+    pipelines; truth column swaps for the second annotator.
+    """
+    pred = _nb_predictions(spark, sf_dir)
+    a = pred.groupBy(F.col("actual").alias("k")).agg(
+        F.count("*").alias("ca"))
+    p = pred.groupBy(F.col("predicted").alias("k")).agg(
+        F.count("*").alias("cp"))
+    chance = (a.join(p, "k")
+              .agg(F.sum(F.col("ca") * F.col("cp")).alias("chance_prod")))
+    marg = (pred.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("actual") == F.col("predicted"), 1))
+        .alias("agree"))
+        .join(F.broadcast(chance)))
+    n = F.col("n").cast("double")
+    agree = F.col("agree").cast("double")
+    cp = F.col("chance_prod").cast("double")
+    # empty-corpus guards: 0/0 crashes under ANSI (PARITY #30)
+    return marg.select(
+        "n", "agree",
+        F.when(F.col("n") > 0, rnd(agree / n, 6)).alias("accuracy"),
+        F.when(F.col("n") * F.col("n") - F.col("chance_prod") > 0,
+               rnd((agree * n - cp) / (n * n - cp), 6)).alias("kappa"))

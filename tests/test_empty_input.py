@@ -77,6 +77,7 @@ PROBES = [
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
     "sim_hamming_topk", "pipeline_preference_pairs",
     "ml_embedding_dim_profile", "win_twap",
+    "ml_cohens_kappa",
 ]
 
 
@@ -145,6 +146,7 @@ NULL_PROBES = [
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
     "sim_hamming_topk", "pipeline_preference_pairs",
     "ml_embedding_dim_profile", "win_twap",
+    "ml_cohens_kappa",
 ]
 
 
