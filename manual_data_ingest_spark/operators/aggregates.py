@@ -2215,3 +2215,59 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("cents").cast("double")
                         / F.sum("cents").over(Window.partitionBy())
                         .cast("double"), 6).alias("revenue_share")))
+
+
+@register("agg_catalog_coverage", """
+SELECT 'parts_never_sold' AS entity,
+       (SELECT count(*) FROM part p WHERE NOT EXISTS
+          (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+           AS n_unused,
+       (SELECT count(*) FROM part) AS n_total
+UNION ALL
+SELECT 'suppliers_never_shipped',
+       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+          (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)),
+       (SELECT count(*) FROM supplier)
+UNION ALL
+SELECT 'customers_never_ordered',
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)),
+       (SELECT count(*) FROM customer)
+""")
+def agg_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage report: parts never sold, suppliers never
+    shipped, customers who never ordered — the PARENT→child unused-
+    entity complement of `ingest_validate`'s child→parent orphan
+    checks. Dead catalog weight is what a 100 TB dim table is mostly
+    made of; this is the pruning candidate list's summary.
+
+    Three anti-join aggregates; each anti join builds its hash
+    relation from the FACT side's distinct keys (the dim streams
+    against it), and each dim is scanned once for the pair of counts.
+    The map-explode fan-out (one row per rule from one aggregate —
+    the `ingest_validate` rewrite's trick) applies per entity.
+    """
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def rule(name, dim, key, fact_keys):
+        unused = (dim.join(F.broadcast(fact_keys),
+                           dim[key] == fact_keys[fact_keys.columns[0]],
+                           "left_anti")
+                  .agg(F.count("*").alias("n")))
+        total = dim.agg(F.count("*").alias("t"))
+        return (unused.join(F.broadcast(total))
+                .select(F.lit(name).alias("entity"),
+                        F.col("n").cast("long").alias("n_unused"),
+                        F.col("t").cast("long").alias("n_total")))
+
+    r1 = rule("parts_never_sold", part, "p_partkey",
+              li.select("l_partkey").distinct())
+    r2 = rule("suppliers_never_shipped", supp, "s_suppkey",
+              li.select("l_suppkey").distinct())
+    r3 = rule("customers_never_ordered", cust, "c_custkey",
+              o.select("o_custkey").distinct())
+    return r1.unionByName(r2).unionByName(r3)

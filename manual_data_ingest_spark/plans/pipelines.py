@@ -973,3 +973,66 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("chosen_id") != F.col("rejected_id"))
             .select("lang", "chosen_id", "rejected_id",
                     "chosen_chars", "rejected_chars", "pair_rank"))
+
+
+@register("pipeline_dataset_card", f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS th,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+  FROM documents WHERE text IS NOT NULL
+), dups AS (
+  SELECT count(*) - count(DISTINCT th) AS n_dup_rows FROM docs
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       sum(n_words)::BIGINT AS total_words,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       {sql_rnd('avg(n_chars::DOUBLE)', 2)} AS avg_chars,
+       (SELECT n_dup_rows FROM dups)::BIGINT AS n_exact_dup_rows,
+       CASE WHEN count(*) > 0 THEN
+         {sql_rnd('(SELECT n_dup_rows FROM dups)::DOUBLE / count(*)', 6)}
+       END AS dup_rate
+FROM docs
+""")
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card — the README table of a corpus release:
+    sizes, language/source diversity, length profile, and the exact-
+    duplicate rate. Every number a consumer checks before training on
+    a published dataset, produced by the SAME engine that built it
+    (a card generated by a different tool than the pipeline is how
+    cards drift from reality).
+
+    One pass computes every non-distinct stat as fused partial
+    aggregates; the duplicate count is the lone extra aggregate
+    (count − distinct digests, 32-byte keys). At 100 TB the two exact
+    distincts (lang, source) are dim-cardinality and the digest
+    distinct swaps for `agg_hll_partitioned`'s sketch with the error
+    bound printed ON the card.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    n_words = (F.length("text")
+               - F.length(F.regexp_replace("text", " ", "")) + 1)
+    docs = d.select("doc_id", "lang", "source", "n_chars",
+                    F.md5("text").alias("th"), n_words.alias("n_words"))
+    dups = docs.agg((F.count("*") - F.countDistinct("th"))
+                    .alias("n_dup_rows"))
+    card = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_words").alias("total_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        rnd(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"))
+    return (card.join(F.broadcast(dups))
+            .select("n_docs", "n_langs", "n_sources", "total_words",
+                    "min_chars", "max_chars", "avg_chars",
+                    F.col("n_dup_rows").alias("n_exact_dup_rows"),
+                    # 0/0 crashes under ANSI on the empty corpus
+                    F.when(F.col("n_docs") > 0,
+                           rnd(F.col("n_dup_rows").cast("double")
+                               / F.col("n_docs"), 6))
+                    .alias("dup_rate")))

@@ -78,6 +78,7 @@ PROBES = [
     "sim_hamming_topk", "pipeline_preference_pairs",
     "ml_embedding_dim_profile", "win_twap",
     "ml_cohens_kappa",
+    "agg_catalog_coverage", "pipeline_dataset_card",
 ]
 
 
@@ -147,6 +148,7 @@ NULL_PROBES = [
     "sim_hamming_topk", "pipeline_preference_pairs",
     "ml_embedding_dim_profile", "win_twap",
     "ml_cohens_kappa",
+    "agg_catalog_coverage", "pipeline_dataset_card",
 ]
 
 
