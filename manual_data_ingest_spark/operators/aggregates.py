@@ -2271,3 +2271,56 @@ def agg_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3 = rule("customers_never_ordered", cust, "c_custkey",
               o.select("o_custkey").distinct())
     return r1.unionByName(r2).unionByName(r3)
+
+
+@register("agg_wilson_interval", f"""
+WITH rates AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         count(CASE WHEN value > 50.0 THEN 1 END)::BIGINT AS k
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n, k,
+       {sql_rnd('k::DOUBLE / n::DOUBLE', 6)} AS p_hat,
+       {sql_rnd('(k::DOUBLE / n::DOUBLE + 1.9208::DOUBLE / n::DOUBLE'
+                ' - 1.96::DOUBLE * sqrt((k::DOUBLE / n::DOUBLE)'
+                ' * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE'
+                ' + 0.9604::DOUBLE / (n::DOUBLE * n::DOUBLE)))'
+                ' / (1.0 + 3.8416::DOUBLE / n::DOUBLE)', 6)} AS wilson_lo,
+       {sql_rnd('(k::DOUBLE / n::DOUBLE + 1.9208::DOUBLE / n::DOUBLE'
+                ' + 1.96::DOUBLE * sqrt((k::DOUBLE / n::DOUBLE)'
+                ' * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE'
+                ' + 0.9604::DOUBLE / (n::DOUBLE * n::DOUBLE)))'
+                ' / (1.0 + 3.8416::DOUBLE / n::DOUBLE)', 6)} AS wilson_hi
+FROM rates
+""")
+def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for the high-value-event rate
+    per event type — the proportion CI that behaves at the edges
+    (a 0/10 observed rate gets a sane upper bound where the naive
+    Wald interval collapses to [0,0]), which is why ranking-by-
+    lower-bound (Reddit's comment sort) and SLO error budgets use it.
+
+    Counts are exact integers off one conditional-agg pass; the
+    interval is a FIXED shared IEEE expression (z=1.96 and its powers
+    as shared literals — no inverse-CDF at query time, the
+    `ml_ab_srm_check` discipline), identical text both engines,
+    rounded 6dp. Groups always have n ≥ 1 by construction (they exist
+    because rows exist), so the divisions are safe without guards.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    rates = (ev.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.count(F.when(F.col("value") > 50.0, 1)).alias("k")))
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    center = p + F.lit(1.9208) / n
+    half = 1.96 * F.sqrt(p * (1.0 - p) / n + F.lit(0.9604) / (n * n))
+    denom = 1.0 + F.lit(3.8416) / n
+    return rates.select(
+        "event_type", "n", "k",
+        rnd(p, 6).alias("p_hat"),
+        rnd((center - half) / denom, 6).alias("wilson_lo"),
+        rnd((center + half) / denom, 6).alias("wilson_hi"))

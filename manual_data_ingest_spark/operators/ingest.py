@@ -1570,3 +1570,49 @@ def ingest_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grid.groupBy("week")
             .agg(rnd(chi2, 6).alias("chi2"),
                  (chi2 > 9.487729036781154).alias("shifted")))
+
+
+@register("ingest_rate_limit_audit", """
+WITH pm AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id, day
+)
+SELECT user_id,
+       count(*) AS n_hot_days,
+       max(n)::BIGINT AS peak_per_day,
+       sum(n)::BIGINT AS events_in_hot_days
+FROM pm WHERE n >= 3
+GROUP BY user_id
+HAVING max(n) >= 5
+""")
+def ingest_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / abuse audit: users whose per-DAY event rate peaked
+    at ≥5, with their hot-day count and volume — the bot-and-runaway-
+    client detector every public ingest endpoint runs, and the input
+    to a throttling policy ("99.9% of humans never exceed N/day" is
+    read off this table's complement). Day grain because the fixtures
+    are low-frequency (max 2/minute anywhere); a production endpoint
+    runs the identical plan at minute grain — only the divisor
+    changes.
+
+    The (user, day) pre-aggregation is the load-bearing move: the
+    shuffle carries day-buckets, not raw events, and the hot filter
+    (n ≥ 3) prunes before the per-user rollup — at 100 TB the benign
+    buckets (almost all of them) never leave partial aggregation.
+    Exact integer thresholds; same shape as a `transformWithState`
+    per-key counter in the streaming deployment.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    pm = (ev.select("user_id",
+                    (F.unix_micros("ts") / F.lit(86400000000))
+                    .cast("long").alias("day"))
+          .groupBy("user_id", "day").agg(F.count("*").alias("n")))
+    return (pm.filter(F.col("n") >= 3)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_hot_days"),
+                 F.max("n").alias("peak_per_day"),
+                 F.sum("n").alias("events_in_hot_days"))
+            .filter(F.col("peak_per_day") >= 5))

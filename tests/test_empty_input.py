@@ -79,6 +79,7 @@ PROBES = [
     "ml_embedding_dim_profile", "win_twap",
     "ml_cohens_kappa",
     "agg_catalog_coverage", "pipeline_dataset_card",
+    "ingest_rate_limit_audit", "agg_wilson_interval",
 ]
 
 
@@ -149,6 +150,7 @@ NULL_PROBES = [
     "ml_embedding_dim_profile", "win_twap",
     "ml_cohens_kappa",
     "agg_catalog_coverage", "pipeline_dataset_card",
+    "ingest_rate_limit_audit", "agg_wilson_interval",
 ]
 
 
