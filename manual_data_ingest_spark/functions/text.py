@@ -890,3 +890,76 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ranked.join(F.broadcast(d1), "w1").join(F.broadcast(d2), "w2")
             .join(F.broadcast(n))
             .select("w1", "w2", "n_both", rnd(pmi, 6).alias("pmi"), "rk"))
+
+
+@register("text_js_divergence", f"""
+WITH tw AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL AND source IN ('src0', 'src1')
+), counts AS (
+  SELECT source, w, count(*) AS c FROM tw WHERE w <> '' GROUP BY source, w
+), tots AS (
+  SELECT source, sum(c)::BIGINT AS tot FROM counts GROUP BY source
+), vocab AS (SELECT DISTINCT w FROM counts),
+grid AS (
+  SELECT v.w,
+         coalesce(a.c, 0)::DOUBLE
+             / (SELECT tot FROM tots WHERE source = 'src0')::DOUBLE AS p,
+         coalesce(b.c, 0)::DOUBLE
+             / (SELECT tot FROM tots WHERE source = 'src1')::DOUBLE AS q
+  FROM vocab v
+  LEFT JOIN (SELECT w, c FROM counts WHERE source = 'src0') a ON a.w = v.w
+  LEFT JOIN (SELECT w, c FROM counts WHERE source = 'src1') b ON b.w = v.w
+)
+SELECT count(*) AS n_vocab,
+       {sql_rnd('sum(CASE WHEN p > 0'
+                ' THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END'
+                ' + CASE WHEN q > 0'
+                ' THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)', 6)}
+           AS js_divergence
+FROM grid
+""")
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' word
+    distributions — the SYMMETRIC, always-finite distribution
+    distance (KL blows up on any word one source lacks; JS's mixture
+    midpoint never does), the standard "did this crawl's language
+    actually change" measure that `ingest_psi_drift`'s 5-bin length
+    histogram is too coarse to see.
+
+    Word counts are one grouped pass; the two-source grid outer-joins
+    on the shared vocabulary (vocab-bounded, the `text_cooccurrence_
+    pmi` argument); zero-probability terms contribute EXACTLY 0 via
+    explicit CASE arms (no epsilon hacks — JS needs none, unlike
+    PSI), and ln lives only inside the 6dp-rounded bounded sum
+    (PARITY #31).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isin("src0", "src1"))
+    tw = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = (tw.filter(F.col("w") != "")
+              .groupBy("source", "w").agg(F.count("*").alias("c")))
+    tots = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    t0 = tots.filter(F.col("source") == "src0").select(
+        F.col("tot").alias("tot0"))
+    t1 = tots.filter(F.col("source") == "src1").select(
+        F.col("tot").alias("tot1"))
+    a = (counts.filter(F.col("source") == "src0")
+         .select("w", F.col("c").alias("c0")))
+    b = (counts.filter(F.col("source") == "src1")
+         .select("w", F.col("c").alias("c1")))
+    vocab = counts.select("w").distinct()
+    grid = (vocab.join(a, "w", "left").join(b, "w", "left")
+            .join(F.broadcast(t0)).join(F.broadcast(t1))
+            .select(
+                (F.coalesce(F.col("c0"), F.lit(0)).cast("double")
+                 / F.col("tot0").cast("double")).alias("p"),
+                (F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                 / F.col("tot1").cast("double")).alias("q")))
+    m = (F.col("p") + F.col("q")) / 2.0
+    term = (F.when(F.col("p") > 0,
+                   0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+            + F.when(F.col("q") > 0,
+                     0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0))
+    return grid.agg(F.count("*").alias("n_vocab"),
+                    rnd(F.sum(term), 6).alias("js_divergence"))

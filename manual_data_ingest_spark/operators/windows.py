@@ -1982,3 +1982,70 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.sum(F.col("cents") * F.col("dt_us")).cast("double")
                      / F.sum("dt_us").cast("double") / 100.0, 4)
                  .alias("twap")))
+
+
+@register("win_rsi", f"""
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, day
+), deltas AS (
+  SELECT event_type, day,
+         cents - lag(cents) OVER w AS d
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), ga AS (
+  SELECT event_type, day,
+         sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w14 AS gains,
+         sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w14 AS losses,
+         count(d) OVER w14 AS n_win
+  FROM deltas
+  WINDOW w14 AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       {sql_rnd('CASE WHEN losses = 0 THEN 100.0'
+                ' ELSE 100.0 - 100.0 / (1.0 + gains::DOUBLE'
+                ' / losses::DOUBLE) END', 4)} AS rsi
+FROM ga WHERE n_win = 14
+""")
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (relative strength index) of the daily value series
+    per event type: 100·gains/(gains+losses) over a trailing
+    fortnight — the overbought/oversold oscillator, here reading
+    metric momentum ("is this KPI's recent movement mostly up or
+    mostly down") rather than stock prices.
+
+    Cutler's RSI (simple sums, not Wilder's recursive smoothing) —
+    deliberately: the recursive form carries infinite float memory
+    (the `win_ewma` class), the windowed form is EXACT integer cents
+    until one final division, and both engines agree bit-for-bit on
+    every gain/loss sum. Delta lag + both conditional sums + the
+    warm-up count ride ONE event_type ordering; all-gain days hit the
+    losses=0 branch explicitly on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    daily = (ev.select("event_type",
+                       (F.unix_micros("ts") / F.lit(86400000000))
+                       .cast("long").alias("day"),
+                       F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                       .cast("long").alias("c"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("c").alias("cents")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    deltas = daily.withColumn("d", F.col("cents") - F.lag("cents").over(w))
+    w14 = (Window.partitionBy("event_type").orderBy("day")
+           .rowsBetween(-13, 0))
+    ga = (deltas
+          .withColumn("gains", F.sum(
+              F.when(F.col("d") > 0, F.col("d")).otherwise(0)).over(w14))
+          .withColumn("losses", F.sum(
+              F.when(F.col("d") < 0, -F.col("d")).otherwise(0)).over(w14))
+          .withColumn("n_win", F.count("d").over(w14)))
+    rsi = (F.when(F.col("losses") == 0, 100.0)
+           .otherwise(100.0 - 100.0 / (1.0 + F.col("gains").cast("double")
+                                       / F.col("losses").cast("double"))))
+    return (ga.filter(F.col("n_win") == 14)
+            .select("event_type", "day", rnd(rsi, 4).alias("rsi")))

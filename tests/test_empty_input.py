@@ -80,6 +80,7 @@ PROBES = [
     "ml_cohens_kappa",
     "agg_catalog_coverage", "pipeline_dataset_card",
     "ingest_rate_limit_audit", "agg_wilson_interval",
+    "win_rsi", "text_js_divergence",
 ]
 
 
@@ -151,6 +152,7 @@ NULL_PROBES = [
     "ml_cohens_kappa",
     "agg_catalog_coverage", "pipeline_dataset_card",
     "ingest_rate_limit_audit", "agg_wilson_interval",
+    "win_rsi", "text_js_divergence",
 ]
 
 
