@@ -2324,3 +2324,69 @@ def agg_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(p, 6).alias("p_hat"),
         rnd((center - half) / denom, 6).alias("wilson_lo"),
         rnd((center + half) / denom, 6).alias("wilson_hi"))
+
+
+@register("agg_revenue_bridge", f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS prev_cents,
+         sum(CASE WHEN year(o_orderdate) = 1998
+             THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             ELSE 0 END) AS curr_cents
+  FROM orders
+  WHERE o_orderdate IS NOT NULL
+    AND year(o_orderdate) IN (1997, 1998)
+  GROUP BY o_custkey
+), classed AS (
+  SELECT o_custkey, prev_cents, curr_cents,
+         CASE WHEN prev_cents = 0 AND curr_cents > 0 THEN 'new'
+              WHEN prev_cents > 0 AND curr_cents = 0 THEN 'churned'
+              WHEN curr_cents > prev_cents THEN 'expansion'
+              WHEN curr_cents < prev_cents THEN 'contraction'
+              ELSE 'flat' END AS segment
+  FROM per_cust
+)
+SELECT segment,
+       count(*) AS n_customers,
+       {sql_rnd('sum(curr_cents - prev_cents)::DOUBLE / 100.0', 2)}
+           AS revenue_delta
+FROM classed GROUP BY segment
+""")
+def agg_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (growth accounting): the 1997→1998 revenue delta
+    decomposed into new / churned / expansion / contraction customer
+    segments — the waterfall every board deck shows, answering
+    "revenue grew 3%: was that new logos or existing accounts
+    spending more, net of churn". The segment deltas sum EXACTLY to
+    the total year-over-year change (a conservation law a hand-built
+    bridge usually violates).
+
+    ONE conditional-aggregation pass builds both years per customer
+    (never two scans + a full-outer join — the `ingest_dq_suite`
+    lesson applied to time slices: a customer absent in a year is a
+    ZERO from the same group, not a NULL from a join). Exact integer
+    cents end-to-end; the only float op is the final display division.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.year("o_orderdate").isin(1997, 1998))
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.sum(F.when(F.year("o_orderdate") == 1997, cents)
+                           .otherwise(0)).alias("prev_cents"),
+                     F.sum(F.when(F.year("o_orderdate") == 1998, cents)
+                           .otherwise(0)).alias("curr_cents")))
+    seg = (F.when((F.col("prev_cents") == 0)
+                  & (F.col("curr_cents") > 0), "new")
+           .when((F.col("prev_cents") > 0)
+                 & (F.col("curr_cents") == 0), "churned")
+           .when(F.col("curr_cents") > F.col("prev_cents"), "expansion")
+           .when(F.col("curr_cents") < F.col("prev_cents"), "contraction")
+           .otherwise("flat"))
+    return (per_cust.withColumn("segment", seg)
+            .groupBy("segment")
+            .agg(F.count("*").alias("n_customers"),
+                 rnd(F.sum(F.col("curr_cents") - F.col("prev_cents"))
+                     .cast("double") / 100.0, 2).alias("revenue_delta")))

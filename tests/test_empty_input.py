@@ -81,6 +81,7 @@ PROBES = [
     "agg_catalog_coverage", "pipeline_dataset_card",
     "ingest_rate_limit_audit", "agg_wilson_interval",
     "win_rsi", "text_js_divergence",
+    "agg_revenue_bridge",
 ]
 
 
@@ -153,6 +154,7 @@ NULL_PROBES = [
     "agg_catalog_coverage", "pipeline_dataset_card",
     "ingest_rate_limit_audit", "agg_wilson_interval",
     "win_rsi", "text_js_divergence",
+    "agg_revenue_bridge",
 ]
 
 
