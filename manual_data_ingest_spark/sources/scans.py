@@ -1019,3 +1019,76 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
         F.sum(F.when(F.col("_corrupt").isNull(), F.col("n_chars"))
               .otherwise(0)).alias("parsed_chars"))
+
+
+@register("scan_jsonl_badrecords", """
+SELECT 'parsed' AS status,
+       count(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS n_rows,
+       sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars ELSE 0 END)::BIGINT
+           AS sum_chars
+FROM documents
+UNION ALL
+SELECT 'corrupt',
+       count(CASE WHEN doc_id % 10 = 0 THEN 1 END),
+       0
+FROM documents
+""")
+def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed JSONL recovery: a line-delimited JSON batch where
+    every 10th record is truncated mid-object (unparseable), read in
+    PERMISSIVE mode with a corrupt-record column — the JSON twin of
+    `scan_csv_badrecords`, and the more common 100 TB case (event
+    buses and API exports ship JSONL; truncated writes at rotation
+    boundaries are their signature failure).
+
+    The batch is written DISTRIBUTED (text sink of constructed lines,
+    no driver loop); the corrupt lines become quarantine rows with the
+    raw line preserved in `_corrupt` for replay — availability AND no
+    data loss, which DROPMALFORMED/FAILFAST each sacrifice one of.
+    The oracle pins the recovery accounting from the construction
+    rule (every 10th doc), so the parse layer is verified against
+    ground truth, not against itself.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    out = _tmpdir("mdis_badjsonl_")
+    path = f"{out}/batch.jsonl"
+    esc = F.regexp_replace(F.regexp_replace("text", r'\\\\', r'\\\\\\\\'),
+                           '"', r'\\"')
+    full = F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
+                    F.lit(', "text": "'), esc,
+                    F.lit('", "n_chars": '), F.col("n_chars"), F.lit('}'))
+    good = (d.filter(F.col("doc_id") % 10 != 0)
+            .select(full.alias("line")))
+    bad = (d.filter(F.col("doc_id") % 10 == 0)
+           .select(F.substring(full, 1, 25).alias("line")))  # truncated
+    good.unionByName(bad).write.mode("overwrite").text(path)
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt", T.StringType()),
+    ])
+    back = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path))
+    # ONE conditional aggregate referencing data + _corrupt together
+    # (a corrupt-only projection is disallowed by Spark: QUERY_ONLY_
+    # CORRUPT_RECORD_COLUMN), fanned out via map-explode (the
+    # ingest_validate trick) — also one scan instead of two.
+    agg = back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.coalesce(F.sum(F.when(F.col("_corrupt").isNull(),
+                                F.col("n_chars"))), F.lit(0))
+        .cast("long").alias("good_chars"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_bad"))
+    return agg.select(F.explode(F.create_map(
+        F.lit("parsed"), F.struct(F.col("n_good").alias("n_rows"),
+                                  F.col("good_chars").alias("sum_chars")),
+        F.lit("corrupt"), F.struct(F.col("n_bad").alias("n_rows"),
+                                   F.lit(0).cast("long")
+                                   .alias("sum_chars"))))
+        .alias("status", "v")).select("status", "v.n_rows", "v.sum_chars")

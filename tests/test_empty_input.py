@@ -82,6 +82,7 @@ PROBES = [
     "ingest_rate_limit_audit", "agg_wilson_interval",
     "win_rsi", "text_js_divergence",
     "agg_revenue_bridge",
+    "scan_jsonl_badrecords",
 ]
 
 
@@ -155,6 +156,7 @@ NULL_PROBES = [
     "ingest_rate_limit_audit", "agg_wilson_interval",
     "win_rsi", "text_js_divergence",
     "agg_revenue_bridge",
+    "scan_jsonl_badrecords",
 ]
 
 
