@@ -1807,3 +1807,51 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") > 0, rnd(agree / n, 6)).alias("accuracy"),
         F.when(F.col("n") * F.col("n") - F.col("chance_prod") > 0,
                rnd((agree * n - cp) / (n * n - cp), 6)).alias("kappa"))
+
+
+@register("ml_power_analysis", f"""
+WITH stats AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         avg(value) AS mu,
+         var_pop(value) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       {sql_rnd('mu', 4)} AS mean_value,
+       CAST(ceil(2.0 * v * 7.84895656 / (0.05 * mu) / (0.05 * mu))
+            AS BIGINT) AS n_per_arm_5pct,
+       (n >= 2 * CAST(ceil(2.0 * v * 7.84895656
+                           / (0.05 * mu) / (0.05 * mu)) AS BIGINT))
+           AS currently_powered
+FROM stats WHERE mu > 0
+""")
+def ml_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis from observed metric variance: the per-arm
+    sample size to detect a 5% lift at α=0.05 / 80% power —
+    n = 2σ²(z₀.₉₇₅+z₀.₈)²/δ² with (1.96+0.8416)² = 7.84895656 as the
+    shared literal (no inverse-CDF at query time, the `ml_ab_srm_check`
+    discipline). The "how long must this experiment run" answer
+    computed from the SAME table the experiment will read, not a stale
+    spreadsheet; pairs with the SRM guard and the delta-method readout.
+
+    One grouped moment pass; the IDENTICAL expression string runs on
+    both engines, and ceil() sits on a product of well-separated
+    magnitudes (no rounding-boundary risk). Zero-mean groups are
+    excluded (δ = 5% of the mean would be 0).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    stats = (ev.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.avg("value").alias("mu"),
+                  F.var_pop("value").alias("v")))
+    delta = 0.05 * F.col("mu")
+    n_req = F.ceil(2.0 * F.col("v") * F.lit(7.84895656)
+                   / delta / delta).cast("long")
+    return (stats.filter(F.col("mu") > 0)
+            .select("event_type", "n",
+                    rnd(F.col("mu"), 4).alias("mean_value"),
+                    n_req.alias("n_per_arm_5pct"),
+                    (F.col("n") >= 2 * n_req).alias("currently_powered")))

@@ -83,6 +83,7 @@ PROBES = [
     "win_rsi", "text_js_divergence",
     "agg_revenue_bridge",
     "scan_jsonl_badrecords",
+    "ml_power_analysis",
 ]
 
 
@@ -157,6 +158,7 @@ NULL_PROBES = [
     "win_rsi", "text_js_divergence",
     "agg_revenue_bridge",
     "scan_jsonl_badrecords",
+    "ml_power_analysis",
 ]
 
 
