@@ -2390,3 +2390,59 @@ def agg_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_customers"),
                  rnd(F.sum(F.col("curr_cents") - F.col("prev_cents"))
                      .cast("double") / 100.0, 2).alias("revenue_delta")))
+
+
+@register("agg_seasonal_index", f"""
+WITH daily AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         ((epoch_us(ts) // 86400000000) % 7)::INT AS dow,
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type, day, dow
+), per_dow AS (
+  SELECT event_type, dow,
+         count(*)::BIGINT AS n_days,
+         sum(cents) AS cents,
+         avg(cents::DOUBLE) AS dow_avg
+  FROM daily GROUP BY event_type, dow
+), overall AS (
+  SELECT event_type, avg(cents::DOUBLE) AS all_avg FROM daily
+  GROUP BY event_type
+)
+SELECT p.event_type, p.dow, p.n_days,
+       {sql_rnd('p.dow_avg / o.all_avg', 6)} AS seasonal_index
+FROM per_dow p JOIN overall o ON o.event_type = p.event_type
+""")
+def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative day-of-week seasonal index per event type
+    (dow average ÷ overall daily average; 1.0 = typical day) — the
+    FACTORS a forecast multiplies its baseline by, where
+    `agg_seasonality_strength` only says whether seasonality exists.
+    The dow is epoch-day mod 7 (integer, timezone-free) so the index
+    is keyed identically on both engines and under any session TZ.
+
+    Both layers reduce from the same exact-cents daily rollup — the
+    dow average and the overall average ride one (type, day) collapse;
+    the final join is types×7. The ratio of two averages of the SAME
+    integer set is a fixed IEEE sequence (each avg is one division of
+    an exact sum); rounded 6dp.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull())
+    day = (F.unix_micros("ts") / F.lit(86400000000)).cast("long")
+    daily = (ev.select("event_type", day.alias("day"),
+                       F.floor(F.col("value") * 100.0 + F.lit(0.5))
+                       .cast("long").alias("c"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("c").alias("cents"))
+             .withColumn("dow", (F.col("day") % 7).cast("int")))
+    per_dow = (daily.groupBy("event_type", "dow")
+               .agg(F.count("*").alias("n_days"),
+                    F.avg(F.col("cents").cast("double")).alias("dow_avg")))
+    overall = (daily.groupBy("event_type")
+               .agg(F.avg(F.col("cents").cast("double")).alias("all_avg")))
+    return (per_dow.join(F.broadcast(overall), "event_type")
+            .select("event_type", "dow", "n_days",
+                    rnd(F.col("dow_avg") / F.col("all_avg"), 6)
+                    .alias("seasonal_index")))

@@ -1616,3 +1616,46 @@ def ingest_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n").alias("peak_per_day"),
                  F.sum("n").alias("events_in_hot_days"))
             .filter(F.col("peak_per_day") >= 5))
+
+
+@register("ingest_double_submit_guard", """
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+       count(*) AS n_rapid_repeats,
+       count(DISTINCT user_id) AS n_users,
+       min(gap_us) AS min_gap_us
+FROM seq WHERE gap_us IS NOT NULL AND gap_us <= 1800000000
+GROUP BY event_type
+""")
+def ingest_double_submit_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat detector: a user firing the SAME event type again
+    within 30 minutes of the last one — the double-click / retry-storm
+    signature that exact-key dedup (`stream_dedup`, `dedup_exact`)
+    misses because each submission mints a fresh event_id. Per type:
+    repeat count, affected users, tightest gap.
+
+    The lag window partitions on the natural duplicate key
+    (user, type) so ONLY repeat candidates ever sit adjacent — no
+    pair join, no threshold scan; the 30-minute bound is exact
+    integer µs. At ingest time the same predicate becomes the
+    drop/flag rule; here it is the audit that sizes the problem first
+    (the `ingest_missing_hours_report` philosophy: measure, then fix).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ts", "event_id"))
+    seq = ev.withColumn("gap_us",
+                        F.unix_micros("ts")
+                        - F.lag(F.unix_micros("ts")).over(w))
+    return (seq.filter(F.col("gap_us").isNotNull()
+                       & (F.col("gap_us") <= 1800000000))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_rapid_repeats"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min("gap_us").alias("min_gap_us")))

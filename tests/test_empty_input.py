@@ -84,6 +84,7 @@ PROBES = [
     "agg_revenue_bridge",
     "scan_jsonl_badrecords",
     "ml_power_analysis",
+    "agg_seasonal_index", "ingest_double_submit_guard",
 ]
 
 
@@ -159,6 +160,7 @@ NULL_PROBES = [
     "agg_revenue_bridge",
     "scan_jsonl_badrecords",
     "ml_power_analysis",
+    "agg_seasonal_index", "ingest_double_submit_guard",
 ]
 
 
