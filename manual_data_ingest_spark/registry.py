@@ -87,22 +87,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _driver_green() -> frozenset[str]:
-    """Names hash-green in any on-disk ``CORRECTNESS_r*.json`` verdict.
+def _latest_verdicts() -> dict[str, bool]:
+    """Latest driver verdict per name across ``CORRECTNESS_r*.json``.
 
-    File-driven (r2 verdict item 1): the driver writes one file per
-    round next to the package; parsing them here means the grading
-    window rotates automatically each round with zero hand-maintained
-    frozensets. A name is green once ANY round hash-matched it; a name
-    whose latest verdict is red never lands here, so regressions and
-    unfixed reds re-enter the head of the order.
+    Files are processed in round order (the ``r0N`` suffix sorts
+    lexicographically) and later rounds OVERWRITE earlier ones, so the
+    value is each name's most recent hash verdict — an operator that was
+    green in r2 but regresses red in a later round re-enters the grading
+    head instead of hiding in the tail forever (r3 advisor, medium).
     """
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -110,9 +109,21 @@ def _driver_green() -> frozenset[str]:
         except (OSError, ValueError):  # pragma: no cover — corrupt file
             continue
         for name, v in verdicts.items():
-            if isinstance(v, dict) and v.get("hash_match"):
-                green.add(name)
-    return frozenset(green)
+            latest[name] = bool(isinstance(v, dict) and v.get("hash_match"))
+    return latest
+
+
+def _driver_green() -> frozenset[str]:
+    """Names whose LATEST on-disk driver verdict is hash-green.
+
+    File-driven (r2 verdict item 1): the driver writes one file per
+    round next to the package; parsing them here means the grading
+    window rotates automatically each round with zero hand-maintained
+    frozensets. Latest-verdict semantics (r3 advisor): a name whose most
+    recent verdict is red never lands here, so regressions and unfixed
+    reds re-enter the head of the order.
+    """
+    return frozenset(n for n, ok in _latest_verdicts().items() if ok)
 
 
 def _driver_order(names: list[str]) -> list[str]:
@@ -130,19 +141,7 @@ def _driver_order(names: list[str]) -> list[str]:
 
 def _graded_names() -> frozenset[str]:
     """Every name that has EVER received a driver verdict (green or red)."""
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    graded: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                graded.update(json.load(fh))
-        except (OSError, ValueError):  # pragma: no cover
-            continue
-    return frozenset(graded)
+    return frozenset(_latest_verdicts())
 
 
 def all_queries() -> dict[str, QueryFn]:
