@@ -220,6 +220,12 @@ def main() -> None:
 
     spark = get_spark("mdis-bench")
     per_scale = {f"{s}x": bench_scale(spark, s) for s in SCALES}
+    # Reset shuffle partitions to the 1x base before probing the floor
+    # (r3 advisor): the scale loop leaves base*last_scale set, and the
+    # floor is subtracted from 1x numbers — it must pair with their
+    # partition config for cross-round comparability.
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"])
     floor = measure_floor(spark)
 
     base = per_scale.get("1x") or per_scale[f"{SCALES[0]}x"]

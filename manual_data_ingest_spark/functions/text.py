@@ -614,7 +614,7 @@ WITH tok AS MATERIALIZED (
     SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ), bounds AS (
     SELECT d AS decile,
-           (SELECT max(doc_id) + 1 FROM documents) * d / 10 AS bound
+           ((SELECT max(doc_id) + 1 FROM documents) * d) // 10 AS bound
     FROM unnest(generate_series(1, 10)) AS g(d)
 ), first_seen AS MATERIALIZED (
     SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token
@@ -649,9 +649,13 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     max_id = d.agg((F.max("doc_id") + 1).alias("m"))
+    # Integer floor division on BOTH engines (r3 advisor): Spark's `/` is
+    # float (121*? -> 120.1) while the oracle's `//` floors — for corpora
+    # whose (max_doc_id+1)*d is not a multiple of 10 the boundary doc
+    # would land in different deciles.
     bounds = (spark.range(1, 11).select(F.col("id").alias("decile"))
               .crossJoin(F.broadcast(max_id))
-              .select("decile", (F.col("m") * F.col("decile") / 10)
+              .select("decile", F.floor(F.col("m") * F.col("decile") / 10)
                       .alias("bound")))
     first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     tokens_cum = (tok.join(F.broadcast(bounds), F.col("doc_id") < F.col("bound"))
@@ -804,10 +808,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
     words = F.split("text", " ")
+    # Mirror the oracle's window exactly (r3 advisor): start positions
+    # capped at 199 (0-based j <= 198) and docs with <3 tokens emit
+    # nothing — without the guard `sequence(0, size-3)` DESCENDS for
+    # short docs and null-skipping concat_ws fabricates partial grams.
     grams = (d.select("doc_id", "source", words.alias("words"))
+             .filter(F.expr("size(words) >= 3"))
              .select("doc_id", "source",
                      F.posexplode(F.expr(
-                         "transform(sequence(0, size(words) - 3),"
+                         "transform(sequence(0, least(size(words) - 3, 198)),"
                          " j -> concat_ws(' ', words[j], words[j+1],"
                          " words[j+2]))")).alias("i", "gram"))
              .filter(F.col("gram").isNotNull())

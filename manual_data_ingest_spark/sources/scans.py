@@ -1053,7 +1053,11 @@ def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars")
     out = _tmpdir("mdis_badjsonl_")
     path = f"{out}/batch.jsonl"
-    esc = F.regexp_replace(F.regexp_replace("text", r'\\\\', r'\\\\\\\\'),
+    # Java-regex pattern r'\\' matches ONE literal backslash (the r3
+    # advisor caught the previous r'\\\\', which only matched PAIRS and
+    # left a lone backslash unescaped → invalid JSON line miscounted as
+    # corrupt); replacement r'\\\\' emits the two-char escape sequence.
+    esc = F.regexp_replace(F.regexp_replace("text", r'\\', r'\\\\'),
                            '"', r'\\"')
     full = F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
                     F.lit(', "text": "'), esc,

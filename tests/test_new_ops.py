@@ -1947,3 +1947,74 @@ def test_top_terms_are_rare_not_stopwords(spark):
     out = E.queries()["text_top_terms"](spark, SF_ORACLE).collect()
     top1 = [r.token for r in out if r.rn == 1]
     assert top1 and not (set(top1) & ubiquitous)
+
+
+def _edge_docs_dir(spark, tmp_path, rows):
+    """Write a tiny custom documents.parquet and return its dir."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t) if t is not None else None)
+         for i, t in enumerate(rows)], schema)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _oracle_rows(name, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    cur = con.execute(E.oracle_sql()[name])
+    cols = [d[0] for d in cur.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(r[i] for i in idx) for r in cur.fetchall())
+    con.close()
+    return out
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_vocab_growth_non_decimal_corpus_matches_oracle(spark, tmp_path):
+    """11 docs ⇒ (max_id+1)*d rarely divisible by 10: the decile bound
+    must floor identically on both engines (r3 advisor, medium)."""
+    texts = [f"w{i} common w{i} extra{i % 3}" for i in range(11)]
+    d = _edge_docs_dir(spark, tmp_path, texts)
+    got = _spark_rows(E.queries()["text_vocab_growth"](spark, d))
+    want = _oracle_rows("text_vocab_growth", d)
+    assert got == want
+
+
+def test_ngram_novelty_short_and_long_docs_match_oracle(spark, tmp_path):
+    """Docs with <3 tokens emit NO grams (no fabricated partials) and
+    docs with >201 tokens cap at the oracle's 199 start positions."""
+    texts = ["one", "two words", "", " ".join(f"t{i % 7}" for i in range(260)),
+             "alpha beta gamma delta"]
+    d = _edge_docs_dir(spark, tmp_path, texts)
+    got = _spark_rows(E.queries()["text_ngram_novelty"](spark, d))
+    want = _oracle_rows("text_ngram_novelty", d)
+    assert got == want
+
+
+def test_jsonl_badrecords_lone_backslash_roundtrip(spark, tmp_path):
+    """A lone backslash in text must escape to valid JSON: the corrupt
+    count stays exactly the constructed every-10th-doc set."""
+    texts = [("back\\slash and \"quote\" no" + str(i)) for i in range(20)]
+    d = _edge_docs_dir(spark, tmp_path, texts)
+    out = {r.status: r for r in
+           E.queries()["scan_jsonl_badrecords"](spark, d).collect()}
+    assert out["parsed"].n_rows == 18      # doc_id 0 and 10 truncated
+    assert out["corrupt"].n_rows == 2
+    assert out["parsed"].sum_chars == sum(
+        len(t) for i, t in enumerate(texts) if i % 10 != 0)
