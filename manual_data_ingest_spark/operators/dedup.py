@@ -1095,3 +1095,98 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id", "hamming", "rn"))
+
+
+def _shw_chunk(col: str, c: int) -> str:
+    """15-bit chunk ``c`` of a 60-bit fingerprint column (both dialects:
+    ``>>``/``&`` spell identically in Spark SQL and DuckDB)."""
+    return f"(({col} >> {c * _SHW_CHUNK_BITS}) & {(1 << _SHW_CHUNK_BITS) - 1})"
+
+
+_SHW_CHUNK_OR = " OR ".join(
+    f"{_shw_chunk('p.pfp', c)} = {_shw_chunk('b.fp', c)}"
+    for c in range(_SHW_CHUNKS))
+
+
+@register("sim_hamming_topk_blocked", f"""
+WITH tok AS (
+    SELECT doc_id, count(*) AS cnt,
+           ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY doc_id, h
+),
+sums AS (SELECT doc_id, {_SHW_DUCK_SUMS} FROM tok GROUP BY doc_id),
+fps AS (SELECT doc_id, {_SHW_DUCK_FP} AS fp FROM sums),
+probes AS (SELECT doc_id AS probe_id, fp AS pfp FROM fps
+           WHERE doc_id % 100 = 0 AND doc_id < 5000)
+SELECT probe_id, neighbor_id, hamming, rn FROM (
+    SELECT p.probe_id, b.doc_id AS neighbor_id,
+           bit_count(xor(p.pfp, b.fp)) AS hamming,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY bit_count(xor(p.pfp, b.fp)),
+                                       b.doc_id) AS rn
+    FROM probes p JOIN fps b
+      ON b.doc_id <> p.probe_id AND ({_SHW_CHUNK_OR})
+) WHERE rn <= 3
+""")
+def sim_hamming_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked Hamming retrieval — `sim_hamming_topk`'s scale
+    twin (r3 verdict item 5): candidates are only documents sharing at
+    least one EXACT 15-bit chunk of the 60-bit SimHash fingerprint with
+    the probe, so every pair within hamming <= 3 is guaranteed retrieved
+    (4 chunks, pigeonhole) and the candidate set comes from a (chunk_id,
+    chunk_value) EQUI-JOIN that SHUFFLES 8-byte signatures instead of
+    broadcasting a side — the shape that survives when the probe set
+    outgrows a broadcast. Random non-near docs collide on a chunk with
+    p = 4/2^15, so candidate volume is ~n·|probes|/8192 instead of
+    n·|probes|.
+
+    Recall trade (pinned in tests/test_recall.py): true top-3 neighbors
+    at hamming > 3 that share no chunk are missed — exactly the LSH
+    contract `sim_knn_graph_blocked` documents for cosine. Both engines
+    compute the same candidate set, so the oracle stays hash-exact.
+
+    Plan: fingerprints from the shared `dedup_simhash_wide` aggregation
+    (one token shuffle); both sides explode into 4 chunk rows; the join
+    key is (ci, cv); pairs sharing k chunks are kept once via the
+    first-matching-chunk codegen filter (no distinct() exchange — the
+    `dedup_simhash` move); only survivors pay bit_count + the per-probe
+    top-3 window.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .select("doc_id",
+                   F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10)"
+                          " as bigint)").alias("h")))
+    fps = (tok.groupBy("doc_id")
+           .agg(*[F.expr(f"sum((((shiftright(h, {b})) & 1) * 2 - 1))")
+                  .alias(f"s{b}") for b in range(_SHW_BITS)])
+           .select("doc_id", F.expr(_SHW_SPARK_FP).alias("fp")))
+
+    def chunks(col: str) -> F.Column:
+        return F.array(*[
+            F.struct(F.lit(c).alias("ci"),
+                     F.expr(_shw_chunk(col, c)).alias("cv"))
+            for c in range(_SHW_CHUNKS)])
+
+    pch = (fps.filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 5000))
+           .select(F.col("doc_id").alias("probe_id"),
+                   F.col("fp").alias("pfp"),
+                   F.explode(chunks("fp")).alias("ch"))
+           .select("probe_id", "pfp", "ch.ci", "ch.cv"))
+    cch = (fps.select("doc_id", "fp", F.explode(chunks("fp")).alias("ch"))
+           .select("doc_id", "fp", "ch.ci", "ch.cv"))
+    first_match = "CASE " + " ".join(
+        f"WHEN {_shw_chunk('pfp', c)} = {_shw_chunk('fp', c)} THEN {c}"
+        for c in range(_SHW_CHUNKS)) + " END"
+    w = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    return (pch.join(cch, ["ci", "cv"])
+            .filter(F.col("doc_id") != F.col("probe_id"))
+            .filter(F.col("ci") == F.expr(first_match))
+            .select("probe_id", F.col("doc_id").alias("neighbor_id"),
+                    F.expr("bit_count(pfp ^ fp)").alias("hamming"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id", "hamming", "rn"))

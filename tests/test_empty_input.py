@@ -75,7 +75,8 @@ PROBES = [
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
     "ingest_missing_hours_report", "agg_skyline_2d",
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
-    "sim_hamming_topk", "pipeline_preference_pairs",
+    "sim_hamming_topk", "sim_hamming_topk_blocked",
+    "pipeline_preference_pairs",
     "ml_embedding_dim_profile", "win_twap",
     "ml_cohens_kappa",
     "agg_catalog_coverage", "pipeline_dataset_card",
@@ -151,7 +152,8 @@ NULL_PROBES = [
     "join_fuzzy_levenshtein", "ml_threshold_sweep",
     "ingest_missing_hours_report", "agg_skyline_2d",
     "ingest_mix_shift_chi2", "agg_abc_classification", "win_error_burst",
-    "sim_hamming_topk", "pipeline_preference_pairs",
+    "sim_hamming_topk", "sim_hamming_topk_blocked",
+    "pipeline_preference_pairs",
     "ml_embedding_dim_profile", "win_twap",
     "ml_cohens_kappa",
     "agg_catalog_coverage", "pipeline_dataset_card",

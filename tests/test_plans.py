@@ -817,3 +817,13 @@ def test_balanced_label_broadcast_scalar(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # the rank window partitions by label — no SinglePartition exchange
     # on the full rowset (only the 1-row scalar reduces globally)
+
+
+def test_hamming_blocked_is_equi_join(spark):
+    """The pigeonhole twin must generate candidates via a (ci, cv)
+    HASH equi-join — never a nested-loop/cartesian over all pairs —
+    and shuffle only 8-byte fingerprints, not text."""
+    plan = _plan(spark, "sim_hamming_topk_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan

@@ -119,3 +119,25 @@ def test_knn_graph_blocked_recall_and_rank_fidelity(spark, qs):
     # is the semantic law; recall is the documented knob (more bits /
     # multi-probe / IVF key on clustered real corpora).
     assert recall >= 0.10, f"blocked kNN recall collapsed: {recall:.3f}"
+
+
+def test_hamming_blocked_radius3_recall_is_total(spark, qs):
+    """Pigeonhole law: 4 chunks over a 60-bit fp mean ANY pair within
+    hamming <= 3 shares an exact chunk, so every exact top-3 neighbor
+    at hamming <= 3 MUST appear in the blocked twin's candidate output
+    (recall is exact inside the radius, approximate beyond — the
+    documented trade)."""
+    exact = qs["sim_hamming_topk"](spark, SF_ORACLE).collect()
+    blocked = {(r.probe_id, r.neighbor_id)
+               for r in qs["sim_hamming_topk_blocked"](spark, SF_ORACLE).collect()}
+    assert blocked, "blocked twin returned nothing"
+    must_have = [(r.probe_id, r.neighbor_id) for r in exact if r.hamming <= 3]
+    missed = [p for p in must_have if p not in blocked]
+    assert missed == [], f"in-radius neighbors missed: {missed}"
+    # and the blocked output never invents a closer-than-exact rank-1:
+    exact_best = {}
+    for r in exact:
+        exact_best.setdefault(r.probe_id, r.hamming)
+    for r in qs["sim_hamming_topk_blocked"](spark, SF_ORACLE).collect():
+        if r.rn == 1 and r.probe_id in exact_best:
+            assert r.hamming >= exact_best[r.probe_id], r
