@@ -21,11 +21,41 @@ import os
 import shutil
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 OFFSET = 10_000_000
+
+#: keep in sync with tests/test_guard_band.py (similarity._SIM_THRESHOLD)
+GUARD_THRESHOLD = 0.35
+GUARD = 1e-9
+
+
+def _assert_guard_band(src: str) -> None:
+    """Generator-side guard-band assertion (r3 verdict item 6).
+
+    The raw-cosine threshold filters (dedup_embedding / sim_threshold_
+    pairs) are order-safe only while NO fixture pair's cosine lies
+    within GUARD of the threshold — tests/test_guard_band.py pins that
+    for the checked-in fixtures; this asserts it at REPLICA BUILD time
+    so a regenerated corpus cannot silently land a borderline pair.
+    Replication only duplicates vectors (offset keys, identical
+    embeddings), so the source-level check covers every replica pair:
+    cross-replica duplicates score exactly 1.0, far from the threshold.
+    """
+    t = pq.read_table(f"{src}/embeddings.parquet", columns=["embedding"])
+    emb = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", emb, emb))
+    cos = (emb @ emb.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(emb), k=1)
+    gap = np.abs(cos[iu] - GUARD_THRESHOLD).min()
+    assert gap > GUARD, (
+        f"{src}: embedding pair within {gap:.3e} of the "
+        f"{GUARD_THRESHOLD} threshold — raw-score filters are no longer "
+        "order-safe; switch threshold filters to the bit-exact fold "
+        "before using this corpus")
 
 #: key columns offset per replica (identity + intra-replica FKs)
 KEYS: dict[str, list[str]] = {
@@ -52,6 +82,7 @@ def build(n: int, src: str, out: str) -> None:
         print(f"{out}: already built, skipping (rm {marker} to rebuild)",
               file=sys.stderr)
         return
+    _assert_guard_band(src)
     os.makedirs(out, exist_ok=True)
     for t in DIMS:
         shutil.copy(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
