@@ -972,3 +972,121 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                      0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0))
     return grid.agg(F.count("*").alias("n_vocab"),
                     rnd(F.sum(term), 6).alias("js_divergence"))
+
+
+_DOMAINS = (
+    ("query_engine", ("join", "scan", "filter", "sort", "agg", "query",
+                      "group", "merge")),
+    ("storage", ("row", "column", "table", "key", "hash", "part", "batch",
+                 "vector")),
+    ("streaming", ("stream", "window", "order", "line", "data", "value")),
+)
+
+
+def _domain_score_sql(tokens: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{t}'" for t in tokens)
+    return (f"len(list_filter(string_split(text, ' '),"
+            f" t -> t IN ({inlist})))")
+
+
+@register("text_domain_classify", f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {", ".join(f"{_domain_score_sql(toks)} AS sc_{i}"
+                      for i, (_, toks) in enumerate(_DOMAINS))}
+    FROM documents
+), pick AS (
+    SELECT doc_id, lang, dom AS domain, sc
+    FROM scored, LATERAL (
+        SELECT unnest(['{_DOMAINS[0][0]}', '{_DOMAINS[1][0]}',
+                       '{_DOMAINS[2][0]}']) AS dom,
+               unnest([sc_0, sc_1, sc_2]) AS sc) u
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY sc DESC, dom) = 1
+)
+SELECT domain, lang, count(*) AS n_docs
+FROM pick GROUP BY 1, 2
+""")
+def text_domain_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-list topic/domain classification (argmax of per-domain
+    token-hit counts, `text_lang_id`'s n-gram-heuristic discipline
+    applied to topic): the curation step that routes documents to
+    domain-specific pipelines and feeds the training-mix accounting
+    (`pipeline_training_mix` needs a domain column from SOMEWHERE —
+    this is the cheapest somewhere).
+
+    Scale shape: scoring is a map-only scan expression (one
+    `array_intersect`-style filter per domain over the in-row token
+    array — no explode, no shuffle); the only shuffle is the final
+    (domain, lang) count with map-side partials. Determinism: scores
+    are integers and the argmax tie-breaks on domain name, so the
+    cross-engine verdict is exact with no float in sight.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def _hit_counter(ts: tuple[str, ...]):
+        # one-arg lambda via closure: a default-arg lambda would have
+        # arity 2 and F.filter would feed it the element INDEX
+        return lambda t: t.isin(*ts)
+
+    scores = [
+        F.size(F.filter(toks, _hit_counter(dtoks))).alias(f"sc_{i}")
+        for i, (_, dtoks) in enumerate(_DOMAINS)]
+    scored = d.select("doc_id", "lang", *scores)
+    pairs = F.array(*[
+        F.struct(F.lit(name).alias("dom"), F.col(f"sc_{i}").alias("sc"))
+        for i, (name, _) in enumerate(_DOMAINS)])
+    pick = (scored.select("doc_id", "lang", F.explode(pairs).alias("p"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("doc_id")
+                .orderBy(F.col("p.sc").desc(), F.col("p.dom"))))
+            .filter(F.col("rn") == 1))
+    return (pick.groupBy(F.col("p.dom").alias("domain"), "lang")
+            .agg(F.count("*").alias("n_docs")))
+
+
+_FERT_BPE = f"len(regexp_extract_all(text, '{_BPE_PAT}'))"
+
+
+@register("text_tokenizer_fertility", f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum({_FERT_BPE})::BIGINT AS n_bpe_tokens,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_ws_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       {sql_rnd(f"sum({_FERT_BPE})::DOUBLE"
+                " / sum(len(string_split(text, ' ')))", 4)} AS bpe_per_word,
+       {sql_rnd(f"sum(length(text))::DOUBLE / sum({_FERT_BPE})", 4)}
+           AS chars_per_bpe_token
+FROM documents
+GROUP BY lang
+""")
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — THE number multilingual training
+    budgets turn on (a language with 2x fertility pays 2x the context
+    window for the same text; data-mix weights and per-language cost
+    models both start here). Uses the same POSIX-simple pre-tokenizer
+    regex as `text_token_bpe`, aggregated to the per-language view.
+
+    Scale shape: tokenization is a map-only scan expression; the only
+    shuffle carries (lang, partial sums) — 5 groups. The ratios
+    divide two exact int64 sums, so both engines round the identical
+    double (no accumulation-order exposure at all).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)"))
+    n_ws = F.size(F.split("text", " "))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(n_bpe).alias("n_bpe_tokens"),
+                 F.sum(n_ws).alias("n_ws_tokens"),
+                 F.sum(F.length("text")).alias("n_chars"))
+            .select("lang", "n_docs", "n_bpe_tokens", "n_ws_tokens",
+                    "n_chars",
+                    rnd(F.col("n_bpe_tokens").cast("double")
+                        / F.col("n_ws_tokens"), 4).alias("bpe_per_word"),
+                    rnd(F.col("n_chars").cast("double")
+                        / F.col("n_bpe_tokens"), 4)
+                    .alias("chars_per_bpe_token")))

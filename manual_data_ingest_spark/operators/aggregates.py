@@ -2446,3 +2446,133 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "dow", "n_days",
                     rnd(F.col("dow_avg") / F.col("all_avg"), 6)
                     .alias("seasonal_index")))
+
+
+@register("agg_hhi_concentration", f"""
+WITH per AS (
+    SELECT c_nationkey,
+           o_custkey,
+           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), tot AS (
+    SELECT c_nationkey, sum(rev) AS tot, count(*) AS n_custs
+    FROM per GROUP BY 1
+)
+SELECT per.c_nationkey, n_custs,
+       {sql_rnd('sum((rev::DOUBLE / tot::DOUBLE)'
+                ' * (rev::DOUBLE / tot::DOUBLE)) * 10000.0', 4)} AS hhi
+FROM per JOIN tot ON per.c_nationkey = tot.c_nationkey
+GROUP BY 1, 2
+""")
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of customer revenue per
+    nation (sum of squared revenue shares x 10000; 10000 = monopoly) —
+    the concentration report an account-risk review starts from.
+
+    Plan: exact-cents per-(nation, customer) rollup (one shuffle with
+    map-side partials), nation totals as a second tiny aggregate
+    joined back (25 rows — broadcast by AQE), squared-share sum as a
+    third dim-sized aggregate. All float work happens after the data
+    collapses to one row per customer; shares divide two exact int64
+    cent sums so both engines square identical doubles, and the final
+    sum's order drift (~1e-13 over <=6k customers/nation) is far below
+    the 4dp rounding.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    per = (o.join(c, o.o_custkey == c.c_custkey)
+           .groupBy("c_nationkey", "o_custkey")
+           .agg(F.sum(cents).alias("rev")))
+    tot = per.groupBy("c_nationkey").agg(F.sum("rev").alias("tot"),
+                                         F.count("*").alias("n_custs"))
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return (per.join(tot, "c_nationkey")
+            .groupBy("c_nationkey", "n_custs")
+            .agg(rnd(F.sum(share * share) * 10000.0, 4).alias("hhi")))
+
+
+@register("agg_survival_km", f"""
+WITH span AS (
+    SELECT o_custkey,
+           min(o_orderdate) AS f,
+           max(o_orderdate) AS l
+    FROM orders GROUP BY 1
+), study AS (SELECT max(o_orderdate) AS study_end FROM orders),
+cust AS (
+    SELECT date_diff('day', f, l) // 30 AS dur_m,
+           (date_diff('day', l, study_end) > 180)::INT AS ev
+    FROM span, study
+), tp AS (
+    SELECT dur_m, sum(ev)::BIGINT AS d, count(*) AS total_at
+    FROM cust GROUP BY 1
+), risk AS (
+    SELECT dur_m, d,
+           ((SELECT sum(total_at) FROM tp) -
+            coalesce(sum(total_at) OVER (ORDER BY dur_m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+           AS n_at_risk
+    FROM tp
+), km AS (
+    SELECT dur_m, d, n_at_risk,
+           list_product(list(1.0 - d::DOUBLE / n_at_risk::DOUBLE)
+               OVER (ORDER BY dur_m
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s
+    FROM risk
+)
+SELECT dur_m AS duration_months, n_at_risk, d AS n_events,
+       {sql_rnd('s', 6)} AS survival
+FROM km WHERE d > 0
+""")
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer activity lifetimes
+    (months between first and last order; 'churn' observed when the
+    last order is >180 days before the study end, else censored) —
+    the estimator retention analyses use when lifetimes are cut off
+    by the observation window, which a plain churn-rate ignores.
+
+    Scale shape: the heavy pass is the per-customer min/max rollup
+    (one shuffle, map-side partials); everything after collapses to
+    <=~80 month-grain timepoints, so the at-risk cumsum and the
+    product-limit fold are dim-sized single-partition windows by
+    construction. Cross-engine float discipline: S(t) is a SEQUENTIAL
+    left-to-right product of (1 - d/n) factors — Spark folds the
+    ordered frame list with `F.aggregate`, DuckDB takes
+    `list_product` over the same frame-ordered window list — the
+    identical IEEE operation sequence, so no exp/ln libm divergence
+    enters (PARITY.md discipline), then rounded 6dp.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"),
+                                      F.max("o_orderdate").alias("l"))
+    study = o.agg(F.max("o_orderdate").alias("study_end"))
+    cust = (span.join(F.broadcast(study))
+            .select(F.floor(F.datediff("l", "f") / 30).cast("long")
+                    .alias("dur_m"),
+                    (F.datediff("study_end", "l") > 180).cast("int")
+                    .alias("ev")))
+    tp = cust.groupBy("dur_m").agg(F.sum("ev").alias("d"),
+                                   F.count("*").alias("total_at"))
+    w_all = Window.orderBy("dur_m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prev = Window.orderBy("dur_m").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("dur_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    risk = tp.select(
+        "dur_m", "d",
+        (F.sum("total_at").over(w_all)
+         - F.coalesce(F.sum("total_at").over(w_prev), F.lit(0)))
+        .alias("n_at_risk"))
+    factor = F.lit(1.0) - F.col("d").cast("double") / \
+        F.col("n_at_risk").cast("double")
+    km = risk.select(
+        "dur_m", "d", "n_at_risk",
+        F.aggregate(F.collect_list(factor).over(w_run),
+                    F.lit(1.0), lambda acc, x: acc * x).alias("s"))
+    return (km.filter(F.col("d") > 0)
+            .select(F.col("dur_m").alias("duration_months"),
+                    "n_at_risk", F.col("d").alias("n_events"),
+                    rnd(F.col("s"), 6).alias("survival")))

@@ -1190,3 +1190,174 @@ def sim_hamming_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id", "hamming", "rn"))
+
+
+@register("dedup_cluster_profile", f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS k
+    FROM documents
+), clusters AS (
+    SELECT k, count(*) AS sz FROM keyed GROUP BY k
+), n AS (SELECT count(*)::DOUBLE AS n_docs FROM keyed)
+SELECT sz AS cluster_size,
+       count(*) AS n_clusters,
+       sz * count(*) AS n_docs,
+       {sql_rnd('sz * count(*) / (SELECT n_docs FROM n)', 4)} AS pct_of_corpus
+FROM clusters
+GROUP BY sz
+""")
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: histogram of duplicate-cluster sizes
+    under the bag-of-words key (md5 of the sorted distinct token set —
+    catches word-order shuffles exact dedup misses). This is the FIRST
+    report a training-data owner runs: 'how duplicated is this corpus,
+    and is the mass in a few giant clusters or many pairs?' decides
+    whether exact dedup, near-dup, or nothing is worth the compute
+    before any of the dedup_* operators run.
+
+    Scale shape: two chained hash aggregates (doc→key, key→size,
+    size→histogram), each with map-side partials; the key is computed
+    in the scan projection (sort of an in-memory token array — no
+    shuffle of text). The corpus total rides a one-row broadcast.
+    On the sf0.01 fixture this surfaces a real spread (425 singletons
+    … one 29-doc cluster), so the histogram is a genuine distribution,
+    not a degenerate demo.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(
+        F.split("text", " ")))))
+    clusters = (d.select(k.alias("k"))
+                .groupBy("k").agg(F.count("*").alias("sz")))
+    n = d.agg(F.count("*").cast("double").alias("n_docs_total"))
+    return (clusters.groupBy("sz")
+            .agg(F.count("*").alias("n_clusters"))
+            .join(F.broadcast(n))
+            .select(F.col("sz").alias("cluster_size"),
+                    "n_clusters",
+                    (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+                    rnd(F.col("sz") * F.col("n_clusters")
+                        / F.col("n_docs_total"), 4).alias("pct_of_corpus")))
+
+
+#: (bands, rows_per_band) configurations evaluated by
+#: dedup_minhash_band_tune over the same 16 minhashes; the candidate
+#: threshold literal (1/b)^(1/r) is precomputed in Python so BOTH
+#: engines compare against the identical constant (no pow() parity
+#: exposure).
+_TUNE_CONFIGS = tuple(
+    (b, 16 // b, round((1.0 / b) ** (b / 16.0), 4)) for b in (2, 4, 8))
+
+#: Carter-Wegman affine family over ONE md5 base hash per shingle:
+#: h_i = (A[i] * (base % P) + B[i]) % P, P = 2^31 - 1. One md5 instead
+#: of 16 per shingle (measured 9.8 s → see BASELINE.md) and pure int64
+#: arithmetic both engines (A[i] * (2^31-2) + B[i] < 2^63 — no
+#: overflow), the standard one-strong-hash MinHash construction.
+_TUNE_P = 2_147_483_647
+_TUNE_A = tuple(2 * k + 1 for k in range(1, 17))          # odd multipliers
+_TUNE_B = tuple(k * 40_503 for k in range(16))
+
+_TUNE_BASE_DUCK = (f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+                   f" % {_TUNE_P})")
+_TUNE_SIG_DUCK = ", ".join(
+    f"min(({_TUNE_A[i]} * {_TUNE_BASE_DUCK} + {_TUNE_B[i]}) % {_TUNE_P})"
+    f" AS s{i}" for i in range(16))
+
+
+def _tune_oracle() -> str:
+    parts = [f"WITH sh AS ({_SHINGLE_SQL}),",
+             f"sig AS (SELECT doc_id, {_TUNE_SIG_DUCK} FROM sh GROUP BY 1)"]
+    selects = []
+    for b, r, thr in _TUNE_CONFIGS:
+        bands = ", ".join(
+            "md5(" + " || ',' || ".join(
+                f"s{j * r + k}::VARCHAR" for k in range(r)) + f") AS b{j}"
+            for j in range(b))
+        parts.append(
+            f", banded_{b} AS (SELECT doc_id, {bands} FROM sig)"
+            f", pairs_{b} AS ("
+            + " UNION ".join(
+                f"SELECT a.doc_id AS id_a, x.doc_id AS id_b"
+                f" FROM banded_{b} a JOIN banded_{b} x"
+                f" ON a.b{j} = x.b{j} AND a.doc_id < x.doc_id"
+                for j in range(b))
+            + ")")
+        selects.append(
+            f"SELECT {b} AS bands, {r} AS rows_per_band,"
+            f" {thr}::DOUBLE AS est_threshold,"
+            f" (SELECT count(*) FROM pairs_{b}) AS n_candidate_pairs,"
+            f" (SELECT count(DISTINCT d) FROM (SELECT id_a AS d FROM pairs_{b}"
+            f"  UNION SELECT id_b FROM pairs_{b})) AS n_docs_in_pairs")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("dedup_minhash_band_tune", _tune_oracle())
+def dedup_minhash_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter tuning report: the SAME 16 minhash
+    signatures evaluated under three (bands x rows) splits — for each,
+    the candidate-pair count and how many documents get pulled into
+    any pair, next to the config's ~50% Jaccard threshold
+    ((1/b)^(1/r)). This is how the `dedup_near_minhash` parameters
+    (4x4) are CHOSEN rather than asserted: more bands → lower
+    threshold → more (costlier, lower-precision) candidates; the
+    report shows the actual curve on the actual corpus so the 100 TB
+    run picks its spot on it before burning the big pass.
+
+    Portability: signatures use md5-derived integer hashes (the §2.14
+    cross-engine contract) rather than xxhash64, so the oracle
+    reproduces the INTERNALS exactly — unlike `dedup_near_minhash`,
+    whose oracle verifies via exact Jaccard, this one hash-verifies
+    the candidate generation itself. Scale shape: one shingle pass →
+    one 16-column min aggregate (map-side partials); each config
+    explodes band structs and counts pairs via the posting-list
+    expansion (`_jaccard_pairs` idiom) — never an all-pairs join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    # ONE md5 per shingle, 16 affine derivations (profiled: the naive
+    # md5-per-hash form spent 9.8 s of its 9.0 s total in 16M JVM md5
+    # calls at sf0.1; this form is 0.9 s — BASELINE.md r4). The
+    # localCheckpoint matters independently: all three configs consume
+    # the doc-sized signature table, and without the barrier each
+    # config re-executes the shingle pass — exactly what a production
+    # tuning run would materialize once anyway.
+    base = (F.expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10)"
+                   " as bigint)") % F.lit(_TUNE_P)).alias("hb")
+    sig = (sh.select("doc_id", base)
+           .groupBy("doc_id").agg(*[
+               F.min((F.lit(_TUNE_A[i]) * F.col("hb") + F.lit(_TUNE_B[i]))
+                     % F.lit(_TUNE_P)).alias(f"s{i}")
+               for i in range(16)])
+           .localCheckpoint(eager=True))
+    out = None
+    for b, r, thr in _TUNE_CONFIGS:
+        band_cols = [
+            F.struct(F.lit(j).alias("band"),
+                     F.md5(F.concat_ws(",", *[
+                         F.col(f"s{j * r + k}").cast("string")
+                         for k in range(r)])).alias("bucket"))
+            for j in range(b)]
+        banded = (sig.select("doc_id",
+                             F.explode(F.array(*band_cols)).alias("bb"))
+                  .select("doc_id", "bb.band", "bb.bucket"))
+        postings = (banded.groupBy("band", "bucket")
+                    .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+                    .filter(F.size("ds") >= 2))
+        pair_arr = F.expr(
+            "flatten(transform(ds, (a, i) ->"
+            " transform(slice(ds, i + 2, size(ds)), x -> struct(a, x))))")
+        pairs = (postings.select(F.explode(pair_arr).alias("p"))
+                 .select(F.col("p.a").alias("id_a"),
+                         F.col("p.x").alias("id_b"))
+                 .distinct())
+        n_pairs = pairs.agg(F.count("*").alias("n_candidate_pairs"))
+        n_docs = (pairs.select(F.explode(F.array("id_a", "id_b")).alias("d"))
+                  .agg(F.countDistinct("d").alias("n_docs_in_pairs")))
+        row = (n_pairs.join(F.broadcast(n_docs))
+               .select(F.lit(b).alias("bands"),
+                       F.lit(r).alias("rows_per_band"),
+                       F.lit(thr).alias("est_threshold"),
+                       "n_candidate_pairs", "n_docs_in_pairs"))
+        out = row if out is None else out.unionByName(row)
+    return out

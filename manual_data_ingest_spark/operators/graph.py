@@ -553,3 +553,99 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_nodes"),
                  F.min("node").alias("min_node"),
                  F.max("node").alias("max_node")))
+
+
+_LPA_ITERS = 3
+
+_LPA_EDGE_SQL = """
+e0 AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*)::BIGINT AS w
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT src AS node, dst AS nbr, w FROM e0
+  UNION ALL
+  SELECT dst AS node, src AS nbr, w FROM e0
+)"""
+
+
+def _lpa_oracle(iters: int) -> str:
+    head = f"WITH {_LPA_EDGE_SQL}, l0 AS (\n" \
+           "  SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation\n)"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", l{k} AS (
+  SELECT node, lbl FROM (
+    SELECT s.node, l.lbl,
+           row_number() OVER (PARTITION BY s.node
+                              ORDER BY sum(s.w) DESC, l.lbl) AS rn
+    FROM sym s JOIN l{k-1} l ON s.nbr = l.node
+    GROUP BY s.node, l.lbl
+  ) WHERE rn = 1
+)""")
+    tail = f"""
+SELECT n_nationkey, n_name, coalesce(l.lbl, n_nationkey) AS community
+FROM nation LEFT JOIN l{iters} l ON n_nationkey = l.node
+"""
+    return head + "".join(steps) + tail
+
+
+@register("graph_label_propagation", _lpa_oracle(_LPA_ITERS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    over the undirected nation trade graph (3 fixed rounds;
+    each node adopts the label carrying the greatest total edge weight
+    among its neighbors, ties broken toward the smaller label;
+    isolated nodes keep their own label). Complements
+    `graph_connected_components` (pure reachability) with
+    strength-of-ties communities, and `graph_pagerank` (importance)
+    with membership.
+
+    Scale shape follows the module discipline: the fact-sized edge
+    extraction (4-way join + aggregate) runs ONCE and is
+    localCheckpointed; each propagation round is then a |E|-row join
+    + hash aggregate + per-node argmax over dim-sized data, and the
+    fixed small round count keeps the unrolled plan shallow.
+    Determinism: weights are exact int64 counts, so the argmax with
+    min-label tie-break is integer arithmetic end-to-end — the oracle
+    unrolls the identical recurrence into CTEs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    e0 = (o.join(c, o.o_custkey == c.c_custkey)
+          .join(li, li.l_orderkey == o.o_orderkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .groupBy(F.col("c_nationkey").alias("src"),
+                   F.col("s_nationkey").alias("dst"))
+          .agg(F.count("*").alias("w")))
+    sym = (e0.select(F.col("src").alias("node"), F.col("dst").alias("nbr"),
+                     "w")
+           .unionAll(e0.select(F.col("dst").alias("node"),
+                               F.col("src").alias("nbr"), "w"))
+           .localCheckpoint(eager=True))  # edge extraction runs ONCE
+
+    # labels carries (lnode, lbl) so the per-round self-derived frame
+    # never collides with sym's `node` column in the join
+    labels = n.select(F.col("n_nationkey").alias("lnode"),
+                      F.col("n_nationkey").alias("lbl"))
+    for _ in range(_LPA_ITERS):
+        votes = (sym.join(labels, sym.nbr == labels.lnode)
+                 .groupBy("node", "lbl")
+                 .agg(F.sum("w").alias("wsum")))
+        labels = (votes.withColumn("rn", F.row_number().over(
+            Window.partitionBy("node")
+            .orderBy(F.col("wsum").desc(), F.col("lbl"))))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node").alias("lnode"), "lbl"))
+    return (n.join(labels, n.n_nationkey == labels.lnode, "left")
+            .select("n_nationkey", "n_name",
+                    F.coalesce("lbl", "n_nationkey").alias("community")))

@@ -1659,3 +1659,90 @@ def ingest_double_submit_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rapid_repeats"),
                  F.countDistinct("user_id").alias("n_users"),
                  F.min("gap_us").alias("min_gap_us")))
+
+
+@register("ingest_checksum_manifest", """
+WITH rows_h AS (
+    SELECT source,
+           doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR || '|' || text), 1, 15))::BIGINT
+               % 1000000007 AS h
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_rows,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       sum(h)::BIGINT AS content_checksum
+FROM rows_h
+GROUP BY source
+""")
+def ingest_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source transfer-validation manifest: row count, id range,
+    and an ORDER-INDEPENDENT content checksum (sum of bounded per-row
+    md5-derived integers) — what a receiving system compares after a
+    bulk copy to prove nothing was dropped, duplicated, or mutated,
+    without re-reading the sender's data in any particular order.
+
+    The checksum must commute because at 100 TB neither side can
+    afford a canonical sort: each row hashes independently
+    (md5 of id|text → first 15 hex chars as int64, mod 1e9+7 so a
+    9-billion-row partition cannot overflow the int64 sum), and the
+    per-partition sums combine map-side — the whole manifest is one
+    hash aggregate over the scan, the same shape as
+    `ingest_row_fingerprint`'s per-row pass but collapsed to one row
+    per source partition. md5 hex parity across engines is the
+    established §2.14 contract.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.expr("cast(conv(substring(md5(concat(cast(doc_id as string),"
+                " '|', text)), 1, 15), 16, 10) as bigint)")
+         % F.lit(1_000_000_007))
+    return (d.select("source", "doc_id", h.alias("h"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"),
+                 F.sum("h").alias("content_checksum")))
+
+
+@register("ingest_late_arriving_dims", """
+WITH dims AS (
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0
+)
+SELECT o_orderpriority,
+       coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_orders,
+       (c_mktsegment IS NULL)::INT AS is_late
+FROM orders LEFT JOIN dims ON o_custkey = c_custkey
+GROUP BY 1, 2, 4
+""")
+def ingest_late_arriving_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling: facts whose dimension row has
+    not landed yet (here: customers with non-positive balance stand in
+    for not-yet-loaded dim rows) are NOT dropped and NOT blocked —
+    they aggregate under an explicit 'UNKNOWN' bucket with a late flag,
+    so the report totals reconcile with the fact count while the
+    backfill join (re-run when the dim catches up) reassigns them.
+    The inner-join alternative silently loses fact rows; the
+    wait-for-dims alternative blocks the pipeline — this shape is the
+    standard third way.
+
+    Scale shape: dim side is filtered then broadcast (keys+segment
+    only); the aggregate runs on the join output with map-side
+    partials over (priority, segment) — bounded cardinality. The
+    UNKNOWN coalesce happens before grouping so the late bucket is a
+    first-class group, not a post-pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dims = (c.filter(F.col("c_acctbal") > 0)
+            .select("c_custkey", "c_mktsegment"))
+    return (o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey, "left")
+            .groupBy("o_orderpriority",
+                     F.coalesce("c_mktsegment", F.lit("UNKNOWN"))
+                     .alias("segment"),
+                     F.col("c_mktsegment").isNull().cast("int")
+                     .alias("is_late"))
+            .agg(F.count("*").alias("n_orders"))
+            .select("o_orderpriority", "segment", "n_orders", "is_late"))

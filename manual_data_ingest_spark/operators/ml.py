@@ -1855,3 +1855,239 @@ def ml_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("mu"), 4).alias("mean_value"),
                     n_req.alias("n_per_arm_5pct"),
                     (F.col("n") >= 2 * n_req).alias("currently_powered")))
+
+
+_BOOT_B = 100           # bootstrap replicates
+_BOOT_MOD = 1_000_000_007
+#: Poisson(1) inverse-CDF thresholds scaled to the integer hash range
+#: [0, _BOOT_MOD): weight w is the count of thresholds below the hash.
+#: Pure integer comparisons — zero cross-engine float hazard.
+_BOOT_THRESH = (367879441, 735758882, 919698602, 981011843,
+                996340153, 999405815, 999916758, 999990018)
+
+
+def _boot_weight_sql(h: str) -> str:
+    """Portable SQL for the Poisson(1) weight of integer hash ``h``."""
+    return "(" + " + ".join(
+        f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in _BOOT_THRESH
+    ) + ")"
+
+
+@register("ml_bootstrap_ci", f"""
+WITH rep AS (
+    SELECT b,
+           {_boot_weight_sql(f'(o_orderkey * 2654435761 + b * 40503)'
+                             f' % {_BOOT_MOD}')} AS w,
+           floor(o_totalprice * 100.0 + 0.5)::BIGINT AS cents
+    FROM orders, LATERAL (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
+                          AS b) u
+), means AS (
+    SELECT b, sum(w * cents)::DOUBLE / sum(w)::DOUBLE / 100.0 AS m
+    FROM rep GROUP BY b HAVING sum(w) > 0
+), full_mean AS (
+    SELECT sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE
+           / count(*)::DOUBLE / 100.0 AS est
+    FROM orders
+)
+SELECT count(*) AS n_replicates,
+       {sql_rnd('(SELECT est FROM full_mean)')} AS mean_estimate,
+       {sql_rnd('quantile_cont(m, 0.025)')} AS ci_lo,
+       {sql_rnd('quantile_cont(m, 0.975)')} AS ci_hi
+FROM means
+""")
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the mean order
+    value — THE way to put error bars on a metric at 100 TB, where
+    classical resampling (materialize B copies of the data) is
+    impossible: each row independently draws a Poisson(1) weight per
+    replicate, so one pass computes all B weighted sums and the
+    replicate means' quantiles are the CI (the standard streaming
+    bootstrap).
+
+    Determinism: the per-(row, replicate) weight comes from an integer
+    congruential hash compared against integer-scaled Poisson CDF
+    thresholds — no RNG, no floats until the final division of two
+    exact int64 sums, so both engines see bit-identical replicate
+    means. Scale shape: the fan-out is a generator expression (no
+    data duplication on disk), partial aggregation collapses each
+    partition to B rows before the one B-group shuffle; exact
+    `percentile` over B=100 replicate means is driver-trivial. The
+    full-sample mean rides a second scan of the same cached table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    h = (F.col("o_orderkey") * F.lit(2654435761)
+         + F.col("b") * F.lit(40503)) % F.lit(_BOOT_MOD)
+    w = functools_reduce_add([
+        F.when(h >= t, 1).otherwise(0) for t in _BOOT_THRESH])
+    rep = (o.select(F.col("o_orderkey"), cents.alias("cents"),
+                    F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+                    .alias("b"))
+           .select("b", w.alias("w"), "cents"))
+    means = (rep.groupBy("b")
+             .agg(F.sum(F.col("w") * F.col("cents")).alias("s"),
+                  F.sum("w").alias("c"))
+             .filter(F.col("c") > 0)
+             .select((F.col("s").cast("double") / F.col("c").cast("double")
+                      / 100.0).alias("m")))
+    full = o.agg((F.sum(cents).cast("double") / F.count("*").cast("double")
+                  / 100.0).alias("est"))
+    return (means.join(F.broadcast(full))
+            .agg(F.count("*").alias("n_replicates"),
+                 rnd(F.first("est")).alias("mean_estimate"),
+                 rnd(F.expr("percentile(m, 0.025D)")).alias("ci_lo"),
+                 rnd(F.expr("percentile(m, 0.975D)")).alias("ci_hi")))
+
+
+def functools_reduce_add(cols):
+    """Sum a list of integer Columns into one expression."""
+    import functools
+    import operator
+
+    return functools.reduce(operator.add, cols)
+
+
+_CENT_SQL = """
+pe AS (
+    SELECT vec_id, label, unnest(list_transform(embedding, x -> x::DOUBLE))
+               AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+"""
+
+
+@register("ml_centroid_classify", f"""
+WITH {_CENT_SQL},
+cent AS (
+    SELECT label AS clabel, pos, avg(x) AS cx FROM pe GROUP BY 1, 2
+), cv AS (
+    SELECT clabel, list(cx ORDER BY pos) AS c FROM cent GROUP BY 1
+), e AS (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings
+), scored AS (
+    SELECT vec_id, label, clabel,
+           list_dot_product(v, c)
+           / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)))
+               AS s
+    FROM e CROSS JOIN cv
+), pred AS (
+    SELECT vec_id, label, clabel AS predicted
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY s DESC, clabel) = 1
+)
+SELECT label, predicted, count(*) AS n
+FROM pred GROUP BY 1, 2
+""")
+def ml_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against its label centroids, reported as a confusion matrix — the
+    cheapest possible embedding-space sanity check (`ml_knn_classify`
+    needs a neighbor search; this needs 10 dot products/vector) and
+    the standard first pass before spending on an ANN index.
+
+    Scale shape: centroids are a (label, dim)-sized aggregate
+    (posexplode + hash agg with map-side partials → 10 rows), then
+    BROADCAST back so the corpus never shuffles for scoring; the
+    argmax window partitions by vec_id (high cardinality, bounded
+    10-row groups). Cross-engine argmax discipline: the top-1 vs
+    top-2 centroid-cosine gap is >= 2.7e-5 on every fixture SF
+    (pinned in tests/test_guard_band.py), ~7 orders above engine
+    last-bit drift, with `clabel` as the deterministic tie-break.
+    """
+    from manual_data_ingest_spark.operators.similarity import cos_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = e.select("vec_id", "label",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x"))
+    cent = (pe.groupBy(F.col("label").alias("clabel"), "pos")
+            .agg(F.avg("x").alias("cx")))
+    cv = (cent.groupBy("clabel")
+          .agg(F.transform(F.array_sort(F.collect_list(
+              F.struct("pos", "cx"))), lambda s: s["cx"]).alias("c")))
+    scored = (e.join(F.broadcast(cv))
+              .select("vec_id", "label", "clabel",
+                      cos_arrow(F.col("c"), F.col("embedding")).alias("s")))
+    pred = (scored.withColumn("rn", F.row_number().over(
+        Window.partitionBy("vec_id")
+        .orderBy(F.col("s").desc(), F.col("clabel"))))
+        .filter(F.col("rn") == 1))
+    return (pred.groupBy("label", F.col("clabel").alias("predicted"))
+            .agg(F.count("*").alias("n")))
+
+
+@register("ml_embedding_drift", f"""
+WITH {_CENT_SQL},
+halves AS (
+    SELECT label, pos, vec_id % 2 AS parity, x FROM pe
+), cents AS (
+    SELECT label, pos,
+           avg(CASE WHEN parity = 0 THEN x END) AS a0,
+           avg(CASE WHEN parity = 1 THEN x END) AS a1
+    FROM halves GROUP BY 1, 2
+), agg AS (
+    SELECT label,
+           sum((a0 - a1) * (a0 - a1)) AS d2,
+           sum(a0 * a1) AS dot,
+           sum(a0 * a0) AS n0,
+           sum(a1 * a1) AS n1
+    FROM cents GROUP BY 1
+), counts AS (
+    SELECT label,
+           count(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END) AS n_even,
+           count(DISTINCT CASE WHEN vec_id % 2 = 1 THEN vec_id END) AS n_odd
+    FROM embeddings GROUP BY 1
+)
+SELECT agg.label, n_even, n_odd,
+       {sql_rnd('sqrt(d2)', 6)} AS centroid_l2,
+       {sql_rnd('dot / (sqrt(n0) * sqrt(n1))', 6)} AS centroid_cos
+FROM agg JOIN counts ON agg.label = counts.label
+""")
+def ml_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift detector: per label, the L2 distance and cosine
+    between the centroids of two deterministic halves (even/odd
+    vec_id) of the corpus — the check that catches a re-embedding run
+    whose model silently changed (split by ingest batch in
+    production; here parity stands in for batch id). Stable spaces
+    show cos ~ 1 / L2 ~ 0; a drifted half shows up per label before
+    any downstream eval does.
+
+    Scale shape: one posexplode pass → (label, pos, parity) hash agg
+    (map-side partials; 10×64×2 output rows), then dim-sized
+    arithmetic — the same collapse-then-compute shape as
+    `ml_embedding_dim_profile`. Conditional avg keeps both halves in
+    ONE aggregation instead of two scans + a join. Float discipline:
+    per-cell averages divide identical partial sums (drift ~1e-13,
+    far below 6dp rounding); sqrt is IEEE-exact in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pe = e.select("vec_id", "label",
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x"),
+                  (F.col("vec_id") % 2).alias("parity"))
+    cents = (pe.groupBy("label", "pos")
+             .agg(F.avg(F.when(F.col("parity") == 0, F.col("x")))
+                  .alias("a0"),
+                  F.avg(F.when(F.col("parity") == 1, F.col("x")))
+                  .alias("a1")))
+    agg = (cents.groupBy("label")
+           .agg(F.sum((F.col("a0") - F.col("a1"))
+                      * (F.col("a0") - F.col("a1"))).alias("d2"),
+                F.sum(F.col("a0") * F.col("a1")).alias("dot"),
+                F.sum(F.col("a0") * F.col("a0")).alias("n0"),
+                F.sum(F.col("a1") * F.col("a1")).alias("n1")))
+    counts = (e.groupBy("label")
+              .agg(F.countDistinct(
+                  F.when(F.col("vec_id") % 2 == 0, F.col("vec_id")))
+                  .alias("n_even"),
+                  F.countDistinct(
+                  F.when(F.col("vec_id") % 2 == 1, F.col("vec_id")))
+                  .alias("n_odd")))
+    return (agg.join(counts, "label")
+            .select("label", "n_even", "n_odd",
+                    rnd(F.sqrt("d2"), 6).alias("centroid_l2"),
+                    rnd(F.col("dot") / (F.sqrt("n0") * F.sqrt("n1")), 6)
+                    .alias("centroid_cos")))

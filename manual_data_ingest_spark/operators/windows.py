@@ -2049,3 +2049,80 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        / F.col("losses").cast("double"))))
     return (ga.filter(F.col("n_win") == 14)
             .select("event_type", "day", rnd(rsi, 4).alias("rsi")))
+
+
+@register("win_bollinger", f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS cents,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+), win AS (
+    SELECT day, cents, n_orders,
+           count(*) OVER w AS n_win,
+           sum(cents::DOUBLE) OVER w AS s1,
+           sum(cents::DOUBLE * cents::DOUBLE) OVER w AS s2
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), bands AS (
+    SELECT day, cents, n_orders,
+           s1 / n_win AS mu,
+           sqrt(greatest((s2 - s1 * s1 / n_win) / (n_win - 1), 0.0)) AS sd
+    FROM win WHERE n_win = 20
+)
+SELECT day,
+       {sql_rnd('cents::DOUBLE / 100.0')} AS revenue,
+       {sql_rnd('mu / 100.0')} AS sma20,
+       {sql_rnd('(mu - 2.0 * sd) / 100.0')} AS band_lo,
+       {sql_rnd('(mu + 2.0 * sd) / 100.0')} AS band_hi,
+       (cents::DOUBLE > mu + 2.0 * sd)::INT
+       - (cents::DOUBLE < mu - 2.0 * sd)::INT AS breakout
+FROM bands
+""")
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily order-revenue series (20-day
+    simple moving average +/- 2 rolling sample stddevs) with a
+    breakout flag (+1 above the upper band, -1 below the lower) —
+    the volatility-envelope anomaly view `win_rsi`/`win_twap` don't
+    give: is today's move large RELATIVE TO recent dispersion?
+
+    Plan: exact-cents daily rollup (one shuffle, map-side partials)
+    collapses facts to <=~2400 day rows; the rolling window is a
+    single dim-sized global sort, n_win = 20 gating to complete
+    windows only. Cross-engine float discipline: the rolling stddev
+    is the explicit sum-of-squares form over EXACT integer cent sums
+    (both engines square identical doubles; frame-sum association
+    drift ~ulp is far below the 2dp band rounding), and the breakout
+    comparison runs on raw un-rounded values identically in both
+    engines — fixture distance to the band is pinned by the
+    guard-band suite, the `win_zscore_outliers` discipline.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (o.groupBy(F.col("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("cents"),
+                  F.count("*").alias("n_orders")))
+    w = Window.orderBy("day").rowsBetween(-19, Window.currentRow)
+    cd = F.col("cents").cast("double")
+    win = daily.select(
+        "day", "cents", "n_orders",
+        F.count("*").over(w).alias("n_win"),
+        F.sum(cd).over(w).alias("s1"),
+        F.sum(cd * cd).over(w).alias("s2"))
+    mu = F.col("s1") / F.col("n_win")
+    sd = F.sqrt(F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_win"))
+        / (F.col("n_win") - 1), F.lit(0.0)))
+    bands = (win.filter(F.col("n_win") == 20)
+             .select("day", "cents", "n_orders",
+                     mu.alias("mu"), sd.alias("sd")))
+    cd2 = F.col("cents").cast("double")
+    return bands.select(
+        "day",
+        rnd(cd2 / 100.0).alias("revenue"),
+        rnd(F.col("mu") / 100.0).alias("sma20"),
+        rnd((F.col("mu") - 2.0 * F.col("sd")) / 100.0).alias("band_lo"),
+        rnd((F.col("mu") + 2.0 * F.col("sd")) / 100.0).alias("band_hi"),
+        ((cd2 > F.col("mu") + 2.0 * F.col("sd")).cast("int")
+         - (cd2 < F.col("mu") - 2.0 * F.col("sd")).cast("int"))
+        .alias("breakout"))

@@ -86,6 +86,13 @@ PROBES = [
     "scan_jsonl_badrecords",
     "ml_power_analysis",
     "agg_seasonal_index", "ingest_double_submit_guard",
+    # r4 additions
+    "agg_hhi_concentration", "agg_survival_km", "win_bollinger",
+    "ml_bootstrap_ci", "ml_centroid_classify", "ml_embedding_drift",
+    "ingest_checksum_manifest", "ingest_late_arriving_dims",
+    "dedup_cluster_profile", "dedup_minhash_band_tune",
+    "text_domain_classify", "text_tokenizer_fertility",
+    "graph_label_propagation",
 ]
 
 
@@ -163,6 +170,13 @@ NULL_PROBES = [
     "scan_jsonl_badrecords",
     "ml_power_analysis",
     "agg_seasonal_index", "ingest_double_submit_guard",
+    # r4 additions
+    "agg_hhi_concentration", "agg_survival_km", "win_bollinger",
+    "ml_bootstrap_ci", "ml_centroid_classify", "ml_embedding_drift",
+    "ingest_checksum_manifest", "ingest_late_arriving_dims",
+    "dedup_cluster_profile", "dedup_minhash_band_tune",
+    "text_domain_classify", "text_tokenizer_fertility",
+    "graph_label_propagation",
 ]
 
 

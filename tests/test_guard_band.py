@@ -60,3 +60,50 @@ def test_no_pair_within_guard_band_of_threshold(sf_dir: str) -> None:
     assert gaps.min() > GUARD, (
         f"{sf_dir}: pair within {gaps.min():.3e} of the {THRESHOLD} "
         f"threshold — raw-score filters are no longer order-safe")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_centroid_classify_argmax_margin(sf_dir: str) -> None:
+    """ml_centroid_classify pins its argmax on raw cosine scores: the
+    top1-vs-top2 centroid-similarity gap must dwarf engine last-bit
+    drift (~1e-12) so Spark (einsum) and DuckDB (sequential fold)
+    elect the same centroid for every vector."""
+    labels, emb = _load(sf_dir)
+    cents = np.stack([emb[labels == l].mean(axis=0)
+                      for l in np.unique(labels)])
+    sims = (emb @ cents.T) / np.outer(
+        np.sqrt(np.einsum("ij,ij->i", emb, emb)),
+        np.sqrt(np.einsum("ij,ij->i", cents, cents)))
+    top2 = np.sort(sims, axis=1)[:, -2:]
+    margin = (top2[:, 1] - top2[:, 0]).min()
+    assert margin > 5e-6, (
+        f"{sf_dir}: centroid argmax margin {margin:.3e} too small for "
+        "raw-score election")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bollinger_breakout_distance(sf_dir: str) -> None:
+    """win_bollinger's breakout flag compares raw daily cents against
+    raw mu +/- 2*sd; both sides drift only via window-frame summation
+    association (~1e-6 cents). Pin that no fixture day sits within
+    1e-3 cents of either band."""
+    t = pq.read_table(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    import collections
+    daily = collections.defaultdict(int)
+    for d, p in zip(t["o_orderdate"].to_pylist(),
+                    t["o_totalprice"].to_pylist()):
+        daily[d] += int(np.floor(p * 100.0 + 0.5))
+    days = sorted(daily)
+    cents = np.array([daily[d] for d in days], dtype=np.float64)
+    n = 20
+    min_gap = np.inf
+    for i in range(n - 1, len(cents)):
+        w = cents[i - n + 1:i + 1]
+        mu = w.sum() / n
+        sd = np.sqrt(max(((w * w).sum() - w.sum() ** 2 / n) / (n - 1), 0.0))
+        for band in (mu - 2.0 * sd, mu + 2.0 * sd):
+            min_gap = min(min_gap, abs(cents[i] - band))
+    assert min_gap > 1e-3, (
+        f"{sf_dir}: a day sits {min_gap:.3e} cents from a Bollinger band "
+        "— raw breakout comparison no longer order-safe")
