@@ -64,8 +64,10 @@ HEADLINE = [
     "ingest_validate",      # multi-rule union
     "ingest_upsert_latest", # latest-wins upsert
     "dedup_exact",          # hash dedup (self-union)
-    "dedup_near_jaccard",   # shingle inverted-index posting lists
-    "dedup_simhash",        # simhash bit-sums + chunk-blocked pairs
+    "dedup_near_jaccard",   # shingle posting lists, UNCAPPED (twin)
+    "dedup_near_jaccard_capped",  # production path: posting-frequency cap
+    "dedup_simhash",        # 32-bit simhash, 2^8 buckets (twin)
+    "dedup_simhash_wide",   # production path: 60-bit fp, 2^15 buckets
     "sim_topk",             # broadcast probe brute-force baseline
     "sim_ann_lsh",          # sign-bit LSH bucketed ANN
     "sim_threshold_pairs",  # blocked similarity join, BLAS default (r2 swap)
@@ -79,12 +81,18 @@ HEADLINE = [
 ]
 
 #: deliberately-kept strategy-comparison twins: NOT the engine's
-#: default answer for their task (sim_threshold_expr exists to record
-#: the measured expression-vs-BLAS gap; sim_threshold_pairs is the
-#: default). The headline total/median keep the full canonical set
-#: for cross-round comparability; the *_default keys show the
-#: engine's actual strategy performance.
-TWINS = {"sim_threshold_expr"}
+#: default answer for their task (each is the measured "what the naive
+#: strategy costs" record beside its registered production sibling:
+#: sim_threshold_expr vs sim_threshold_pairs' BLAS blocks,
+#: dedup_near_jaccard's uncapped postings vs _capped / minhash,
+#: dedup_simhash's 2^8 saturating buckets vs _wide's 2^15). Since r4
+#: the production siblings are IN the headline set, so every family
+#: still contributes to the default-paths median — the twin exclusion
+#: stops charging the engine's score for queries whose docstrings say
+#: "do not run this shape at scale". The headline total/median keep
+#: the full set (twins included) for cross-round comparability; the
+#: *_default keys show the engine's actual strategy performance.
+TWINS = {"sim_threshold_expr", "dedup_near_jaccard", "dedup_simhash"}
 
 
 def _sf_from_dir(d: str) -> float:

@@ -2018,3 +2018,62 @@ def test_jsonl_badrecords_lone_backslash_roundtrip(spark, tmp_path):
     assert out["corrupt"].n_rows == 2
     assert out["parsed"].sum_chars == sum(
         len(t) for i, t in enumerate(texts) if i % 10 != 0)
+
+
+def test_survival_curve_laws(spark):
+    """KM survival must start ≤ 1, be strictly within (0, 1], and be
+    NON-INCREASING in time; at-risk counts must be non-increasing too."""
+    rows = sorted(
+        E.queries()["agg_survival_km"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.duration_months)
+    assert rows, "no event timepoints"
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 < r.survival <= prev_s + 1e-9, r
+        assert r.n_events >= 1
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n, r
+        prev_s, prev_n = r.survival, r.n_at_risk
+
+
+def test_bootstrap_ci_brackets_estimate(spark):
+    """The 95% bootstrap CI must contain the full-sample mean and be
+    deterministic across runs (hash-derived weights, no RNG)."""
+    q = E.queries()["ml_bootstrap_ci"]
+    a = q(spark, SF_ORACLE).collect()[0]
+    assert a.ci_lo <= a.mean_estimate <= a.ci_hi
+    assert a.n_replicates == 100
+    b = q(spark, SF_ORACLE).collect()[0]
+    assert (a.ci_lo, a.ci_hi, a.mean_estimate) == (
+        b.ci_lo, b.ci_hi, b.mean_estimate)
+
+
+def test_cluster_profile_conserves_docs(spark):
+    """Σ cluster_size × n_clusters over the profile = corpus size."""
+    rows = E.queries()["dedup_cluster_profile"](spark, SF_ORACLE).collect()
+    from manual_data_ingest_spark.io import load_table
+
+    total = load_table(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
+    assert all(r.n_docs == r.cluster_size * r.n_clusters for r in rows)
+
+
+def test_label_propagation_covers_all_nations_deterministically(spark):
+    """Every nation gets exactly one community; a second run returns
+    the identical assignment (integer votes, min-label ties)."""
+    q = E.queries()["graph_label_propagation"]
+    a = _rows(q(spark, SF_ORACLE))
+    assert len(a) == 25
+    # sorted columns = (community, n_name, n_nationkey): key is index 2
+    assert len({k[2] for k in a}) == 25  # one row per nation
+    assert a == _rows(q(spark, SF_ORACLE))
+
+
+def test_hhi_bounds(spark):
+    """HHI lies in (0, 10000]; a nation with one customer would be
+    exactly 10000 — fixture nations have many, so strictly below."""
+    rows = E.queries()["agg_hhi_concentration"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.hhi <= 10000.0
+        assert r.n_custs >= 1

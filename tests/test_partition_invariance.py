@@ -37,6 +37,10 @@ PROBES = [
     "sim_knn_graph",             # Arrow cosine, all-population ranking
     "text_cooccurrence_pmi",     # ln PMI over integer-ranked pairs
     "win_rolling_mad",           # double-median chain + float threshold
+    # r4 additions
+    "ml_centroid_classify",      # float centroid avgs + cosine argmax
+    "ml_embedding_drift",        # per-dim avgs, cross-half products
+    "agg_hhi_concentration",     # share² sum over shuffled partials
 ]
 
 

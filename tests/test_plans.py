@@ -827,3 +827,44 @@ def test_hamming_blocked_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan
+
+
+def test_centroid_classify_broadcasts_model(spark):
+    """ml_centroid_classify must broadcast the 10-row centroid table —
+    the corpus never shuffles for scoring (the `ml_naive_bayes`
+    broadcast-model topology)."""
+    plan = _plan(spark, "ml_centroid_classify")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_checksum_manifest_single_scan_single_agg(spark):
+    """The transfer manifest is ONE commutative hash aggregate over ONE
+    scan — a second scan or a sort would break the order-independence
+    story at 100 TB."""
+    df = E.queries()["ingest_checksum_manifest"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Sort" not in plan
+
+
+def test_band_tune_no_cartesian(spark):
+    """All three tuning configs generate candidates via posting-list
+    expansion over (band, bucket) groups — never an all-pairs join."""
+    plan = _plan(spark, "dedup_minhash_band_tune")
+    assert "CartesianProduct" not in plan
+
+
+def test_late_arriving_dims_broadcasts_dim(spark):
+    plan = _plan(spark, "ingest_late_arriving_dims")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bootstrap_fanout_is_generator_not_join(spark):
+    """The B=100 replicate fan-out must be a Generate (explode of a
+    literal sequence) — a join against a replicate table would shuffle
+    the facts; partial aggregation then collapses each partition to B
+    rows before the one exchange."""
+    plan = _plan(spark, "ml_bootstrap_ci")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
