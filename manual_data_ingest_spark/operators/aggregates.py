@@ -2576,3 +2576,127 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dur_m").alias("duration_months"),
                     "n_at_risk", F.col("d").alias("n_events"),
                     rnd(F.col("s"), 6).alias("survival")))
+
+
+@register("agg_runs_test", f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS cents
+    FROM orders GROUP BY 1
+), tot AS (
+    SELECT sum(cents) AS t, count(*) AS n FROM daily
+), signed AS (
+    SELECT day, (cents * (SELECT n FROM tot) > (SELECT t FROM tot))::INT AS s
+    FROM daily
+), runs AS (
+    SELECT s,
+           CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                  OR s <> lag(s) OVER (ORDER BY day)
+                THEN 1 ELSE 0 END AS new_run
+    FROM signed
+)
+SELECT count(*) AS n_days,
+       sum(s)::BIGINT AS n_above,
+       (count(*) - sum(s))::BIGINT AS n_below,
+       sum(new_run)::BIGINT AS n_runs,
+       {sql_rnd('(sum(new_run) - (1.0 + 2.0 * sum(s)'
+                ' * (count(*) - sum(s)) / count(*)))'
+                ' / sqrt(2.0 * sum(s) * (count(*) - sum(s))'
+                ' * (2.0 * sum(s) * (count(*) - sum(s)) - count(*))'
+                ' / (count(*)::DOUBLE * count(*) * (count(*) - 1)))', 4)}
+           AS z_score
+FROM runs
+""")
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series: are
+    above-mean/below-mean days randomly interleaved, or does the
+    series trend/cluster (too few runs) or oscillate (too many)? The
+    z-score against the null's run-count distribution is the
+    randomness check that complements `agg_ks_test` (distribution
+    shape) and `win_autocorr_lag1` (linear memory) with a
+    SIGN-pattern test that is robust to outliers.
+
+    Float discipline: the above/below split avoids a float mean
+    entirely — day is above iff cents·n > total (exact int64 compare,
+    the `agg_abc_classification` boundary rule); run counting is a
+    lag window over integers; only the final z divides exact integer
+    aggregates in one fixed IEEE expression, rounded 4dp. Scale: one
+    exact-cents daily collapse, then a dim-sized ordered pass.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (o.groupBy(F.col("o_orderdate").alias("day"))
+             .agg(F.sum(cents).alias("cents")))
+    tot = daily.agg(F.sum("cents").alias("t"), F.count("*").alias("n"))
+    signed = (daily.join(F.broadcast(tot))
+              .select("day", (F.col("cents") * F.col("n") > F.col("t"))
+                      .cast("int").alias("s")))
+    lagw = Window.orderBy("day")
+    runs = signed.select(
+        "s",
+        F.when(F.lag("s").over(lagw).isNull()
+               | (F.col("s") != F.lag("s").over(lagw)), 1)
+        .otherwise(0).alias("new_run"))
+    n = F.count("*")
+    n1 = F.sum("s")
+    n0 = n - n1
+    r = F.sum("new_run")
+    expected = 1.0 + 2.0 * n1 * n0 / n
+    var = (2.0 * n1 * n0 * (2.0 * n1 * n0 - n)
+           / (n.cast("double") * n * (n - 1)))
+    return runs.agg(
+        n.alias("n_days"),
+        n1.cast("long").alias("n_above"),
+        n0.cast("long").alias("n_below"),
+        r.cast("long").alias("n_runs"),
+        rnd((r - expected) / F.sqrt(var), 4).alias("z_score"))
+
+
+@register("agg_poisson_rate_ci", f"""
+WITH span AS (
+    SELECT (date_diff('day', min(ts::TIMESTAMP), max(ts::TIMESTAMP)) + 1)
+               ::BIGINT AS days
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       (SELECT days FROM span) AS days_observed,
+       {sql_rnd('count(*)::DOUBLE / (SELECT days FROM span)', 6)}
+           AS rate_per_day,
+       {sql_rnd('greatest(count(*)::DOUBLE / (SELECT days FROM span)'
+                ' - 1.96 * sqrt(count(*)::DOUBLE)'
+                ' / (SELECT days FROM span), 0.0)', 6)} AS rate_lo,
+       {sql_rnd('count(*)::DOUBLE / (SELECT days FROM span)'
+                ' + 1.96 * sqrt(count(*)::DOUBLE)'
+                ' / (SELECT days FROM span)', 6)} AS rate_hi
+FROM events
+GROUP BY event_type
+""")
+def agg_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for the per-day event rate of each event type under a
+    Poisson arrival model (normal approximation, var = count) — the
+    rate-metric companion to `agg_wilson_interval`'s proportions:
+    alerting thresholds and capacity plans need the interval, not
+    just the point rate, before declaring a traffic change real.
+
+    Shared fixed z-literal (1.96) in identical expression text on
+    both engines (the `ml_ab_srm_check` discipline, no inverse CDF);
+    counts and the day span are exact integers, so both engines
+    divide and sqrt identical values. One conditional-free grouped
+    count + a one-row broadcast span — the aggregate rides the scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg((F.datediff(F.max("ts"), F.min("ts")) + 1)
+                  .cast("long").alias("days"))
+    cnt = F.count("*")
+    rate = cnt.cast("double") / F.col("days")
+    half = 1.96 * F.sqrt(cnt.cast("double")) / F.col("days")
+    return (ev.join(F.broadcast(span))
+            .groupBy("event_type", "days")
+            .agg(cnt.alias("n_events"),
+                 rnd(rate, 6).alias("rate_per_day"),
+                 rnd(F.greatest(rate - half, F.lit(0.0)), 6).alias("rate_lo"),
+                 rnd(rate + half, 6).alias("rate_hi"))
+            .select("event_type", "n_events",
+                    F.col("days").alias("days_observed"),
+                    "rate_per_day", "rate_lo", "rate_hi"))

@@ -777,3 +777,186 @@ def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 5)
             .select("src", "dst", rnd(F.col("score_raw"), 6).alias("score"),
                     "rn"))
+
+
+_MMR_LAMBDA = 0.7
+_MMR_POOL = 8   # relevance-ranked candidate pool per probe
+_MMR_K = 3      # diversified picks
+
+_MMR_COS_PC = ("list_dot_product(p.v, c.v) / "
+               "(sqrt(list_dot_product(p.v, p.v))"
+               " * sqrt(list_dot_product(c.v, c.v)))")
+_MMR_COS_AB = ("list_dot_product(va.v, vb.v) / "
+               "(sqrt(list_dot_product(va.v, va.v))"
+               " * sqrt(list_dot_product(vb.v, vb.v)))")
+
+
+@register("sim_mmr_diversify", f"""
+WITH {_E_CTE},
+probes AS (
+    SELECT vec_id AS probe_id, label, v FROM e WHERE label < 5
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+),
+cand AS (
+    SELECT p.probe_id, c.vec_id AS cid,
+           {sql_rnd(_MMR_COS_PC, 6)} AS rel6
+    FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+    QUALIFY row_number() OVER (PARTITION BY p.probe_id
+                               ORDER BY {_MMR_COS_PC} DESC, c.vec_id)
+            <= {_MMR_POOL}
+),
+sims AS (
+    SELECT a.probe_id, a.cid AS i, b.cid AS j,
+           {sql_rnd(_MMR_COS_AB, 6)} AS sim6
+    FROM cand a
+    JOIN cand b ON a.probe_id = b.probe_id AND a.cid <> b.cid
+    JOIN e va ON va.vec_id = a.cid
+    JOIN e vb ON vb.vec_id = b.cid
+),
+s1 AS (
+    SELECT probe_id, cid, rel6 FROM cand
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY rel6 DESC, cid) = 1
+),
+m2 AS (
+    SELECT c.probe_id, c.cid, c.rel6,
+           floor(({_MMR_LAMBDA} * c.rel6
+                  - {1.0 - _MMR_LAMBDA} * s.sim6) * 1000000.0 + 0.5)
+               / 1000000.0 AS mmr
+    FROM cand c
+    JOIN s1 ON c.probe_id = s1.probe_id AND c.cid <> s1.cid
+    JOIN sims s ON s.probe_id = c.probe_id AND s.i = c.cid AND s.j = s1.cid
+),
+s2 AS (
+    SELECT probe_id, cid, rel6, mmr FROM m2
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY mmr DESC, cid) = 1
+),
+m3 AS (
+    SELECT c.probe_id, c.cid, c.rel6,
+           floor(({_MMR_LAMBDA} * c.rel6
+                  - {1.0 - _MMR_LAMBDA} * greatest(sa.sim6, sb.sim6))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mmr
+    FROM cand c
+    JOIN s1 ON c.probe_id = s1.probe_id AND c.cid <> s1.cid
+    JOIN s2 ON c.probe_id = s2.probe_id AND c.cid <> s2.cid
+    JOIN sims sa ON sa.probe_id = c.probe_id AND sa.i = c.cid
+                AND sa.j = s1.cid
+    JOIN sims sb ON sb.probe_id = c.probe_id AND sb.i = c.cid
+                AND sb.j = s2.cid
+),
+s3 AS (
+    SELECT probe_id, cid, rel6, mmr FROM m3
+    QUALIFY row_number() OVER (PARTITION BY probe_id
+                               ORDER BY mmr DESC, cid) = 1
+)
+SELECT probe_id, 1 AS rank, cid AS neighbor_id, rel6 AS relevance,
+       rel6 AS mmr_score FROM s1
+UNION ALL
+SELECT probe_id, 2, cid, rel6, mmr FROM s2
+UNION ALL
+SELECT probe_id, 3, cid, rel6, mmr FROM s3
+""")
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from each probe's top-8
+    relevance pool, pick 3 results that trade relevance against
+    redundancy (score = λ·rel − (1−λ)·max-sim-to-already-picked,
+    λ=0.7) — the standard diversification pass between "nearest
+    neighbors" and "useful retrieval set" (near-duplicate top hits
+    collapse to one slot; RAG context windows stop wasting tokens on
+    the same passage twice).
+
+    Scale shape: the expensive stage is the relevance pass, which IS
+    `sim_topk`'s topology (probes broadcast, corpus never shuffles);
+    everything after operates on pools of 8 rows/probe — the pairwise
+    sim matrix is 8×8 per probe and the K=3 greedy unrolls into three
+    dim-sized argmax windows. Cross-engine determinism: selection
+    steps rank on 6dp-ROUNDED relevance/similarity (the engines'
+    raw-cosine agreement at 6dp is already load-bearing for every
+    sim_* oracle), and each MMR score is the identical IEEE expression
+    over those rounded inputs, with cid tie-breaks throughout.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (e.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").alias("pv")))
+    rel_raw = cos_arrow(F.col("pv"), F.col("embedding"))
+    cand = (F.broadcast(probes)
+            .join(e, F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cvec"),
+                    rel_raw.alias("rel_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("rel_raw").desc(), F.col("cid"))))
+            .filter(F.col("rn") <= _MMR_POOL)
+            .select("probe_id", "cid", "cvec",
+                    rnd(F.col("rel_raw"), 6).alias("rel6"))
+            .localCheckpoint(eager=True))  # 40 rows; every later stage reuses
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (a.join(b, (F.col("a.probe_id") == F.col("b.probe_id"))
+                   & (F.col("a.cid") != F.col("b.cid")))
+            .select(F.col("a.probe_id").alias("probe_id"),
+                    F.col("a.cid").alias("i"), F.col("b.cid").alias("j"),
+                    rnd(cos_arrow(F.col("a.cvec"), F.col("b.cvec")), 6)
+                    .alias("sim6")))
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
+
+    def argmax(df, score_col):
+        return (df.withColumn("arn", F.row_number().over(
+            Window.partitionBy("probe_id")
+            .orderBy(F.col(score_col).desc(), F.col("cid"))))
+            .filter(F.col("arn") == 1).drop("arn"))
+
+    pool = cand.select("probe_id", "cid", "rel6")
+
+    def sims_as(tag: str):
+        # fully renamed copy: all MMR-step joins stay unambiguous even
+        # though pool/sims/s1/s2 share the cand lineage
+        return sims.select(F.col("probe_id").alias(f"{tag}_pid"),
+                           F.col("i").alias(f"{tag}_i"),
+                           F.col("j").alias(f"{tag}_j"),
+                           F.col("sim6").alias(f"{tag}_sim"))
+
+    s1 = argmax(pool, "rel6").withColumnRenamed("cid", "s1_cid")
+    sa1 = sims_as("sa")
+    m2 = (pool.join(s1.select("probe_id", "s1_cid"), "probe_id")
+          .filter(F.col("cid") != F.col("s1_cid"))
+          .join(sa1, (F.col("sa_pid") == F.col("probe_id"))
+                & (F.col("sa_i") == F.col("cid"))
+                & (F.col("sa_j") == F.col("s1_cid")))
+          .select("probe_id", "cid", "rel6",
+                  rnd(lam * F.col("rel6") - mu * F.col("sa_sim"), 6)
+                  .alias("mmr")))
+    s2 = argmax(m2, "mmr").withColumnRenamed("cid", "s2_cid")
+    sb1 = sims_as("sb")
+    m3 = (pool.join(s1.select("probe_id", "s1_cid"), "probe_id")
+          .join(s2.select("probe_id", "s2_cid"), "probe_id")
+          .filter((F.col("cid") != F.col("s1_cid"))
+                  & (F.col("cid") != F.col("s2_cid")))
+          .join(sims_as("sc"), (F.col("sc_pid") == F.col("probe_id"))
+                & (F.col("sc_i") == F.col("cid"))
+                & (F.col("sc_j") == F.col("s1_cid")))
+          .join(sb1, (F.col("sb_pid") == F.col("probe_id"))
+                & (F.col("sb_i") == F.col("cid"))
+                & (F.col("sb_j") == F.col("s2_cid")))
+          .select("probe_id", "cid", "rel6",
+                  rnd(lam * F.col("rel6")
+                      - mu * F.greatest(F.col("sc_sim"), F.col("sb_sim")),
+                      6).alias("mmr")))
+    s3 = argmax(m3, "mmr")
+    one = F.lit(1)
+    return (s1.select("probe_id", one.alias("rank"),
+                      F.col("s1_cid").alias("neighbor_id"),
+                      F.col("rel6").alias("relevance"),
+                      F.col("rel6").alias("mmr_score"))
+            .unionByName(s2.select("probe_id", F.lit(2).alias("rank"),
+                                   F.col("s2_cid").alias("neighbor_id"),
+                                   F.col("rel6").alias("relevance"),
+                                   F.col("mmr").alias("mmr_score")))
+            .unionByName(s3.select("probe_id", F.lit(3).alias("rank"),
+                                   F.col("cid").alias("neighbor_id"),
+                                   F.col("rel6").alias("relevance"),
+                                   F.col("mmr").alias("mmr_score"))))

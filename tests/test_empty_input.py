@@ -93,6 +93,7 @@ PROBES = [
     "dedup_cluster_profile", "dedup_minhash_band_tune",
     "text_domain_classify", "text_tokenizer_fertility",
     "graph_label_propagation",
+    "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
 ]
 
 
@@ -177,6 +178,7 @@ NULL_PROBES = [
     "dedup_cluster_profile", "dedup_minhash_band_tune",
     "text_domain_classify", "text_tokenizer_fertility",
     "graph_label_propagation",
+    "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
 ]
 
 

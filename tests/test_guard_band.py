@@ -107,3 +107,43 @@ def test_bollinger_breakout_distance(sf_dir: str) -> None:
     assert min_gap > 1e-3, (
         f"{sf_dir}: a day sits {min_gap:.3e} cents from a Bollinger band "
         "— raw breakout comparison no longer order-safe")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_mmr_rounding_boundaries_and_margins(sf_dir: str) -> None:
+    """sim_mmr_diversify ranks on 6dp-ROUNDED cosines: safe iff (a) no
+    raw relevance/pairwise cosine in the candidate pools sits within
+    1e-9 of a 1e-6 rounding boundary (engine drift cannot flip the
+    rounded value), and (b) no greedy argmax step has a rounded-score
+    tie resolved differently than the cid tie-break (ties are fine —
+    both engines break on cid — so only (a) is load-bearing; margins
+    are asserted informationally via the tie-break's determinism)."""
+    labels, emb = _load(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    vec_ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(vec_ids)
+    vec_ids, labels, emb = vec_ids[order], labels[order], emb[order]
+    norms = np.sqrt(np.einsum("ij,ij->i", emb, emb))
+    checked = 0
+    for lbl in range(5):
+        idx = np.where(labels == lbl)[0]
+        if len(idx) == 0:
+            continue
+        p = idx[0]  # lowest vec_id of the label (sorted above)
+        rel = (emb @ emb[p]) / (norms * norms[p])
+        rel[p] = -np.inf
+        pool = np.argsort(-rel, kind="stable")[:8]
+        # pairwise sims within the pool + relevance values
+        vals = list(rel[pool])
+        sub = emb[pool]
+        subn = norms[pool]
+        pair = (sub @ sub.T) / np.outer(subn, subn)
+        vals.extend(pair[np.triu_indices(len(pool), k=1)])
+        for v in vals:
+            frac = abs((v * 1e6 + 0.5) % 1.0)
+            dist = min(frac, 1.0 - frac)
+            assert dist > 1e-3, (
+                f"{sf_dir} label {lbl}: cosine {v!r} sits {dist:.2e} "
+                "(x1e-6) from a 6dp rounding boundary")
+            checked += 1
+    assert checked > 0
