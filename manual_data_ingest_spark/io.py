@@ -65,13 +65,23 @@ def clear_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
     the same reason.
     """
     cache = getattr(spark, "_mdis_table_cache", None)
-    if cache is None:
-        return
-    if sf_dir is None:
-        cache.clear()
-    else:
-        for key in [k for k in cache if k[0] == sf_dir]:
-            del cache[key]
+    if cache is not None:
+        if sf_dir is None:
+            cache.clear()
+        else:
+            for key in [k for k in cache if k[0] == sf_dir]:
+                del cache[key]
+    # derived-index caches (sim_ann_ivf_pruned's partitioned copy,
+    # sim_ann_lsh's bucketed table) key as (tag, sf_dir) and hold plans
+    # or paths derived from the same fixture bytes — same staleness rule
+    idx = getattr(spark, "_mdis_cache", None)
+    if idx is not None:
+        if sf_dir is None:
+            idx.clear()
+        else:
+            for key in [k for k in idx
+                        if isinstance(k, tuple) and sf_dir in k]:
+                del idx[key]
 
 
 def _convert_event_ts(df: DataFrame) -> DataFrame:
