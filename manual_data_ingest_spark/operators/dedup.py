@@ -611,20 +611,28 @@ def dedup_near_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
-    postings = (sh.groupBy("shingle")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-                .filter((F.size("ds") >= 2) & (F.size("ds") <= _DF_CAP)))
+    # ONE shingle shuffle serves everything: the grouped posting lists
+    # subsume the df count (size of the list), so the capped postings,
+    # the pair expansion, AND the per-doc kept-shingle sizes all derive
+    # from this checkpointed pass. The previous form paid the shingle
+    # shuffle twice (collect_list + separate df count) plus a
+    # sh⋈df join for sizes — A/B at 4×: 4.65 → 2.90 s, identical rows
+    # (BASELINE.md r4). At 100 TB the checkpoint is the persisted
+    # postings index; the cap bounds every list at _DF_CAP entries.
+    kept_g = (sh.groupBy("shingle")
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+              .filter(F.size("ds") <= _DF_CAP)
+              .localCheckpoint(eager=True))
+    postings = kept_g.filter(F.size("ds") >= 2)
     pair_arr = F.expr(
         "flatten(transform(ds, (a, i) ->"
         " transform(slice(ds, i + 2, size(ds)), b -> struct(a, b))))")
     pairs = (postings.select(F.explode(pair_arr).alias("p"))
              .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
              .agg(F.count("*").alias("common")))
-    # sizes over the KEPT shingle space: per-doc count of shingles whose
-    # document frequency is within the cap (needs the global df — one
-    # extra aggregate, still bounded work)
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = (sh.join(df_counts.filter(F.col("df") <= _DF_CAP), "shingle")
+    # sizes over the KEPT shingle space = explode of the capped lists
+    # (distinct doc per list by construction)
+    sizes = (kept_g.select(F.explode("ds").alias("doc_id"))
              .groupBy("doc_id").agg(F.count("*").alias("n")))
     jac = F.col("common").cast("double") / (F.col("sa.n") + F.col("sb.n")
                                             - F.col("common"))
