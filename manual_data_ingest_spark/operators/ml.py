@@ -2091,3 +2091,73 @@ def ml_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.sqrt("d2"), 6).alias("centroid_l2"),
                     rnd(F.col("dot") / (F.sqrt("n0") * F.sqrt("n1")), 6)
                     .alias("centroid_cos")))
+
+
+@register("ml_propensity_weighting", f"""
+WITH units AS (
+    SELECT (o_orderpriority = '1-URGENT')::INT AS t,
+           floor(o_totalprice * 100.0 + 0.5)::BIGINT AS y,
+           c_mktsegment AS seg
+    FROM orders JOIN customer ON o_custkey = c_custkey
+), seg_p AS (
+    SELECT seg, sum(t)::BIGINT AS nt, count(*) AS n FROM units GROUP BY seg
+), w AS (
+    SELECT u.t, u.y,
+           u.t * u.y::DOUBLE / (sp.nt::DOUBLE / sp.n)          AS wt_y,
+           (1 - u.t) * u.y::DOUBLE
+               / (1.0 - sp.nt::DOUBLE / sp.n)                  AS wc_y
+    FROM units u JOIN seg_p sp ON u.seg = sp.seg
+)
+SELECT count(*) AS n_units,
+       sum(t)::BIGINT AS n_treated,
+       {sql_rnd('(sum(CASE WHEN t = 1 THEN y END)::DOUBLE'
+                ' / sum(t)'
+                ' - sum(CASE WHEN t = 0 THEN y END)::DOUBLE'
+                ' / (count(*) - sum(t))) / 100.0')} AS naive_diff,
+       {sql_rnd('(sum(wt_y) - sum(wc_y)) / count(*) / 100.0')} AS ate_ipw
+FROM w
+""")
+def ml_propensity_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect (Horvitz-Thompson):
+    the effect of URGENT priority on order value, deconfounded by
+    customer segment — the observational-causal estimator that
+    completes the experimentation suite (`ml_ab_srm_check` validates
+    randomization; CUPED reduces variance; IPW is what's left when
+    there WAS no randomization). Propensity = the segment's observed
+    treatment share; each unit is reweighted by 1/p (treated) or
+    1/(1-p) (control) so both groups match the segment mix.
+
+    Float discipline: propensities divide two exact int64 counts per
+    segment (5 segments); the weighted sums add exact-cent outcomes
+    scaled by those fixed doubles — last-bit accumulation drift is far
+    below the 2dp output rounding. Scale: one fact-dim broadcast join
+    + a 5-row propensity aggregate joined back broadcast + one final
+    pass — three map-side-combined aggregates, no wide shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    units = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                    o.o_custkey == F.col("c_custkey"))
+             .select((F.col("o_orderpriority") == "1-URGENT").cast("int")
+                     .alias("t"),
+                     F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                     .cast("long").alias("y"),
+                     F.col("c_mktsegment").alias("seg")))
+    seg_p = units.groupBy("seg").agg(F.sum("t").alias("nt"),
+                                     F.count("*").alias("n"))
+    p = F.col("nt").cast("double") / F.col("n")
+    w = (units.join(F.broadcast(seg_p), "seg")
+         .select("t", "y",
+                 (F.col("t") * F.col("y").cast("double") / p).alias("wt_y"),
+                 ((1 - F.col("t")) * F.col("y").cast("double")
+                  / (1.0 - p)).alias("wc_y")))
+    n = F.count("*")
+    nt = F.sum("t")
+    naive = (F.sum(F.when(F.col("t") == 1, F.col("y"))).cast("double") / nt
+             - F.sum(F.when(F.col("t") == 0, F.col("y"))).cast("double")
+             / (n - nt))
+    return w.agg(
+        n.alias("n_units"),
+        nt.cast("long").alias("n_treated"),
+        rnd(naive / 100.0).alias("naive_diff"),
+        rnd((F.sum("wt_y") - F.sum("wc_y")) / n / 100.0).alias("ate_ipw"))

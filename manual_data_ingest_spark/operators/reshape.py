@@ -415,3 +415,55 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(ha, "doc_id").join(hb, "neg_id")
             .filter(F.col("tha") != F.col("thb"))
             .select("doc_id", "neg_id", "k"))
+
+
+_EPOCHS = 3
+_SHARDS = 8
+
+
+@register("sample_epoch_shuffle", f"""
+WITH keyed AS (
+    SELECT e.epoch, doc_id,
+           ('0x' || substr(md5(e.epoch::VARCHAR || ':' || doc_id::VARCHAR),
+                           1, 15))::BIGINT AS k
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, {_EPOCHS - 1}))
+                  AS epoch) e
+)
+SELECT epoch, (k % {_SHARDS})::INT AS shard,
+       row_number() OVER (PARTITION BY epoch, k % {_SHARDS}
+                          ORDER BY k, doc_id) AS position,
+       doc_id
+FROM keyed
+""")
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle: every document
+    gets a stable (epoch, shard, position) — the order a distributed
+    data loader replays IDENTICALLY on any engine, any partition
+    layout, any restart. Seeded RNG shuffles break exactly where this
+    matters (resume mid-epoch on different hardware, audit which
+    examples a checkpoint saw); a hash order is the reproducible
+    answer, and re-keying by epoch gives a genuinely different
+    permutation per epoch.
+
+    Scale shape: the shuffle key is md5(epoch:doc_id) (§2.14 parity —
+    no RNG, no state); sharding by key mod {_SHARDS} makes each
+    epoch's ordering a PER-SHARD window — fully parallel, no global
+    sort; a 100 TB loader keys shards to workers and each worker
+    range-reads its own slice in position order. Positions tie-break
+    on doc_id under the (vanishing) chance of equal 60-bit keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = (d.select("doc_id",
+                      F.explode(F.sequence(F.lit(0), F.lit(_EPOCHS - 1)))
+                      .alias("epoch"))
+             .select("epoch", "doc_id",
+                     F.expr("cast(conv(substring(md5(concat("
+                            "cast(epoch as string), ':',"
+                            " cast(doc_id as string))), 1, 15), 16, 10)"
+                            " as bigint)").alias("k")))
+    w = Window.partitionBy("epoch", F.col("k") % _SHARDS) \
+        .orderBy("k", "doc_id")
+    return keyed.select(
+        "epoch", (F.col("k") % _SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).alias("position"), "doc_id")

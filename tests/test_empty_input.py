@@ -94,6 +94,7 @@ PROBES = [
     "text_domain_classify", "text_tokenizer_fertility",
     "graph_label_propagation",
     "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
+    "sample_epoch_shuffle", "ml_propensity_weighting",
 ]
 
 
@@ -179,6 +180,7 @@ NULL_PROBES = [
     "text_domain_classify", "text_tokenizer_fertility",
     "graph_label_propagation",
     "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
+    "sample_epoch_shuffle", "ml_propensity_weighting",
 ]
 
 
