@@ -100,3 +100,19 @@ def test_greens_all_at_tail():
     flags = [latest.get(n) is True for n in order]
     first_green = flags.index(True) if True in flags else len(flags)
     assert all(flags[first_green:]), "a non-green name sorted after a green one"
+
+
+def test_bench_headline_contract():
+    """Every benched query must be registered with an oracle (the
+    DuckDB comparator side of bench.py), and every twin exclusion must
+    name a benched query — drift here silently breaks BENCH_r{N}."""
+    import bench
+
+    names = set(all_queries())
+    oracles = set(all_oracles())
+    missing = [q for q in bench.HEADLINE if q not in names]
+    assert missing == [], f"HEADLINE not registered: {missing}"
+    no_oracle = [q for q in bench.HEADLINE if q not in oracles]
+    assert no_oracle == [], f"HEADLINE without oracle: {no_oracle}"
+    assert bench.TWINS <= set(bench.HEADLINE)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
