@@ -96,11 +96,26 @@ def run_to_batch(df: DataFrame, output_mode: str) -> DataFrame:
     session's bench warmups and oracle sweeps."""
     name = f"mdis_stream_sink_{next(_SINK_COUNTER)}"
     spark = df.sparkSession
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # State-store count is fixed from spark.sql.shuffle.partitions at
+    # the query's FIRST checkpoint and tracks STATE cardinality (users,
+    # sessions, windows), not input bytes — unlike batch shuffles,
+    # repartitioning state later requires a new checkpoint, so this is
+    # a start-time decision. The bench protocol scales the session knob
+    # with replica size (128 at 16×), which is right for its batch
+    # shuffles but pays 128 near-empty state stores per stateful op
+    # here (A/B at 16×: 7.6 s → 5.6 s with 32). Cap the streaming
+    # query's partitions at 32 and restore the session value after.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    capped = str(min(int(prev), 32))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", capped)
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # coalesce(1) before the checkpoint: the memory sink's rows live in
     # the DRIVER, but the table still reports the query's state
     # partitioning (32 at the bench 4×) — so the eager checkpoint was a
