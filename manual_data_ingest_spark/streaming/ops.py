@@ -116,14 +116,16 @@ def run_to_batch(df: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # coalesce(1) before the checkpoint: the memory sink's rows live in
+    # coalesce before the checkpoint: the memory sink's rows live in
     # the DRIVER, but the table still reports the query's state
-    # partitioning (32 at the bench 4×) — so the eager checkpoint was a
-    # 32-task job over near-empty partitions, measured 0.4-0.8 s of a
-    # ~1.8 s streaming op. One task checkpoints the same rows in ~0.1 s.
+    # partitioning — so the eager checkpoint was a 32-task job over
+    # near-empty partitions, measured 0.4-0.8 s of a ~1.8 s streaming
+    # op. coalesce(8), not (1): complete-mode session output at the
+    # 16× replica is ~1.5M rows, and a single-partition checkpoint
+    # made one 85 MB task (TaskSetManager warning in the r4 16× bench).
     # Driver-bound by the memory-sink CONTRACT (test/bench harness path
     # only); production streams write to real distributed sinks.
-    out = spark.table(name).coalesce(1).localCheckpoint(eager=True)
+    out = spark.table(name).coalesce(8).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
 
