@@ -229,10 +229,18 @@ def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row aggregate fans into two rule rows via a map-explode
     (duplicating the subtree across two union branches re-executed it:
     measured). 5-branch union → 4 branches, 6 scans → 5: 1.02 s →
-    0.89 s cold; the remaining cost is broadcast-build + stage
-    scheduling, the documented local floor (each branch alone is
-    0.15-0.5 s). Anti-joins broadcast the smaller key set — at 100 TB
-    the parent-key side stays the broadcastable one (keys, not rows).
+    0.89 s cold; the remaining cost is join-build + stage scheduling,
+    the documented local floor (each branch alone is 0.15-0.5 s).
+
+    The FK key-set joins carry NO broadcast hint: the parent key sets
+    here are customer keys and orders keys — fact-table-sized sets
+    that are billions of longs at 100 TB, where a forced broadcast
+    hint (which bypasses AQE's size check) is a guaranteed OOM. AQE
+    broadcasts them when they fit (it does at every bench SF) and
+    falls back to a shuffled join when they don't; additionally
+    spark.sql.optimizer.runtime.bloomFilter pre-filters the fact side
+    of the anti-joins at scale. tests/test_plans.py::
+    test_no_forced_fact_table_broadcast_anywhere pins this registry-wide.
     """
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -243,7 +251,7 @@ def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = (customer.select(F.col("c_custkey").alias("o_custkey"))
           .withColumn("has_c", F.lit(1)))
     o2 = (orders.select("o_custkey")
-          .join(F.broadcast(ck), "o_custkey", "left")
+          .join(ck, "o_custkey", "left")
           .agg(F.count(F.when(F.col("o_custkey").isNull(), 1))
                .cast("long").alias("n_null"),
                F.count(F.when(F.col("o_custkey").isNotNull()
@@ -255,8 +263,7 @@ def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rule", "violations"))
     ok = orders.select("o_orderkey")
     li = (lineitem.select("l_orderkey")
-          .join(F.broadcast(ok), lineitem.l_orderkey == ok.o_orderkey,
-                "left_anti")
+          .join(ok, lineitem.l_orderkey == ok.o_orderkey, "left_anti")
           .agg(F.count("*").cast("long").alias("violations"))
           .select(F.lit("lineitem.orphan_orderkey").alias("rule"),
                   "violations"))
