@@ -2599,11 +2599,13 @@ SELECT count(*) AS n_days,
        sum(s)::BIGINT AS n_above,
        (count(*) - sum(s))::BIGINT AS n_below,
        sum(new_run)::BIGINT AS n_runs,
-       {sql_rnd('(sum(new_run) - (1.0 + 2.0 * sum(s)'
+       {sql_rnd('CASE WHEN 2.0 * sum(s) * (count(*) - sum(s)) > count(*)'
+                ' THEN (sum(new_run) - (1.0 + 2.0 * sum(s)'
                 ' * (count(*) - sum(s)) / count(*)))'
                 ' / sqrt(2.0 * sum(s) * (count(*) - sum(s))'
                 ' * (2.0 * sum(s) * (count(*) - sum(s)) - count(*))'
-                ' / (count(*)::DOUBLE * count(*) * (count(*) - 1)))', 4)}
+                ' / (count(*)::DOUBLE * count(*) * (count(*) - 1)))'
+                ' ELSE NULL END', 4)}
            AS z_score
 FROM runs
 """)
@@ -2622,6 +2624,14 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window over integers; only the final z divides exact integer
     aggregates in one fixed IEEE expression, rounded 4dp. Scale: one
     exact-cents daily collapse, then a dim-sized ordered pass.
+
+    Degenerate guard (r4 ADVICE.md): the null variance
+    2·n1·n0·(2·n1·n0−n)/(n²(n−1)) is zero or undefined when the
+    series is a single day, entirely one-sided (n1=0 or n0=0), or the
+    two-day split case 2·n1·n0=n — Spark ANSI would raise
+    DIVIDE_BY_ZERO where DuckDB nulls out. z_score is therefore gated
+    on 2·n1·n0 > n (which implies n1>0, n0>0, n>1 AND var>0) and NULL
+    otherwise, with the CASE mirrored in the oracle.
     """
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
@@ -2649,7 +2659,8 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("long").alias("n_above"),
         n0.cast("long").alias("n_below"),
         r.cast("long").alias("n_runs"),
-        rnd((r - expected) / F.sqrt(var), 4).alias("z_score"))
+        rnd(F.when(2.0 * n1 * n0 > n, (r - expected) / F.sqrt(var)),
+            4).alias("z_score"))
 
 
 @register("agg_poisson_rate_ci", f"""

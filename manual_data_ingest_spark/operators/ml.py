@@ -2101,6 +2101,7 @@ WITH units AS (
     FROM orders JOIN customer ON o_custkey = c_custkey
 ), seg_p AS (
     SELECT seg, sum(t)::BIGINT AS nt, count(*) AS n FROM units GROUP BY seg
+    HAVING sum(t) > 0 AND sum(t) < count(*)
 ), w AS (
     SELECT u.t, u.y,
            u.t * u.y::DOUBLE / (sp.nt::DOUBLE / sp.n)          AS wt_y,
@@ -2127,6 +2128,16 @@ def ml_propensity_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment share; each unit is reweighted by 1/p (treated) or
     1/(1-p) (control) so both groups match the segment mix.
 
+    Positivity (overlap) guard: a segment whose units are ALL treated
+    (p=1) or ALL control (p=0) has no identifiable counterfactual —
+    and its weight terms divide by zero, which Spark-4 ANSI mode
+    raises as DIVIDE_BY_ZERO (r4 ADVICE.md). Such segments are
+    EXCLUDED from the estimator (the standard IPW positivity filter),
+    mirrored as HAVING in the oracle; the fixtures' 86/14 priority
+    split keeps every segment two-sided, so fixture results are
+    unchanged — tests/test_unit_operators.py pins the degenerate case
+    on a synthetic all-treated segment.
+
     Float discipline: propensities divide two exact int64 counts per
     segment (5 segments); the weighted sums add exact-cent outcomes
     scaled by those fixed doubles — last-bit accumulation drift is far
@@ -2143,8 +2154,11 @@ def ml_propensity_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
                      .cast("long").alias("y"),
                      F.col("c_mktsegment").alias("seg")))
-    seg_p = units.groupBy("seg").agg(F.sum("t").alias("nt"),
-                                     F.count("*").alias("n"))
+    seg_p = (units.groupBy("seg").agg(F.sum("t").alias("nt"),
+                                      F.count("*").alias("n"))
+             # positivity filter: drop p=0 / p=1 segments (no overlap;
+             # their weights would divide by zero under ANSI mode)
+             .filter((F.col("nt") > 0) & (F.col("nt") < F.col("n"))))
     p = F.col("nt").cast("double") / F.col("n")
     w = (units.join(F.broadcast(seg_p), "seg")
          .select("t", "y",

@@ -132,7 +132,18 @@ def test_mmr_rounding_boundaries_and_margins(sf_dir: str) -> None:
         p = idx[0]  # lowest vec_id of the label (sorted above)
         rel = (emb @ emb[p]) / (norms * norms[p])
         rel[p] = -np.inf
-        pool = np.argsort(-rel, kind="stable")[:8]
+        ranked = np.argsort(-rel, kind="stable")
+        pool = ranked[:8]
+        # pool-boundary margin (r4 ADVICE): the top-8 pool is cut on RAW
+        # relevance, so the rel[7]-vs-rel[8] gap must exceed engine
+        # drift (or be EXACTLY tied, which the cid tie-break resolves
+        # deterministically) — else sub-ulp drift admits different
+        # candidates and flips the diversified picks.
+        if len(ranked) > 8:
+            cut_gap = rel[ranked[7]] - rel[ranked[8]]
+            assert cut_gap == 0.0 or cut_gap > 1e-9, (
+                f"{sf_dir} label {lbl}: raw pool-cut margin {cut_gap:.3e} "
+                "within engine drift of the 8th/9th candidate boundary")
         # pairwise sims within the pool + relevance values
         vals = list(rel[pool])
         sub = emb[pool]

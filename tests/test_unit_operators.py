@@ -9,6 +9,7 @@ SimHash blocking).
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import Row
@@ -213,3 +214,100 @@ def test_multimodal_decode_invariant_to_arrow_batch_size(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert base == small
+
+
+# ----------------------------------------------- degenerate-input guards (r5)
+
+def _degenerate_fixture(tmp_path, mutate_sql: str) -> str:
+    """Copy the sf0.001 fixture into tmp_path with `orders` rewritten by
+    a DuckDB SELECT (the other nine tables are copied verbatim)."""
+    import shutil
+
+    import duckdb
+
+    src = SF_SMALL
+    dst = str(tmp_path / "fixture")
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "orders.parquet":
+            shutil.copy(f"{src}/{f}", f"{dst}/{f}")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders_src AS "
+                f"SELECT * FROM read_parquet('{src}/orders.parquet')")
+    con.execute(f"CREATE VIEW customer AS "
+                f"SELECT * FROM read_parquet('{src}/customer.parquet')")
+    con.execute(f"COPY ({mutate_sql}) TO '{dst}/orders.parquet' "
+                f"(FORMAT PARQUET)")
+    con.close()
+    return dst
+
+
+def test_propensity_degenerate_segment_is_excluded(spark, tmp_path):
+    """r4 ADVICE: a segment whose orders are ALL treated (p=1) must be
+    dropped by the positivity filter, not raise DIVIDE_BY_ZERO — and
+    the engine must stay hash-identical to the oracle on that input."""
+    import __spark_entry__ as E
+
+    # force every BUILDING-segment order to URGENT (p=1 there)
+    dst = _degenerate_fixture(tmp_path, """
+        SELECT o.* REPLACE (
+            CASE WHEN c.c_mktsegment = 'BUILDING' THEN '1-URGENT'
+                 ELSE o.o_orderpriority END AS o_orderpriority)
+        FROM orders_src o JOIN customer c ON o.o_custkey = c.c_custkey
+    """)
+    row = E.queries()["ml_propensity_weighting"](spark, dst).collect()[0]
+    assert row.ate_ipw is not None  # other segments still identified
+
+    import duckdb
+    con = duckdb.connect()
+    for name in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM "
+                    f"read_parquet('{dst}/{name}.parquet')")
+    orc = con.execute(E.oracle_sql()["ml_propensity_weighting"]).fetchone()
+    con.close()
+    # n_units shrinks to the positivity universe on BOTH engines
+    assert (row.n_units, row.n_treated) == (orc[0], orc[1])
+    assert row.ate_ipw == pytest.approx(orc[3], abs=1e-9)
+
+
+def test_propensity_all_treated_returns_null_not_crash(spark, tmp_path):
+    """Every order URGENT → every segment degenerate → the estimator
+    universe is empty; NULLs, not DIVIDE_BY_ZERO."""
+    import __spark_entry__ as E
+
+    dst = _degenerate_fixture(
+        tmp_path,
+        "SELECT * REPLACE ('1-URGENT' AS o_orderpriority) FROM orders_src")
+    row = E.queries()["ml_propensity_weighting"](spark, dst).collect()[0]
+    assert row.n_units == 0
+    assert row.ate_ipw is None
+
+
+def test_runs_test_single_day_and_two_day_series(spark, tmp_path):
+    """r4 ADVICE: a one-day series (n=1) and the balanced two-day series
+    (2·n1·n0 = n → zero variance) must yield NULL z_score, not
+    DIVIDE_BY_ZERO, and agree with the oracle."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    for mutate, n_days in (
+            ("SELECT * REPLACE (DATE '1995-06-01' AS o_orderdate) "
+             "FROM orders_src", 1),
+            # two days, one above / one below the mean by construction:
+            # day 1 gets one cheap order, day 2 everything else
+            ("SELECT * REPLACE (CASE WHEN o_orderkey = "
+             "(SELECT min(o_orderkey) FROM orders_src) "
+             "THEN DATE '1995-06-01' ELSE DATE '1995-06-02' END "
+             "AS o_orderdate) FROM orders_src", 2)):
+        dst = _degenerate_fixture(tmp_path / f"d{n_days}", mutate)
+        row = E.queries()["agg_runs_test"](spark, dst).collect()[0]
+        assert row.n_days == n_days
+        assert row.z_score is None
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                    f"read_parquet('{dst}/orders.parquet')")
+        orc = con.execute(E.oracle_sql()["agg_runs_test"]).fetchone()
+        con.close()
+        assert orc[0] == n_days and orc[4] is None
