@@ -678,6 +678,15 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale you'd join on xxhash64(ngram) to shrink the broadcast (a
     64-bit hash per n-gram), an 8x payload cut with collision odds
     ~n^2/2^64.
+
+    PRECONDITION (r4 verdict item 6): the forced broadcast is sized by
+    the EVAL SET, which for a real benchmark suite is fixed MBs. The
+    FIXTURE's stand-in eval split is 5% of the corpus, so here the
+    broadcast grows with SF — fine at every bench scale (distinct
+    8-grams of 5% of sf0.1 ≈ 410k short strings, tens of MB), a
+    non-starter if your "eval set" is a corpus fraction at 100 TB. For
+    that shape use `dedup_decontaminate_shuffled` below: identical
+    output, corpus-partitioned shuffle join, no broadcast anywhere.
     """
     d = load_table(spark, sf_dir, "documents")
     ngrams = F.array_distinct(F.expr(
@@ -687,6 +696,60 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
     hits = (ng.filter(F.col("doc_id") % 20 != 0)
             .join(F.broadcast(ev), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n")))
+    return (d.filter(F.col("doc_id") % 20 != 0)
+            .join(hits.withColumnRenamed("doc_id", "hid"),
+                  F.col("doc_id") == F.col("hid"), "left")
+            .select("doc_id", "source",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n_shared_ngrams"),
+                    F.col("hid").isNull().alias("keep")))
+
+
+@register("dedup_decontaminate_shuffled", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ng AS (
+    SELECT doc_id, unnest(list_distinct(
+        [array_to_string(l[i:i+7], ' ')
+         FOR i IN generate_series(1, greatest(len(l) - 7, 1))])) AS g
+    FROM toks
+),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+hits AS (
+    SELECT tr.doc_id, count(*) AS n
+    FROM ng tr JOIN ev ON tr.g = ev.g
+    WHERE tr.doc_id % 20 <> 0
+    GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       coalesce(h.n, 0)::BIGINT AS n_shared_ngrams,
+       (h.doc_id IS NULL) AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+""")
+def dedup_decontaminate_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_decontaminate` for eval sets that are a CORPUS FRACTION
+    rather than a fixed benchmark: identical output, but the n-gram
+    overlap is a SHUFFLE-HASH join partitioned on the n-gram — nothing
+    is broadcast, so the eval side may be arbitrarily large (r4
+    verdict item 6: the broadcast twin's forced `F.broadcast(ev)` is
+    sized by the eval split and cannot grow with the corpus).
+
+    shuffle_hash over merge: both sides arrive hash-partitioned on
+    `g`; SHJ builds a table from the (smaller) eval side per partition
+    and streams the training side, skipping the two full sorts a
+    sort-merge join would add on a key that is a throwaway string.
+    AQE may still pick SMJ if a partition's build side would not fit —
+    acceptable; the assertion is no-broadcast, not SHJ-forever
+    (tests/test_plans.py::test_decontaminate_shuffled_never_broadcasts).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ngrams = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"))
+    ng = d.select("doc_id", F.explode(ngrams).alias("g"))
+    ev = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    hits = (ng.filter(F.col("doc_id") % 20 != 0)
+            .join(ev.hint("shuffle_hash"), "g")
             .groupBy("doc_id").agg(F.count("*").alias("n")))
     return (d.filter(F.col("doc_id") % 20 != 0)
             .join(hits.withColumnRenamed("doc_id", "hid"),

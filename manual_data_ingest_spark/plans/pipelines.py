@@ -237,6 +237,12 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate) and the end-to-end result is what a user actually ships. The
     corpus is never shuffled for decontamination (broadcast), and the
     dedup window / lang window / final agg are the only wide stages.
+
+    PRECONDITION: the decontamination broadcast is sized by the EVAL
+    SET (here the fixture's 5% doc_id split; in production a fixed
+    MB-scale benchmark suite). If your eval side scales with the
+    corpus, swap the broadcast stage for the shuffle shape in
+    `dedup_decontaminate_shuffled` — same output, no broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")

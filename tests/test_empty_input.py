@@ -95,6 +95,8 @@ PROBES = [
     "graph_label_propagation",
     "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
     "sample_epoch_shuffle", "ml_propensity_weighting",
+    # r5 additions
+    "dedup_decontaminate_shuffled",
 ]
 
 
@@ -181,6 +183,8 @@ NULL_PROBES = [
     "graph_label_propagation",
     "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
     "sample_epoch_shuffle", "ml_propensity_weighting",
+    # r5 additions
+    "dedup_decontaminate_shuffled",
 ]
 
 

@@ -957,3 +957,21 @@ def test_no_forced_fact_table_broadcast_anywhere(spark):
         if bad:
             offenders[name] = bad[0]
     assert not offenders, offenders
+
+
+def test_decontaminate_shuffled_never_broadcasts(spark):
+    """dedup_decontaminate_shuffled: the n-gram overlap join must NOT
+    be a broadcast at any eval-set size — that is the twin's whole
+    contract (the broadcast sibling force-broadcasts the eval n-grams,
+    which only works while the eval set is a fixed benchmark)."""
+    df = E.queries()["dedup_decontaminate_shuffled"](spark, SF_ORACLE)
+    # simple-mode physical tree keeps join keys inline on the node line
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the n-gram join is the g = g equi-join; the final doc_id flag
+    # join may do what AQE likes. Find the g-join and pin its strategy.
+    g_joins = [ln for ln in plan.splitlines()
+               if "Join" in ln and "g#" in ln]
+    assert g_joins, plan
+    assert not any("Broadcast" in ln for ln in g_joins), g_joins
+    assert any("ShuffledHashJoin" in ln or "SortMergeJoin" in ln
+               for ln in g_joins), g_joins
