@@ -700,11 +700,27 @@ def test_probe_derivation_uses_window_group_limit(spark):
     partial WindowGroupLimit — a map-side top-1 per label before the
     shuffle — NOT a full window sort. This is why the window form beats
     the min_by-agg rewrite on array payloads (module header note)."""
-    for name in ("sim_topk", "sim_ann_lsh", "sim_ann_ivf"):
+    for name in ("sim_topk", "sim_ann_ivf"):
         plan = _plan(spark, name)
         assert "WindowGroupLimit" in plan, name
         assert "Partial" in plan.split("WindowGroupLimit")[0][-200:] or \
             plan.count("WindowGroupLimit") >= 2, name  # partial + final pair
+    # sim_ann_lsh caches its probes as part of the index artifact (r5),
+    # so the registered plan shows the checkpointed RDD — assert the
+    # BUILD plan instead via the derivation helper
+    from manual_data_ingest_spark.io import load_table
+    from manual_data_ingest_spark.operators.similarity import (
+        _LSH_BUCKET_SPARK, _lsh_probe_derivation)
+
+    b = (load_table(spark, SF_ORACLE, "embeddings")
+         .withColumn("bucket", F.expr(_LSH_BUCKET_SPARK)))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = (_lsh_probe_derivation(b)
+            ._jdf.queryExecution().explainString(mode))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit")[0][-200:] or \
+        plan.count("WindowGroupLimit") >= 2, plan
 
 
 # ----------------------------------------------------------------- r3 batch
