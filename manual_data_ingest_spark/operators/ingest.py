@@ -1753,3 +1753,120 @@ def ingest_late_arriving_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("is_late"))
             .agg(F.count("*").alias("n_orders"))
             .select("o_orderpriority", "segment", "n_orders", "is_late"))
+
+
+@register("ingest_fk_coverage_report", f"""
+WITH li AS (
+    SELECT count(*) AS n,
+           count(o.o_orderkey) AS m_ord,
+           count(p.p_partkey) AS m_part,
+           count(s.s_suppkey) AS m_supp
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)
+SELECT 'lineitem.l_orderkey->orders' AS edge, n::BIGINT AS n_rows,
+       m_ord::BIGINT AS n_matched,
+       CASE WHEN n > 0 THEN {sql_rnd('m_ord / n::DOUBLE', 4)} END
+           AS coverage_pct
+FROM li
+UNION ALL
+SELECT 'lineitem.l_partkey->part', n::BIGINT, m_part::BIGINT,
+       CASE WHEN n > 0 THEN {sql_rnd('m_part / n::DOUBLE', 4)} END FROM li
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', n::BIGINT, m_supp::BIGINT,
+       CASE WHEN n > 0 THEN {sql_rnd('m_supp / n::DOUBLE', 4)} END FROM li
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*)::BIGINT,
+       count(c.c_custkey)::BIGINT,
+       CASE WHEN count(*) > 0
+            THEN {sql_rnd('count(c.c_custkey) / count(*)::DOUBLE', 4)} END
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation', count(*)::BIGINT,
+       count(n.n_nationkey)::BIGINT,
+       CASE WHEN count(*) > 0
+            THEN {sql_rnd('count(n.n_nationkey) / count(*)::DOUBLE', 4)} END
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', count(*)::BIGINT,
+       count(n.n_nationkey)::BIGINT,
+       CASE WHEN count(*) > 0
+            THEN {sql_rnd('count(n.n_nationkey) / count(*)::DOUBLE', 4)} END
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation.n_regionkey->region', count(*)::BIGINT,
+       count(r.r_regionkey)::BIGINT,
+       CASE WHEN count(*) > 0
+            THEN {sql_rnd('count(r.r_regionkey) / count(*)::DOUBLE', 4)} END
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def ingest_fk_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity COVERAGE across every FK edge of the star
+    schema in one report: child rows, matched rows, match fraction —
+    the daily data-quality panel that complements `ingest_validate`
+    (which counts VIOLATIONS for a rule subset). 7 edges, one row
+    each.
+
+    Shape: lineitem's three edges share ONE scan — three left joins
+    against the parent KEY projections feed a single aggregate whose
+    three match-counts fan out via map-explode (the `ingest_validate`
+    r4 pattern); the other four edges are one dim-sized branch each.
+    No join carries a broadcast hint: parent keysets scale with their
+    tables, and AQE picks broadcast only when a side fits
+    (tests/test_plans.py::test_no_forced_fact_table_broadcast_anywhere
+    covers this op like every other). Degenerate guard: coverage_pct
+    is NULL (not DIVIDE_BY_ZERO) on an empty child table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ok = orders.select(F.col("o_orderkey").alias("k_ord"))
+    pk = part.select(F.col("p_partkey").alias("k_part"))
+    sk = supplier.select(F.col("s_suppkey").alias("k_supp"))
+    li3 = (li.select("l_orderkey", "l_partkey", "l_suppkey")
+           .join(ok, li.l_orderkey == ok.k_ord, "left")
+           .join(pk, li.l_partkey == pk.k_part, "left")
+           .join(sk, li.l_suppkey == sk.k_supp, "left")
+           .agg(F.count("*").alias("n"),
+                F.count("k_ord").alias("m_ord"),
+                F.count("k_part").alias("m_part"),
+                F.count("k_supp").alias("m_supp")))
+    li_rows = (li3.select(F.col("n"), F.explode(F.create_map(
+        F.lit("lineitem.l_orderkey->orders"), F.col("m_ord"),
+        F.lit("lineitem.l_partkey->part"), F.col("m_part"),
+        F.lit("lineitem.l_suppkey->supplier"), F.col("m_supp")))
+        .alias("edge", "n_matched"))
+        .select("edge", F.col("n").alias("n_rows"), "n_matched"))
+
+    def one_edge(label, child, ckey, parent, pkey_col):
+        p = parent.select(F.col(pkey_col).alias("pk"))
+        return (child.select(F.col(ckey))
+                .join(p, F.col(ckey) == F.col("pk"), "left")
+                .agg(F.count("*").alias("n_rows"),
+                     F.count("pk").alias("n_matched"))
+                .select(F.lit(label).alias("edge"), "n_rows", "n_matched"))
+
+    edges = li_rows
+    for spec in (
+            ("orders.o_custkey->customer", orders, "o_custkey",
+             customer, "c_custkey"),
+            ("customer.c_nationkey->nation", customer, "c_nationkey",
+             nation, "n_nationkey"),
+            ("supplier.s_nationkey->nation", supplier, "s_nationkey",
+             nation, "n_nationkey"),
+            ("nation.n_regionkey->region", nation, "n_regionkey",
+             region, "r_regionkey")):
+        edges = edges.unionByName(one_edge(*spec))
+    return edges.select(
+        "edge", F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.when(F.col("n_rows") > 0,
+               rnd(F.col("n_matched") / F.col("n_rows").cast("double"), 4))
+        .alias("coverage_pct"))

@@ -257,6 +257,33 @@ _LSH_BUCKET_SPARK = " + ".join(
     for i in range(_LSH_BITS))
 
 
+def _lsh_index(spark: SparkSession, sf_dir: str):
+    """The session-cached LSH ANN index: (bucketed corpus, probe rows).
+
+    Both halves are ONE artifact, built once per (session, sf_dir) and
+    checkpointed — the `sim_ann_ivf_pruned` amortization rule (charging
+    the index build to every query is not how an index works; at
+    100 TB this is the bucket-partitioned table on storage). The probe
+    set rides along: re-deriving it per call re-shuffled the whole
+    corpus through the label window — measured ~0.15 s/call at the
+    bench 4× replica for 5 rows that never change. (tag, sf_dir) keys
+    → io.clear_table_cache invalidates both with the fixture."""
+    cache = getattr(spark, "_mdis_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_cache = cache
+    key = ("lsh_bucketed", sf_dir)
+    if key not in cache:
+        cache[key] = (load_table(spark, sf_dir, "embeddings")
+                      .withColumn("bucket", F.expr(_LSH_BUCKET_SPARK))
+                      .localCheckpoint(eager=True))
+    b = cache[key]
+    pkey = ("lsh_probes", sf_dir)
+    if pkey not in cache:
+        cache[pkey] = _lsh_probe_derivation(b).localCheckpoint(eager=True)
+    return b, cache[pkey]
+
+
 def _lsh_probe_derivation(b: DataFrame) -> DataFrame:
     """Probe rows (lowest vec_id per label, labels 0-4) off the bucketed
     corpus — split out so tests can assert the BUILD plan compiles to a
@@ -298,27 +325,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # amortization rule (charging the index build to every query is
     # not how an index works). At 100 TB this cache is the
     # bucket-partitioned table on storage.
-    cache = getattr(spark, "_mdis_cache", None)
-    if cache is None:
-        cache = {}
-        spark._mdis_cache = cache
-    key = ("lsh_bucketed", sf_dir)
-    if key not in cache:
-        cache[key] = (load_table(spark, sf_dir, "embeddings")
-                      .withColumn("bucket", F.expr(_LSH_BUCKET_SPARK))
-                      .localCheckpoint(eager=True))
-    b = cache[key]
-    # The probe set is part of the same index artifact: 5 fixed rows
-    # derived once from the bucketed table (WindowGroupLimit build
-    # plan, asserted cache-cold in test_plans.py). Re-deriving it per
-    # call re-shuffled the whole corpus through the label window —
-    # measured ~0.15 s/call at the bench 4× replica for 5 rows that
-    # never change. Same (tag, sf_dir) key → io.clear_table_cache
-    # invalidates it with the bucketed table.
-    pkey = ("lsh_probes", sf_dir)
-    if pkey not in cache:
-        cache[pkey] = _lsh_probe_derivation(b).localCheckpoint(eager=True)
-    probes = cache[pkey]
+    b, probes = _lsh_index(spark, sf_dir)
     score = cos_arrow(F.col("pv"), F.col("embedding"))
     return (F.broadcast(probes)
             .join(b, ["bucket"])
@@ -991,3 +998,83 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("cid").alias("neighbor_id"),
                                    F.col("rel6").alias("relevance"),
                                    F.col("mmr").alias("mmr_score"))))
+
+
+@register("sim_ann_recall_report", f"""
+WITH {_E_CTE},
+b AS (SELECT vec_id, label, v, {_LSH_BUCKET_DUCK} AS bucket FROM embeddings
+      JOIN e USING (vec_id, label)),
+probes AS (
+    SELECT vec_id AS probe_id, v, bucket FROM b WHERE label < 5
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+),
+exact AS (
+    SELECT probe_id, neighbor_id FROM (
+        SELECT a.probe_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.probe_id
+                                  ORDER BY {_COS} DESC, b.vec_id) AS rn
+        FROM probes a JOIN b ON b.vec_id <> a.probe_id
+    ) WHERE rn <= 3
+),
+ann AS (
+    SELECT probe_id, neighbor_id FROM (
+        SELECT a.probe_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.probe_id
+                                  ORDER BY {_COS} DESC, b.vec_id) AS rn
+        FROM probes a JOIN b
+          ON a.bucket = b.bucket AND b.vec_id <> a.probe_id
+    ) WHERE rn <= 3
+)
+SELECT x.probe_id, 3::BIGINT AS k,
+       count(a.neighbor_id)::BIGINT AS n_hit,
+       {sql_rnd('count(a.neighbor_id) / 3.0', 4)} AS recall_at_k
+FROM exact x LEFT JOIN ann a
+  ON x.probe_id = a.probe_id AND x.neighbor_id = a.neighbor_id
+GROUP BY x.probe_id
+""")
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the LSH index against the
+    exact brute-force neighbors, per probe — the measurement every
+    production ANN deployment runs before (and periodically after)
+    trusting the index. Recall < 1 means a true neighbor hashed into a
+    different bucket; the knob is more hyperplanes/multi-probe, and
+    this report is how you tune it on real data (complements
+    tests/test_recall.py, which pins recall on the FIXED fixture).
+
+    Shape: both arms share the session-cached LSH index artifact
+    (`_lsh_index`); the exact arm is the sim_topk broadcast
+    probe×corpus scan, the ANN arm the bucket equi-join — then a
+    5×3-row LEFT JOIN and a 5-group aggregate, all dim-sized.
+    recall_at_k = n_hit/3.0 takes exact multiples of 1/3 through one
+    IEEE division on both engines, rounded 4dp. Tie-breaks: both topk
+    arms order by raw cosine then vec_id, the guard-banded ordering
+    every sim_* op shares.
+    """
+    b, probes = _lsh_index(spark, sf_dir)
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
+    topw = Window.partitionBy("probe_id").orderBy(
+        F.col("s").desc(), F.col("neighbor_id"))
+
+    def top3(joined: DataFrame) -> DataFrame:
+        return (joined
+                .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                        score.alias("s"))
+                .withColumn("rn", F.row_number().over(topw))
+                .filter(F.col("rn") <= 3)
+                .select("probe_id", "neighbor_id"))
+
+    p_slim = probes.select("probe_id", "pv")
+    exact = top3(F.broadcast(p_slim)
+                 .join(b, F.col("vec_id") != F.col("probe_id")))
+    ann = top3(F.broadcast(probes)
+               .join(b, ["bucket"])
+               .filter(F.col("vec_id") != F.col("probe_id")))
+    hit = ann.withColumnRenamed("neighbor_id", "hit_id") \
+             .withColumnRenamed("probe_id", "hit_pid")
+    return (exact.join(hit, (F.col("probe_id") == F.col("hit_pid"))
+                       & (F.col("neighbor_id") == F.col("hit_id")), "left")
+            .groupBy("probe_id")
+            .agg(F.lit(3).cast("long").alias("k"),
+                 F.count("hit_id").alias("n_hit"))
+            .select("probe_id", "k", F.col("n_hit").cast("long").alias("n_hit"),
+                    rnd(F.col("n_hit") / 3.0, 4).alias("recall_at_k")))

@@ -96,7 +96,8 @@ PROBES = [
     "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
     "sample_epoch_shuffle", "ml_propensity_weighting",
     # r5 additions
-    "dedup_decontaminate_shuffled",
+    "dedup_decontaminate_shuffled", "sim_ann_recall_report",
+    "ingest_fk_coverage_report",
 ]
 
 
@@ -184,7 +185,8 @@ NULL_PROBES = [
     "sim_mmr_diversify", "agg_runs_test", "agg_poisson_rate_ci",
     "sample_epoch_shuffle", "ml_propensity_weighting",
     # r5 additions
-    "dedup_decontaminate_shuffled",
+    "dedup_decontaminate_shuffled", "sim_ann_recall_report",
+    "ingest_fk_coverage_report",
 ]
 
 

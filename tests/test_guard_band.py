@@ -158,3 +158,40 @@ def test_mmr_rounding_boundaries_and_margins(sf_dir: str) -> None:
                 "(x1e-6) from a 6dp rounding boundary")
             checked += 1
     assert checked > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_ann_recall_rank_boundary_margins(sf_dir: str) -> None:
+    """sim_ann_recall_report counts top-3 set overlap between the exact
+    arm and the LSH-bucket arm; both top-3 cuts rank on RAW cosine with
+    vec_id tie-break. Safe iff at every probe the rank-3/rank-4 raw
+    margin exceeds engine summation drift in BOTH arms (exact ties are
+    fine — the vec_id tie-break is deterministic on both engines)."""
+    labels, emb = _load(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    vec_ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(vec_ids)
+    vec_ids, labels, emb = vec_ids[order], labels[order], emb[order]
+    norms = np.sqrt(np.einsum("ij,ij->i", emb, emb))
+    # LSH bucket = sign bits of dims 0..3 (similarity._LSH_BUCKET_*)
+    bucket = sum((emb[:, i] >= 0).astype(int) << i for i in range(4))
+    checked = 0
+    for lbl in range(5):
+        idx = np.where(labels == lbl)[0]
+        if len(idx) == 0:
+            continue
+        p = idx[0]
+        rel = (emb @ emb[p]) / (norms * norms[p])
+        for arm, mask in (("exact", np.ones(len(rel), bool)),
+                          ("ann", bucket == bucket[p])):
+            cand = np.where(mask)[0]
+            cand = cand[cand != p]
+            if len(cand) < 4:
+                continue  # no rank-4 boundary to cross
+            vals = np.sort(rel[cand])[::-1]
+            gap = vals[2] - vals[3]
+            assert gap == 0.0 or gap > GUARD, (
+                f"{sf_dir} label {lbl} {arm}: rank-3/4 cosine margin "
+                f"{gap:.3e} within engine drift")
+            checked += 1
+    assert checked > 0
