@@ -1078,3 +1078,63 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("hit_id").alias("n_hit"))
             .select("probe_id", "k", F.col("n_hit").cast("long").alias("n_hit"),
                     rnd(F.col("n_hit") / 3.0, 4).alias("recall_at_k")))
+
+
+@register("sim_ann_lsh_multiprobe", f"""
+WITH {_E_CTE},
+b AS (SELECT vec_id, label, v, {_LSH_BUCKET_DUCK} AS bucket FROM embeddings
+      JOIN e USING (vec_id, label)),
+probes AS (
+    SELECT vec_id AS probe_id, v, bucket FROM b WHERE label < 5
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+),
+pb AS (
+    SELECT probe_id, v, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                xor(bucket, 4), xor(bucket, 8)]) AS bucket
+    FROM probes
+)
+SELECT probe_id, neighbor_id, score, rn FROM (
+    SELECT a.probe_id, b.vec_id AS neighbor_id,
+           {sql_rnd(_COS, 6)} AS score,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rn
+    FROM pb a JOIN b ON a.bucket = b.bucket AND b.vec_id <> a.probe_id
+) WHERE rn <= 3
+""")
+def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each probe scans its own bucket PLUS the 4
+    one-bit-flip neighbor buckets (Hamming-1 ring) — the standard
+    recall fix for sign-hash LSH (LSH-forest / multi-probe LSH): a
+    near neighbor that lands just across one hyperplane is recovered
+    without doubling the index. `sim_ann_recall_report` shows plain
+    4-bit LSH at recall@3 of 0-2/3 on the random fixtures; multiprobe
+    widens candidates 5/16 of the corpus instead of 1/16 and recall is
+    provably monotone non-decreasing (candidate set is a superset, and
+    any candidate outranking a true top-3 hit is itself a true top-3
+    hit — tests/test_recall.py pins the inequality per probe).
+
+    Scale: the probe fan-out is a 5-rows-per-probe explode on the
+    BROADCAST side — the corpus index neither grows nor reshuffles;
+    candidates stay ~5/2^bits of the corpus per probe. At production
+    bit-widths (say 16-20 bits) the Hamming-1 ring is 17-21 buckets
+    and the same plan holds.
+    """
+    b, probes = _lsh_index(spark, sf_dir)
+    pb = probes.select(
+        "probe_id", "pv",
+        F.explode(F.array(
+            F.col("bucket"),
+            F.expr("bucket ^ 1"), F.expr("bucket ^ 2"),
+            F.expr("bucket ^ 4"), F.expr("bucket ^ 8"))).alias("bucket"))
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
+    return (F.broadcast(pb)
+            .join(b, ["bucket"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                    score.alias("score_raw"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("score_raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("score_raw"), 6).alias("score"), "rn"))

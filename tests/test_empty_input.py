@@ -97,7 +97,7 @@ PROBES = [
     "sample_epoch_shuffle", "ml_propensity_weighting",
     # r5 additions
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
-    "ingest_fk_coverage_report",
+    "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
 ]
 
 
@@ -186,7 +186,7 @@ NULL_PROBES = [
     "sample_epoch_shuffle", "ml_propensity_weighting",
     # r5 additions
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
-    "ingest_fk_coverage_report",
+    "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
 ]
 
 

@@ -182,8 +182,10 @@ def test_ann_recall_rank_boundary_margins(sf_dir: str) -> None:
             continue
         p = idx[0]
         rel = (emb @ emb[p]) / (norms * norms[p])
+        ring = {bucket[p] ^ f for f in (0, 1, 2, 4, 8)}
         for arm, mask in (("exact", np.ones(len(rel), bool)),
-                          ("ann", bucket == bucket[p])):
+                          ("ann", bucket == bucket[p]),
+                          ("multiprobe", np.isin(bucket, list(ring)))):
             cand = np.where(mask)[0]
             cand = cand[cand != p]
             if len(cand) < 4:
