@@ -561,3 +561,54 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("dirty_id", "dirty_name",
                     F.col("p_partkey").alias("matched_key"), "dist"))
+
+
+@register("join_band_bucketed", """
+SELECT s_suppkey,
+       count(o_orderkey) AS n_matches,
+       min(o_orderkey) AS min_orderkey
+FROM supplier LEFT JOIN orders
+  ON abs(o_totalprice - s_acctbal) <= 1000.0
+GROUP BY s_suppkey
+""")
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS global band join — |o_totalprice − s_acctbal| ≤ δ with no
+    equi conjunct anywhere. `join_range_theta` and
+    `join_interval_overlap` both lean on an equi key to carry the
+    shuffle; without one Spark executes a band predicate as a
+    broadcast-nested-loop over the FULL build side — O(n·m) with no
+    key to save you. The classic fix (Databricks' range-join hint,
+    DuckDB's IEJoin alternative) is value-grid bucketing: hash both
+    sides into δ-width buckets of the band variable, explode each
+    probe into its 3 adjacent buckets (a match within δ can only live
+    there), equi-join on the bucket, then apply the exact predicate.
+
+    The oracle is the naive theta LEFT JOIN; the engine path is
+    plan-asserted equi (no BNLJ/cartesian — tests/test_plans.py).
+    Candidates per probe ≈ 3·n/n_buckets instead of n; both sides
+    shuffle (or broadcast, AQE's call) on a uniformly-distributed
+    integer bucket, so the shape survives 100× on either side. The
+    band compare runs on raw doubles computed by the same elementary
+    ops in both engines — bit-identical inputs, deterministic verdict
+    (the `join_range_theta` discipline).
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    delta = 1000.0
+    ob = o.select("o_orderkey", "o_totalprice",
+                  F.floor(F.col("o_totalprice") / delta)
+                  .cast("long").alias("bucket"))
+    pb = F.floor(F.col("s_acctbal") / delta).cast("long")
+    probes = s.select(
+        "s_suppkey", "s_acctbal",
+        F.explode(F.array(pb - 1, pb, pb + 1)).alias("bucket"))
+    m = (probes.join(ob, "bucket")
+         .filter(F.abs(F.col("o_totalprice") - F.col("s_acctbal")) <= delta)
+         .groupBy("s_suppkey")
+         .agg(F.count("o_orderkey").alias("n_matches"),
+              F.min("o_orderkey").alias("min_orderkey")))
+    return (s.select("s_suppkey").join(m, "s_suppkey", "left")
+            .select("s_suppkey",
+                    F.coalesce(F.col("n_matches"), F.lit(0).cast("long"))
+                    .alias("n_matches"),
+                    "min_orderkey"))

@@ -2126,3 +2126,50 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((cd2 > F.col("mu") + 2.0 * F.col("sd")).cast("int")
          - (cd2 < F.col("mu") - 2.0 * F.col("sd")).cast("int"))
         .alias("breakout"))
+
+
+@register("win_range_duration", f"""
+WITH daily AS (
+    SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,
+           sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT) AS cents
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, ship_day,
+       {sql_rnd('cents::DOUBLE / 100.0')} AS day_rev,
+       {sql_rnd('(sum(cents) OVER w)::DOUBLE / 100.0')} AS rev_7d,
+       (count(*) OVER w)::BIGINT AS n_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY ship_day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+""")
+def win_range_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over TIME, not rows: 7-calendar-day trailing
+    revenue per returnflag. Every other rolling op here (`win_moving_
+    range`, `win_bollinger`, `win_wma`, ...) frames by ROW COUNT,
+    which silently widens over gaps in the series; a duration frame
+    (`RANGE BETWEEN INTERVAL 6 DAY PRECEDING`) keeps the window
+    honest when days are missing — n_days_7d exposes exactly how many
+    days actually landed in each frame.
+
+    Spark has no interval RANGE frames; the equivalent is
+    `rangeBetween(-6, 0)` over `unix_date(ship_day)` — day-grain
+    epoch integers make the numeric range frame identical to the
+    oracle's interval frame. Plan: exact-cents daily rollup (one
+    shuffle, map-side partials) collapses the fact table to ≤ ~7200
+    (flag, day) rows; the window then sorts 3 bounded partitions.
+    Integer cent sums keep the frame sum exact cross-engine — no
+    float frame-association drift (the `win_bollinger` discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    daily = (li.groupBy("l_returnflag",
+                        F.to_date("l_shipdate").alias("ship_day"))
+             .agg(F.sum(cents).alias("cents")))
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy(F.unix_date(F.col("ship_day")))
+         .rangeBetween(-6, Window.currentRow))
+    return daily.select(
+        "l_returnflag", "ship_day",
+        rnd(F.col("cents") / 100.0).alias("day_rev"),
+        rnd(F.sum("cents").over(w) / 100.0).alias("rev_7d"),
+        F.count("*").over(w).alias("n_days_7d"))

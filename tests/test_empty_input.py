@@ -98,6 +98,7 @@ PROBES = [
     # r5 additions
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
+    "join_band_bucketed", "win_range_duration",
 ]
 
 
@@ -187,6 +188,7 @@ NULL_PROBES = [
     # r5 additions
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
+    "join_band_bucketed", "win_range_duration",
 ]
 
 

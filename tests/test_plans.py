@@ -991,3 +991,15 @@ def test_decontaminate_shuffled_never_broadcasts(spark):
     assert not any("Broadcast" in ln for ln in g_joins), g_joins
     assert any("ShuffledHashJoin" in ln or "SortMergeJoin" in ln
                for ln in g_joins), g_joins
+
+
+def test_band_bucketed_is_equi_join(spark):
+    """join_band_bucketed exists because a KEYLESS band predicate
+    otherwise executes as broadcast-nested-loop over the full build
+    side — the bucketed form must be a hash/merge EQUI join on the
+    value-grid bucket, with no nested-loop or cartesian stage."""
+    plan = _plan(spark, "join_band_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     plan), plan
