@@ -2711,3 +2711,216 @@ def agg_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "n_events",
                     F.col("days").alias("days_observed"),
                     "rate_per_day", "rate_lo", "rate_hi"))
+
+
+@register("agg_spearman", f"""
+WITH r AS (
+  SELECT l_returnflag AS flag,
+         2 * count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - count(*) OVER (PARTITION BY l_returnflag, l_quantity) + 1 AS rx,
+         2 * count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) + 1 AS ry
+  FROM lineitem
+), s AS (
+  SELECT flag, count(*)::BIGINT AS n,
+         sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+         sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy,
+         sum(rx * ry)::BIGINT AS sxy
+  FROM r GROUP BY flag
+)
+SELECT flag AS l_returnflag, n,
+       CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx > 0
+             AND n::DOUBLE * syy - sy::DOUBLE * sy > 0
+            THEN {sql_rnd('(n::DOUBLE * sxy - sx::DOUBLE * sy)'
+                          ' / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)'
+                          ' * (n::DOUBLE * syy - sy::DOUBLE * sy))', 6)}
+       END AS spearman_rho
+FROM s
+""")
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs price per returnflag) —
+    the monotone-association twin of `agg_corr_covar`'s Pearson r:
+    robust to outliers and nonlinear-but-monotone relationships, the
+    correlation a data-quality pass actually wants on heavy-tailed
+    columns.
+
+    Cross-engine exactness: average ranks are DOUBLED so they stay
+    integers (2·ar = 2·cnt_le − cnt_eq + 1 — rho is scale-invariant),
+    built from two count windows (RANGE frame counts peers, a
+    partition count gives the tie size). All five power sums are then
+    EXACT BIGINT aggregates; rho is one fixed IEEE expression over
+    them (the `win_autocorr_lag1` explicit-moment discipline), with
+    the zero-variance guard mirrored as CASE (ANSI divide-by-zero).
+
+    Plan: two window passes over the fact (each a flag-keyed sort,
+    3 bounded partitions) + one grouped reduction; no joins. At
+    100 TB the rank windows are the cost — per-key sorts that AQE
+    splits by flag; a sketch-based alternative (KLL ranks) trades
+    exactness for one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def ranks2(col: str, alias: str):
+        w_le = (Window.partitionBy("l_returnflag").orderBy(col)
+                .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        w_eq = Window.partitionBy("l_returnflag", col)
+        return (2 * F.count("*").over(w_le)
+                - F.count("*").over(w_eq) + 1).alias(alias)
+
+    r = li.select(F.col("l_returnflag").alias("flag"),
+                  ranks2("l_quantity", "rx"),
+                  ranks2("l_extendedprice", "ry"))
+    s = r.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"))
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) \
+        / F.sqrt(vx * vy)
+    return s.select(F.col("flag").alias("l_returnflag"), "n",
+                    F.when((vx > 0) & (vy > 0), rnd(rho, 6))
+                    .alias("spearman_rho"))
+
+
+@register("agg_anova_f", f"""
+WITH g AS (
+  SELECT c_mktsegment AS seg, count(*)::BIGINT AS n_i,
+         sum(floor(c_acctbal * 100.0 + 0.5)::BIGINT)::BIGINT AS s_i,
+         sum(floor(c_acctbal * 100.0 + 0.5)::BIGINT
+             * floor(c_acctbal * 100.0 + 0.5)::BIGINT)::BIGINT AS q_i
+  FROM customer GROUP BY 1
+), t AS (
+  SELECT count(*)::BIGINT AS k, sum(n_i)::BIGINT AS n,
+         sum(s_i)::BIGINT AS s, sum(q_i)::BIGINT AS q,
+         sum(s_i::DOUBLE * s_i::DOUBLE / n_i::DOUBLE) AS sg
+  FROM g
+)
+SELECT k AS k_groups, n AS n_total,
+       CASE WHEN q::DOUBLE - s::DOUBLE * s / n > 0
+            THEN {sql_rnd('(sg - s::DOUBLE * s / n)'
+                          ' / (q::DOUBLE - s::DOUBLE * s / n)', 6)}
+       END AS eta_sq,
+       CASE WHEN k > 1 AND n > k AND q::DOUBLE - sg > 0
+            THEN {sql_rnd('((sg - s::DOUBLE * s / n) / (k - 1))'
+                          ' / ((q::DOUBLE - sg) / (n - k))', 6)}
+       END AS f_stat
+FROM t
+""")
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean account balance differ across the 5
+    market segments? Emits η² (variance explained, SSB/SST) and the F
+    statistic — the k-group generalization of `agg_ttest_welch`'s
+    two-group comparison. Only SCALE-FREE ratios are emitted: raw SS
+    magnitudes grow ~1e11 at sf0.1, where a double ULP exceeds the
+    4dp rounding grid (caught by the guard-band suite while drafting
+    — emitting them would hash-flip under association drift).
+
+    Two-level reduction: per-segment EXACT integer power sums of
+    cents (n_i, Σc, Σc² — map-side partials, 5 groups), then a
+    5-row combine where only Σ(s_i²/n_i) leaves integer arithmetic
+    (s_i² would overflow BIGINT; the division is a fixed IEEE step
+    per group, summed over 5 rows — the `ingest_mix_shift_chi2` cell
+    pattern). F and η² assembled in one final expression, degenerate
+    cases (one group, zero variance) guarded as NULL identically in
+    CASE.
+
+    Plan: one grouped pass over the dim + a singleton combine —
+    O(scan) at any scale.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long")
+    g = (c.groupBy(F.col("c_mktsegment").alias("seg"))
+         .agg(F.count("*").alias("n_i"),
+              F.sum(cents).alias("s_i"),
+              F.sum(cents * cents).alias("q_i")))
+    t = g.agg(F.count("*").alias("k"), F.sum("n_i").alias("n"),
+              F.sum("s_i").alias("s"), F.sum("q_i").alias("q"),
+              F.sum(F.col("s_i").cast("double") * F.col("s_i")
+                    / F.col("n_i")).alias("sg"))
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    ssb = F.col("sg") - sd * sd / F.col("n")
+    sst = qd - sd * sd / F.col("n")
+    ssw = qd - F.col("sg")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return t.select(
+        F.col("k").alias("k_groups"), F.col("n").alias("n_total"),
+        F.when(sst > 0, rnd(ssb / sst, 6)).alias("eta_sq"),
+        F.when((F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+               rnd(f_stat, 6)).alias("f_stat"))
+
+
+@register("agg_cramers_v", f"""
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cell AS (SELECT seg, prio, count(*)::BIGINT AS obs FROM j GROUP BY 1, 2),
+rt AS (SELECT seg, sum(obs)::BIGINT AS r FROM cell GROUP BY 1),
+ct AS (SELECT prio, sum(obs)::BIGINT AS c FROM cell GROUP BY 1),
+tot AS (SELECT sum(obs)::BIGINT AS n FROM cell),
+grid AS (
+  SELECT r.seg, c.prio, r.r, c.c, (SELECT n FROM tot) AS n,
+         coalesce(k.obs, 0)::BIGINT AS obs
+  FROM rt r CROSS JOIN ct c
+  LEFT JOIN cell k ON k.seg = r.seg AND k.prio = c.prio
+), chi AS (
+  SELECT max(n) AS n,
+         count(DISTINCT seg) AS n_rows, count(DISTINCT prio) AS n_cols,
+         sum(power(obs::DOUBLE - r::DOUBLE * c / n, 2)
+             / (r::DOUBLE * c / n)) AS chi2
+  FROM grid
+)
+SELECT n, (n_rows - 1) * (n_cols - 1) AS dof,
+       {sql_rnd('chi2', 4)} AS chi2,
+       CASE WHEN least(n_rows, n_cols) > 1 AND n > 0
+            THEN {sql_rnd('sqrt(chi2 / (n * (least(n_rows, n_cols) - 1)))', 6)}
+       END AS cramers_v
+FROM chi
+""")
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — effect-size of association between two categorical
+    columns (market segment × order priority), the normalized [0,1]
+    companion `ingest_mix_shift_chi2`'s raw χ² lacks: comparable
+    across tables with different cardinalities, the number a feature-
+    redundancy audit reports.
+
+    Shape: fact⋈dim equi-join (AQE broadcast at bench SF), one
+    grouped count to a 25-cell contingency, margins as two
+    broadcastable rollups, the expectation grid dense via
+    CROSS JOIN + LEFT (zero cells kept — χ² needs them). Counts are
+    exact integers; each cell's χ² term is one fixed IEEE sequence,
+    summed over 25 cells and rounded (the established cell pattern);
+    V's degenerate 1×k case guarded as NULL in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("prio")))
+    cell = j.groupBy("seg", "prio").agg(F.count("*").alias("obs"))
+    rt = cell.groupBy("seg").agg(F.sum("obs").alias("r"))
+    ct = cell.groupBy("prio").agg(F.sum("obs").alias("c"))
+    tot = cell.agg(F.sum("obs").alias("n"))
+    grid = (rt.crossJoin(F.broadcast(ct)).join(F.broadcast(tot))
+            .join(cell, ["seg", "prio"], "left")
+            .select("seg", "prio", "r", "c", "n",
+                    F.coalesce(F.col("obs"), F.lit(0)).alias("obs")))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    term = F.pow(F.col("obs").cast("double") - exp, 2) / exp
+    chi = grid.agg(F.max("n").alias("n"),
+                   F.countDistinct("seg").alias("n_rows"),
+                   F.countDistinct("prio").alias("n_cols"),
+                   F.sum(term).alias("chi2"))
+    v = F.sqrt(F.col("chi2")
+               / (F.col("n") * (F.least("n_rows", "n_cols") - 1)))
+    return chi.select(
+        "n", ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        rnd(F.col("chi2"), 4).alias("chi2"),
+        F.when((F.least("n_rows", "n_cols") > 1) & (F.col("n") > 0),
+               rnd(v, 6)).alias("cramers_v"))

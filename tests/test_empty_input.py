@@ -99,6 +99,7 @@ PROBES = [
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
+    "agg_spearman", "agg_anova_f", "agg_cramers_v",
 ]
 
 
@@ -189,6 +190,7 @@ NULL_PROBES = [
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
+    "agg_spearman", "agg_anova_f", "agg_cramers_v",
 ]
 
 

@@ -197,3 +197,77 @@ def test_ann_recall_rank_boundary_margins(sf_dir: str) -> None:
                 f"{gap:.3e} within engine drift")
             checked += 1
     assert checked > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_stats_agg_rounding_boundaries(sf_dir: str) -> None:
+    """agg_spearman / agg_anova_f / agg_cramers_v sum a handful of
+    per-group double terms before ONE final rounded expression; the
+    sum's association order differs between engines (~1e-12 abs
+    drift). Pin that on every fixture scale each emitted statistic
+    sits farther than GUARD from its rounding boundary, so any
+    summation order rounds identically (independent numpy
+    recomputation, not the oracle SQL)."""
+    import duckdb
+
+    def gap(v: float, digits: int) -> float:
+        x = v * 10.0 ** digits + 0.5
+        return abs(x - np.round(x))
+
+    con = duckdb.connect()
+    # spearman (6dp): doubled average ranks are exact ints -> drift
+    # only in the final expression; still pin the boundary.
+    li = con.execute(
+        f"SELECT l_returnflag, l_quantity, l_extendedprice "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchnumpy()
+    flags = li["l_returnflag"]
+    for fl in np.unique(flags):
+        m = flags == fl
+        for q_, p_ in [(li["l_quantity"][m], li["l_extendedprice"][m])]:
+            def r2(v):
+                order = np.argsort(v, kind="stable")
+                le = np.searchsorted(np.sort(v), v, side="right")
+                lt = np.searchsorted(np.sort(v), v, side="left")
+                return (le + lt + 1).astype(np.float64)
+            rx, ry = r2(q_), r2(p_)
+            n = float(len(rx))
+            vx = n * (rx * rx).sum() - rx.sum() ** 2
+            vy = n * (ry * ry).sum() - ry.sum() ** 2
+            rho = (n * (rx * ry).sum() - rx.sum() * ry.sum()) / np.sqrt(vx * vy)
+            assert gap(rho, 6) > 1e-6, (fl, rho)
+    # anova_f (6dp) + ss terms (4dp) over customer cents
+    cust = con.execute(
+        f"SELECT c_mktsegment, floor(c_acctbal*100.0+0.5)::BIGINT AS c "
+        f"FROM '{sf_dir}/customer.parquet'").fetchnumpy()
+    segs = cust["c_mktsegment"]
+    cents = cust["c"].astype(np.int64)
+    ni = []; si = []; qi = []
+    for sg in np.unique(segs):
+        m = segs == sg
+        ni.append(m.sum()); si.append(int(cents[m].sum()))
+        qi.append(int((cents[m].astype(object) ** 2).sum()))
+    k, n = len(ni), sum(ni)
+    sg_ = sum(float(s) * s / c for s, c in zip(si, ni))
+    s_all, q_all = float(sum(si)), float(sum(qi))
+    ssb, ssw = sg_ - s_all * s_all / n, q_all - sg_
+    sst = q_all - s_all * s_all / n
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    assert gap(ssb / sst, 6) > 1e-6, ssb / sst
+    assert gap(f_stat, 6) > 1e-6, f_stat
+    # cramers_v (6dp) / chi2 (4dp) over the joined contingency
+    cells = con.execute(
+        f"SELECT c_mktsegment, o_orderpriority, count(*)::BIGINT "
+        f"FROM '{sf_dir}/orders.parquet' o "
+        f"JOIN '{sf_dir}/customer.parquet' c ON o_custkey = c_custkey "
+        f"GROUP BY 1, 2").fetchall()
+    segs_u = sorted({r[0] for r in cells})
+    prios_u = sorted({r[1] for r in cells})
+    obs = np.zeros((len(segs_u), len(prios_u)))
+    for sgm, pr, c_ in cells:
+        obs[segs_u.index(sgm), prios_u.index(pr)] = c_
+    rtot, ctot, ntot = obs.sum(1), obs.sum(0), obs.sum()
+    exp = np.outer(rtot, ctot) / ntot
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    v = np.sqrt(chi2 / (ntot * (min(obs.shape) - 1)))
+    assert gap(chi2, 4) > 1e-4, chi2
+    assert gap(v, 6) > 1e-6, v
