@@ -1435,3 +1435,123 @@ def dedup_minhash_band_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_candidate_pairs", "n_docs_in_pairs"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _est_err_oracle() -> str:
+    bands = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"s{j * 4 + k}::VARCHAR" for k in range(4)) + f") AS b{j}"
+        for j in range(4))
+    cand = " UNION ".join(
+        f"SELECT a.doc_id AS id_a, x.doc_id AS id_b"
+        f" FROM banded a JOIN banded x"
+        f" ON a.b{j} = x.b{j} AND a.doc_id < x.doc_id"
+        for j in range(4))
+    eq = " + ".join(f"(sa.s{i} = sb.s{i})::INT" for i in range(16))
+    est = f"({eq}) / 16.0"
+    exact = ("coalesce(m.com, 0)::DOUBLE"
+             " / (za.n + zb.n - coalesce(m.com, 0))")
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sig AS (SELECT doc_id, {_TUNE_SIG_DUCK} FROM sh GROUP BY 1),
+banded AS (SELECT doc_id, {bands} FROM sig),
+cand AS ({cand}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS com
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       {sql_rnd(est, 4)} AS est_jaccard,
+       {sql_rnd(exact, 6)} AS jaccard,
+       {sql_rnd(f'abs({est} - ({exact}))', 4)} AS abs_err
+FROM cand c
+JOIN sig sa ON c.id_a = sa.doc_id
+JOIN sig sb ON c.id_b = sb.doc_id
+JOIN sizes za ON c.id_a = za.doc_id
+JOIN sizes zb ON c.id_b = zb.doc_id
+LEFT JOIN common m ON c.id_a = m.id_a AND c.id_b = m.id_b
+"""
+
+
+@register("dedup_minhash_estimate_error", _est_err_oracle())
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash CALIBRATION report: for every 4×4-banded candidate pair,
+    the signature-estimated Jaccard (matching components / 16) next to
+    the exact shingle Jaccard and the absolute error — the measurement
+    that tells a production dedup run whether 16 hashes are enough
+    BEFORE it trusts the estimate to set thresholds (`dedup_minhash_
+    band_tune` picks the banding; this audits the estimator itself).
+
+    Cross-engine exactness: signatures are the §2.14 md5 + Carter-
+    Wegman contract (`dedup_minhash_band_tune`'s), so the candidate
+    set AND the estimate reproduce bit-for-bit in the oracle; the
+    exact arm is integer shingle counts. All three emitted numbers
+    are fixed IEEE expressions over exact integers.
+
+    Scale: candidates come from the banded posting expansion (equi
+    self-join on (band, hash) — never all-pairs); the exact arm joins
+    shingles ONLY for candidate docs (a semi-join-sized subset). A
+    zero-overlap collision pair is kept via LEFT join (coalesce 0) —
+    exactly the false-positive class the report exists to expose.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # FOUR consumers read the shingle relation (signature build, sizes,
+    # and both sides of the common-shingle join) — one checkpointed
+    # pass instead of four recomputes (the near_jaccard_capped move;
+    # A/B in BASELINE.md r5 additions)
+    sh = _shingles(d).localCheckpoint(eager=True)
+    base = (F.expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10)"
+                   " as bigint)") % F.lit(_TUNE_P)).alias("hb")
+    hs = sh.select("doc_id", base)
+    sig = hs.groupBy("doc_id").agg(*[
+        F.min((F.lit(_TUNE_A[i]) * F.col("hb") + F.lit(_TUNE_B[i]))
+              % F.lit(_TUNE_P)).alias(f"s{i}")
+        for i in range(16)])
+    # one doc-sized signature table serves banding, est, and nothing
+    # re-runs the shingle pass (the band_tune materialization move)
+    sig = sig.localCheckpoint(eager=True)
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("bi"),
+                 F.md5(F.concat_ws(",", *[
+                     F.col(f"s{j * 4 + k}").cast("string")
+                     for k in range(4)])).alias("bh"))
+        for j in range(4)])
+    banded = (sig.select("doc_id", F.explode(bands).alias("b"))
+              .select("doc_id", F.col("b.bi").alias("bi"),
+                      F.col("b.bh").alias("bh")))
+    a, x = banded.alias("a"), banded.alias("x")
+    cand = (a.join(x, (F.col("a.bi") == F.col("x.bi"))
+                   & (F.col("a.bh") == F.col("x.bh"))
+                   & (F.col("a.doc_id") < F.col("x.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("x.doc_id").alias("id_b"))
+            .distinct())
+    siga = sig.select(F.col("doc_id").alias("id_a"),
+                      *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)])
+    sigb = sig.select(F.col("doc_id").alias("id_b"),
+                      *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (cand
+              .join(sh.select(F.col("doc_id").alias("id_a"), "shingle"),
+                    "id_a")
+              .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+                    ["id_b", "shingle"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("com")))
+    j = (cand.join(siga, "id_a").join(sigb, "id_b")
+         .join(sizes.select(F.col("doc_id").alias("id_a"),
+                            F.col("n").alias("na")), "id_a")
+         .join(sizes.select(F.col("doc_id").alias("id_b"),
+                            F.col("n").alias("nb")), "id_b")
+         .join(common, ["id_a", "id_b"], "left"))
+    est = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+              for i in range(16)) / 16.0
+    com = F.coalesce(F.col("com"), F.lit(0))
+    exact = com.cast("double") / (F.col("na") + F.col("nb") - com)
+    return j.select("id_a", "id_b",
+                    rnd(est, 4).alias("est_jaccard"),
+                    rnd(exact, 6).alias("jaccard"),
+                    rnd(F.abs(est - exact), 4).alias("abs_err"))

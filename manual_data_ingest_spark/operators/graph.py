@@ -649,3 +649,77 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (n.join(labels, n.n_nationkey == labels.lnode, "left")
             .select("n_nationkey", "n_name",
                     F.coalesce("lbl", "n_nationkey").alias("community")))
+
+
+_KCORE_K = 3
+_KCORE_ITERS = 8
+
+
+def _kcore_oracle(k: int, iters: int) -> str:
+    """Unrolled fixed-iteration k-core peeling as portable SQL (the
+    `_cc_oracle` MATERIALIZED discipline — CTE inlining would
+    otherwise duplicate the edge pipeline 2^iters times)."""
+    steps = [", s0 AS MATERIALIZED (SELECT DISTINCT node FROM adj)"]
+    for i in range(1, iters + 1):
+        steps.append(f""", s{i} AS MATERIALIZED (
+  SELECT a.node FROM adj a
+  JOIN s{i-1} u ON a.node = u.node
+  JOIN s{i-1} v ON a.nbr = v.node
+  GROUP BY a.node HAVING count(*) >= {k}
+)""")
+    tail = f"""
+SELECT a.node, count(*)::BIGINT AS core_deg
+FROM adj a
+JOIN s{iters} u ON a.node = u.node
+JOIN s{iters} v ON a.nbr = v.node
+GROUP BY a.node
+"""
+    return _CC_EDGE_CTE + "".join(steps) + tail
+
+
+@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ITERS))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the mutual top-8 co-supplier graph by FIXED-iteration
+    peeling (8 rounds): repeatedly drop nodes with fewer than 3
+    surviving neighbors; emit each surviving node with its degree
+    inside the core. The k-core is the standard dense-substructure
+    extraction (community seeds, spam/bot rings, the coreness
+    hierarchy) that `graph_connected_components` (pure reachability)
+    and `graph_triangle_count` (local density) don't give.
+
+    Fixed iteration count is the determinism contract shared by all
+    the iterative graph ops — both engines run the identical
+    recurrence, so the result is hash-exact regardless of whether the
+    peel has converged; tests/test_new_ops.py additionally pins that
+    8 rounds REACH the fixpoint on every fixture scale (peeling
+    removes ≥1 node per non-converged round, and the fixture graphs
+    are hundreds of nodes with shallow peel depth).
+
+    Scale: the fact-sized edge extraction runs ONCE (shared
+    localCheckpointed `_mutual_topk_edges`); each round is one
+    degree-count groupBy + two semi-joins over ≤ 8·|V| edge rows —
+    the Pregel loop shape, linear in |E| per round. Lineage
+    truncated every 2nd round (the `graph_connected_components`
+    measured cadence).
+    """
+    e = _mutual_topk_edges(spark, sf_dir)
+    adj = (e.select(F.col("u").alias("node"), F.col("v_").alias("nbr"))
+           .unionAll(e.select(F.col("v_").alias("node"),
+                              F.col("u").alias("nbr"))))
+    adj = adj.localCheckpoint(eager=True)
+    surv = adj.select("node").distinct()
+    for i in range(_KCORE_ITERS):
+        surv = (adj.join(surv.withColumnRenamed("node", "n1"),
+                         adj.node == F.col("n1"))
+                .join(surv.withColumnRenamed("node", "n2"),
+                      F.col("nbr") == F.col("n2"))
+                .groupBy("node").agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= _KCORE_K)
+                .select("node"))
+        if i % 2 == 1:
+            surv = surv.localCheckpoint(eager=True)
+    return (adj.join(surv.withColumnRenamed("node", "n1"),
+                     adj.node == F.col("n1"))
+            .join(surv.withColumnRenamed("node", "n2"),
+                  F.col("nbr") == F.col("n2"))
+            .groupBy("node").agg(F.count("*").alias("core_deg")))

@@ -100,6 +100,7 @@ PROBES = [
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_anova_f", "agg_cramers_v",
+    "graph_kcore", "dedup_minhash_estimate_error",
 ]
 
 
@@ -191,6 +192,7 @@ NULL_PROBES = [
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_anova_f", "agg_cramers_v",
+    "graph_kcore", "dedup_minhash_estimate_error",
 ]
 
 

@@ -2077,3 +2077,36 @@ def test_hhi_bounds(spark):
     for r in rows:
         assert 0.0 < r.hhi <= 10000.0
         assert r.n_custs >= 1
+
+
+def test_kcore_fixed_iterations_reach_fixpoint(spark):
+    """graph_kcore runs a FIXED 8 peel rounds for cross-engine
+    determinism; this pins that 8 rounds actually reach the k-core
+    fixpoint on every fixture scale (pure-Python peel to convergence
+    over the same adjacency, compared row-for-row)."""
+    import duckdb
+
+    from manual_data_ingest_spark.operators.graph import (
+        _CC_EDGE_CTE, _KCORE_K)
+
+    for sf_dir in (SF_SMALL, SF_ORACLE):
+        con = duckdb.connect()
+        for t in ("lineitem",):
+            con.execute(f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM '{sf_dir}/{t}.parquet'")
+        adj = con.execute(
+            _CC_EDGE_CTE + " SELECT node, nbr FROM adj").fetchall()
+        nbrs: dict[int, set[int]] = {}
+        for a, b in adj:
+            nbrs.setdefault(a, set()).add(b)
+        surv = set(nbrs)
+        while True:
+            drop = {n for n in surv
+                    if len(nbrs[n] & surv) < _KCORE_K}
+            if not drop:
+                break
+            surv -= drop
+        expect = sorted((n, len(nbrs[n] & surv)) for n in surv)
+        got = sorted((r.node, r.core_deg) for r in
+                     E.queries()["graph_kcore"](spark, sf_dir).collect())
+        assert got == expect, sf_dir

@@ -1003,3 +1003,12 @@ def test_band_bucketed_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
                      plan), plan
+
+
+def test_minhash_estimate_error_no_cartesian(spark):
+    """Candidate pairs come from the banded (bi, bh) equi self-join
+    and the exact arm joins shingles only for candidate docs — no
+    all-pairs stage anywhere."""
+    plan = _plan(spark, "dedup_minhash_estimate_error")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
