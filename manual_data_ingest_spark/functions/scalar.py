@@ -240,3 +240,37 @@ def date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("us_text"),
         reparsed.alias("reparsed"),
         (reparsed == F.to_date("o_orderdate")).alias("roundtrip_ok"))
+
+
+@register("bitwise_funcs", """
+SELECT o_orderkey,
+       o_orderkey & 255                 AS low_byte,
+       o_orderkey | 15                  AS or_mask,
+       xor(o_orderkey, 6148914691236517205) AS xored,
+       ~o_orderkey                      AS negated,
+       o_orderkey << 2                  AS shl2,
+       o_orderkey >> 3                  AS shr3,
+       bit_count(o_orderkey)::INT       AS popcount
+FROM orders
+""")
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (§2.8): AND/OR/XOR/NOT, shifts,
+    popcount — the primitives the engine's own SimHash/Hamming
+    operators (`dedup_simhash`, `sim_hamming_topk`) are built from,
+    exposed as user-facing functions. Int64 semantics agree between
+    engines (arithmetic right shift on non-negative keys, two's
+    complement NOT); shifts use Spark's `<<`/`>>` SQL operators
+    (Spark 4 added them; `shiftleft`/`shiftright` are the pre-4
+    spellings). Pure map stage in whole-stage codegen.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("or_mask"),
+        k.bitwiseXOR(F.lit(6148914691236517205)).alias("xored"),
+        F.expr("~o_orderkey").alias("negated"),
+        F.expr("o_orderkey << 2").alias("shl2"),
+        F.expr("o_orderkey >> 3").alias("shr3"),
+        F.bit_count(k).alias("popcount"))

@@ -2924,3 +2924,92 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("chi2"), 4).alias("chi2"),
         F.when((F.least("n_rows", "n_cols") > 1) & (F.col("n") > 0),
                rnd(v, 6)).alias("cramers_v"))
+
+
+_ACF_LAGS = tuple(range(1, 8))
+
+
+def _acf_oracle() -> str:
+    lag_cols = ", ".join(
+        f"lag(x, {L}) OVER (ORDER BY day) AS p{L}" for L in _ACF_LAGS)
+    branches = []
+    for L in _ACF_LAGS:
+        num = (f"(n::DOUBLE * sxp - sx::DOUBLE * sp)")
+        den = (f"(sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)"
+               f" * sqrt(n::DOUBLE * spp - sp::DOUBLE * sp))")
+        branches.append(f"""
+SELECT {L} AS lag, n AS n_pairs,
+       CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx > 0
+             AND n::DOUBLE * spp - sp::DOUBLE * sp > 0
+            THEN round({num} / {den}, 6) END AS acf
+FROM (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(p{L})::BIGINT AS sp, sum(x * p{L})::BIGINT AS sxp,
+         sum(x * x)::BIGINT AS sxx, sum(p{L} * p{L})::BIGINT AS spp
+  FROM pairs WHERE p{L} IS NOT NULL
+)""")
+    return f"""
+WITH daily AS MATERIALIZED (
+    SELECT o_orderdate AS day,
+           sum(floor(o_totalprice / 1000.0 + 0.5)::BIGINT)::BIGINT AS x
+    FROM orders GROUP BY 1
+), pairs AS MATERIALIZED (
+    SELECT x, {lag_cols} FROM daily
+)""" + " UNION ALL ".join(branches)
+
+
+@register("agg_acf_multi_lag", _acf_oracle())
+def agg_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation FUNCTION of the daily order-revenue series —
+    Pearson r of (x_t, x_{t−L}) for lags 1..7, the weekly-seasonality
+    diagnostic curve that `win_autocorr_lag1` (one point) and
+    `agg_seasonality_strength` (one ratio) only sample: a lag-7 spike
+    against a flat lag-1..6 floor IS weekly seasonality.
+
+    Shape: exact-KILODOLLAR daily rollup (one shuffle) to ~2400 rows
+    — integer k$ (not cents) so the x² power sums stay inside int64
+    through ~10^6× replica scale (cents overflowed at 1×: sum(x²) ~
+    2e19 under Spark ANSI; the coarser unit is deterministic in both
+    engines and statistically irrelevant for the diagnostic); ONE
+    window pass carries all 7 lag columns (one dim-sized sort, not 7);
+    per-lag power sums are FILTER-conditional aggregates of the same
+    one-row reduction, unpivoted to 7 rows via the map-explode
+    pattern. Each ACF value is one fixed IEEE expression over exact
+    BIGINT sums (the `win_autocorr_lag1` explicit-moment discipline),
+    zero-variance guarded NULL in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    kilo = F.floor(F.col("o_totalprice") / 1000.0 + F.lit(0.5)).cast("long")
+    daily = (o.groupBy(F.col("o_orderdate").alias("day"))
+             .agg(F.sum(kilo).alias("x")))
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        "x", *[F.lag("x", L).over(w).alias(f"p{L}") for L in _ACF_LAGS])
+    aggs = []
+    for L in _ACF_LAGS:
+        p = F.col(f"p{L}")
+        ok = p.isNotNull()
+        aggs += [
+            F.count(F.when(ok, 1)).alias(f"n{L}"),
+            F.sum(F.when(ok, F.col("x"))).alias(f"sx{L}"),
+            F.sum(p).alias(f"sp{L}"),
+            F.sum(F.col("x") * p).alias(f"sxp{L}"),
+            F.sum(F.when(ok, F.col("x") * F.col("x"))).alias(f"sxx{L}"),
+            F.sum(p * p).alias(f"spp{L}"),
+        ]
+    one = pairs.agg(*aggs)
+    structs = []
+    for L in _ACF_LAGS:
+        n = F.col(f"n{L}").cast("double")
+        sx = F.col(f"sx{L}").cast("double")
+        sp = F.col(f"sp{L}").cast("double")
+        vx = n * F.col(f"sxx{L}") - sx * F.col(f"sx{L}")
+        vp = n * F.col(f"spp{L}") - sp * F.col(f"sp{L}")
+        acf = ((n * F.col(f"sxp{L}") - sx * sp)
+               / (F.sqrt(vx) * F.sqrt(vp)))
+        structs.append(F.struct(
+            F.lit(L).alias("lag"),
+            F.col(f"n{L}").alias("n_pairs"),
+            F.when((vx > 0) & (vp > 0), F.round(acf, 6)).alias("acf")))
+    return (one.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.lag", "r.n_pairs", "r.acf"))

@@ -1042,3 +1042,91 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                            rnd(F.col("n_dup_rows").cast("double")
                                / F.col("n_docs"), 6))
                     .alias("dup_rate")))
+
+
+_ABLATE_SETS = (
+    ("none", ()), ("len", ("f_len",)), ("tok_len", ("f_tok",)),
+    ("stop", ("f_stop",)), ("len+tok_len", ("f_len", "f_tok")),
+    ("len+stop", ("f_len", "f_stop")),
+    ("tok_len+stop", ("f_tok", "f_stop")),
+    ("all", ("f_len", "f_tok", "f_stop")),
+)
+
+
+def _ablation_oracle() -> str:
+    flags = f"""
+SELECT len(string_split(text, ' ')) AS n_tokens,
+       (len(string_split(text, ' ')) BETWEEN 40 AND 100000) AS f_len,
+       (list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+            ::DOUBLE / len(string_split(text, ' '))
+        BETWEEN 3 AND 10) AS f_tok,
+       ({_STOP_DUCK} >= 2) AS f_stop
+FROM documents
+"""
+    branches = []
+    for name, fs in _ABLATE_SETS:
+        cond = " AND ".join(fs) if fs else "TRUE"
+        branches.append(f"""
+SELECT '{name}' AS filter_set,
+       count(*) FILTER (WHERE {cond})::BIGINT AS n_docs,
+       coalesce(sum(n_tokens) FILTER (WHERE {cond}), 0)::BIGINT AS n_tokens,
+       CASE WHEN count(*) > 0 THEN
+         {sql_rnd('count(*) FILTER (WHERE ' + cond + ')::DOUBLE / count(*)', 4)}
+       END AS pct_docs_kept
+FROM f""")
+    return (f"WITH f AS MATERIALIZED ({flags})"
+            + " UNION ALL ".join(branches))
+
+
+@register("pipeline_quality_filter_ablation", _ablation_oracle())
+def pipeline_quality_filter_ablation(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Quality-filter ABLATION table: for each of the 8 subsets of the
+    three `text_quality` rules (length band, mean-token-length band,
+    stopword minimum), how many documents and tokens survive applying
+    that subset — the measurement a curation run does BEFORE
+    committing a filter stack to a 100 TB pass (is `stop` dropping 40%
+    of tokens for nothing? does `len` subsume it?). DataComp/Gopher-
+    style filter ablations are exactly this table, minus the GPU evals.
+
+    Shape: ONE scan computes the three per-doc booleans map-side
+    (whole-stage codegen, no shuffle); all 8 subset counts are
+    conditional aggregates of the SAME one-row reduction — the scan is
+    never repeated (plan-asserted: tests/test_plans.py pins a single
+    documents scan); the 8 output rows fan out of the one-row
+    aggregate via the `ingest_validate` map-explode pattern. The
+    token sums are exact integers; pct is one fixed IEEE division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    char_sum = F.aggregate(F.transform(toks, F.length), F.lit(0),
+                           lambda acc, v: acc + v)
+    avg_tok = char_sum.cast("double") / n_tok
+    flags = d.select(
+        n_tok.alias("n_tokens"),
+        ((n_tok >= 40) & (n_tok <= 100000)).alias("f_len"),
+        ((avg_tok >= 3) & (avg_tok <= 10)).alias("f_tok"),
+        (F.expr(_STOP_SPARK) >= 2).alias("f_stop"))
+    aggs = [F.count("*").alias("total")]
+    for name, fs in _ABLATE_SETS:
+        cond = F.lit(True)
+        for fcol in fs:
+            cond = cond & F.col(fcol)
+        aggs.append(F.count(F.when(cond, 1)).alias(f"d_{name}"))
+        aggs.append(F.coalesce(F.sum(F.when(cond, F.col("n_tokens"))),
+                               F.lit(0)).cast("long").alias(f"t_{name}"))
+    one = flags.agg(*aggs)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(name).alias("filter_set"),
+                 F.col(f"d_{name}").alias("n_docs"),
+                 F.col(f"t_{name}").alias("n_tokens"))
+        for name, _ in _ABLATE_SETS])).alias("r")
+    return (one.select(rows, F.col("total"))
+            .select(F.col("r.filter_set").alias("filter_set"),
+                    F.col("r.n_docs").alias("n_docs"),
+                    F.col("r.n_tokens").alias("n_tokens"),
+                    F.when(F.col("total") > 0,
+                           rnd(F.col("r.n_docs").cast("double")
+                               / F.col("total"), 4))
+                    .alias("pct_docs_kept")))

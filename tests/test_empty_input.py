@@ -101,6 +101,8 @@ PROBES = [
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
+    "pipeline_quality_filter_ablation", "bitwise_funcs",
+    "agg_acf_multi_lag",
 ]
 
 
@@ -193,6 +195,8 @@ NULL_PROBES = [
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
+    "pipeline_quality_filter_ablation", "bitwise_funcs",
+    "agg_acf_multi_lag",
 ]
 
 

@@ -1012,3 +1012,10 @@ def test_minhash_estimate_error_no_cartesian(spark):
     plan = _plan(spark, "dedup_minhash_estimate_error")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_ablation_single_scan(spark):
+    """All 8 filter-subset counts are conditional aggregates over ONE
+    documents scan — the ablation must never re-scan per subset."""
+    plan = _plan(spark, "pipeline_quality_filter_ablation")
+    assert plan.count("documents.parquet") <= 1, plan
