@@ -1138,3 +1138,103 @@ def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id",
                     rnd(F.col("score_raw"), 6).alias("score"), "rn"))
+
+
+def _chunk_rows() -> int:
+    """Chunk size for the chunk-pair BLAS decomposition. Default 4096
+    (the BLAS sweet spot — and the grain that kept the 64× run at the
+    plain path's speed; 128 over-fragmented it to 43 s, BASELINE.md);
+    env-tunable because the right value is a memory/parallelism knob,
+    not a semantic one — output is chunking-invariant by construction
+    (pinned in tests/test_new_ops.py at chunk=64)."""
+    import os
+    return int(os.environ.get("SPARK_GRAFT_SIM_CHUNK_ROWS", "4096"))
+
+
+@register("sim_threshold_pairs_chunked", f"""
+WITH {_E_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+       {sql_rnd(_COS, 6)} AS score
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS} >= {_SIM_THRESHOLD}
+""")
+def sim_threshold_pairs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_threshold_pairs` with the per-block quadratic BOUNDED — the
+    r5 64× block measured the label-blocked BLAS at 12.2 s (blocks 64×
+    bigger → M·Mᵀ memory and flops grow quadratically PER TASK, the
+    one super-linear default path in the table). This twin runs the
+    standard chunk-pair decomposition from the blocked-similarity-join
+    literature: each label block splits into ⌈n/chunk⌉ row chunks,
+    every unordered CHUNK PAIR (ci ≤ cj) becomes one `applyInPandas`
+    task computing a ≤ chunk×chunk matmul — per-task memory is O(chunk²)
+    REGARDLESS of block size, and the pair tasks parallelize across the
+    cluster instead of serializing inside one worker.
+
+    Cost model made explicit: each row is shuffled to ⌈n/chunk⌉ tasks
+    (the unavoidable replication of exact all-pairs); flops are
+    identical to the one-shot matmul — what changes is the MEMORY bound
+    and the parallelism grain. Same oracle as `sim_threshold_pairs`;
+    row-identical output pinned at both a single-chunk SF and the
+    multi-chunk sf0.1 (tests/test_new_ops.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = _SIM_THRESHOLD
+
+    e = load_table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    nch = F.greatest(F.lit(1),
+                     F.ceil(F.col("n") / F.lit(_chunk_rows()))).cast("int")
+    ec = (e.join(counts, "label")
+          .withColumn("nch", nch)
+          .withColumn("my", (F.col("vec_id") % F.col("nch")).cast("int")))
+    fan = (ec.select(
+        "label", "vec_id", "embedding", "my",
+        F.explode(F.sequence(F.lit(0), F.col("nch") - 1)).alias("other"))
+        .withColumn("ci", F.least("my", "other"))
+        .withColumn("cj", F.greatest("my", "other"))
+        .drop("other"))
+
+    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "label": pd.Series([], dtype="int32"),
+                              "score": pd.Series([], dtype="float64")})
+        pdf = pdf[pdf["embedding"].notna()]
+        if len(pdf) == 0:
+            return empty
+        label = pdf["label"].iloc[0]
+        ci, cj = pdf["ci"].iloc[0], pdf["cj"].iloc[0]
+        a = pdf[pdf["my"] == ci].sort_values("vec_id")
+        ia = a["vec_id"].to_numpy()
+        if len(ia) == 0:
+            return empty
+        ma = np.stack(a["embedding"].to_numpy()).astype(np.float64)
+        na = np.sqrt((ma * ma).sum(axis=1))
+        if ci == cj:
+            s = (ma @ ma.T) / np.outer(na, na)
+            iu, ju = np.triu_indices(len(ia), k=1)
+            keep = s[iu, ju] >= thr
+            id_a, id_b = ia[iu[keep]], ia[ju[keep]]
+            sc = s[iu[keep], ju[keep]]
+        else:
+            b = pdf[pdf["my"] == cj].sort_values("vec_id")
+            ib = b["vec_id"].to_numpy()
+            if len(ib) == 0:
+                return empty
+            mb = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            nb = np.sqrt((mb * mb).sum(axis=1))
+            s = (ma @ mb.T) / np.outer(na, nb)
+            iu, ju = np.where(s >= thr)
+            xa, xb = ia[iu], ib[ju]
+            id_a, id_b = np.minimum(xa, xb), np.maximum(xa, xb)
+            sc = s[iu, ju]
+        return pd.DataFrame({
+            "id_a": id_a, "id_b": id_b,
+            "label": label,
+            "score": np.floor(sc * 1e6 + 0.5) / 1e6,
+        })
+
+    return fan.groupBy("label", "ci", "cj").applyInPandas(
+        block, schema="id_a long, id_b long, label int, score double")

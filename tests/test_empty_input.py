@@ -102,7 +102,7 @@ PROBES = [
     "agg_spearman", "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
-    "agg_acf_multi_lag",
+    "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
 ]
 
 
@@ -196,7 +196,7 @@ NULL_PROBES = [
     "agg_spearman", "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
-    "agg_acf_multi_lag",
+    "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
 ]
 
 

@@ -2110,3 +2110,20 @@ def test_kcore_fixed_iterations_reach_fixpoint(spark):
         got = sorted((r.node, r.core_deg) for r in
                      E.queries()["graph_kcore"](spark, sf_dir).collect())
         assert got == expect, sf_dir
+
+
+def test_chunked_threshold_pairs_equals_blocked(spark, monkeypatch):
+    """The chunk-pair decomposition must be row-identical to the
+    one-matmul-per-label path — at the default chunk (4096: single
+    chunk per fixture label, the degenerate identity) AND with the
+    knob forced to 64 (sf0.1's 200 rows/label = 4 chunks, the
+    multi-chunk path actually exercised)."""
+    qs = E.queries()
+    for sf_dir in (SF_ORACLE, "/root/testdata/sf0.1"):
+        a = _rows(qs["sim_threshold_pairs"](spark, sf_dir))
+        b = _rows(qs["sim_threshold_pairs_chunked"](spark, sf_dir))
+        assert a == b, sf_dir
+    monkeypatch.setenv("SPARK_GRAFT_SIM_CHUNK_ROWS", "64")
+    a = _rows(qs["sim_threshold_pairs"](spark, "/root/testdata/sf0.1"))
+    b = _rows(qs["sim_threshold_pairs_chunked"](spark, "/root/testdata/sf0.1"))
+    assert a == b
