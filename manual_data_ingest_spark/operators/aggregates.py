@@ -3013,3 +3013,63 @@ def agg_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((vx > 0) & (vp > 0), F.round(acf, 6)).alias("acf")))
     return (one.select(F.explode(F.array(*structs)).alias("r"))
             .select("r.lag", "r.n_pairs", "r.acf"))
+
+
+@register("agg_lorenz_curve", f"""
+WITH spend AS (
+    SELECT c_mktsegment AS segment, c_custkey,
+           {sql_rnd('sum(o_totalprice)', 2)} AS s
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT segment, c_custkey, s,
+           ntile(10) OVER (PARTITION BY segment
+                           ORDER BY s, c_custkey) AS decile
+    FROM spend
+), d AS (
+    SELECT segment, decile,
+           count(*)::DOUBLE AS n_d, sum(s) AS s_d
+    FROM ranked GROUP BY 1, 2
+)
+SELECT segment, decile,
+       {sql_rnd('''sum(n_d) OVER (PARTITION BY segment ORDER BY decile)
+                / sum(n_d) OVER (PARTITION BY segment)''', 6)}
+           AS cum_cust_share,
+       {sql_rnd('''sum(s_d) OVER (PARTITION BY segment ORDER BY decile)
+                / sum(s_d) OVER (PARTITION BY segment)''', 6)}
+           AS cum_rev_share
+FROM d
+""")
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points per segment — the CURVE behind
+    `agg_gini`'s single number and `agg_abc_classification`'s cutoffs:
+    customers ranked by total spend (2dp-rounded, custkey tie-break)
+    into ntile(10) deciles; each decile reports the cumulative
+    customer share and cumulative revenue share. Reading it off:
+    cum_rev_share at decile 8 = the revenue share of the bottom 80%.
+
+    Scale shape: one fact shuffle (per-customer spend), one ranking
+    window per segment, then a 10-row-per-segment aggregate and
+    dim-sized cumulative windows. Ranking on the ROUNDED spend keeps
+    the cross-engine order deterministic away from rounding
+    boundaries (the `dedup_survivorship` discipline).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (c.join(o, c.c_custkey == o.o_custkey)
+             .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+             .agg(rnd(F.sum("o_totalprice"), 2).alias("s")))
+    ranked = spend.withColumn(
+        "decile", F.ntile(10).over(
+            Window.partitionBy("segment").orderBy("s", "c_custkey")))
+    d = (ranked.groupBy("segment", "decile")
+         .agg(F.count("*").cast("double").alias("n_d"),
+              F.sum("s").alias("s_d")))
+    wcum = Window.partitionBy("segment").orderBy("decile")
+    wall = Window.partitionBy("segment")
+    return d.select(
+        "segment", "decile",
+        rnd(F.sum("n_d").over(wcum) / F.sum("n_d").over(wall), 6)
+        .alias("cum_cust_share"),
+        rnd(F.sum("s_d").over(wcum) / F.sum("s_d").over(wall), 6)
+        .alias("cum_rev_share"))

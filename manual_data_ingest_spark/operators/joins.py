@@ -612,3 +612,101 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n_matches"), F.lit(0).cast("long"))
                     .alias("n_matches"),
                     "min_orderkey"))
+
+
+_BLOOM_M = 1 << 20  # filter bits: fp ~(k*n/m)^k -> <1e-3 at sf0.1's ~30k keys
+_BLOOM_K = 3        # hash functions (xxhash64 seeded by function index)
+
+
+@register("join_bloom_prefilter", """
+SELECT l_returnflag,
+       count(*)::BIGINT AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""")
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a BLOOM-FILTER prefilter — the scale pattern for
+    'filter a fact table by a keyset too big to broadcast raw' (the
+    r4 verdict's `ingest_validate` finding: forcing the keyset into a
+    broadcast OOMs at 100 TB; AQE-shuffling it pays a full exchange).
+    The bloom bitmap is FIXED SIZE (m bits regardless of key count),
+    so it always broadcasts; fact rows failing the membership test —
+    the vast majority when the keyset is selective — never enter the
+    exact join's shuffle. False positives are resolved by the exact
+    semi join on the survivors, so the RESULT is bit-identical to the
+    plain semi join (the oracle) — the bloom is pure strategy.
+
+    Built from public DataFrame ops (`bloom_filter_agg` is not in the
+    public function catalog): k=3 positions per key via seeded
+    xxhash64 mod m, bitmap words via groupBy(word).bit_or(bit) folded
+    into ONE dense array<long> row (m/64 entries = 128 KB at m=2^20 —
+    an ARRAY, not a map: catalyst map element_at is a linear scan per
+    probe, F.get on the array is O(1)); the fact side recomputes the
+    k positions in codegen and tests all k bits against the broadcast
+    bitmap. No-false-negatives and the
+    fp-rate bound are pinned in tests/test_new_ops.py; the keyset is
+    never hint-broadcast (registry-wide detector in test_plans.py).
+    """
+    from functools import reduce
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey"))
+
+    def positions(col: str) -> list:
+        return [F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_M))
+                for i in range(_BLOOM_K)]
+
+    # shiftleft() takes a literal bit count, so name the position column
+    # and shift via a SQL expression over it. The bitmap must be a DENSE
+    # array, not a map: element_at on a 16k-entry catalyst map is a
+    # LINEAR scan per probe (measured 8.4 s at 1×; the array build cut
+    # it to the sub-second the fp math promises), F.get on an array is
+    # O(1).
+    words = (keys.select(F.explode(F.array(*positions("o_orderkey")))
+                         .alias("pos"))
+             .select((F.col("pos") / 64).cast("int").alias("word_idx"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(pos, 64) AS INT))").alias("bit"))
+             .groupBy("word_idx").agg(F.bit_or("bit").alias("w")))
+    grid = (spark.range(_BLOOM_M // 64)
+            .select(F.col("id").cast("int").alias("word_idx")))
+    bloom = (grid.join(words, "word_idx", "left")
+             .select("word_idx",
+                     F.coalesce("w", F.lit(0).cast("long")).alias("w"))
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("word_idx", "w"))),
+                 lambda x: x["w"]).alias("bf")))
+
+    def bit_set(i: int) -> "F.Column":
+        word = F.coalesce(
+            F.get(F.col("bf"), (F.col(f"p{i}") / 64).cast("int")),
+            F.lit(0).cast("long"))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST(pmod(p{i}, 64) AS INT))")
+        return word.bitwiseAND(bit) != 0
+
+    with_pos = li.crossJoin(F.broadcast(bloom))
+    for i, p in enumerate(positions("l_orderkey")):
+        with_pos = with_pos.withColumn(f"p{i}", p)
+    survives = reduce(lambda a, b: a & b,
+                      [bit_set(i) for i in range(_BLOOM_K)])
+    # join key ANCHORED to the bloom verdict: on surviving rows
+    # when(bit0, l_orderkey) IS l_orderkey, but the alias references bf,
+    # so PushDownLeftSemiAntiJoin cannot rewrite the semi join below the
+    # bloom stage (unguarded, Catalyst pushes the semi join under the
+    # cross join and the prefilter never prefilters — observed, and
+    # plan-asserted in tests/test_plans.py)
+    prefiltered = (with_pos.filter(survives)
+                   .withColumn("jk", F.when(bit_set(0), F.col("l_orderkey")))
+                   .drop("bf", *[f"p{i}" for i in range(_BLOOM_K)]))
+    exact = prefiltered.join(keys, prefiltered.jk == keys.o_orderkey,
+                             "left_semi")
+    return (exact.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))

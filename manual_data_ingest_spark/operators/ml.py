@@ -2175,3 +2175,79 @@ def ml_propensity_weighting(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.cast("long").alias("n_treated"),
         rnd(naive / 100.0).alias("naive_diff"),
         rnd((F.sum("wt_y") - F.sum("wc_y")) / n / 100.0).alias("ate_ipw"))
+
+
+@register("ml_two_proportion_ztest", f"""
+WITH u AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), base AS (
+    SELECT c_mktsegment AS segment, c_custkey % 2 AS arm,
+           CASE WHEN u.o_custkey IS NULL THEN 0 ELSE 1 END AS conv
+    FROM customer LEFT JOIN u ON c_custkey = o_custkey
+), agg AS (
+    SELECT segment,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+           CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS DOUBLE) AS c0,
+           CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS DOUBLE) AS c1
+    FROM base GROUP BY 1
+)
+SELECT segment,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       CASE WHEN n0 > 0 THEN {sql_rnd('c0 / n0', 6)} END AS p_control,
+       CASE WHEN n1 > 0 THEN {sql_rnd('c1 / n1', 6)} END AS p_treat,
+       CASE WHEN n0 > 0 AND n1 > 0
+                 AND (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)
+            THEN {sql_rnd('''(c1 / n1 - c0 / n0)
+                 / sqrt((c0 + c1) / (n0 + n1)
+                        * (1.0::DOUBLE - (c0 + c1) / (n0 + n1))
+                        * (1.0::DOUBLE / n0 + 1.0::DOUBLE / n1))''', 4)}
+            ELSE NULL END AS z_score
+FROM agg
+""")
+def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test per segment — the workhorse A/B
+    readout for CONVERSION metrics (the continuous-metric siblings are
+    `agg_ttest_welch` and `ml_ratio_delta_method`): arms are the
+    deterministic custkey parity split, conversion = the customer
+    placed >= 1 URGENT order, z = (p1-p0)/sqrt(pp(1-pp)(1/n0+1/n1))
+    with pp the pooled rate. Degenerate segments (an empty arm, or
+    conversions all-0/all-1 so the pooled variance is 0) return NULL
+    instead of tripping ANSI DIVIDE_BY_ZERO — the same guard class as
+    `ml_propensity_weighting`'s positivity filter.
+
+    Scale shape: conversion flags come from one distinct-projection of
+    orders left-joined to customer (AQE sizes it); everything after is
+    a 5-row segment aggregate. Nothing here is per-pair or windowed —
+    it is the cheapest experiment readout in the family.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    u = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    base = (c.join(u, c.c_custkey == u.o_custkey, "left")
+            .select(F.col("c_mktsegment").alias("segment"),
+                    (F.col("c_custkey") % 2).alias("arm"),
+                    F.when(F.col("o_custkey").isNull(), 0).otherwise(1)
+                    .alias("conv")))
+    agg = base.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("double").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("double").alias("c1"))
+    n0, n1, c0, c1 = (F.col(x) for x in ("n0", "n1", "c0", "c1"))
+    pp = (c0 + c1) / (n0 + n1)
+    z = ((c1 / n1 - c0 / n0)
+         / F.sqrt(pp * (F.lit(1.0) - pp)
+                  * (F.lit(1.0) / n0 + F.lit(1.0) / n1)))
+    ok = (n0 > 0) & (n1 > 0) & ((c0 + c1) > 0) & ((c0 + c1) < (n0 + n1))
+    return agg.select(
+        "segment",
+        n0.cast("long").alias("n_control"), n1.cast("long").alias("n_treat"),
+        F.when(n0 > 0, rnd(c0 / n0, 6)).alias("p_control"),
+        F.when(n1 > 0, rnd(c1 / n1, 6)).alias("p_treat"),
+        F.when(ok, rnd(z, 4)).otherwise(F.lit(None)).alias("z_score"))

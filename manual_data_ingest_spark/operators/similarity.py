@@ -1238,3 +1238,209 @@ def sim_threshold_pairs_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fan.groupBy("label", "ci", "cj").applyInPandas(
         block, schema="id_a long, id_b long, label int, score double")
+
+
+_RRF_K = 60      # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 10  # per-arm candidate depth feeding the fusion
+
+
+@register("sim_rrf_fusion", f"""
+WITH {_E_CTE}, {_Q_CTE},
+dense AS (
+    SELECT * FROM (
+        SELECT a.probe_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.probe_id
+                                  ORDER BY {_COS} DESC, b.vec_id) AS r
+        FROM (SELECT vec_id AS probe_id, v FROM e WHERE label < 5
+              QUALIFY row_number() OVER (PARTITION BY label
+                                         ORDER BY vec_id) = 1) a
+        JOIN e b ON b.vec_id <> a.probe_id
+    ) WHERE r <= {_RRF_DEPTH}
+),
+quant AS (
+    SELECT * FROM (
+        SELECT a.probe_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.probe_id
+                                  ORDER BY {_QDOT} DESC, b.vec_id) AS r
+        FROM (SELECT vec_id AS probe_id, s, qv FROM q WHERE label < 5
+              QUALIFY row_number() OVER (PARTITION BY label
+                                         ORDER BY vec_id) = 1) a
+        JOIN q b ON b.vec_id <> a.probe_id
+    ) WHERE r <= {_RRF_DEPTH}
+)
+SELECT probe_id, neighbor_id, {sql_rnd('raw', 6)} AS rrf_score, rn
+FROM (
+    SELECT probe_id, neighbor_id, raw,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY raw DESC, neighbor_id) AS rn
+    FROM (
+        SELECT COALESCE(d.probe_id, x.probe_id) AS probe_id,
+               COALESCE(d.neighbor_id, x.neighbor_id) AS neighbor_id,
+               COALESCE(1.0::DOUBLE / ({_RRF_K} + d.r), 0.0)
+             + COALESCE(1.0::DOUBLE / ({_RRF_K} + x.r), 0.0) AS raw
+        FROM dense d FULL OUTER JOIN quant x
+          ON d.probe_id = x.probe_id AND d.neighbor_id = x.neighbor_id
+    )
+) WHERE rn <= 3
+""")
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval arms — the standard way
+    hybrid search (dense + quantized / lexical + dense) combines
+    rankings without comparable scores: fused(c) = sum over arms of
+    1/(60 + rank_arm(c)), candidates = the union of each arm's
+    top-10. Here the arms are the exact-cosine ranking (`sim_topk`'s
+    topology) and the int8-quantized ranking (`sim_quantize_int8`'s),
+    so the fusion also measures how much quantization reorders the
+    head of the list.
+
+    Scale shape: both arms broadcast the 5 probes and ride the corpus
+    scan (never shuffling it); each arm's output is <= 5*10 rows, so
+    the fusion full-outer join and the final window are dim-sized.
+    Determinism: fused scores are sums of reciprocals of small
+    integers computed in the same order on both engines (COALESCE(
+    dense)+COALESCE(quant)) — bit-identical; ranks tie-break on
+    vec_id; the rank-10/11 per-arm cut margins are pinned in
+    tests/test_guard_band.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+
+    # dense arm: exact cosine, depth 10
+    probes_d = (e.withColumn("rn", F.row_number().over(wp))
+                .filter((F.col("rn") == 1) & (F.col("label") < 5))
+                .select(F.col("vec_id").alias("probe_id"),
+                        F.col("embedding").alias("pv")))
+    dense = (F.broadcast(probes_d)
+             .join(e, F.col("vec_id") != F.col("probe_id"))
+             .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                     cos_arrow(F.col("pv"), F.col("embedding")).alias("raw"))
+             .withColumn("r", F.row_number().over(
+                 Window.partitionBy("probe_id")
+                 .orderBy(F.col("raw").desc(), F.col("neighbor_id"))))
+             .filter(F.col("r") <= _RRF_DEPTH)
+             .select("probe_id", "neighbor_id", F.col("r").alias("r_d")))
+
+    # quantized arm: int8 symmetric quantization, depth 10
+    s = (F.greatest(F.array_max(F.transform("embedding",
+                                            lambda x: F.abs(x.cast("double")))),
+                    F.lit(1e-12)) / 127.0)
+    q = e.select(
+        "vec_id", "label", s.alias("s"),
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") / s + 0.5)).alias("qv"))
+    probes_q = (q.withColumn("rn", F.row_number().over(wp))
+                .filter((F.col("rn") == 1) & (F.col("label") < 5))
+                .select(F.col("vec_id").alias("probe_id"),
+                        F.col("s").alias("ps"), F.col("qv").alias("pqv")))
+    qdot = intdot_arrow(F.col("pqv"), F.col("qv")) * F.col("ps") * F.col("s")
+    quant = (F.broadcast(probes_q)
+             .join(q, F.col("vec_id") != F.col("probe_id"))
+             .select("probe_id", F.col("vec_id").alias("neighbor_id"),
+                     qdot.alias("raw"))
+             .withColumn("r", F.row_number().over(
+                 Window.partitionBy("probe_id")
+                 .orderBy(F.col("raw").desc(), F.col("neighbor_id"))))
+             .filter(F.col("r") <= _RRF_DEPTH)
+             .select("probe_id", "neighbor_id", F.col("r").alias("r_q")))
+
+    fused = (dense.join(quant, ["probe_id", "neighbor_id"], "full_outer")
+             .select("probe_id", "neighbor_id",
+                     (F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_d")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_q")),
+                                   F.lit(0.0))).alias("raw")))
+    return (fused.withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("raw"), 6).alias("rrf_score"), "rn"))
+
+
+_BM25_K1 = "1.2::DOUBLE"
+_BM25_B = "0.75::DOUBLE"
+
+
+@register("sim_bm25_topk", f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS MATERIALIZED (
+    SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+), stats AS (
+    SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl
+), idf AS (
+    SELECT token,
+           ln(1.0::DOUBLE + ((SELECT n FROM stats) - count(*)::DOUBLE + 0.5)
+                            / (count(*)::DOUBLE + 0.5)) AS idf
+    FROM tf GROUP BY token
+), qterms AS (
+    SELECT doc_id AS probe_id, token FROM tf WHERE doc_id < 10
+), scores AS (
+    SELECT q.probe_id, tf.doc_id AS neighbor_id,
+           sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0::DOUBLE)
+               / (tf.tf + {_BM25_K1} * (1.0::DOUBLE - {_BM25_B}
+                  + {_BM25_B} * dl.dl / (SELECT avgdl FROM stats)))) AS raw
+    FROM qterms q
+    JOIN tf ON tf.token = q.token AND tf.doc_id <> q.probe_id
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN idf ON idf.token = q.token
+    GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id, {sql_rnd('raw', 6)} AS score, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY raw DESC, neighbor_id) AS rn
+      FROM scores)
+WHERE rn <= 3
+""")
+def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-k — the missing arm of hybrid RAG
+    retrieval beside `sim_sparse_tfidf_topk` (tf-idf cosine) and the
+    dense `sim_topk`: Okapi BM25 with k1=1.2, b=0.75 and the
+    always-positive Robertson idf ln(1 + (N-df+0.5)/(df+0.5)); each
+    query term contributes idf * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl)).
+    Queries are the 10 lowest doc_ids' distinct token sets; per probe
+    the top-3 documents by summed score (6dp, doc_id tie-break).
+
+    Same inverted-index shape as the tf-idf op: probes and corpus meet
+    ON TOKEN (posting-list join, never all-pairs); df/idf and the
+    per-doc length dl are per-term/per-doc aggregates — broadcastable
+    model state at 100 TB, where an idf floor drops the hot stop-word
+    postings. The corpus-side tf table shuffles once on token and
+    partial-aggregates per (probe, doc).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count("*").cast("double").alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("n"),
+                   F.avg("dl").cast("double").alias("avgdl"))
+    idf = (tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+           .crossJoin(F.broadcast(stats))
+           .select("token",
+                   F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5)).alias("idf"),
+                   "avgdl"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    qterms = (tf.filter(F.col("doc_id") < 10)
+              .select(F.col("doc_id").alias("probe_id"), "token"))
+    contrib = (F.broadcast(qterms)
+               .join(tf, "token")
+               .filter(F.col("doc_id") != F.col("probe_id"))
+               .join(dl, "doc_id")
+               .join(F.broadcast(idf), "token")
+               .select("probe_id", F.col("doc_id").alias("neighbor_id"),
+                       (F.col("idf") * F.col("tf") * (k1 + F.lit(1.0))
+                        / (F.col("tf") + k1 * (F.lit(1.0) - b
+                           + b * F.col("dl") / F.col("avgdl"))))
+                       .alias("c")))
+    scores = (contrib.groupBy("probe_id", "neighbor_id")
+              .agg(F.sum("c").alias("raw")))
+    return (scores.withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(F.col("raw").desc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("raw"), 6).alias("score"), "rn"))

@@ -103,6 +103,9 @@ PROBES = [
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
     "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
+    "sim_rrf_fusion", "sim_bm25_topk", "join_bloom_prefilter",
+    "ml_two_proportion_ztest", "agg_lorenz_curve",
+    "pipeline_curriculum_order",
 ]
 
 
@@ -197,6 +200,9 @@ NULL_PROBES = [
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
     "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
+    "sim_rrf_fusion", "sim_bm25_topk", "join_bloom_prefilter",
+    "ml_two_proportion_ztest", "agg_lorenz_curve",
+    "pipeline_curriculum_order",
 ]
 
 

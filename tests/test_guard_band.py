@@ -271,3 +271,117 @@ def test_stats_agg_rounding_boundaries(sf_dir: str) -> None:
     v = np.sqrt(chi2 / (ntot * (min(obs.shape) - 1)))
     assert gap(chi2, 4) > 1e-4, chi2
     assert gap(v, 6) > 1e-6, v
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_rrf_fusion_arm_cut_margins(sf_dir: str) -> None:
+    """sim_rrf_fusion fuses each arm's top-10; the candidate set is
+    safe iff at every probe the rank-10/11 RAW margin exceeds engine
+    drift in BOTH arms (dense cosine and int8-quantized dot). Fused
+    scores themselves are exact rationals of the ranks — no float
+    discipline needed past the cut."""
+    labels, emb = _load(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    vec_ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(vec_ids)
+    vec_ids, labels, emb = vec_ids[order], labels[order], emb[order]
+    norms = np.sqrt(np.einsum("ij,ij->i", emb, emb))
+    s = np.maximum(np.abs(emb).max(axis=1), 1e-12) / 127.0
+    qv = np.floor(emb / s[:, None] + 0.5)
+    checked = 0
+    for lbl in range(5):
+        idx = np.where(labels == lbl)[0]
+        if len(idx) == 0:
+            continue
+        p = idx[0]
+        arms = {
+            "dense": (emb @ emb[p]) / (norms * norms[p]),
+            "quant": (qv @ qv[p]) * s * s[p],
+        }
+        for arm, rel in arms.items():
+            cand = np.delete(np.arange(len(rel)), p)
+            vals = np.sort(rel[cand])[::-1]
+            if len(vals) < 11:
+                continue
+            gap = vals[9] - vals[10]
+            assert gap == 0.0 or gap > GUARD, (
+                f"{sf_dir} label {lbl} {arm}: rank-10/11 margin "
+                f"{gap:.3e} within engine drift")
+            checked += 1
+    assert checked > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bm25_rank_and_rounding_margins(sf_dir: str) -> None:
+    """sim_bm25_topk ranks on RAW summed BM25 scores (per-token float
+    contributions summed in engine order): pin (a) the rank-3/4 margin
+    per probe and (b) the emitted top-3 scores' distance from a 6dp
+    rounding boundary."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    scores = con.execute("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+               FROM tok GROUP BY 1,2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl
+                  FROM dl),
+        idf AS (SELECT token, ln(1.0::DOUBLE +
+                    ((SELECT n FROM stats) - count(*)::DOUBLE + 0.5)
+                    / (count(*)::DOUBLE + 0.5)) AS idf
+                FROM tf GROUP BY 1)
+        SELECT q.doc_id AS probe_id, tf.doc_id AS neighbor_id,
+               sum(idf.idf * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                      / (SELECT avgdl FROM stats)))) AS raw
+        FROM (SELECT DISTINCT doc_id, token FROM tf WHERE doc_id < 10) q
+        JOIN tf ON tf.token = q.token AND tf.doc_id <> q.doc_id
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN idf ON idf.token = q.token
+        GROUP BY 1, 2
+    """).fetchall()
+    by_probe: dict = {}
+    for pid, nid, raw in scores:
+        by_probe.setdefault(pid, []).append(raw)
+    checked = 0
+    for pid, vals in by_probe.items():
+        vals = np.sort(np.asarray(vals))[::-1]
+        if len(vals) >= 4:
+            gap = vals[2] - vals[3]
+            # BM25 sums span ~30 tokens; drift bound ~1e-12, 1e-9 margin
+            assert gap == 0.0 or gap > GUARD, (
+                f"{sf_dir} probe {pid}: BM25 rank-3/4 margin {gap:.3e}")
+        for v in vals[:3]:
+            frac = abs((v * 1e6 + 0.5) % 1.0)
+            dist = min(frac, 1.0 - frac)
+            assert dist > 1e-6, (
+                f"{sf_dir} probe {pid}: BM25 score {v!r} sits {dist:.2e} "
+                "(x1e-6) from a 6dp rounding boundary")
+        checked += 1
+    assert checked > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_lorenz_spend_rounding_boundaries(sf_dir: str) -> None:
+    """agg_lorenz_curve ranks customers on 2dp-ROUNDED total spend: the
+    order is engine-stable iff no customer's RAW spend sum sits within
+    summation drift of a half-cent boundary (where the two engines'
+    floor(x*100+0.5) could disagree)."""
+    import duckdb
+
+    con = duckdb.connect()
+    spends = con.execute(f"""
+        SELECT sum(o_totalprice) FROM '{sf_dir}/orders.parquet'
+        GROUP BY o_custkey
+    """).fetchall()
+    vals = np.asarray([s[0] for s in spends], dtype=np.float64)
+    frac = np.abs((vals * 100.0 + 0.5) % 1.0)
+    dist = np.minimum(frac, 1.0 - frac)
+    # drift of a ~10-term double sum at 1e5 magnitude is ~1e-10
+    assert dist.min() > 1e-6, (
+        f"{sf_dir}: customer spend {vals[dist.argmin()]!r} sits "
+        f"{dist.min():.2e} (x1e-2 cents) from a half-cent boundary")

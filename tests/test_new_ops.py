@@ -2127,3 +2127,75 @@ def test_chunked_threshold_pairs_equals_blocked(spark, monkeypatch):
     a = _rows(qs["sim_threshold_pairs"](spark, "/root/testdata/sf0.1"))
     b = _rows(qs["sim_threshold_pairs_chunked"](spark, "/root/testdata/sf0.1"))
     assert a == b
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_bound(spark):
+    """The bloom membership test must pass EVERY true member (no false
+    negatives — the correctness contract) and the false-positive rate
+    at m=2^20, k=3 must stay under 1% on the largest fixture (the
+    efficiency contract: the prefilter must actually cut the shuffle)."""
+    from pyspark.sql import functions as F
+    from manual_data_ingest_spark.io import load_table
+
+    sf_dir = "/root/testdata/sf0.1"
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey"))
+    # reconstruct the survivor set by running the operator's plan up to
+    # the prefilter: compare counts through the exact semi join
+    total = li.count()
+    exact = li.join(keys, li.l_orderkey == keys.o_orderkey,
+                    "left_semi").count()
+    # the registered operator resolves fp's exactly, so its aggregate
+    # equals the oracle; here pin the prefilter itself via the module's
+    # internals
+    import manual_data_ingest_spark.operators.joins as J
+    out = E.queries()["join_bloom_prefilter"](spark, sf_dir)
+    got = {r.l_returnflag: r.n_lines for r in out.collect()}
+    want = {r.l_returnflag: r.cnt for r in
+            li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+            .groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+            .collect()}
+    assert got == want  # no false negatives can survive this equality
+    # fp bound: (k*n/m)^k with n≈sf0.1 urgent orders — well under 1%;
+    # sanity-check the arithmetic stays true if fixtures regenerate
+    n = keys.count()
+    k, m = J._BLOOM_K, J._BLOOM_M
+    import math
+    fp = (1.0 - math.exp(-k * n / m)) ** k
+    assert fp < 0.01, f"bloom sizing off: n={n} predicted fp={fp:.4f}"
+
+
+def test_rrf_fusion_dominates_single_arm_rank(spark):
+    """RRF sanity law: a neighbor ranked #1 by BOTH arms must be the
+    fused #1 (its fused score 2/(61) is the maximum attainable)."""
+    for sf_dir in (SF_ORACLE, "/root/testdata/sf0.1"):
+        qs = E.queries()
+        dense = {(r.probe_id, r.rn): r.neighbor_id
+                 for r in qs["sim_topk"](spark, sf_dir).collect()}
+        fused = {(r.probe_id, r.rn): r.neighbor_id
+                 for r in qs["sim_rrf_fusion"](spark, sf_dir).collect()}
+        quant = {(r.probe_id, r.rn): r.neighbor_id
+                 for r in qs["sim_quantize_int8"](spark, sf_dir).collect()}
+        for (pid, rn), nid in dense.items():
+            if rn == 1 and quant.get((pid, 1)) == nid:
+                assert fused[(pid, 1)] == nid, (sf_dir, pid)
+
+
+def test_curriculum_buckets_are_quality_ordered(spark):
+    """Bucket boundaries must respect the quality ordering: the minimum
+    quality in bucket b must be >= the maximum in bucket b+1 (ntile on
+    quality desc), and per-bucket seq must be 1..n_b dense."""
+    out = E.queries()["pipeline_curriculum_order"](
+        spark, SF_ORACLE).collect()
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert sorted(by_bucket) == [1, 2, 3, 4]
+    for b in (1, 2, 3):
+        assert (min(r.quality for r in by_bucket[b])
+                >= max(r.quality for r in by_bucket[b + 1]))
+    for b, rows in by_bucket.items():
+        seqs = sorted(r.seq_in_bucket for r in rows)
+        assert seqs == list(range(1, len(rows) + 1)), b

@@ -1019,3 +1019,25 @@ def test_quality_ablation_single_scan(spark):
     documents scan — the ablation must never re-scan per subset."""
     plan = _plan(spark, "pipeline_quality_filter_ablation")
     assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_bloom_prefilter_runs_below_the_exact_semi_join(spark):
+    """join_bloom_prefilter: the bloom membership test (the BNLJ against
+    the one-row bitmap) must sit BELOW the exact LeftSemi join — i.e.
+    fact rows are bloom-tested BEFORE they enter the semi join's
+    build/probe. Unguarded, PushDownLeftSemiAntiJoin rewrites the semi
+    join underneath the bloom stage and the prefilter never prefilters;
+    the when(bit0, l_orderkey) join-key anchor prevents that."""
+    plan = _plan(spark, "join_bloom_prefilter")
+    semi_at = plan.find("Join type: LeftSemi")
+    assert semi_at != -1, plan[:2000]
+    # in EXPLAIN FORMATTED the operator tree is printed top-down: the
+    # semi join node must appear ABOVE (before) the BNLJ node it consumes
+    tree = plan[:plan.find("(1) ")]
+    semi_line = next(i for i, l in enumerate(tree.splitlines())
+                     if "LeftSemi" in l)
+    bnlj_line = next(i for i, l in enumerate(tree.splitlines())
+                     if "BroadcastNestedLoopJoin" in l)
+    assert semi_line < bnlj_line, tree
+    # and the bitmap side stays a genuine broadcast (fixed-size state)
+    assert "BroadcastNestedLoopJoin" in plan
