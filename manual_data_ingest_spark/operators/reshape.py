@@ -467,3 +467,65 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "epoch", (F.col("k") % _SHARDS).cast("int").alias("shard"),
         F.row_number().over(w).alias("position"), "doc_id")
+
+
+_NEYMAN_BUDGET = 1000  # total sample budget allocated across strata
+
+
+@register("sample_neyman_allocation", f"""
+WITH s AS (
+    SELECT c_mktsegment AS segment,
+           count(*)::DOUBLE AS n_h,
+           stddev_samp(c_acctbal) AS s_h
+    FROM customer GROUP BY 1
+), t AS (
+    SELECT segment, n_h, s_h,
+           n_h * s_h / sum(n_h * s_h) OVER () AS w_raw,
+           n_h / sum(n_h) OVER () AS prop_raw
+    FROM s
+)
+SELECT segment,
+       CAST(n_h AS BIGINT) AS stratum_size,
+       {sql_rnd('s_h', 4)} AS stratum_sd,
+       {sql_rnd('w_raw', 6)} AS neyman_share,
+       CAST(floor({_NEYMAN_BUDGET} * ({sql_rnd('w_raw', 6)}) + 0.5) AS BIGINT)
+           AS alloc_n,
+       CAST(floor({_NEYMAN_BUDGET} * ({sql_rnd('prop_raw', 6)}) + 0.5)
+            AS BIGINT) AS proportional_n
+FROM t
+""")
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample ALLOCATION — the sizing step
+    the `sample_stratified` executor consumes: for a fixed budget n,
+    allocate n_h ∝ N_h·S_h (stratum size × within-stratum stddev),
+    which minimizes the variance of the stratified mean; the
+    proportional allocation (n_h ∝ N_h) sits beside it as the naive
+    baseline, so the table directly shows where variance-aware
+    sampling moves the budget.
+
+    Scale shape: one map-side-combined aggregate over the scan (count
+    + stddev per stratum) and a 5-row window — the design table is
+    dim-sized however big the frame is. Determinism: allocations are
+    floor(n·share+0.5) on the 6dp-ROUNDED shares, so both engines
+    integer-allocate from identical inputs.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = (c.groupBy(F.col("c_mktsegment").alias("segment"))
+         .agg(F.count("*").cast("double").alias("n_h"),
+              F.stddev_samp("c_acctbal").alias("s_h")))
+    w = Window.partitionBy()
+    t = s.select(
+        "segment", "n_h", "s_h",
+        (F.col("n_h") * F.col("s_h")
+         / F.sum(F.col("n_h") * F.col("s_h")).over(w)).alias("w_raw"),
+        (F.col("n_h") / F.sum("n_h").over(w)).alias("prop_raw"))
+    share = rnd(F.col("w_raw"), 6)
+    pshare = rnd(F.col("prop_raw"), 6)
+    return t.select(
+        "segment",
+        F.col("n_h").cast("long").alias("stratum_size"),
+        rnd(F.col("s_h"), 4).alias("stratum_sd"),
+        share.alias("neyman_share"),
+        F.floor(_NEYMAN_BUDGET * share + 0.5).cast("long").alias("alloc_n"),
+        F.floor(_NEYMAN_BUDGET * pshare + 0.5).cast("long")
+        .alias("proportional_n"))

@@ -105,7 +105,7 @@ PROBES = [
     "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
     "sim_rrf_fusion", "sim_bm25_topk", "join_bloom_prefilter",
     "ml_two_proportion_ztest", "agg_lorenz_curve",
-    "pipeline_curriculum_order",
+    "pipeline_curriculum_order", "sample_neyman_allocation",
 ]
 
 
@@ -202,7 +202,7 @@ NULL_PROBES = [
     "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
     "sim_rrf_fusion", "sim_bm25_topk", "join_bloom_prefilter",
     "ml_two_proportion_ztest", "agg_lorenz_curve",
-    "pipeline_curriculum_order",
+    "pipeline_curriculum_order", "sample_neyman_allocation",
 ]
 
 

@@ -385,3 +385,30 @@ def test_lorenz_spend_rounding_boundaries(sf_dir: str) -> None:
     assert dist.min() > 1e-6, (
         f"{sf_dir}: customer spend {vals[dist.argmin()]!r} sits "
         f"{dist.min():.2e} (x1e-2 cents) from a half-cent boundary")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_neyman_rounding_boundaries(sf_dir: str) -> None:
+    """sample_neyman_allocation emits 4dp-rounded stddevs and 6dp
+    shares, and integer-allocates off the rounded shares: pin every
+    raw value's distance from its rounding grid (stddev_samp differs
+    across engines only at ~1e-12 relative)."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH s AS (SELECT c_mktsegment, count(*)::DOUBLE AS n_h,
+                          stddev_samp(c_acctbal) AS s_h
+                   FROM '{sf_dir}/customer.parquet' GROUP BY 1)
+        SELECT s_h, n_h * s_h / sum(n_h * s_h) OVER () AS w,
+               n_h / sum(n_h) OVER () AS p
+        FROM s
+    """).fetchall()
+    for s_h, w, p in rows:
+        for v, grid, label in ((s_h, 1e4, "sd@4dp"), (w, 1e6, "share@6dp"),
+                               (p, 1e6, "prop@6dp")):
+            frac = abs((v * grid + 0.5) % 1.0)
+            dist = min(frac, 1.0 - frac)
+            assert dist > 1e-6, (
+                f"{sf_dir} {label}: {v!r} sits {dist:.2e} from a "
+                "rounding boundary")

@@ -2199,3 +2199,19 @@ def test_curriculum_buckets_are_quality_ordered(spark):
     for b, rows in by_bucket.items():
         seqs = sorted(r.seq_in_bucket for r in rows)
         assert seqs == list(range(1, len(rows) + 1)), b
+
+
+def test_neyman_budget_and_variance_preference(spark):
+    """Allocations must (a) nearly exhaust the budget (integer
+    rounding drift < strata count) and (b) shift budget toward
+    higher-variance strata relative to proportional allocation:
+    sum over strata of (alloc-prop)*sign(S_h - pooled) >= 0."""
+    for sf_dir in (SF_ORACLE, "/root/testdata/sf0.1"):
+        rows = E.queries()["sample_neyman_allocation"](
+            spark, sf_dir).collect()
+        total = sum(r.alloc_n for r in rows)
+        assert abs(total - 1000) < len(rows), (sf_dir, total)
+        mean_sd = sum(r.stratum_sd for r in rows) / len(rows)
+        drift = sum((r.alloc_n - r.proportional_n)
+                    * (1 if r.stratum_sd > mean_sd else -1) for r in rows)
+        assert drift >= 0, (sf_dir, drift)
