@@ -511,10 +511,12 @@ _PQ_K = 4      # codes per subspace
 _PQ_ITERS = 2
 
 
-def _pq_oracle(k: int, iters: int, dim: int, nsub: int) -> str:
+def _pq_oracle_prefix(k: int, iters: int, dim: int, nsub: int) -> str:
     """All-subspaces-at-once grouped Lloyd trajectory unrolled to SQL —
     identical to the k-means oracle with a subspace key threaded
-    through every grouping/partition clause."""
+    through every grouping/partition clause. Ends at `final_assign`
+    (per-(id, subspace) code + residual) so both the codebook report
+    and the ADC search oracle share one trained prefix."""
     head = f"""
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
@@ -550,14 +552,19 @@ WITH v AS (
 ), final_assign AS (
   SELECT id, s, cl, dist2 FROM final_dist
   QUALIFY row_number() OVER (PARTITION BY id, s ORDER BY dist2, cl) = 1
-)
+)"""
+    return head + "".join(steps) + tail
+
+
+def _pq_oracle(k: int, iters: int, dim: int, nsub: int) -> str:
+    """Codebook-quality report tail over the shared trained prefix."""
+    return _pq_oracle_prefix(k, iters, dim, nsub) + f"""
 SELECT s AS subspace, cl AS code,
        count(*) AS n_vecs,
        {sql_rnd('avg(dist2)', 6)} AS mse
 FROM final_assign
 GROUP BY s, cl
 """
-    return head + "".join(steps) + tail
 
 
 @register("sim_pq_quantize", _pq_oracle(_PQ_K, _PQ_ITERS, _DIM, _PQ_SUB))
@@ -580,6 +587,21 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction, 6dp-rounded centroids per update, (dist2, cl) argmin
     tie-break.
     """
+    _, _, final = _pq_train(spark, sf_dir)
+    return (final.groupBy(F.col("s").alias("subspace"),
+                          F.col("cl").alias("code"))
+            .agg(F.count("*").alias("n_vecs"),
+                 rnd(F.avg("dist2"), 6).alias("mse")))
+
+
+def _pq_train(spark: SparkSession,
+              sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared grouped-Lloyd PQ trainer (the `sim_pq_quantize` pipeline,
+    factored so the ADC search op consumes the same trained state).
+    Returns (vd, codebooks, final_assign): the checkpointed per-(id,
+    subspace, dim) value relation, the trained per-(subspace, code,
+    dim) centroids, and the per-(id, subspace) code assignment with
+    its residual dist2."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("vec_id").cast("long").alias("id"), "embedding")
     sub_w = _DIM // _PQ_SUB
@@ -615,10 +637,115 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
               .localCheckpoint(eager=True))
 
     final = assign_against(cd)
-    return (final.groupBy(F.col("s").alias("subspace"),
-                          F.col("cl").alias("code"))
-            .agg(F.count("*").alias("n_vecs"),
-                 rnd(F.avg("dist2"), 6).alias("mse")))
+    return vd, cd, final
+
+
+def _pq_index(spark: SparkSession,
+              sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Session-cached trained PQ index — the `_lsh_index` amortization
+    rule: codebooks + code assignments are ONE persisted artifact per
+    (session, sf_dir), not a per-query cost (at 100 TB they are the
+    written code table an ADC search reads). (tag, sf_dir) keys →
+    io.clear_table_cache invalidates with the fixture."""
+    cache = getattr(spark, "_mdis_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_cache = cache
+    key = ("pq_index", sf_dir)
+    if key not in cache:
+        vd, cd, final = _pq_train(spark, sf_dir)
+        cache[key] = (vd,
+                      cd.localCheckpoint(eager=True),
+                      final.localCheckpoint(eager=True))
+    return cache[key]
+
+
+@register("sim_pq_adc_topk", _pq_oracle_prefix(
+    _PQ_K, _PQ_ITERS, _DIM, _PQ_SUB) + f"""
+, probes AS (
+  SELECT CAST(vec_id AS BIGINT) AS pid FROM embeddings
+  WHERE label < 5
+  QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+), ptab AS (
+  SELECT vd.id AS pid, vd.s, cd.cl,
+         sum((vd.x - cd.c) * (vd.x - cd.c)) AS dist2
+  FROM vd JOIN cd{_PQ_ITERS} cd ON vd.s = cd.s AND vd.d = cd.d
+  WHERE vd.id IN (SELECT pid FROM probes)
+  GROUP BY vd.id, vd.s, cd.cl
+), adc AS (
+  SELECT p.pid AS probe_id, a.id AS neighbor_id, sum(p.dist2) AS adc
+  FROM final_assign a JOIN ptab p ON p.s = a.s AND p.cl = a.cl
+  WHERE a.id <> p.pid
+  GROUP BY 1, 2
+)
+SELECT probe_id, neighbor_id, adc_dist, rn
+FROM (SELECT probe_id, neighbor_id, {sql_rnd('adc', 6)} AS adc_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY {sql_rnd('adc', 6)}, neighbor_id)
+                 AS rn
+      FROM adc)
+WHERE rn <= 3
+""")
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by ASYMMETRIC DISTANCE COMPUTATION — the retrieval
+    step that makes `sim_pq_quantize`'s codebooks an index, completing
+    the quantize→train→search PQ story: each probe precomputes ONE
+    distance table (its raw subvector's squared distance to every
+    (subspace, code) centroid — nsub·K = 32 entries), and every corpus
+    vector is then scored WITHOUT touching its floats: its distance is
+    the sum of 8 table lookups keyed by its stored codes. Per-probe
+    top-3 by ADC distance (asc, vec_id tie-break).
+
+    Scale shape — the reason PQ search wins at 100 TB: the scored
+    relation is `final_assign` (8 BYTES of codes per vector, not 256
+    of floats); the probe tables broadcast (nsub·K rows per probe);
+    the score join is codes ⋈ tables on (subspace, code) followed by a
+    per-(probe, id) 8-row sum — no float vector ever shuffles. The
+    trained state is a session-cached index (`_pq_index`, the
+    `_lsh_index` amortization rule: at 100 TB the codebooks + code
+    table are persisted artifacts, not per-query cost) sharing its
+    training verbatim with `sim_pq_quantize` (`_pq_train` /
+    `_pq_oracle_prefix`), so the search oracle verifies the SAME
+    trained state cross-engine.
+
+    Determinism: ranks on the 6dp-ROUNDED distance with the vec_id
+    tie-break — two corpus vectors sharing a full code tuple sum the
+    SAME 8 table entries in engine-dependent order, so a raw rank is
+    unpinnable (a same-tuple pair sits INSIDE the top-3 at sf0.1 —
+    caught by the guard-band replay before it could go red). Rounding
+    boundary distances and the rank-fidelity law (Spearman ≥ 0.15 vs
+    true L2 on worst-case random vectors) are pinned in
+    tests/test_guard_band.py and tests/test_recall.py.
+    """
+    vd, cd, final = _pq_index(spark, sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    pids = (emb.withColumn("rn", F.row_number().over(wp))
+            .filter((F.col("rn") == 1) & (F.col("label") < 5))
+            .select(F.col("vec_id").cast("long").alias("pid")))
+    ptab = (vd.join(F.broadcast(pids), vd.id == pids.pid)
+            .join(F.broadcast(cd), ["s", "d"])
+            .groupBy("pid", "s", "cl")
+            .agg(F.sum((F.col("x") - F.col("c"))
+                       * (F.col("x") - F.col("c"))).alias("dist2")))
+    adc = (final.select("id", "s", "cl")
+           .join(F.broadcast(ptab), ["s", "cl"])
+           .filter(F.col("id") != F.col("pid"))
+           .groupBy(F.col("pid").alias("probe_id"),
+                    F.col("id").alias("neighbor_id"))
+           .agg(F.sum("dist2").alias("adc")))
+    # rank on the ROUNDED distance (the sim_mmr_diversify discipline):
+    # two corpus vectors sharing a full code tuple sum the SAME 8 table
+    # entries in engine-dependent order — ranking raw would let sub-ulp
+    # drift beat the neighbor_id tie-break (a same-tuple pair sits
+    # INSIDE the top-3 at sf0.1; caught by the guard-band replay)
+    return (adc.withColumn("rn", F.row_number().over(
+                Window.partitionBy("probe_id")
+                .orderBy(rnd(F.col("adc"), 6).asc(), F.col("neighbor_id"))))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id",
+                    rnd(F.col("adc"), 6).alias("adc_dist"), "rn"))
 
 
 # ---------------------------------------------------------------------------

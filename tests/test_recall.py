@@ -167,3 +167,45 @@ def test_multiprobe_recall_dominates_plain_lsh(spark):
     # (holds on all three shipped fixture scales; if a regenerated
     # fixture ever makes this vacuous the assert below says so loudly)
     assert sum(multi.values()) > sum(plain.values()), (plain, multi)
+
+
+def test_pq_adc_rank_fidelity(spark, qs):
+    """ADC with 8×2-bit codes on RANDOM 64-dim vectors is the PQ
+    worst case — top-3 recall is legitimately ~0, so the pinned law is
+    RANK FIDELITY: per probe, the Spearman correlation between the
+    replayed ADC distance and the true squared L2 distance is clearly
+    positive (measured 0.25-0.63 across probes and SFs; floor 0.15).
+    Also pins that the operator's emitted top-3 equals the replay's
+    rounded-rank top-3 — the numpy twin of the DuckDB oracle."""
+    import numpy as np
+    from tests.pq_replay import load_sorted, pq_replay, adc_scores
+
+    for sf_dir in ("/root/testdata/sf0.001", SF_ORACLE):
+        vec_ids, labels, emb = load_sorted(sf_dir)
+        n = len(vec_ids)
+        codes, cents = pq_replay(emb)
+        got = {}
+        for r in qs["sim_pq_adc_topk"](spark, sf_dir).collect():
+            got.setdefault(r.probe_id, []).append(
+                (r.rn, r.neighbor_id, r.adc_dist))
+        assert len(got) == 5
+        for lbl in range(5):
+            idx = np.where(labels == lbl)[0]
+            p = idx[0]
+            adc = adc_scores(emb, codes, cents, p)
+            mask = np.arange(n) != p
+            d2 = ((emb - emb[p]) ** 2).sum(axis=1)[mask]
+            a = adc[mask]
+            ra = np.argsort(np.argsort(a)).astype(float)
+            rb = np.argsort(np.argsort(d2)).astype(float)
+            ra -= ra.mean(); rb -= rb.mean()
+            rho = float((ra * rb).sum()
+                        / np.sqrt((ra * ra).sum() * (rb * rb).sum()))
+            assert rho > 0.15, (sf_dir, lbl, rho)
+            # replay the operator's rounded ranking exactly
+            radc = np.floor(adc * 1e6 + 0.5) / 1e6
+            radc[p] = np.inf
+            order = np.lexsort((vec_ids, radc))[:3]
+            expect = [(rk + 1, int(vec_ids[i]), float(radc[i]))
+                      for rk, i in enumerate(order)]
+            assert sorted(got[int(vec_ids[p])]) == expect, (sf_dir, lbl)
