@@ -723,3 +723,133 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(surv.withColumnRenamed("node", "n2"),
                   F.col("nbr") == F.col("n2"))
             .groupBy("node").agg(F.count("*").alias("core_deg")))
+
+
+def _hits_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration weighted HITS as portable SQL (L1
+    normalization each half-step; guards mirror the Spark side).
+    Every per-iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    and the alternating recurrence references each level ~3x, so the
+    unmaterialized form explodes 3^10 file opens (hit: "Too many open
+    files" on the fact scan)."""
+    head = """
+WITH e AS MATERIALIZED (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*)::DOUBLE AS w
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT n_nationkey AS node, n_name FROM nation
+), nn AS (SELECT count(*) AS n FROM nodes
+), h0 AS (
+  SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS h FROM nodes
+)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", ar{k} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(s.v, 0.0::DOUBLE) AS v
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(e.w * h.h) AS v
+    FROM e JOIN h{k-1} h ON e.src = h.node GROUP BY 1
+  ) s ON nodes.node = s.node
+), a{k} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT sum(v) FROM ar{k}) > 0
+                    THEN v / (SELECT sum(v) FROM ar{k})
+                    ELSE 0.0::DOUBLE END AS a
+  FROM ar{k}
+), hr{k} AS MATERIALIZED (
+  SELECT nodes.node, coalesce(s.v, 0.0::DOUBLE) AS v
+  FROM nodes LEFT JOIN (
+    SELECT e.src AS node, sum(e.w * a.a) AS v
+    FROM e JOIN a{k} a ON e.dst = a.node GROUP BY 1
+  ) s ON nodes.node = s.node
+), h{k} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT sum(v) FROM hr{k}) > 0
+                    THEN v / (SELECT sum(v) FROM hr{k})
+                    ELSE 0.0::DOUBLE END AS h
+  FROM hr{k}
+)""")
+    tail = f"""
+SELECT nodes.node AS n_nationkey, nodes.n_name,
+       {sql_rnd('a.a', 6)} AS authority,
+       {sql_rnd('h.h', 6)} AS hub
+FROM nodes
+JOIN a{iters} a ON nodes.node = a.node
+JOIN h{iters} h ON nodes.node = h.node
+"""
+    return head + "".join(steps) + tail
+
+
+@register("graph_hits", _hits_oracle(_ITERS))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted HITS (hubs & authorities, Kleinberg) — the second
+    classic eigenvector ranking beside `graph_pagerank`, and the one
+    that fits an asymmetric trade graph natively: a nation is a good
+    HUB where its customers buy from authoritative supplier nations,
+    and a good AUTHORITY where authoritative hubs buy from it. Fixed
+    5 iterations of the alternating recurrence a←Wᵀh, h←Wa with L1
+    normalization each half-step (init h = 1/n).
+
+    Scale shape — the `graph_pagerank` discipline verbatim: edge
+    extraction (the expensive fact join) runs ONCE and is
+    localCheckpointed; each iteration joins the checkpointed edge
+    list against a |V|-row score table, so loop cost is dim-sized.
+    Degenerate guards: empty node set returns empty (not 1/0);
+    zero-mass half-steps (all edges NULLed away) normalize to 0.0
+    instead of ANSI 0/0 — mirrored as CASE in the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    e = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(li, li.l_orderkey == o.o_orderkey)
+         .join(s, li.l_suppkey == s.s_suppkey)
+         .groupBy(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+         .agg(F.count("*").cast("double").alias("w"))
+         .localCheckpoint(eager=True))
+
+    nodes = n.select(F.col("n_nationkey").alias("node"), "n_name")
+    n_nodes = nodes.count()  # dim-sized scalar (25), not a fact collect
+    if n_nodes == 0:
+        return nodes.select(F.col("node").alias("n_nationkey"), "n_name",
+                            F.lit(0.0).alias("authority"),
+                            F.lit(0.0).alias("hub"))
+
+    def half_step(scores: DataFrame, score_col: str, join_on: str,
+                  group_as: str) -> DataFrame:
+        """One HITS half-step: propagate `scores` across edges joined
+        on `join_on` (src for a←Wᵀh, dst for h←Wa), regroup on the
+        other endpoint, L1-normalize with the zero-mass guard."""
+        raw = (nodes.join(
+            e.join(scores, F.col(join_on) == F.col("node"))
+            .groupBy(F.col(group_as).alias("gnode"))
+            .agg(F.sum(F.col("w") * F.col(score_col)).alias("v")),
+            nodes.node == F.col("gnode"), "left")
+            .select("node", F.coalesce("v", F.lit(0.0)).alias("v")))
+        total = raw.agg(F.sum("v").alias("t"))
+        return (raw.crossJoin(F.broadcast(total))
+                .select("node",
+                        F.when(F.col("t") > 0, F.col("v") / F.col("t"))
+                        .otherwise(F.lit(0.0)).alias(score_col)))
+
+    # localCheckpoint each |V|-row half-step: the alternating recurrence
+    # nests two aggregations + a crossJoin per half-step, so an unrolled
+    # 10-deep lineage blows up Catalyst analysis (measured: the plain
+    # chain did not return at sf0.01) — exactly the deep-iteration case
+    # the pagerank docstring reserves checkpointing for
+    h = nodes.select("node", F.lit(1.0 / n_nodes).alias("h"))
+    for _ in range(_ITERS):
+        a = (half_step(h.withColumnRenamed("h", "sc"), "sc", "src", "dst")
+             .withColumnRenamed("sc", "a").localCheckpoint(eager=True))
+        h = (half_step(a.withColumnRenamed("a", "sc"), "sc", "dst", "src")
+             .withColumnRenamed("sc", "h").localCheckpoint(eager=True))
+    return (nodes.join(a, "node").join(h, "node")
+            .select(F.col("node").alias("n_nationkey"), "n_name",
+                    rnd(F.col("a"), 6).alias("authority"),
+                    rnd(F.col("h"), 6).alias("hub")))

@@ -2215,3 +2215,19 @@ def test_neyman_budget_and_variance_preference(spark):
         drift = sum((r.alloc_n - r.proportional_n)
                     * (1 if r.stratum_sd > mean_sd else -1) for r in rows)
         assert drift >= 0, (sf_dir, drift)
+
+
+def test_hits_normalization_and_direction(spark):
+    """HITS invariants: authority and hub vectors are L1-normalized
+    (each sums to 1 within output rounding), all entries are
+    non-negative, and scores are non-degenerate (>1 distinct value
+    per vector on the trade graph)."""
+    for sf_dir in (SF_SMALL, SF_ORACLE):
+        rows = E.queries()["graph_hits"](spark, sf_dir).collect()
+        assert len(rows) == 25
+        sa = sum(r.authority for r in rows)
+        sh = sum(r.hub for r in rows)
+        assert abs(sa - 1.0) < 1e-4 and abs(sh - 1.0) < 1e-4, (sf_dir, sa, sh)
+        assert all(r.authority >= 0 and r.hub >= 0 for r in rows)
+        assert len({r.authority for r in rows}) > 1
+        assert len({r.hub for r in rows}) > 1
