@@ -41,6 +41,13 @@ PROBES = [
     "ml_centroid_classify",      # float centroid avgs + cosine argmax
     "ml_embedding_drift",        # per-dim avgs, cross-half products
     "agg_hhi_concentration",     # share² sum over shuffled partials
+    # r5 additions
+    "sim_bm25_topk",             # per-token float sums + raw ranking
+    "sim_rrf_fusion",            # two raw-ranked arms feeding rank cuts
+    "sim_pq_adc_topk",           # trained floats + 8-term ADC sums
+    "agg_lorenz_curve",          # rounded-spend ranking + cum shares
+    "sample_neyman_allocation",  # stddev shares -> integer allocation
+    "graph_hits",                # alternating normalized propagation
 ]
 
 
