@@ -16,6 +16,8 @@ row-for-row against the same query on the in-process local session:
 - ``dedup_near_minhash`` — multi-shuffle pipeline (explode, band join)
 - ``sim_topk``           — broadcast + Arrow pandas-UDF scoring across JVMs
 - ``udf_grouped_map``    — applyInPandas closure shipped to executors
+- ``join_bloom_prefilter`` — dense-array bloom bitmap broadcast across JVMs
+- ``sim_pq_adc_topk``    — session-cached localCheckpoint index on executors
 """
 
 from __future__ import annotations
@@ -33,7 +35,11 @@ if _REPO not in sys.path:
 
 SF = "/root/testdata/sf0.01"
 
-_QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map"]
+_QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map",
+            # r5 cross-JVM risk classes: a broadcast bitmap built by
+            # executors and probed in codegen, and a localCheckpoint-
+            # cached trained index whose blocks live on executor JVMs
+            "join_bloom_prefilter", "sim_pq_adc_topk"]
 
 _RUNNER = """
 import json, sys
