@@ -617,3 +617,33 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("n_errors").cast("double")
             / F.col("n_events").cast("double"), 6).alias("error_rate"),
         (F.col("n_errors") * 4 > F.col("n_events")).alias("alert"))
+
+
+@register("stream_dedup_within_watermark", """
+SELECT event_id, user_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+""")
+def stream_dedup_within_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the PRODUCTION streaming dedup:
+    unlike `stream_dedup`'s plain `dropDuplicates` (whose keyed state
+    grows forever — every event_id ever seen stays resident), this
+    variant bounds state by the watermark: a key's dedup record is
+    EVICTED once the watermark passes its event time + delay, so state
+    is O(events per watermark window), the only shape that survives an
+    unbounded 100 TB stream. The observable semantic difference — a
+    duplicate arriving AFTER its key's state expired is emitted again —
+    is pinned in tests/test_stream_parity.py's multi-batch TTL test;
+    on the single availableNow batch of the fixture every duplicate is
+    within the watermark, so the batch oracle is first-occurrence
+    dedup, identical to `stream_dedup`'s (same contract, bounded-state
+    strategy — the streaming twin of a `_capped` scale sibling).
+    """
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (a.unionByName(b)
+               .withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "user_id", "event_type", "value"))
+    return run_to_batch(deduped, "append")

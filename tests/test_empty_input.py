@@ -106,7 +106,7 @@ PROBES = [
     "sim_rrf_fusion", "sim_bm25_topk", "join_bloom_prefilter",
     "ml_two_proportion_ztest", "agg_lorenz_curve",
     "pipeline_curriculum_order", "sample_neyman_allocation",
-    "sim_pq_adc_topk", "graph_hits",
+    "sim_pq_adc_topk", "graph_hits", "stream_dedup_within_watermark",
 ]
 
 
@@ -204,7 +204,7 @@ NULL_PROBES = [
     "sim_rrf_fusion", "sim_bm25_topk", "join_bloom_prefilter",
     "ml_two_proportion_ztest", "agg_lorenz_curve",
     "pipeline_curriculum_order", "sample_neyman_allocation",
-    "sim_pq_adc_topk", "graph_hits",
+    "sim_pq_adc_topk", "graph_hits", "stream_dedup_within_watermark",
 ]
 
 

@@ -368,3 +368,58 @@ def test_tws_state_carries_across_micro_batches(spark, tmp_path):
         ref[r.user_id] = (n + 1, e)
     ref = {u: (n, round(e, 9)) for u, (n, e) in ref.items()}
     assert got == ref
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """The semantic that distinguishes dropDuplicatesWithinWatermark
+    from plain dropDuplicates: a duplicate arriving AFTER the watermark
+    passed its key's event time + delay finds the state EVICTED and is
+    emitted AGAIN, while a duplicate whose key is still in state is
+    suppressed. Batch 1 seeds X@10:00 and Y@12:00; the watermark after
+    batch 1 is 11:50 — past X's state expiry (10:00 + 10 min) but not
+    Y's (12:10). Batch 2 re-sends BOTH keys at ts 12:05 (fresh event
+    time, so neither row is dropped as late input — a re-send with the
+    ORIGINAL ts would be filtered as late before dedup ever sees it,
+    verified while writing this test): X re-emits (state evicted),
+    Y stays suppressed (state live). Timing details verified while
+    writing this test: state cleanup runs at batch END under the
+    batch's lagging watermark, so an intermediate batch must pass
+    between seeding and re-sending for the eviction to have happened
+    (2-batch versions observe live state); and the re-send needs a
+    FRESH event time — with the original ts it is filtered as late
+    input before dedup ever sees it. Plain dropDuplicates would
+    suppress both keys forever, with unbounded state."""
+    d = str(tmp_path / "ttl")
+    os.makedirs(d)
+    batches = [
+        [(1, 10, "2024-01-01 10:00:00"), (2, 10, "2024-01-01 12:00:00")],
+        [(3, 10, "2024-01-01 12:01:00")],
+        [(1, 10, "2024-01-01 12:05:00"), (2, 10, "2024-01-01 12:05:00")],
+    ]
+    for i, rows in enumerate(batches):
+        df = (spark.createDataFrame(
+                rows, "event_id long, user_id long, ts_s string")
+              .select("event_id", "user_id",
+                      F.to_timestamp("ts_s").alias("ts")))
+        f = f"{d}/batch{i}"
+        df.coalesce(1).write.parquet(f)
+        for p in __import__("pathlib").Path(f).rglob("*.parquet"):
+            os.rename(p, f"{d}/part{i}.parquet")
+            os.utime(f"{d}/part{i}.parquet",
+                     (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    st = (spark.readStream
+          .schema("event_id long, user_id long, ts timestamp")
+          .option("maxFilesPerTrigger", "1").parquet(d + "/part*.parquet"))
+    dedup = (st.withWatermark("ts", "10 minutes")
+             .dropDuplicatesWithinWatermark(["event_id"])
+             .select("event_id"))
+    sink = "ttl_dedup_sink"
+    q = (dedup.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    counts = {}
+    for r in spark.table(sink).collect():
+        counts[r.event_id] = counts.get(r.event_id, 0) + 1
+    spark.catalog.dropTempView(sink)
+    assert counts[1] == 2, counts  # X: state evicted -> re-emitted
+    assert counts[2] == 1, counts  # Y: still in state -> suppressed
