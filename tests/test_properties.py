@@ -226,3 +226,68 @@ def test_quantile_sketch_rank_error_property(spark, vals):
     lo = bisect.bisect_left(s, p50) / n
     hi = bisect.bisect_right(s, p50) / n
     assert lo - 2.0 / K <= 0.5 <= hi + 2.0 / K, (lo, hi, p50)
+
+
+@settings(**SETTINGS)
+@given(keys=st.lists(st.integers(min_value=0, max_value=2**40),
+                     min_size=1, max_size=40, unique=True),
+       probes=st.lists(st.integers(min_value=0, max_value=2**40),
+                       min_size=1, max_size=40, unique=True))
+def test_bloom_prefilter_no_false_negatives_property(spark, keys, probes):
+    """The bloom membership law on ARBITRARY key sets (not just the
+    fixture): every true member must pass the bit test — the bitmap
+    build and the probe test share the position formula, so a member
+    can only fail if the build/probe expressions drift apart."""
+    from functools import reduce
+    from manual_data_ingest_spark.operators.joins import (_BLOOM_K,
+                                                          _BLOOM_M)
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    pos = [F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(_BLOOM_M))
+           for i in range(_BLOOM_K)]
+    words = (kdf.select(F.explode(F.array(*pos)).alias("pos"))
+             .select((F.col("pos") / 64).cast("int").alias("w"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(pos, 64) AS INT))").alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("v"))
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("w", "v"))).alias("bf")))
+    pdf = (spark.createDataFrame([(p,) for p in probes], "k long")
+           .crossJoin(F.broadcast(words)))
+    for i, p in enumerate(pos):
+        pdf = pdf.withColumn(f"p{i}", p)
+    def bit(i):
+        word = F.coalesce(
+            F.try_element_at("bf", (F.col(f"p{i}") / 64).cast("int")),
+            F.lit(0).cast("long"))
+        return word.bitwiseAND(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST(pmod(p{i}, 64) AS INT))")) != 0
+    passed = {r.k for r in pdf.filter(
+        reduce(lambda a, b: a & b, [bit(i) for i in range(_BLOOM_K)]))
+        .select("k").collect()}
+    assert set(keys) & set(probes) <= passed  # no false negatives, ever
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=30),
+       digits=st.integers(min_value=0, max_value=6))
+def test_rnd_matches_duckdb_bit_exactly(spark, vals, digits):
+    """The cross-engine rounder law on arbitrary doubles: Spark rnd()
+    and the DuckDB sql_rnd() twin produce BIT-identical results for
+    any input and any supported digit count."""
+    import duckdb
+    from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+
+    got = [r.v for r in
+           spark.createDataFrame([(v,) for v in vals], "x double")
+           .select(rnd(F.col("x"), digits).alias("v"))
+           .collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {sql_rnd('?::DOUBLE', digits)}", [v]).fetchone()[0]
+        for v in vals]
+    assert all(
+        (a is None and b is None) or a == b or (a != a and b != b)
+        for a, b in zip(got, want)), (vals, digits, got, want)
