@@ -2725,9 +2725,9 @@ WITH r AS (
   FROM lineitem
 ), s AS (
   SELECT flag, count(*)::BIGINT AS n,
-         sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
-         sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy,
-         sum(rx * ry)::BIGINT AS sxy
+         sum(rx::HUGEINT) AS sx, sum(ry::HUGEINT) AS sy,
+         sum(rx::HUGEINT * rx) AS sxx, sum(ry::HUGEINT * ry) AS syy,
+         sum(rx::HUGEINT * ry) AS sxy
   FROM r GROUP BY flag
 )
 SELECT flag AS l_returnflag, n,
@@ -2750,15 +2750,21 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (2·ar = 2·cnt_le − cnt_eq + 1 — rho is scale-invariant),
     built from two count windows (RANGE frame counts peers, a
     partition count gives the tie size). All five power sums are then
-    EXACT BIGINT aggregates; rho is one fixed IEEE expression over
-    them (the `win_autocorr_lag1` explicit-moment discipline), with
-    the zero-variance guard mirrored as CASE (ANSI divide-by-zero).
+    EXACT 128-bit integer aggregates — Spark decimal(38,0), DuckDB
+    HUGEINT — because the cubic sums (sxx ~ 4n³ with doubled ranks up
+    to 2n) overflow int64 once a flag partition exceeds ~1.3M rows
+    (~16× sf0.1; the r5 advisor's finding — agg_anova_f's scale-free
+    guard, applied here as widened accumulators). The widened ceiling
+    is ~2.9e12 rows/flag. rho is one fixed IEEE expression over the
+    exact sums (the `win_autocorr_lag1` explicit-moment discipline),
+    with the zero-variance guard mirrored as CASE (ANSI
+    divide-by-zero).
 
     Plan: two window passes over the fact (each a flag-keyed sort,
     3 bounded partitions) + one grouped reduction; no joins. At
     100 TB the rank windows are the cost — per-key sorts that AQE
-    splits by flag; a sketch-based alternative (KLL ranks) trades
-    exactness for one pass.
+    splits by flag; `agg_spearman_grid` is the registered one-pass
+    scale twin (grid-binned ranks, no full-fact sort).
     """
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -2769,15 +2775,117 @@ def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (2 * F.count("*").over(w_le)
                 - F.count("*").over(w_eq) + 1).alias(alias)
 
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — 128-bit sums
     r = li.select(F.col("l_returnflag").alias("flag"),
                   ranks2("l_quantity", "rx"),
                   ranks2("l_extendedprice", "ry"))
     s = r.groupBy("flag").agg(
         F.count("*").alias("n"),
-        F.sum("rx").alias("sx"), F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"))
+        F.sum(d19(F.col("rx"))).alias("sx"),
+        F.sum(d19(F.col("ry"))).alias("sy"),
+        F.sum(d19(F.col("rx")) * d19(F.col("rx"))).alias("sxx"),
+        F.sum(d19(F.col("ry")) * d19(F.col("ry"))).alias("syy"),
+        F.sum(d19(F.col("rx")) * d19(F.col("ry"))).alias("sxy"))
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) \
+        / F.sqrt(vx * vy)
+    return s.select(F.col("flag").alias("l_returnflag"), "n",
+                    F.when((vx > 0) & (vy > 0), rnd(rho, 6))
+                    .alias("spearman_rho"))
+
+
+@register("agg_spearman_grid", f"""
+WITH cells AS (
+  SELECT l_returnflag AS flag,
+         floor(l_quantity)::BIGINT AS bq,
+         floor(l_extendedprice / 100.0)::BIGINT AS bp,
+         count(*)::BIGINT AS cnt
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT flag, cnt,
+         2 * sum(cnt) OVER (PARTITION BY flag ORDER BY bq
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - sum(cnt) OVER (PARTITION BY flag, bq) + 1 AS rx,
+         2 * sum(cnt) OVER (PARTITION BY flag ORDER BY bp
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - sum(cnt) OVER (PARTITION BY flag, bp) + 1 AS ry
+  FROM cells
+), s AS (
+  SELECT flag, sum(cnt)::BIGINT AS n,
+         sum(cnt::HUGEINT * rx) AS sx, sum(cnt::HUGEINT * ry) AS sy,
+         sum(cnt::HUGEINT * rx * rx) AS sxx,
+         sum(cnt::HUGEINT * ry * ry) AS syy,
+         sum(cnt::HUGEINT * rx * ry) AS sxy
+  FROM r GROUP BY flag
+)
+SELECT flag AS l_returnflag, n,
+       CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx > 0
+             AND n::DOUBLE * syy - sy::DOUBLE * sy > 0
+            THEN {sql_rnd('(n::DOUBLE * sxy - sx::DOUBLE * sy)'
+                          ' / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)'
+                          ' * (n::DOUBLE * syy - sy::DOUBLE * sy))', 6)}
+       END AS spearman_rho
+FROM s
+""")
+def agg_spearman_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`agg_spearman`'s registered ONE-PASS scale twin (r5 verdict
+    item 2): Spearman rho over GRID-BINNED values — quantity at its
+    native integer grid (lossless: fixture quantities are integral),
+    extendedprice in $100 bins. The rank windows then run over the
+    (flag, bin) CELL table (≤ |flags|·|bins| rows, ~3·1.1k here),
+    never the fact: the fact contributes exactly one
+    map-side-combinable groupBy count. That converts the exact op's
+    two full-fact flag-keyed sorts into one partial-agg shuffle of
+    bounded cardinality — the shape that survives 100 TB.
+
+    Why grid bins and not the verdict's suggested KLL/approx-
+    percentile ranks: Spark's approx_percentile merges Greenwald-
+    Khanna summaries in PARTITION ORDER, so its cut points are not
+    partition-invariant — it would fail the repo's byte-identical
+    3-vs-17-partition law and cannot be oracled hash-exact. A fixed
+    grid is deterministic in BOTH engines, keeps every moment an
+    exact 128-bit integer (decimal(38,0) / HUGEINT — the overflow
+    class the r5 advisor flagged is structurally absent), and is
+    itself the textbook sketch: rho over binned grades converges to
+    exact rho as the grid refines (here |rho_grid − rho_exact| <
+    2e-3 at every fixture SF, pinned in tests/test_guard_band.py).
+    NULL pairs are excluded up front in both engines (pairwise-
+    complete semantics; also removes the NULLS FIRST/LAST window-
+    order divergence class).
+
+    Plan (asserted in tests/test_plans.py): exactly ONE lineitem
+    scan, partial hash aggregation before the exchange, and every
+    window sort placed after the cell-level aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (li.where(F.col("l_quantity").isNotNull()
+                      & F.col("l_extendedprice").isNotNull())
+             .groupBy(F.col("l_returnflag").alias("flag"),
+                      F.floor("l_quantity").alias("bq"),
+                      F.floor(F.col("l_extendedprice") / 100.0).alias("bp"))
+             .agg(F.count("*").alias("cnt")))
+
+    def ranks2(col: str, alias: str):
+        w_le = (Window.partitionBy("flag").orderBy(col)
+                .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        w_eq = Window.partitionBy("flag", col)
+        return (2 * F.sum("cnt").over(w_le)
+                - F.sum("cnt").over(w_eq) + 1).alias(alias)
+
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — 128-bit sums
+    r = cells.select("flag", "cnt", ranks2("bq", "rx"), ranks2("bp", "ry"))
+    cnt = d19(F.col("cnt"))
+    s = r.groupBy("flag").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(cnt * d19(F.col("rx"))).alias("sx"),
+        F.sum(cnt * d19(F.col("ry"))).alias("sy"),
+        F.sum(cnt * d19(F.col("rx")) * d19(F.col("rx"))).alias("sxx"),
+        F.sum(cnt * d19(F.col("ry")) * d19(F.col("ry"))).alias("syy"),
+        F.sum(cnt * d19(F.col("rx")) * d19(F.col("ry"))).alias("sxy"))
     nd = F.col("n").cast("double")
     vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")

@@ -235,6 +235,16 @@ def test_stats_agg_rounding_boundaries(sf_dir: str) -> None:
             vy = n * (ry * ry).sum() - ry.sum() ** 2
             rho = (n * (rx * ry).sum() - rx.sum() * ry.sum()) / np.sqrt(vx * vy)
             assert gap(rho, 6) > 1e-6, (fl, rho)
+            # agg_spearman_grid (6dp): same law on the GRID-BINNED
+            # values (quantity native grid, price $100 bins), plus the
+            # docstring's fidelity claim |rho_grid - rho_exact| < 2e-3.
+            rgx, rgy = r2(np.floor(q_)), r2(np.floor(p_ / 100.0))
+            vgx = n * (rgx * rgx).sum() - rgx.sum() ** 2
+            vgy = n * (rgy * rgy).sum() - rgy.sum() ** 2
+            rho_g = (n * (rgx * rgy).sum() - rgx.sum() * rgy.sum()) \
+                / np.sqrt(vgx * vgy)
+            assert gap(rho_g, 6) > 1e-6, (fl, rho_g)
+            assert abs(rho_g - rho) < 2e-3, (fl, rho_g, rho)
     # anova_f (6dp) + ss terms (4dp) over customer cents
     cust = con.execute(
         f"SELECT c_mktsegment, floor(c_acctbal*100.0+0.5)::BIGINT AS c "

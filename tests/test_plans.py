@@ -1041,3 +1041,22 @@ def test_bloom_prefilter_runs_below_the_exact_semi_join(spark):
     assert semi_line < bnlj_line, tree
     # and the bitmap side stays a genuine broadcast (fixed-size state)
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_spearman_grid_single_scan_windows_after_agg(spark):
+    """agg_spearman_grid's whole point: the fact contributes ONE scan
+    feeding a map-side-combinable cell count; the rank window sorts run
+    over the tiny (flag, bin) cell table AFTER the aggregate, never over
+    lineitem rows (the exact op's shape). Plan law: one lineitem scan,
+    a partial HashAggregate below the first exchange, and every Window
+    node above the aggregate."""
+    plan = _plan(spark, "agg_spearman_grid")
+    assert plan.count("lineitem.parquet") == 1, plan
+    tree = plan[:plan.find("(1) ")]
+    lines = tree.splitlines()
+    win_lines = [i for i, l in enumerate(lines) if "Window" in l]
+    agg_lines = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert win_lines and agg_lines
+    # top-down tree: Window nodes (consumers of the cell table) print
+    # ABOVE the cell-building HashAggregate they read from
+    assert max(agg_lines) > max(win_lines), tree
