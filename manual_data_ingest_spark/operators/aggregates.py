@@ -3136,15 +3136,16 @@ WITH spend AS (
     FROM spend
 ), d AS (
     SELECT segment, decile,
-           count(*)::DOUBLE AS n_d, sum(s) AS s_d
+           count(*)::BIGINT AS n_d,
+           sum(floor(s * 100.0 + 0.5)::HUGEINT) AS sc_d
     FROM ranked GROUP BY 1, 2
 )
 SELECT segment, decile,
-       {sql_rnd('''sum(n_d) OVER (PARTITION BY segment ORDER BY decile)
+       {sql_rnd('''sum(n_d) OVER (PARTITION BY segment ORDER BY decile)::DOUBLE
                 / sum(n_d) OVER (PARTITION BY segment)''', 6)}
            AS cum_cust_share,
-       {sql_rnd('''sum(s_d) OVER (PARTITION BY segment ORDER BY decile)
-                / sum(s_d) OVER (PARTITION BY segment)''', 6)}
+       {sql_rnd('''sum(sc_d) OVER (PARTITION BY segment ORDER BY decile)::DOUBLE
+                / sum(sc_d) OVER (PARTITION BY segment)''', 6)}
            AS cum_rev_share
 FROM d
 """)
@@ -3160,7 +3161,12 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     window per segment, then a 10-row-per-segment aggregate and
     dim-sized cumulative windows. Ranking on the ROUNDED spend keeps
     the cross-engine order deterministic away from rounding
-    boundaries (the `dedup_survivorship` discipline).
+    boundaries (the `dedup_survivorship` discipline), and the share
+    numerators are EXACT 128-bit integer cents sums per decile
+    (decimal(38,0)/HUGEINT — the r5 advisor flagged the earlier float
+    per-decile sums, whose association order is engine/partition
+    dependent) with ONE final IEEE division each, so the 6dp shares
+    are structurally drift-free.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -3171,13 +3177,15 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", F.ntile(10).over(
             Window.partitionBy("segment").orderBy("s", "c_custkey")))
     d = (ranked.groupBy("segment", "decile")
-         .agg(F.count("*").cast("double").alias("n_d"),
-              F.sum("s").alias("s_d")))
+         .agg(F.count("*").alias("n_d"),
+              F.sum(F.floor(F.col("s") * 100.0 + 0.5)
+                    .cast("decimal(19,0)")).alias("sc_d")))
     wcum = Window.partitionBy("segment").orderBy("decile")
     wall = Window.partitionBy("segment")
     return d.select(
         "segment", "decile",
-        rnd(F.sum("n_d").over(wcum) / F.sum("n_d").over(wall), 6)
-        .alias("cum_cust_share"),
-        rnd(F.sum("s_d").over(wcum) / F.sum("s_d").over(wall), 6)
+        rnd(F.sum("n_d").over(wcum).cast("double")
+            / F.sum("n_d").over(wall), 6).alias("cum_cust_share"),
+        rnd(F.sum("sc_d").over(wcum).cast("double")
+            / F.sum("sc_d").over(wall).cast("double"), 6)
         .alias("cum_rev_share"))

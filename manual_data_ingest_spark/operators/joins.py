@@ -618,6 +618,46 @@ _BLOOM_M = 1 << 20  # filter bits: fp ~(k*n/m)^k -> <1e-3 at sf0.1's ~30k keys
 _BLOOM_K = 3        # hash functions (xxhash64 seeded by function index)
 
 
+def bloom_positions(col: str, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list:
+    """The k bit positions of a key — THE shared formula: build and
+    probe both call this, so they cannot drift apart (the r5 advisor
+    found the property test re-deriving a parallel implementation)."""
+    return [F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(m))
+            for i in range(k)]
+
+
+def bloom_build(spark: SparkSession, keys: DataFrame, key_col: str,
+                m: int = _BLOOM_M, k: int = _BLOOM_K) -> DataFrame:
+    """Fold a keyset into ONE row holding `bf`, a DENSE array<long>
+    bitmap of m bits (m/64 words — an ARRAY, not a map: catalyst map
+    element_at is a linear scan per probe, F.get is O(1)). Fixed size
+    regardless of key count, so it always broadcasts."""
+    words = (keys.select(F.explode(F.array(*bloom_positions(key_col, m, k)))
+                         .alias("pos"))
+             .select((F.col("pos") / 64).cast("int").alias("word_idx"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pmod(pos, 64) AS INT))").alias("bit"))
+             .groupBy("word_idx").agg(F.bit_or("bit").alias("w")))
+    grid = (spark.range(m // 64)
+            .select(F.col("id").cast("int").alias("word_idx")))
+    return (grid.join(words, "word_idx", "left")
+            .select("word_idx",
+                    F.coalesce("w", F.lit(0).cast("long")).alias("w"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("word_idx", "w"))),
+                lambda x: x["w"]).alias("bf")))
+
+
+def bloom_bit_set(i: int) -> "F.Column":
+    """Probe: test position column p{i} against the broadcast `bf`."""
+    word = F.coalesce(
+        F.get(F.col("bf"), (F.col(f"p{i}") / 64).cast("int")),
+        F.lit(0).cast("long"))
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                 f"CAST(pmod(p{i}, 64) AS INT))")
+    return word.bitwiseAND(bit) != 0
+
+
 @register("join_bloom_prefilter", """
 SELECT l_returnflag,
        count(*)::BIGINT AS n_lines,
@@ -646,8 +686,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ARRAY, not a map: catalyst map element_at is a linear scan per
     probe, F.get on the array is O(1)); the fact side recomputes the
     k positions in codegen and tests all k bits against the broadcast
-    bitmap. No-false-negatives and the
-    fp-rate bound are pinned in tests/test_new_ops.py; the keyset is
+    bitmap. The build/probe expressions are SHARED module helpers
+    (`bloom_build` / `bloom_positions` / `bloom_bit_set` above): the
+    hypothesis no-false-negatives law in tests/test_properties.py runs
+    against these exact production expressions (r5 advisor — the old
+    test proved the law for a parallel map-based rebuild), and the
+    fp-rate bound is pinned in tests/test_new_ops.py; the keyset is
     never hint-broadcast (registry-wide detector in test_plans.py).
     """
     from functools import reduce
@@ -656,44 +700,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("o_orderpriority") == "1-URGENT")
             .select("o_orderkey"))
 
-    def positions(col: str) -> list:
-        return [F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_M))
-                for i in range(_BLOOM_K)]
-
-    # shiftleft() takes a literal bit count, so name the position column
-    # and shift via a SQL expression over it. The bitmap must be a DENSE
-    # array, not a map: element_at on a 16k-entry catalyst map is a
-    # LINEAR scan per probe (measured 8.4 s at 1×; the array build cut
-    # it to the sub-second the fp math promises), F.get on an array is
-    # O(1).
-    words = (keys.select(F.explode(F.array(*positions("o_orderkey")))
-                         .alias("pos"))
-             .select((F.col("pos") / 64).cast("int").alias("word_idx"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pmod(pos, 64) AS INT))").alias("bit"))
-             .groupBy("word_idx").agg(F.bit_or("bit").alias("w")))
-    grid = (spark.range(_BLOOM_M // 64)
-            .select(F.col("id").cast("int").alias("word_idx")))
-    bloom = (grid.join(words, "word_idx", "left")
-             .select("word_idx",
-                     F.coalesce("w", F.lit(0).cast("long")).alias("w"))
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(F.struct("word_idx", "w"))),
-                 lambda x: x["w"]).alias("bf")))
-
-    def bit_set(i: int) -> "F.Column":
-        word = F.coalesce(
-            F.get(F.col("bf"), (F.col(f"p{i}") / 64).cast("int")),
-            F.lit(0).cast("long"))
-        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                     f"CAST(pmod(p{i}, 64) AS INT))")
-        return word.bitwiseAND(bit) != 0
+    # shiftleft() takes a literal bit count, so the helpers name the
+    # position column and shift via a SQL expression over it; the dense
+    # array-vs-map lesson (8.4 s -> sub-second at 1x) lives in
+    # bloom_build.
+    bloom = bloom_build(spark, keys, "o_orderkey")
 
     with_pos = li.crossJoin(F.broadcast(bloom))
-    for i, p in enumerate(positions("l_orderkey")):
+    for i, p in enumerate(bloom_positions("l_orderkey")):
         with_pos = with_pos.withColumn(f"p{i}", p)
     survives = reduce(lambda a, b: a & b,
-                      [bit_set(i) for i in range(_BLOOM_K)])
+                      [bloom_bit_set(i) for i in range(_BLOOM_K)])
     # join key ANCHORED to the bloom verdict: on surviving rows
     # when(bit0, l_orderkey) IS l_orderkey, but the alias references bf,
     # so PushDownLeftSemiAntiJoin cannot rewrite the semi join below the
@@ -701,7 +718,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross join and the prefilter never prefilters — observed, and
     # plan-asserted in tests/test_plans.py)
     prefiltered = (with_pos.filter(survives)
-                   .withColumn("jk", F.when(bit_set(0), F.col("l_orderkey")))
+                   .withColumn("jk", F.when(bloom_bit_set(0), F.col("l_orderkey")))
                    .drop("bf", *[f"p{i}" for i in range(_BLOOM_K)]))
     exact = prefiltered.join(keys, prefiltered.jk == keys.o_orderkey,
                              "left_semi")

@@ -473,11 +473,21 @@ _NEYMAN_BUDGET = 1000  # total sample budget allocated across strata
 
 
 @register("sample_neyman_allocation", f"""
-WITH s AS (
+WITH m AS (
     SELECT c_mktsegment AS segment,
            count(*)::DOUBLE AS n_h,
-           stddev_samp(c_acctbal) AS s_h
+           count(c_acctbal)::BIGINT AS n_s,
+           sum(floor(c_acctbal * 100.0 + 0.5)::HUGEINT) AS s_c,
+           sum(floor(c_acctbal * 100.0 + 0.5)::HUGEINT
+               * floor(c_acctbal * 100.0 + 0.5)::BIGINT) AS q_c
     FROM customer GROUP BY 1
+), s AS (
+    SELECT segment, n_h,
+           CASE WHEN n_s > 1 THEN
+             sqrt((n_s::DOUBLE * q_c - s_c::DOUBLE * s_c)
+                  / (n_s::DOUBLE * (n_s - 1))) / 100.0
+           END AS s_h
+    FROM m
 ), t AS (
     SELECT segment, n_h, s_h,
            n_h * s_h / sum(n_h * s_h) OVER () AS w_raw,
@@ -504,15 +514,31 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling moves the budget.
 
     Scale shape: one map-side-combined aggregate over the scan (count
-    + stddev per stratum) and a 5-row window — the design table is
-    dim-sized however big the frame is. Determinism: allocations are
-    floor(n·share+0.5) on the 6dp-ROUNDED shares, so both engines
-    integer-allocate from identical inputs.
+    + cents power sums per stratum) and a 5-row window — the design
+    table is dim-sized however big the frame is. Determinism: S_h is
+    derived from EXACT 128-bit integer cents moments (n, Σc, Σc² —
+    the `agg_anova_f` discipline; the r5 advisor flagged the earlier
+    float stddev_samp, whose partial-aggregation order differs across
+    engines/partitions) via ONE fixed IEEE expression, and
+    allocations are floor(n·share+0.5) on the 6dp-ROUNDED shares, so
+    both engines integer-allocate from identical inputs.
     """
     c = load_table(spark, sf_dir, "customer")
-    s = (c.groupBy(F.col("c_mktsegment").alias("segment"))
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    cc = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+    m = (c.select(F.col("c_mktsegment").alias("segment"), cc.alias("cc"))
+         .groupBy("segment")
          .agg(F.count("*").cast("double").alias("n_h"),
-              F.stddev_samp("c_acctbal").alias("s_h")))
+              F.count("cc").alias("n_s"),
+              F.sum(d19(F.col("cc"))).alias("s_c"),
+              F.sum(d19(F.col("cc")) * d19(F.col("cc"))).alias("q_c")))
+    nsd = F.col("n_s").cast("double")
+    s = m.select(
+        "segment", "n_h",
+        F.when(F.col("n_s") > 1,
+               F.sqrt((nsd * F.col("q_c")
+                       - F.col("s_c").cast("double") * F.col("s_c"))
+                      / (nsd * (nsd - 1))) / 100.0).alias("s_h"))
     w = Window.partitionBy()
     t = s.select(
         "segment", "n_h", "s_h",

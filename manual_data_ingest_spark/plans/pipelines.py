@@ -235,14 +235,16 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     `pipeline_seq_pack`); this operator pins their COMPOSITION —
     the order matters (dedup before sampling, decontaminate before the
     gate) and the end-to-end result is what a user actually ships. The
-    corpus is never shuffled for decontamination (broadcast), and the
     dedup window / lang window / final agg are the only wide stages.
 
-    PRECONDITION: the decontamination broadcast is sized by the EVAL
-    SET (here the fixture's 5% doc_id split; in production a fixed
-    MB-scale benchmark suite). If your eval side scales with the
-    corpus, swap the broadcast stage for the shuffle shape in
-    `dedup_decontaminate_shuffled` — same output, no broadcast.
+    The decontamination join carries NO broadcast hint (r5 verdict
+    note 5, closed r6): AQE sizes the eval-n-gram side at runtime —
+    a fixed MB-scale benchmark suite broadcasts (verified in
+    tests/test_plans.py: the executed plan at fixture scale is a
+    BroadcastHashJoin), while a corpus-fraction eval split degrades
+    to the shuffle shape of `dedup_decontaminate_shuffled` instead
+    of OOMing the driver. Same-session A/B at 4×: 2.59 s hinted →
+    2.65 s unhinted (parity within noise; BASELINE.md r6).
     """
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
@@ -256,7 +258,7 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = d.select("doc_id", F.explode(ngrams).alias("g"))
     ev = ng.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
     contaminated = (ng.filter(F.col("doc_id") % 20 != 0)
-                    .join(F.broadcast(ev), "g")
+                    .join(ev, "g")
                     .select("doc_id").distinct())
 
     toks = F.split("text", " ")

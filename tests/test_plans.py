@@ -1060,3 +1060,18 @@ def test_spearman_grid_single_scan_windows_after_agg(spark):
     # top-down tree: Window nodes (consumers of the cell table) print
     # ABOVE the cell-building HashAggregate they read from
     assert max(agg_lines) > max(win_lines), tree
+
+
+def test_training_mix_decontamination_adaptive_broadcast(spark):
+    """pipeline_training_mix's decontamination join is UNHINTED (r5
+    verdict note 5): no broadcast hint may appear in the logical plan
+    (a corpus-fraction eval split must be free to shuffle), yet at
+    fixture scale AQE must still pick a broadcast for the MB-scale
+    eval n-gram side — the hint's removal costs nothing where the
+    broadcast is right."""
+    df = E.queries()["pipeline_training_mix"](spark, SF_ORACLE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical and "hints=" not in logical, logical
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final

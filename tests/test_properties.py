@@ -235,35 +235,23 @@ def test_quantile_sketch_rank_error_property(spark, vals):
                        min_size=1, max_size=40, unique=True))
 def test_bloom_prefilter_no_false_negatives_property(spark, keys, probes):
     """The bloom membership law on ARBITRARY key sets (not just the
-    fixture): every true member must pass the bit test — the bitmap
-    build and the probe test share the position formula, so a member
-    can only fail if the build/probe expressions drift apart."""
+    fixture): every true member must pass the bit test. Runs against
+    the operator's PRODUCTION expressions — `bloom_build` /
+    `bloom_positions` / `bloom_bit_set` are the exact helpers
+    `join_bloom_prefilter` composes (the r5 advisor caught the old
+    test proving the law for a parallel map-based rebuild instead)."""
     from functools import reduce
-    from manual_data_ingest_spark.operators.joins import (_BLOOM_K,
-                                                          _BLOOM_M)
+    from manual_data_ingest_spark.operators.joins import (
+        _BLOOM_K, bloom_bit_set, bloom_build, bloom_positions)
     kdf = spark.createDataFrame([(k,) for k in keys], "k long")
-    pos = [F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(_BLOOM_M))
-           for i in range(_BLOOM_K)]
-    words = (kdf.select(F.explode(F.array(*pos)).alias("pos"))
-             .select((F.col("pos") / 64).cast("int").alias("w"),
-                     F.expr("shiftleft(CAST(1 AS BIGINT), "
-                            "CAST(pmod(pos, 64) AS INT))").alias("b"))
-             .groupBy("w").agg(F.bit_or("b").alias("v"))
-             .agg(F.map_from_entries(
-                 F.collect_list(F.struct("w", "v"))).alias("bf")))
+    bloom = bloom_build(spark, kdf, "k")
     pdf = (spark.createDataFrame([(p,) for p in probes], "k long")
-           .crossJoin(F.broadcast(words)))
-    for i, p in enumerate(pos):
+           .crossJoin(F.broadcast(bloom)))
+    for i, p in enumerate(bloom_positions("k")):
         pdf = pdf.withColumn(f"p{i}", p)
-    def bit(i):
-        word = F.coalesce(
-            F.try_element_at("bf", (F.col(f"p{i}") / 64).cast("int")),
-            F.lit(0).cast("long"))
-        return word.bitwiseAND(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                   f"CAST(pmod(p{i}, 64) AS INT))")) != 0
     passed = {r.k for r in pdf.filter(
-        reduce(lambda a, b: a & b, [bit(i) for i in range(_BLOOM_K)]))
+        reduce(lambda a, b: a & b,
+               [bloom_bit_set(i) for i in range(_BLOOM_K)]))
         .select("k").collect()}
     assert set(keys) & set(probes) <= passed  # no false negatives, ever
 
