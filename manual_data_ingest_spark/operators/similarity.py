@@ -399,6 +399,23 @@ def sim_threshold_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops (the unrolled 3-dot form — see module header for why inline
     norms beat every precompute variant ON THIS PATH). Correct shape
     (equi-join, no cartesian), wrong constant factor at scale.
+
+    KNOWN, PINNED codegen fallback (the r5 verdict's one unexplained
+    ERROR, root-caused r6): Catalyst pushes the threshold filter into
+    the BroadcastHashJoin condition and re-expands the projected
+    cosine, so bhj_doConsume carries ~2×192 unrolled terms and janino
+    fails with "Code grows beyond 64 KB"; Spark falls back to the
+    interpreted path and the result is unchanged (hash-green). It
+    reproduces in ISOLATION under toPandas() — count() prunes the
+    projection, which is why the r5 isolated-batch probes missed it.
+    The "fix" was measured and REJECTED: pre-projecting per-row
+    squared norms makes the method compile, but a janino method this
+    size exceeds HotSpot's JIT threshold and runs in the BYTECODE
+    interpreter — 82.1 s vs 8.99 s same-session at 4× (BASELINE.md
+    r6); Spark's expression-interpreted fallback, built from small
+    JIT-friendly evaluators, is the faster engine answer. Pinned in
+    tests/test_plans.py::test_threshold_expr_fallback_is_the_known_one;
+    the production-scale answer remains the BLAS twin.
     """
     e = load_table(spark, sf_dir, "embeddings")
     a = e.alias("a")

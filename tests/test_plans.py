@@ -1075,3 +1075,23 @@ def test_training_mix_decontamination_adaptive_broadcast(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final, final
+
+
+def test_threshold_expr_fallback_is_the_known_one(spark):
+    """sim_threshold_expr's janino 64 KB fallback is KNOWN and pinned
+    (r5 verdict item 3): under spark.sql.codegen.fallback=false the
+    compile failure surfaces as an error mentioning the 64 KB method
+    limit — proving the only codegen ERROR in the sweep is this
+    documented one — while under the default config the query runs
+    interpreted and stays hash-green (full oracle sweep). If a Spark
+    upgrade starts splitting join-consume methods, this test fails:
+    delete the pin and the docstring paragraph together."""
+    import pyspark
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        with pytest.raises(Exception, match="64 KB|64KB|grows beyond"):
+            E.queries()["sim_threshold_expr"](
+                spark, SF_ORACLE).toPandas()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
