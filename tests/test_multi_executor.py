@@ -18,6 +18,8 @@ row-for-row against the same query on the in-process local session:
 - ``udf_grouped_map``    — applyInPandas closure shipped to executors
 - ``join_bloom_prefilter`` — dense-array bloom bitmap broadcast across JVMs
 - ``sim_pq_adc_topk``    — session-cached localCheckpoint index on executors
+- ``stream_dedup_within_watermark`` — streaming keyed state (dedup TTL)
+  in per-executor state stores, watermark advanced across JVMs
 """
 
 from __future__ import annotations
@@ -39,7 +41,13 @@ _QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map",
             # r5 cross-JVM risk classes: a broadcast bitmap built by
             # executors and probed in codegen, and a localCheckpoint-
             # cached trained index whose blocks live on executor JVMs
-            "join_bloom_prefilter", "sim_pq_adc_topk"]
+            "join_bloom_prefilter", "sim_pq_adc_topk",
+            # r6 (verdict item 6): streaming STATE across real executor
+            # JVMs — dropDuplicatesWithinWatermark's keyed dedup state
+            # lives in per-executor state stores and the watermark
+            # advances via cross-JVM progress aggregation; the last
+            # uncovered cross-JVM risk class
+            "stream_dedup_within_watermark"]
 
 _RUNNER = """
 import json, sys
