@@ -1651,6 +1651,80 @@ def agg_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_common", rnd(jac, 6).alias("jaccard")))
 
 
+#: Carter-Wegman affine MinHash family for audience sketches — the
+#: §2.14 md5 contract (`dedup_minhash_band_tune`'s): one portable md5
+#: base per user, k affine rehashes in pure int64 (A[i]·(P−1)+B[i] <
+#: 2^63). 32 components: se(est) = sqrt(J(1−J)/32) ≈ 0.09 worst-case.
+_OVL_K = 32
+_OVL_P = 2_147_483_647
+_OVL_A = tuple(2 * k + 1 for k in range(1, _OVL_K + 1))
+_OVL_B = tuple(k * 40_503 for k in range(_OVL_K))
+_OVL_BASE_DUCK = (f"(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT"
+                  f" % {_OVL_P})")
+_OVL_SIG_DUCK = ", ".join(
+    f"min(({_OVL_A[i]} * {_OVL_BASE_DUCK} + {_OVL_B[i]}) % {_OVL_P})"
+    f" AS s{i}" for i in range(_OVL_K))
+_OVL_EQ = " + ".join(f"(sa.s{i} = sb.s{i})::INT" for i in range(_OVL_K))
+
+
+@register("agg_overlap_minhash", f"""
+WITH sig AS (
+    SELECT event_type, {_OVL_SIG_DUCK}
+    FROM events
+    WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
+)
+SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+       ({_OVL_EQ})::BIGINT AS sig_matches,
+       {sql_rnd(f'({_OVL_EQ}) / {_OVL_K}.0', 4)} AS est_jaccard
+FROM sig sa JOIN sig sb ON sa.event_type < sb.event_type
+""")
+def agg_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS sketch twin of `agg_user_overlap_jaccard`: the pairwise
+    audience-overlap matrix estimated from per-segment MinHash
+    signatures instead of the exact user-level self-join. min() is
+    idempotent over duplicates, so the sketch needs NO distinct pass —
+    the fact contributes one map-side-combinable groupBy(event_type)
+    carrying 32 mins; the pair comparison then runs over |segments|²
+    signature rows (25 here), never over users. That is the shape the
+    exact op's docstring promises at 100 TB, delivered: the exact twin
+    expands |types(u)|² pairs per user through a shuffle; the sketch
+    shuffles 5 rows.
+
+    Cross-engine exactness: the §2.14 md5 + Carter-Wegman contract —
+    signatures are pure int64 arithmetic over a portable md5 base, so
+    DuckDB reproduces them bit-for-bit; est = matches/32 is a DYADIC
+    fraction (exact in binary, 4dp rounding can never straddle).
+    Calibration vs the exact op (max |est − exact| ≤ 0.25 per pair at
+    every fixture SF) is pinned in tests/test_recall.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hb = (F.expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15),"
+                 " 16, 10) as bigint)") % F.lit(_OVL_P)).alias("hb")
+    hs = (ev.filter(F.col("event_type").isNotNull()
+                    & F.col("user_id").isNotNull())
+          .select("event_type", hb))
+    sig = hs.groupBy("event_type").agg(*[
+        F.min((F.lit(_OVL_A[i]) * F.col("hb") + F.lit(_OVL_B[i]))
+              % F.lit(_OVL_P)).alias(f"s{i}")
+        for i in range(_OVL_K)])
+    # both pair sides read the signature table: materialize the 5-row
+    # state once (the graph/PQ amortization rule) so the fact is
+    # scanned exactly ONCE — without this the self-join re-runs the
+    # whole events pass on each side (plan-asserted)
+    sig = sig.localCheckpoint(eager=True)
+    sa = sig.select(F.col("event_type").alias("type_a"),
+                    *[F.col(f"s{i}").alias(f"a{i}") for i in range(_OVL_K)])
+    sb = sig.select(F.col("event_type").alias("type_b"),
+                    *[F.col(f"s{i}").alias(f"b{i}") for i in range(_OVL_K)])
+    matches = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                  for i in range(_OVL_K))
+    return (sa.join(sb, F.col("type_a") < F.col("type_b"))
+            .select("type_a", "type_b",
+                    matches.cast("long").alias("sig_matches"),
+                    rnd(matches / float(_OVL_K), 4).alias("est_jaccard")))
+
+
 @register("agg_time_decay_score", f"""
 WITH mx AS (SELECT max(ts) AS anchor FROM events)
 SELECT user_id,

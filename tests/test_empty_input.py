@@ -99,7 +99,8 @@ PROBES = [
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
-    "agg_spearman", "agg_spearman_grid", "agg_anova_f", "agg_cramers_v",
+    "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash",
+    "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
     "agg_acf_multi_lag", "sim_threshold_pairs_chunked",
@@ -197,7 +198,8 @@ NULL_PROBES = [
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
-    "agg_spearman", "agg_spearman_grid", "agg_anova_f", "agg_cramers_v",
+    "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash",
+    "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
     "agg_acf_multi_lag", "sim_threshold_pairs_chunked",

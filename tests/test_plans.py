@@ -1095,3 +1095,18 @@ def test_threshold_expr_fallback_is_the_known_one(spark):
                 spark, SF_ORACLE).toPandas()
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_overlap_minhash_single_scan_no_user_selfjoin(spark):
+    """agg_overlap_minhash's whole point: the fact is scanned ONCE into
+    a map-side-combinable groupBy (min is idempotent over duplicates —
+    no distinct pass), the 5-row signature table is materialized
+    (localCheckpoint), and the pair join runs over signatures, never
+    users. Plan law: the final plan reads the checkpointed signatures
+    (zero parquet scans — the single fact pass happened at build), and
+    the one join is the dim-sized signature cross-compare."""
+    plan = _plan(spark, "agg_overlap_minhash")
+    assert plan.count("events.parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    tree = plan[:plan.find("(1) ")]
+    assert len(re.findall(r"Join", tree)) == 1, tree

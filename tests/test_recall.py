@@ -209,3 +209,22 @@ def test_pq_adc_rank_fidelity(spark, qs):
             expect = [(rk + 1, int(vec_ids[i]), float(radc[i]))
                       for rk, i in enumerate(order)]
             assert sorted(got[int(vec_ids[p])]) == expect, (sf_dir, lbl)
+
+
+def test_overlap_minhash_calibration_vs_exact(spark, qs):
+    """agg_overlap_minhash's estimate must track the exact Jaccard the
+    twin op computes: with k=32 signature components the worst-case
+    standard error is ~0.09, so a per-pair absolute error ≤ 0.25 (≈3σ)
+    pinned on every fixture SF means the sketch is trustworthy for the
+    segment-overlap report; a hashing/contract regression (est drifting
+    toward 0 or 1) trips this long before the oracle could notice."""
+    for sf_dir in ("/root/testdata/sf0.001", SF_ORACLE,
+                   "/root/testdata/sf0.1"):
+        exact = {(r.type_a, r.type_b): r.jaccard
+                 for r in qs["agg_user_overlap_jaccard"](
+                     spark, sf_dir).collect()}
+        est = {(r.type_a, r.type_b): r.est_jaccard
+               for r in qs["agg_overlap_minhash"](spark, sf_dir).collect()}
+        assert set(est) == set(exact), sf_dir
+        worst = max(abs(est[k] - exact[k]) for k in exact)
+        assert worst <= 0.25, (sf_dir, worst)
