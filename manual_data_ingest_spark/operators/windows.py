@@ -2173,3 +2173,101 @@ def win_range_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("cents") / 100.0).alias("day_rev"),
         rnd(F.sum("cents").over(w) / 100.0).alias("rev_7d"),
         F.count("*").over(w).alias("n_days_7d"))
+
+
+_MACD_EMA = {"e12": "2.0::DOUBLE / 13.0::DOUBLE",
+             "e26": "2.0::DOUBLE / 27.0::DOUBLE",
+             "sig": "2.0::DOUBLE / 10.0::DOUBLE"}
+_M12, _M26, _M9 = _MACD_EMA["e12"], _MACD_EMA["e26"], _MACD_EMA["sig"]
+
+
+@register("win_macd", f"""
+WITH RECURSIVE cents AS (
+  SELECT o_orderpriority AS priority, o_orderdate AS dt,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS c
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), idx AS (
+  SELECT priority, c::DOUBLE / 100.0 AS v,
+         row_number() OVER (PARTITION BY priority ORDER BY dt) AS rn
+  FROM cents
+), nn AS (SELECT priority, count(*)::BIGINT AS n_days FROM idx GROUP BY 1),
+fold AS (
+  SELECT priority, 1 AS rn, v AS e12, v AS e26, 0.0::DOUBLE AS sig
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT f.priority, f.rn + 1,
+         f.e12 * (1.0::DOUBLE - {_M12}) + i.v * ({_M12}),
+         f.e26 * (1.0::DOUBLE - {_M26}) + i.v * ({_M26}),
+         f.sig * (1.0::DOUBLE - {_M9})
+           + ((f.e12 * (1.0::DOUBLE - {_M12}) + i.v * ({_M12}))
+              - (f.e26 * (1.0::DOUBLE - {_M26}) + i.v * ({_M26})))
+             * ({_M9})
+  FROM fold f JOIN idx i ON i.priority = f.priority AND i.rn = f.rn + 1
+)
+SELECT f.priority, nn.n_days,
+       {sql_rnd('f.e12 - f.e26', 6)} AS macd,
+       {sql_rnd('f.sig', 6)} AS signal_line,
+       {sql_rnd('(f.e12 - f.e26) - f.sig', 6)} AS histogram
+FROM fold f JOIN nn ON f.priority = nn.priority AND f.rn = nn.n_days
+""")
+def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12/26 EMA spread + 9-EMA signal) of daily order revenue
+    per priority — the trend-following companion to `win_rsi` /
+    `win_bollinger`, and the repo's first COUPLED recurrence: e12, e26
+    and the signal evolve jointly, which naive implementations push to
+    a Python UDF. Here it is ONE codegen fold with a STRUCT
+    accumulator (`F.aggregate` over a named struct) — the `win_ewma`
+    move generalized to vector state. The oracle is a RECURSIVE CTE
+    carrying the same three-field state: DuckDB's own struct
+    accumulator (list_reduce over struct_pack) was measured to
+    resolve CROSS-FIELD references unstably (one step reads the old
+    field, the next the updated one — PARITY.md #38), so the fold is
+    mirrored at the row level where the semantics are defined. Both
+    engines then evaluate the identical IEEE op sequence (smoothing
+    constants written as 2.0/13.0-style divisions so both derive the
+    same doubles) — verified bit-exact on a replay series — and the
+    6dp rounding cannot straddle.
+
+    The daily series itself is exact-integer cents (sum of
+    floor(price·100+0.5) per day — the `agg_anova_f` discipline), so
+    the only float arithmetic is the shared fold. Scale: one map-side-
+    combinable daily rollup (5×~2400 cells), then per-key folds over
+    bounded arrays — the fact is scanned once; keys partition freely.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (o.filter(F.col("o_orderpriority").isNotNull()
+                      & F.col("o_orderdate").isNotNull()
+                      & F.col("o_totalprice").isNotNull())
+             .groupBy(F.col("o_orderpriority").alias("priority"),
+                      F.col("o_orderdate").alias("dt"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                        .cast("long")).alias("c")))
+    arr = F.array_sort(F.collect_list(F.struct("dt", "c")))
+    vals = F.transform(arr, lambda s: s["c"].cast("double") / 100.0)
+    a12 = F.lit(2.0) / F.lit(13.0)
+    a26 = F.lit(2.0) / F.lit(27.0)
+    a9 = F.lit(2.0) / F.lit(10.0)
+    one = F.lit(1.0)
+
+    def step(acc, x):
+        e12n = acc["e12"] * (one - a12) + x * a12
+        e26n = acc["e26"] * (one - a26) + x * a26
+        sign = acc["sig"] * (one - a9) + (e12n - e26n) * a9
+        return F.struct(e12n.alias("e12"), e26n.alias("e26"),
+                        sign.alias("sig"))
+
+    init = F.struct(F.element_at(vals, 1).alias("e12"),
+                    F.element_at(vals, 1).alias("e26"),
+                    F.lit(0.0).alias("sig"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init, step)
+    macd = fold["e12"] - fold["e26"]
+    return (cents.groupBy("priority")
+            .agg(F.count("*").alias("n_days"),
+                 rnd(macd, 6).alias("macd"),
+                 rnd(fold["sig"], 6).alias("signal_line"),
+                 rnd(macd - fold["sig"], 6).alias("histogram")))

@@ -99,7 +99,7 @@ PROBES = [
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
-    "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash",
+    "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
@@ -198,7 +198,7 @@ NULL_PROBES = [
     "dedup_decontaminate_shuffled", "sim_ann_recall_report",
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
-    "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash",
+    "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
