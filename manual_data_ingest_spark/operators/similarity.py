@@ -1461,3 +1461,77 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id",
                     rnd(F.col("raw"), 6).alias("score"), "rn"))
+
+
+@register("sim_item_cooccurrence", f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+n AS (SELECT pk, count(*)::BIGINT AS n_ord FROM li GROUP BY 1),
+probes AS (SELECT pk, n_ord FROM n ORDER BY n_ord DESC, pk LIMIT 10),
+co AS (
+  SELECT pr.pk AS probe_pk, pr.n_ord AS n_probe,
+         o.pk AS nb_pk, count(*)::BIGINT AS n_common
+  FROM probes pr
+  JOIN li p ON p.pk = pr.pk
+  JOIN li o ON o.ok = p.ok AND o.pk <> pr.pk
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT probe_pk, nb_pk, n_common,
+         {sql_rnd('n_common::DOUBLE'
+                  ' / sqrt(n_probe::DOUBLE * nn.n_ord)', 6)} AS cosine
+  FROM co JOIN n nn ON co.nb_pk = nn.pk
+)
+SELECT probe_pk, nb_pk, n_common, cosine, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_pk
+                               ORDER BY cosine DESC, nb_pk) AS rn
+  FROM scored
+) WHERE rn <= 3
+""")
+def sim_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering on co-purchase baskets — the
+    "customers who bought X also bought" primitive `agg_market_basket`
+    (raw pair support) stops short of: cosine-normalized co-occurrence
+    c_ab / √(n_a·n_b), top-3 neighbors for the 10 most-purchased parts
+    (probe cut on INTEGER order counts + partkey tie-break — no float
+    at the cut).
+
+    Scale shape: the basket relation (distinct order→part) is built
+    once and checkpointed (the shingle-relation amortization rule —
+    three consumers); probe selection is TakeOrdered (top-10, never a
+    global sort); the pair expansion is PROBE-BOUNDED — only baskets
+    containing a probe item expand, so candidate volume is
+    Σ_probe(orders(probe)·basket_size), not catalog². Neighbor
+    normalization joins the probe-bounded co table against the part
+    counts (AQE broadcasts the small side). Ranking is on the
+    6dp-ROUNDED cosine with partkey tie-break (the `sim_pq_adc_topk`
+    discipline); rank-boundary margins are pinned in
+    tests/test_guard_band.py.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey").isNotNull()
+                  & F.col("l_partkey").isNotNull())
+          .select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("pk"))
+          .distinct())
+    li = li.localCheckpoint(eager=True)  # three consumers, one build
+    n = li.groupBy("pk").agg(F.count("*").alias("n_ord"))
+    probes = (n.orderBy(F.col("n_ord").desc(), "pk").limit(10)
+              .select(F.col("pk").alias("probe_pk"),
+                      F.col("n_ord").alias("n_probe")))
+    co = (probes
+          .join(li.alias("p"), F.col("p.pk") == F.col("probe_pk"))
+          .join(li.alias("o"), (F.col("o.ok") == F.col("p.ok"))
+                & (F.col("o.pk") != F.col("probe_pk")))
+          .groupBy("probe_pk", "n_probe", F.col("o.pk").alias("nb_pk"))
+          .agg(F.count("*").alias("n_common")))
+    scored = (co.join(n.select(F.col("pk").alias("nb_pk"),
+                               F.col("n_ord").alias("n_nb")), "nb_pk")
+              .select("probe_pk", "nb_pk", "n_common",
+                      rnd(F.col("n_common").cast("double")
+                          / F.sqrt(F.col("n_probe").cast("double")
+                                   * F.col("n_nb")), 6).alias("cosine")))
+    w = Window.partitionBy("probe_pk").orderBy(F.col("cosine").desc(),
+                                               "nb_pk")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("probe_pk", "nb_pk", "n_common", "cosine", "rn"))

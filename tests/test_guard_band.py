@@ -463,3 +463,49 @@ def test_pq_adc_rank_and_rounding_margins(sf_dir: str) -> None:
                 "from a 6dp boundary")
         checked += 1
     assert checked > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_item_cooccurrence_rank_boundaries(sf_dir: str) -> None:
+    """sim_item_cooccurrence ranks neighbors on the 6dp-ROUNDED cosine
+    (partkey tie-break): pin that each probe's rank-3/4 rounded-cosine
+    gap is either an exact tie (id-break decides, deterministic) or
+    wider than engine drift, and that every emitted cosine sits away
+    from its rounding boundary (independent duckdb+numpy replay)."""
+    import duckdb
+
+    con = duckdb.connect()
+    li = con.execute(
+        f"SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk "
+        f"FROM '{sf_dir}/lineitem.parquet'").fetchnumpy()
+    ok, pk = li["ok"], li["pk"]
+    import collections
+    n_ord = collections.Counter(pk.tolist())
+    probes = sorted(n_ord, key=lambda p: (-n_ord[p], p))[:10]
+    baskets = collections.defaultdict(list)
+    for o, p in zip(ok.tolist(), pk.tolist()):
+        baskets[o].append(p)
+    checked = 0
+    for pr in probes:
+        co = collections.Counter()
+        for o, items in baskets.items():
+            if pr in items:
+                for q in items:
+                    if q != pr:
+                        co[q] += 1
+        if not co:
+            continue
+        vals = []
+        for q, c in co.items():
+            cos = c / np.sqrt(n_ord[pr] * n_ord[q])
+            r = np.floor(cos * 1e6 + 0.5) / 1e6
+            # emitted value boundary distance (raw vs grid)
+            g = abs(cos * 1e6 + 0.5 - np.round(cos * 1e6 + 0.5))
+            assert g > 1e-6, (sf_dir, pr, q, cos)
+            vals.append(r)
+        vals.sort(reverse=True)
+        if len(vals) >= 4:
+            gap = vals[2] - vals[3]
+            assert gap == 0.0 or gap > 5e-7, (sf_dir, pr, gap)
+        checked += 1
+    assert checked > 0

@@ -1110,3 +1110,17 @@ def test_overlap_minhash_single_scan_no_user_selfjoin(spark):
     assert "ExistingRDD" in plan, plan
     tree = plan[:plan.find("(1) ")]
     assert len(re.findall(r"Join", tree)) == 1, tree
+
+
+def test_item_cooccurrence_probe_bounded(spark):
+    """sim_item_cooccurrence: probe selection must compile to
+    TakeOrderedAndProject (top-10, never a global sort), every join is
+    an equi-join (no cartesian pair expansion), and the basket relation
+    is materialized once (ExistingRDD — three consumers share the
+    checkpoint)."""
+    plan = _plan(spark, "sim_item_cooccurrence")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("lineitem.parquet") == 0, plan
