@@ -853,3 +853,104 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").alias("n_nationkey"), "n_name",
                     rnd(F.col("a"), 6).alias("authority"),
                     rnd(F.col("h"), 6).alias("hub")))
+
+
+_SSSP_ITERS = 24  # |V|-1: the Bellman-Ford guarantee for 25 nations —
+# at sf0.001 a cheapest path was measured needing >6 hops (sparse
+# latencies make multi-hop routes cheaper), so diameter heuristics are
+# unsafe; convergence at the cap is pinned in tests/test_unit_operators.py
+
+
+def _sssp_oracle(iters: int) -> str:
+    """Unrolled Bellman-Ford as portable SQL. Every per-iteration CTE is
+    MATERIALIZED — DuckDB otherwise inlines d{k-1} at each of its two
+    references and the plan compounds 2^iters copies of the edge
+    extraction (the graph_connected_components lesson, PARITY #29)."""
+    head = """
+WITH e AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst,
+         greatest(sum(date_diff('day', o_orderdate::DATE, l_shipdate::DATE))
+                  // count(*) + 1, 1)::BIGINT AS cost
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1, 2
+), d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS d)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f""", d{k} AS MATERIALIZED (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d{k-1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.cost AS d
+    FROM e JOIN d{k-1} p ON e.src = p.node
+  ) u GROUP BY 1
+)""")
+    tail = f"""
+SELECT n_nationkey, n_name, d.d AS dist
+FROM nation LEFT JOIN d{iters} d ON n_nationkey = d.node
+"""
+    return head + "".join(steps) + tail
+
+
+@register("graph_sssp_weighted", _sssp_oracle(_SSSP_ITERS))
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford) over the
+    nation trade graph — the routing/reachability member of the graph
+    family beside PageRank (influence), components (connectivity) and
+    BFS (hop counts): edge cost = integer mean order→ship latency in
+    days between customer and supplier nations, CLAMPED to >= 1 day —
+    the synthetic fixture contains ship-before-order rows, and a
+    negative mean latency would put a NEGATIVE CYCLE in the graph
+    (Bellman-Ford diverges; measured: 24 rounds not converged before
+    the clamp) — exactly the guard a production latency graph needs
+    against data errors. Source = nation 0, 24 relaxation rounds (|V|−1 —
+    the Bellman-Ford guarantee; a one-extra-round fixed-point pin
+    lives in tests/test_unit_operators.py).
+
+    ZERO float arithmetic anywhere: costs are exact integer division
+    of day sums (both engines `DIV`/`//`), distances are BIGINT min()
+    folds — the one graph op whose output needs no rounding guard at
+    all; unreachable nations emit NULL via the LEFT join.
+
+    Scale shape (the module contract): the expensive edge extraction
+    is ONE fact join+aggregate pass, checkpointed; each relaxation
+    touches only (node, dist) pairs — |V|-sized, dim-bounded — and
+    checkpoints per round to keep the unrolled lineage out of
+    Catalyst's analyzer (the `graph_hits` stall lesson). The oracle
+    MATERIALIZEs each round (PARITY #29).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    edges = (o.filter(F.col("o_orderdate").isNotNull())
+             .join(c, F.col("o_custkey") == F.col("c_custkey"))
+             .join(li.filter(F.col("l_shipdate").isNotNull()),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .groupBy(F.col("c_nationkey").alias("src"),
+                      F.col("s_nationkey").alias("dst"))
+             .agg(F.expr("greatest(sum(datediff(cast(l_shipdate as date),"
+                         " cast(o_orderdate as date)))"
+                         " div count(*) + 1, 1)").cast("long").alias("cost"))
+             .localCheckpoint(eager=True))
+    dist = (spark.range(1).select(F.lit(0).cast("long").alias("node"),
+                                  F.lit(0).cast("long").alias("d")))
+    for k in range(_SSSP_ITERS):
+        relax = (edges.join(dist, edges.src == dist.node)
+                 .select(F.col("dst").alias("node"),
+                         (F.col("d") + F.col("cost")).alias("d")))
+        dist = (dist.unionByName(relax)
+                .groupBy("node").agg(F.min("d").alias("d")))
+        # cadence-3 checkpoints: per-round eager checkpoints cost one
+        # scheduler job each (24 jobs ~= 5 s of pure floor at 1x; A/B in
+        # BASELINE.md r6) while Catalyst analyzes a 3-deep union chain
+        # without stalling — the graph_connected_components cadence rule
+        if k % 3 == 2 or k == _SSSP_ITERS - 1:
+            dist = dist.localCheckpoint(eager=True)
+    return (n.join(dist, n.n_nationkey == dist.node, "left")
+            .select("n_nationkey", "n_name", F.col("d").alias("dist")))

@@ -100,7 +100,7 @@ PROBES = [
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
-    "sim_item_cooccurrence",
+    "sim_item_cooccurrence", "graph_sssp_weighted",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
@@ -200,7 +200,7 @@ NULL_PROBES = [
     "ingest_fk_coverage_report", "sim_ann_lsh_multiprobe",
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
-    "sim_item_cooccurrence",
+    "sim_item_cooccurrence", "graph_sssp_weighted",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",

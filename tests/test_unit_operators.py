@@ -311,3 +311,24 @@ def test_runs_test_single_day_and_two_day_series(spark, tmp_path):
         orc = con.execute(E.oracle_sql()["agg_runs_test"]).fetchone()
         con.close()
         assert orc[0] == n_days and orc[4] is None
+
+
+def test_sssp_converges_before_iteration_cap():
+    """graph_sssp_weighted runs a FIXED 6 relaxation rounds; the result
+    is the true shortest-path table only if the fixed point arrives by
+    then. Pin on every fixture SF that one EXTRA round changes nothing
+    (duckdb replay of the generated oracle at k and k+1)."""
+    import duckdb
+
+    from manual_data_ingest_spark.operators.graph import (_SSSP_ITERS,
+                                                          _sssp_oracle)
+    from tests.oracle_check import duckdb_connect
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        con = duckdb_connect(sf_dir)
+        a = sorted(map(tuple, con.execute(
+            _sssp_oracle(_SSSP_ITERS)).fetchall()))
+        b = sorted(map(tuple, con.execute(
+            _sssp_oracle(_SSSP_ITERS + 1)).fetchall()))
+        assert a == b, f"{sf_dir}: SSSP not converged at {_SSSP_ITERS} rounds"
