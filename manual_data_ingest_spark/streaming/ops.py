@@ -647,3 +647,121 @@ def stream_dedup_within_watermark(spark: SparkSession,
                .dropDuplicatesWithinWatermark(["event_id"])
                .select("event_id", "user_id", "event_type", "value"))
     return run_to_batch(deduped, "append")
+
+
+@register("stream_chained_stateful", """
+WITH e AS (SELECT user_id, event_type, value, ts::TIMESTAMP AS ts
+           FROM events WHERE event_type = 'purchase'),
+per_user AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, user_id,
+         count(*) AS n, sum(floor(value * 100.0 + 0.5)::BIGINT) AS cents
+  FROM e GROUP BY 1, 2
+)
+SELECT window_start,
+       count(*)::BIGINT AS n_buyers,
+       sum(n)::BIGINT AS n_purchases,
+       floor(sum(cents))::DOUBLE / 100.0 AS revenue
+FROM per_user
+WHERE window_start + INTERVAL 1 DAY
+      <= (SELECT max(ts::TIMESTAMP) - INTERVAL 1 HOUR
+          FROM events WHERE event_type = 'purchase')
+GROUP BY 1
+""")
+def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — per-(day,
+    user) purchase rollup feeding a per-day buyers/revenue rollup. Two
+    stateful aggregations in a single plan is a Spark ≥3.4 engine
+    capability (earlier versions reject the second stateful op after a
+    window aggregate); the daily-uniques-style report it enables
+    otherwise needs two queries and an intermediate sink, i.e. double
+    the state and a second checkpoint to operate.
+
+    Both layers key on the SAME event-time window (the supported
+    chain shape: the second agg groups by the first's window), so
+    watermark propagation evicts both layers together — state is
+    O(windows·users) + O(windows), bounded on an unbounded stream.
+    Append mode emits a window only once the FINAL watermark
+    (max purchase ts − 1 h) passes its end, so the still-open last
+    window is legitimately withheld at availableNow termination — the
+    oracle reproduces that algebra with the same WHERE (the
+    `stream_watermark_late` discipline).
+    Revenue rides exact integer cents (the anova discipline); the
+    final division is one fixed IEEE op. Oracle = the same two-level
+    batch rollup (availableNow single pass ≡ batch).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    per_user = (ev.filter(F.col("event_type") == "purchase")
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day").alias("w"),
+                         F.col("user_id"))
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.floor(F.col("value") * 100.0 + 0.5)
+                           .cast("long")).alias("cents")))
+    daily = (per_user
+             .groupBy(F.col("w"))
+             .agg(F.count("*").alias("n_buyers"),
+                  F.sum("n").alias("n_purchases"),
+                  (F.floor(F.sum("cents")).cast("double") / 100.0)
+                  .alias("revenue"))
+             .select(F.col("w.start").alias("window_start"),
+                     "n_buyers", "n_purchases", "revenue"))
+    return run_to_batch(daily, "append")
+
+
+@register("stream_observed_metrics", """
+SELECT count(*)::BIGINT AS n_events,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_errors,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchases,
+       floor(sum(floor(value * 100.0 + 0.5)::BIGINT))::DOUBLE / 100.0
+           AS total_value
+FROM events
+""")
+def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `Observation`/`df.observe()` API through a REAL streaming
+    query — the production pattern for pipeline health metrics:
+    aggregates are computed ON THE STREAM as it flows to its sink (no
+    second scan, no separate monitoring query) and surfaced through
+    QueryProgress.observedMetrics; here the accumulated per-batch
+    observations are re-reduced to the job totals and returned as the
+    result, so the DuckDB batch aggregate oracles the exact metrics a
+    monitoring system would have received.
+
+    Engine facts exercised: observe() on an UNAGGREGATED stream needs
+    no watermark; CollectMetrics REJECTS DISTINCT aggregates
+    (INVALID_OBSERVED_METRICS, hit while drafting — the API's way of
+    saying only batch-mergeable metrics are streamable), so every
+    metric here is ALGEBRAIC (counts/sums) and the per-batch
+    observations re-merge by + no matter how many micro-batches the
+    trigger runs.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    observed = ev.observe(
+        "health",
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .alias("n_errors"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .alias("n_purchases"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .alias("cents"))
+    name = f"mdis_observe_sink_{next(_SINK_COUNTER)}"
+    prev = ev.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ev.sparkSession.conf.set("spark.sql.shuffle.partitions",
+                                 str(min(int(prev), 32)))
+        q = (observed.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        ev.sparkSession.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = [p.observedMetrics["health"]
+            for p in q.recentProgress if "health" in p.observedMetrics]
+    spark.catalog.dropTempView(name)
+    n_events = sum(r["n_events"] or 0 for r in rows)
+    n_errors = sum(r["n_errors"] or 0 for r in rows)
+    n_purchases = sum(r["n_purchases"] or 0 for r in rows)
+    cents = sum(r["cents"] or 0 for r in rows)
+    return spark.createDataFrame(
+        [(n_events, n_errors, n_purchases, float(cents) / 100.0)],
+        "n_events bigint, n_errors bigint, n_purchases bigint, "
+        "total_value double")

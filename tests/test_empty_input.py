@@ -101,6 +101,7 @@ PROBES = [
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "sim_item_cooccurrence", "graph_sssp_weighted",
+    "stream_chained_stateful", "stream_observed_metrics",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
@@ -201,6 +202,7 @@ NULL_PROBES = [
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "sim_item_cooccurrence", "graph_sssp_weighted",
+    "stream_chained_stateful", "stream_observed_metrics",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",

@@ -423,3 +423,49 @@ def test_dedup_within_watermark_evicts_state(spark, tmp_path):
     spark.catalog.dropTempView(sink)
     assert counts[1] == 2, counts  # X: state evicted -> re-emitted
     assert counts[2] == 1, counts  # Y: still in state -> suppressed
+
+
+def test_chained_stateful_multibatch_equals_batch(spark, tmp_path):
+    """Two chained stateful aggregations with state carried across 4
+    TIME-ORDERED micro-batches (weekly files — the realistic arrival
+    order; the module's full-range-per-file fixture would make every
+    later batch month-late data that the watermark correctly drops)
+    must emit exactly the batch answer for every window the final
+    watermark closed. Emission-lag note: the trailing availableNow
+    flush batch re-emits both layers with the final watermark, so no
+    window in the closed set may be missing — a chained-stateful
+    regression that withholds one layer's flush shows up here."""
+    d = str(tmp_path / "events_weekly")
+    ev = load_events(spark, SF_SMALL)
+    (ev.withColumn("wk", F.least(F.floor(F.dayofmonth("ts") / 8), F.lit(3)))
+     .repartitionByRange(4, "wk").write.mode("overwrite")
+     .partitionBy("wk").parquet(d))
+    files = sorted(str(p) for p in __import__("pathlib").Path(d).rglob("*.parquet"))
+    assert len(files) >= 4
+    for i, f in enumerate(files):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def build(st):
+        per_user = (st.filter(F.col("event_type") == "purchase")
+                    .withWatermark("ts", "1 hour")
+                    .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+                    .agg(F.count("*").alias("n")))
+        return (per_user.groupBy("w")
+                .agg(F.count("*").alias("n_buyers"),
+                     F.sum("n").alias("n_purchases"))
+                .select(F.col("w.start").alias("ws"),
+                        "n_buyers", "n_purchases"))
+
+    got = _stream_multi(spark, d, build, "append")
+    evp = load_events(spark, SF_SMALL).filter(F.col("event_type") == "purchase")
+    wm = evp.agg(F.max("ts")).collect()[0][0]
+    batch = (evp.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+             .agg(F.count("*").alias("n"))
+             .groupBy("w")
+             .agg(F.count("*").alias("n_buyers"),
+                  F.sum("n").alias("n_purchases"))
+             .filter(F.col("w.end") <= F.expr(
+                 f"timestamp'{wm}' - interval 1 hour"))
+             .select(F.col("w.start").alias("ws"),
+                     "n_buyers", "n_purchases"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
