@@ -2378,3 +2378,65 @@ def ml_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n0 > 0, rnd(c0 / n0, 6)).alias("p_control"),
         F.when(n1 > 0, rnd(c1 / n1, 6)).alias("p_treat"),
         F.when(ok, rnd(z, 4)).otherwise(F.lit(None)).alias("z_score"))
+
+
+@register("ml_woe_encoding", f"""
+WITH lab AS (
+  SELECT c_mktsegment AS seg,
+         (o_orderpriority = '1-URGENT')::INT AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
+), cell AS (
+  SELECT seg,
+         sum(y)::BIGINT AS n_pos, (count(*) - sum(y))::BIGINT AS n_neg
+  FROM lab GROUP BY seg
+), tot AS (
+  SELECT sum(n_pos)::BIGINT AS t_pos, sum(n_neg)::BIGINT AS t_neg FROM cell
+)
+SELECT seg, n_pos, n_neg,
+       {sql_rnd('''ln(((n_pos + 0.5::DOUBLE) / (t_pos + 0.5::DOUBLE))
+                  / ((n_neg + 0.5::DOUBLE) / (t_neg + 0.5::DOUBLE)))''', 6)}
+           AS woe,
+       {sql_rnd('''((n_pos + 0.5::DOUBLE) / (t_pos + 0.5::DOUBLE)
+                  - (n_neg + 0.5::DOUBLE) / (t_neg + 0.5::DOUBLE))
+                 * ln(((n_pos + 0.5::DOUBLE) / (t_pos + 0.5::DOUBLE))
+                      / ((n_neg + 0.5::DOUBLE) / (t_neg + 0.5::DOUBLE)))''',
+                6)} AS iv_term
+FROM cell CROSS JOIN tot
+""")
+def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical feature against a
+    binary label (market segment vs urgent-order rate) — the
+    credit-scoring sibling of `ml_target_encoding`: WOE(level) =
+    ln(P(level|pos)/P(level|neg)), plus each level's information-value
+    term (Σ iv_term = the feature's IV, the classic keep/drop score).
+
+    Laplace-smoothed with +0.5 on every cell so empty levels cannot
+    hit ln(0)/divide-by-zero in either engine (the degenerate-arm
+    class the empty/NULL sweeps exist for). Everything reduces to
+    exact integer counts in ONE map-side-combinable pass + a 5-row
+    broadcast of the totals; WOE is a single fixed IEEE expression
+    over those integers — ln() is ≤1 ulp cross-engine (PARITY #31),
+    safe under 6dp rounding with boundary distances pinned in
+    tests/test_guard_band.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lab = (o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .filter(F.col("c_mktsegment").isNotNull()
+                   & F.col("o_orderpriority").isNotNull())
+           .select(F.col("c_mktsegment").alias("seg"),
+                   (F.col("o_orderpriority") == "1-URGENT")
+                   .cast("int").alias("y")))
+    cell = lab.groupBy("seg").agg(
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"))
+    tot = cell.agg(F.sum("n_pos").alias("t_pos"),
+                   F.sum("n_neg").alias("t_neg"))
+    pp = (F.col("n_pos") + 0.5) / (F.col("t_pos") + 0.5)
+    pn = (F.col("n_neg") + 0.5) / (F.col("t_neg") + 0.5)
+    woe = F.log(pp / pn)
+    return (cell.crossJoin(F.broadcast(tot))
+            .select("seg", "n_pos", "n_neg",
+                    rnd(woe, 6).alias("woe"),
+                    rnd((pp - pn) * woe, 6).alias("iv_term")))

@@ -1096,3 +1096,83 @@ def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.lit(0).cast("long")
                                    .alias("sum_chars"))))
         .alias("status", "v")).select("status", "v.n_rows", "v.sum_chars")
+
+
+@register("scan_dpp_pruned", """
+WITH top_year AS (
+  SELECT year(o_orderdate) AS y
+  FROM orders GROUP BY 1
+  ORDER BY count(*) DESC, y LIMIT 1
+)
+SELECT month(o_orderdate)::BIGINT AS month,
+       count(*)::BIGINT AS n_orders,
+       floor((sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0)
+             * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders
+WHERE year(o_orderdate) = (SELECT y FROM top_year)
+GROUP BY 1
+""")
+def scan_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING demonstrated end to end — the physical
+    design `sink_partitioned` writes and `scan_manifest_pruned`
+    approximates by hand, executed by the engine itself: orders are
+    laid out partitioned by year, the year filter arrives through a
+    JOIN against a data-dependent dim-side aggregate (the busiest
+    year — a literal would be folded into a static partition filter,
+    observed), and at runtime Spark broadcasts the dim result into
+    the scan as a DynamicPruningExpression — only that year's
+    partition directories are read. At 100 TB this is THE
+    mechanism that turns a fact-dim join with a selective dim filter
+    into a 1/N-cost scan; plan-asserted (`dynamicpruning#` subquery in
+    the scan's PartitionFilters) in tests/test_plans.py.
+
+    The partitioned layout is written once per (session, sf_dir) and
+    reused (immutable-fixture rule); revenue rides exact integer cents.
+    """
+    import os
+
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    key = ("dpp_orders", sf_dir)
+    cache = getattr(spark, "_mdis_dpp_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_dpp_cache = cache
+    out = cache.get(key)
+    o = load_table(spark, sf_dir, "orders")
+    fact_schema = o.withColumn("o_year", F.year("o_orderdate")).schema
+    if out is None or not os.path.isdir(out):
+        out = _tmpdir("mdis_dpp_")
+        (o.withColumn("o_year", F.year("o_orderdate"))
+         .write.mode("overwrite").partitionBy("o_year").parquet(out))
+        cache[key] = out
+    # explicit schema: zero part files (empty input) breaks inference
+    po = spark.read.schema(fact_schema).parquet(out)
+    # dim side: a REAL on-disk dim table (per-year stats) carrying the
+    # selectivity on a NON-join column. Two drafts measurably failed:
+    # a literal y = 1995 is folded by InferFiltersFromConstraints into
+    # a STATIC PartitionFilter (pruning, but not DPP), and a bare
+    # LIMIT-1 aggregate inserts no pruning subquery at all (DPP's
+    # planner requires a likely-selective FILTER on the dim side).
+    # The canonical shape — dim table + filter on another column +
+    # equi-join on the partition key — is what fires.
+    dim_key = ("dpp_dim", sf_dir)
+    dim_out = cache.get(dim_key)
+    if dim_out is None or not os.path.isdir(dim_out):
+        stats = (load_table(spark, sf_dir, "orders")
+                 .groupBy(F.year("o_orderdate").alias("y"))
+                 .agg(F.count("*").alias("cnt")))
+        mx = stats.agg(F.max("cnt")).collect()[0][0] or 0
+        dim_out = _tmpdir("mdis_dpp_dim_")
+        # keep only the busiest year's row, tagged with its count, so
+        # the read-back filter below is selective AND data-independent
+        stats.filter(F.col("cnt") == mx).write.mode("overwrite")              .parquet(dim_out)
+        cache[dim_key] = dim_out
+    dim = (spark.read.schema("y int, cnt bigint").parquet(dim_out)
+           .filter(F.col("cnt") > 0).select("y"))
+    return (po.join(dim, po.o_year == dim.y)
+            .groupBy(F.month("o_orderdate").cast("long").alias("month"))
+            .agg(F.count("*").alias("n_orders"),
+                 rnd(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                           .cast("long")).cast("double") / 100.0, 2)
+                 .alias("revenue")))

@@ -101,7 +101,8 @@ PROBES = [
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "sim_item_cooccurrence", "graph_sssp_weighted",
-    "stream_chained_stateful", "stream_observed_metrics",
+    "stream_chained_stateful", "stream_observed_metrics", "ml_woe_encoding",
+    "scan_dpp_pruned",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
@@ -202,7 +203,8 @@ NULL_PROBES = [
     "join_band_bucketed", "win_range_duration",
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "sim_item_cooccurrence", "graph_sssp_weighted",
-    "stream_chained_stateful", "stream_observed_metrics",
+    "stream_chained_stateful", "stream_observed_metrics", "ml_woe_encoding",
+    "scan_dpp_pruned",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",

@@ -509,3 +509,33 @@ def test_item_cooccurrence_rank_boundaries(sf_dir: str) -> None:
             assert gap == 0.0 or gap > 5e-7, (sf_dir, pr, gap)
         checked += 1
     assert checked > 0
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_woe_rounding_boundaries(sf_dir: str) -> None:
+    """ml_woe_encoding emits 6dp-rounded ln-derived values (PARITY #31:
+    ln is ≤1 ulp cross-engine, safe only away from rounding
+    boundaries): pin every woe/iv_term's boundary distance on each
+    fixture SF via an independent duckdb+numpy replay."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+      SELECT c_mktsegment, sum((o_orderpriority = '1-URGENT')::INT),
+             count(*) FROM '{sf_dir}/orders.parquet' o
+      JOIN '{sf_dir}/customer.parquet' c ON o_custkey = c_custkey
+      GROUP BY 1""").fetchall()
+    t_pos = sum(r[1] for r in rows)
+    t_neg = sum(r[2] - r[1] for r in rows)
+
+    def gap(v: float, digits: int) -> float:
+        x = v * 10.0 ** digits + 0.5
+        return abs(x - np.round(x))
+
+    for seg, npos, n in rows:
+        nneg = n - npos
+        pp = (npos + 0.5) / (t_pos + 0.5)
+        pn = (nneg + 0.5) / (t_neg + 0.5)
+        woe = np.log(pp / pn)
+        assert gap(woe, 6) > 1e-6, (sf_dir, seg, woe)
+        assert gap((pp - pn) * woe, 6) > 1e-6, (sf_dir, seg)

