@@ -1183,3 +1183,58 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("bucket")
             .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")),
                      "doc_id")).alias("seq_in_bucket"))
+
+
+@register("pipeline_token_shard", """
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), ranked AS (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tok DESC, doc_id) - 1 AS r
+  FROM toks
+), assigned AS (
+  SELECT source, n_tok,
+         CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+  FROM ranked
+)
+SELECT source, shard::BIGINT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM assigned GROUP BY 1, 2
+""")
+def pipeline_token_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for a training dataloader — the
+    sizing knob `pipeline_seq_pack` audits, decided: docs are ranked by
+    token count within their source and dealt SERPENTINE
+    (0..7,7..0,…) across 8 shards — the classic one-pass LPT
+    approximation: each 16-doc block contributes once to every shard
+    from both ends of the size distribution, so shard token totals
+    stay within a block of each other without any sequential greedy
+    state. Emits the per-(source, shard) manifest a loader consumes.
+
+    Deterministic: rank on (n_tok DESC, doc_id) — integer keys, no
+    float anywhere. Scale: the ranking window partitions by SOURCE
+    (stratified sharding — each source spreads over all shards), so
+    no global sort exists and sources rank in parallel; at 100 TB a
+    skewed single source would swap the exact rank for bucketed ranks
+    (`agg_spearman_grid`'s move) with the same serpentine arithmetic.
+    Balance quality is pinned in tests/test_unit_operators.py
+    (max/min shard token ratio ≤ 1.05 per fixture SF).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.col("text").isNotNull()
+                     & F.col("source").isNotNull())
+            .select("source", "doc_id",
+                    F.size(F.split("text", " ")).cast("long")
+                    .alias("n_tok")))
+    w = Window.partitionBy("source").orderBy(F.col("n_tok").desc(),
+                                             "doc_id")
+    r = F.row_number().over(w) - 1
+    shard = F.when((r.cast("long") / 8).cast("long") % 2 == 0, r % 8) \
+             .otherwise(7 - (r % 8))
+    return (toks.withColumn("shard", shard.cast("long"))
+            .groupBy("source", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens")))

@@ -332,3 +332,48 @@ def test_sssp_converges_before_iteration_cap():
         b = sorted(map(tuple, con.execute(
             _sssp_oracle(_SSSP_ITERS + 1)).fetchall()))
         assert a == b, f"{sf_dir}: SSSP not converged at {_SSSP_ITERS} rounds"
+
+
+def test_token_shard_balance():
+    """pipeline_token_shard's serpentine deal must actually balance:
+    per source, max/min shard token totals within 5% at every fixture
+    SF (duckdb replay; the whole point of ranking before dealing)."""
+    import duckdb
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        rows = con.execute(f"""
+          WITH toks AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tok
+            FROM '{sf_dir}/documents.parquet'
+          ), ranked AS (
+            SELECT source, n_tok,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_tok DESC, doc_id) - 1 AS r
+            FROM toks
+          )
+          SELECT source,
+                 CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                      ELSE 7 - (r % 8) END AS shard,
+                 sum(n_tok) AS tot
+          FROM ranked GROUP BY 1, 2""").fetchall()
+        per_source = {}
+        for src, shard, tot in rows:
+            per_source.setdefault(src, []).append(int(tot))
+        checked = 0
+        for src, tots in per_source.items():
+            # balance is only meaningful with enough serpentine blocks:
+            # ≥10 docs/shard (sf0.001 has ~2 docs/source — skip)
+            if len(tots) == 8 and sum(tots) and min(tots) > 0:
+                n_docs = con.execute(f"""
+                  SELECT count(*) FROM '{sf_dir}/documents.parquet'
+                  WHERE source = ?""", [src]).fetchone()[0]
+                if n_docs < 80:
+                    continue
+                ratio = max(tots) / min(tots)
+                assert ratio <= 1.05, (sf_dir, src, ratio)
+                checked += 1
+        if sf_dir.endswith("sf0.1"):
+            assert checked > 0
