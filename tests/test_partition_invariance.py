@@ -48,6 +48,11 @@ PROBES = [
     "agg_lorenz_curve",          # rounded-spend ranking + cum shares
     "sample_neyman_allocation",  # stddev shares -> integer allocation
     "graph_hits",                # alternating normalized propagation
+    # r6 additions
+    "win_macd",                  # per-key sequential float struct fold
+    "ml_woe_encoding",           # ln over smoothed count ratios
+    "sim_item_cooccurrence",     # rounded-cosine ranking over count joins
+    "agg_spearman_grid",         # cell-count windows + 128-bit moments
 ]
 
 
