@@ -1495,11 +1495,17 @@ def sim_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probe cut on INTEGER order counts + partkey tie-break — no float
     at the cut).
 
-    Scale shape: the basket relation (distinct order→part) is built
-    once and checkpointed (the shingle-relation amortization rule —
-    three consumers); probe selection is TakeOrdered (top-10, never a
-    global sort); the pair expansion is PROBE-BOUNDED — only baskets
-    containing a probe item expand, so candidate volume is
+    Scale shape: the basket relation (distinct order→part) is read
+    by its consumers UNCHECKPOINTED (four pruned scans) — the shingle-relation
+    amortization rule does NOT transfer here and the naive transfer
+    was measured 2.7× slower at 64× (25.2 → 9.3 s same-session):
+    shingles are expensive to recompute (explode+md5) so
+    materializing pays, but a two-column distinct is one cheap
+    pushdown-pruned scan per consumer, and the eager checkpoint
+    instead materializes the whole fact-sized relation up front.
+    Probe selection is TakeOrdered (top-10, never a global sort); the
+    pair expansion is PROBE-BOUNDED — only baskets containing a probe
+    item expand, so candidate volume is
     Σ_probe(orders(probe)·basket_size), not catalog². Neighbor
     normalization joins the probe-bounded co table against the part
     counts (AQE broadcasts the small side). Ranking is on the
@@ -1513,7 +1519,6 @@ def sim_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("l_orderkey").alias("ok"),
                   F.col("l_partkey").alias("pk"))
           .distinct())
-    li = li.localCheckpoint(eager=True)  # three consumers, one build
     n = li.groupBy("pk").agg(F.count("*").alias("n_ord"))
     probes = (n.orderBy(F.col("n_ord").desc(), "pk").limit(10)
               .select(F.col("pk").alias("probe_pk"),
