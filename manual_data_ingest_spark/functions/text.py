@@ -1090,3 +1090,96 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("n_chars").cast("double")
                         / F.col("n_bpe_tokens"), 4)
                     .alias("chars_per_bpe_token")))
+
+
+@register("text_perplexity_ngram", """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS l
+  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+), uni AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY 1
+), tot AS (SELECT sum(c)::BIGINT AS t FROM uni),
+bg AS (
+  SELECT doc_id, source, l[i] AS w1, l[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(l) - 1)) AS u(i)
+  WHERE len(l) >= 2
+), bgc AS (
+  SELECT w1, w2, count(*)::BIGINT AS bc FROM bg GROUP BY 1, 2
+), scored AS (
+  SELECT bg.doc_id, bg.source,
+         floor(-ln(0.75::DOUBLE * bgc.bc / u1.c
+                   + 0.25::DOUBLE * u2.c / tot.t) * 1000000.0::DOUBLE
+               + 0.5::DOUBLE)::BIGINT AS v_u
+  FROM bg
+  JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+  JOIN uni u1 ON bg.w1 = u1.w
+  JOIN uni u2 ON bg.w2 = u2.w
+  CROSS JOIN tot
+), per_doc AS (
+  SELECT doc_id, source, sum(v_u) // count(*) AS doc_ce_u
+  FROM scored GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       floor((sum(doc_ce_u)::DOUBLE / count(*) / 1000000.0::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_ce,
+       max(doc_ce_u)::DOUBLE / 1000000.0::DOUBLE AS max_ce
+FROM per_doc GROUP BY source
+""")
+def text_perplexity_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a Jelinek-Mercer-interpolated
+    BIGRAM language model is trained on the corpus itself (one counts
+    pass) and every document is scored by its mean bigram surprisal
+    (cross-entropy in nats) — the filter that separates fluent text
+    from gibberish in production pretraining pipelines; reported per
+    source (avg + worst doc), the granularity a curation run acts on.
+
+    p(w2|w1) = 0.75·B(w1,w2)/U(w1) + 0.25·U(w2)/T — the unigram
+    backoff term can never be zero for in-corpus tokens, so no
+    smoothing guards are needed. Determinism design: each bigram's
+    surprisal is QUANTIZED TO MICRO-NATS (floor(−ln p·1e6+0.5) over
+    exact integer counts) the moment it leaves the ln(), so every
+    aggregation after that — per-doc sums, the per-doc mean
+    (integer DIV), per-source sums — is EXACT integer arithmetic with
+    no float association anywhere; ln's ≤1-ulp cross-engine drift
+    (PARITY #31) is absorbed by the micro-nat grid (boundary
+    distances pinned in tests/test_guard_band.py). Scale shape: LM
+    counts are map-side-combinable aggregates; scoring is a posting
+    join on the bigram key (corpus-sized, shuffle-partitioned, never
+    broadcast), and the doc/source rollups ride exact integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.filter(F.col("text").isNotNull()
+                     & F.col("source").isNotNull())
+            .select("doc_id", "source", F.split("text", " ").alias("l")))
+    uni = (toks.select(F.explode("l").alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").alias("t"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(l) - 1),"
+        " i -> struct(element_at(l, i) as w1, element_at(l, i + 1) as w2))")
+    bg = (toks.filter(F.size("l") >= 2)
+          .select("doc_id", "source", F.explode(bigrams).alias("b"))
+          .select("doc_id", "source",
+                  F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    p = (F.lit(0.75) * F.col("bc") / F.col("c1")
+         + F.lit(0.25) * F.col("c2") / F.col("t"))
+    scored = (bg
+              .join(bgc, ["w1", "w2"])
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("c").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c").alias("c2")), "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id", "source",
+                      F.floor(-F.log(p) * 1000000.0 + 0.5)
+                      .cast("long").alias("v_u")))
+    per_doc = (scored.groupBy("doc_id", "source")
+               .agg(F.expr("sum(v_u) div count(*)").alias("doc_ce_u")))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 rnd(F.sum("doc_ce_u").cast("double") / F.count("*")
+                     / 1000000.0, 6).alias("avg_ce"),
+                 (F.max("doc_ce_u").cast("double") / 1000000.0)
+                 .alias("max_ce")))

@@ -3263,3 +3263,55 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("sc_d").over(wcum).cast("double")
             / F.sum("sc_d").over(wall).cast("double"), 6)
         .alias("cum_rev_share"))
+
+
+@register("agg_approx_topk_merge", """
+SELECT row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank,
+       event_type AS item,
+       count(*)::BIGINT AS n_events
+FROM events
+WHERE event_type IS NOT NULL
+GROUP BY event_type
+""")
+def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native mergeable top-k sketch pipeline —
+    `approx_top_k_accumulate` per day → `approx_top_k_combine` →
+    `approx_top_k_estimate` — the heavy-hitters twin of
+    `agg_hll_partitioned`'s HLL merge: per-shard/per-day sketches are
+    built independently (map-side, one pass), shipped as opaque
+    binary state, and merged without re-reading the data — the shape
+    that lets a 100 TB deployment keep per-partition leaderboards and
+    answer global ones from sketch state alone. (`agg_heavy_hitters`
+    is the hand-rolled SpaceSaving equivalent; this exercises the
+    engine-native API surface.)
+
+    Exactness precondition, machine-checked by the oracle at 3 SFs:
+    with maxItemsTracked (100) ≥ the item cardinality (5 event
+    types), SpaceSaving degenerates to exact counting and the merge
+    is lossless, so the estimate equals the exact GROUP BY and ties
+    cannot bite (the emitted ranking re-sorts on (count DESC, item)
+    rather than trusting sketch order). Beyond the precondition the
+    sketch approximates — the documented trade, not an error.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.filter(F.col("event_type").isNotNull())
+             .groupBy(F.window("ts", "1 day"))
+             .agg(F.expr("approx_top_k_accumulate(event_type, 100)")
+                  .alias("sk")))
+    # engine-bug guard (verified on Spark 4.1.2): approx_top_k_combine
+    # over ZERO input rows crashes with scala.MatchError: null instead
+    # of returning null — the one aggregate in the repo that cannot see
+    # an empty relation. The isEmpty probe is one job over the ~31-row
+    # daily aggregate, correctness-only (the empty sweep hits this).
+    if daily.isEmpty():
+        return spark.createDataFrame(
+            [], "rank int, item string, n_events long")
+    merged = daily.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 100), 5)")
+        .alias("top"))
+    flat = (merged.select(F.explode("top").alias("t"))
+            .select(F.col("t.item").alias("item"),
+                    F.col("t.count").cast("long").alias("n_events")))
+    w = Window.orderBy(F.col("n_events").desc(), "item")
+    return (flat.withColumn("rank", F.row_number().over(w))
+            .select("rank", "item", "n_events"))

@@ -102,7 +102,8 @@ PROBES = [
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "sim_item_cooccurrence", "graph_sssp_weighted",
     "stream_chained_stateful", "stream_observed_metrics", "ml_woe_encoding",
-    "scan_dpp_pruned", "pipeline_token_shard",
+    "scan_dpp_pruned", "pipeline_token_shard", "agg_approx_topk_merge",
+    "text_perplexity_ngram",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",
@@ -204,7 +205,8 @@ NULL_PROBES = [
     "agg_spearman", "agg_spearman_grid", "agg_overlap_minhash", "win_macd",
     "sim_item_cooccurrence", "graph_sssp_weighted",
     "stream_chained_stateful", "stream_observed_metrics", "ml_woe_encoding",
-    "scan_dpp_pruned", "pipeline_token_shard",
+    "scan_dpp_pruned", "pipeline_token_shard", "agg_approx_topk_merge",
+    "text_perplexity_ngram",
     "agg_anova_f", "agg_cramers_v",
     "graph_kcore", "dedup_minhash_estimate_error",
     "pipeline_quality_filter_ablation", "bitwise_funcs",

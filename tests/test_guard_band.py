@@ -539,3 +539,40 @@ def test_woe_rounding_boundaries(sf_dir: str) -> None:
         woe = np.log(pp / pn)
         assert gap(woe, 6) > 1e-6, (sf_dir, seg, woe)
         assert gap((pp - pn) * woe, 6) > 1e-6, (sf_dir, seg)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_perplexity_micronat_boundaries(sf_dir: str) -> None:
+    """text_perplexity_ngram quantizes each bigram surprisal to
+    micro-nats (floor(−ln p·1e6+0.5)) so all downstream aggregation is
+    exact integers; the quantization is cross-engine-safe iff no
+    surprisal sits within ln-drift (~1e-12 relative) of a 0.5 grid
+    boundary. Pin the minimum boundary distance over EVERY distinct
+    (bigram, doc-independent) surprisal value on each fixture SF
+    (vectorized duckdb+numpy replay)."""
+    import duckdb
+
+    con = duckdb.connect()
+    vals = con.execute(f"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM '{sf_dir}/documents.parquet' WHERE text IS NOT NULL
+      ), uni AS (
+        SELECT w, count(*)::BIGINT AS c
+        FROM (SELECT unnest(l) AS w FROM toks) GROUP BY 1
+      ), tot AS (SELECT sum(c)::BIGINT AS t FROM uni),
+      bg AS (
+        SELECT l[i] AS w1, l[i + 1] AS w2, count(*)::BIGINT AS bc
+        FROM toks, LATERAL unnest(generate_series(1, len(l) - 1)) AS u(i)
+        WHERE len(l) >= 2 GROUP BY 1, 2
+      )
+      SELECT DISTINCT bc, u1.c AS c1, u2.c AS c2, tot.t
+      FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+      CROSS JOIN tot""").fetchnumpy()
+    p = (0.75 * vals["bc"].astype(np.float64) / vals["c1"]
+         + 0.25 * vals["c2"].astype(np.float64) / vals["t"])
+    x = -np.log(p) * 1e6 + 0.5
+    dist = np.abs(x - np.round(x))
+    # ln's cross-engine drift is ~1e-12 relative of values ~5e6 micro-
+    # nats => ~5e-6 absolute on the grid; require 100x headroom
+    assert dist.min() > 5e-4, (sf_dir, float(dist.min()), int(len(x)))
