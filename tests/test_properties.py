@@ -279,3 +279,28 @@ def test_rnd_matches_duckdb_bit_exactly(spark, vals, digits):
     assert all(
         (a is None and b is None) or a == b or (a != a and b != b)
         for a, b in zip(got, want)), (vals, digits, got, want)
+
+
+@settings(**SETTINGS)
+@given(keys=st.lists(st.text(min_size=1, max_size=30), min_size=1,
+                     max_size=25, unique=True))
+def test_md5_base_hash_contract_property(spark, keys):
+    """The §2.14 portable-hash contract under EVERY md5-based operator
+    (minhash band-tune/estimate, audience overlap, simhash): Spark's
+    `conv(substring(md5(x),1,15),16,10) % P` must equal DuckDB's
+    `('0x'||substr(md5(x),1,15))::BIGINT % P` for ARBITRARY unicode
+    strings — a drift here silently rots every CW signature at once."""
+    import duckdb
+
+    P = 2_147_483_647
+    df = spark.createDataFrame([(k,) for k in keys], "x string")
+    got = {r.x: r.h for r in df.select(
+        "x",
+        (F.expr("cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint)")
+         % F.lit(P)).alias("h")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        want = con.execute(
+            f"SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % {P}",
+            [k]).fetchone()[0]
+        assert got[k] == want, (k, got[k], want)
