@@ -745,11 +745,17 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
         .alias("cents"))
     name = f"mdis_observe_sink_{next(_SINK_COUNTER)}"
+    # the metrics are the OUTPUT — rows must still FLOW THROUGH the
+    # CollectMetrics node (so the filter sits ABOVE observe), but none
+    # need to reach the memory sink: without this the sink materializes
+    # the whole stream in the driver (measured 11.2 s / 38M rows at
+    # 64× vs 2.4 s at 16× — the r4 stream_session memory-sink lesson)
+    drained = observed.where(F.lit(False))
     prev = ev.sparkSession.conf.get("spark.sql.shuffle.partitions")
     try:
         ev.sparkSession.conf.set("spark.sql.shuffle.partitions",
                                  str(min(int(prev), 32)))
-        q = (observed.writeStream.format("memory").queryName(name)
+        q = (drained.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         q.awaitTermination()
     finally:
