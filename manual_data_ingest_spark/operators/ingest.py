@@ -409,22 +409,25 @@ FROM c GROUP BY c_nationkey
 def ingest_clean_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # curator-sheet null handling: sentinel/invalid values (negative
     # balances) become NULL, then both policies side by side — dropna
-    # (count of survivors) and fillna-0 (sum) — per cohort. na.drop /
-    # na.fill are the DataFrame-native spellings of the reference's
-    # per-row cleanup loops; one scan, no Python.
+    # (count of survivors, = count(bal)) and fillna-0 (sum of
+    # coalesce) — per cohort, in ONE conditional-aggregation pass.
+    # The r1-r6 three-aggregate + inner-join formulation had a NULL
+    # JOIN KEY bug found by the r6 null-injected ORACLE sweep: an
+    # equi-join never matches a NULL c_nationkey, so the null-cohort
+    # row (and any cohort whose survivors count is zero) silently
+    # vanished from the Spark side while the single-pass oracle kept
+    # it. The single pass is also the better plan: one shuffle, no
+    # joins (was three aggregates + two joins).
     c = load_table(spark, sf_dir, "customer")
     cleaned = c.select(
         "c_custkey", "c_nationkey",
         F.when(F.col("c_acctbal") < 0, None)
         .otherwise(F.col("c_acctbal")).alias("bal"))
-    kept = cleaned.na.drop(subset=["bal"])
-    filled = cleaned.na.fill({"bal": 0.0})
-    return (cleaned.groupBy("c_nationkey").agg(F.count("*").alias("n_total"))
-            .join(kept.groupBy("c_nationkey").agg(F.count("*").alias("n_kept")),
-                  "c_nationkey")
-            .join(filled.groupBy("c_nationkey")
-                  .agg(rnd(F.sum("bal")).alias("sum_filled")),
-                  "c_nationkey"))
+    return (cleaned.groupBy("c_nationkey")
+            .agg(F.count("*").alias("n_total"),
+                 F.count("bal").alias("n_kept"),
+                 rnd(F.sum(F.coalesce(F.col("bal"), F.lit(0.0))))
+                 .alias("sum_filled")))
 
 
 @register("ingest_union_drifted", """

@@ -299,3 +299,37 @@ def test_text_family_oracle_exact_on_unicode(spark, unicode_dir):
     results = run_all(sf_dir=unicode_dir, only=names, spark=spark)
     bad = [r.name for r in results if not r.ok]
     assert not bad, bad
+
+
+#: ops whose NULL semantics are load-bearing (null-safe joins, IGNORE
+#: NULLS windows, null grouping keys, try_/conditional functions, and
+#: every r6 op) — these must stay HASH-EXACT vs the DuckDB oracle on
+#: the null-injected fixture, not merely not-crash. The class exists
+#: because the r6 sweep found ingest_clean_nulls silently DROPPING the
+#: null-cohort row (inner equi-join on a NULL grouping key) — a bug
+#: invisible to both the standard-fixture oracle and the no-crash
+#: probe.
+NULL_ORACLE_EXACT = [
+    "join_null_safe", "win_forward_fill", "agg_gapfill_interp",
+    "ingest_clean_nulls", "scalar_try_funcs", "cond_funcs",
+    "filter_in_like_null", "agg_boolean", "agg_stats",
+    "sort_multi_null", "explode_outer_semantics", "agg_minby_maxby",
+    "agg_pricing_summary", "sample_neyman_allocation",
+    "agg_lorenz_curve", "ml_woe_encoding", "agg_spearman_grid",
+    "win_macd", "agg_overlap_minhash", "text_perplexity_ngram",
+]
+
+
+def test_null_semantics_oracle_exact(spark, nulls_dir):
+    """Beyond no-crash: the null-sensitive subset must stay HASH-EXACT
+    vs the DuckDB oracle on the null-injected fixture — null grouping
+    keys, null-safe joins, IGNORE NULLS fills and try_-function arms
+    are classic cross-engine divergence points that the standard
+    fixture (no nulls) cannot exercise."""
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=nulls_dir, only=NULL_ORACLE_EXACT,
+                      spark=spark)
+    bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
+    assert len(results) == len(NULL_ORACLE_EXACT)
+    assert not bad, bad
