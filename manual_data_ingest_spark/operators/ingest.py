@@ -209,7 +209,8 @@ SELECT 'lineitem.orphan_orderkey',
 UNION ALL
 SELECT 'orders.orphan_custkey',
        (SELECT count(*) FROM orders o
-        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        WHERE o.o_custkey IS NOT NULL   -- null FK = the .null rule, not an orphan
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
 UNION ALL
 SELECT 'events.event_type.domain',
        (SELECT count(*) FROM events

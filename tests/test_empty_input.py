@@ -311,6 +311,7 @@ def test_text_family_oracle_exact_on_unicode(spark, unicode_dir):
 #: probe.
 NULL_ORACLE_EXACT = [
     "join_null_safe", "win_forward_fill", "agg_gapfill_interp",
+    "ingest_validate",
     "ingest_clean_nulls", "scalar_try_funcs", "cond_funcs",
     "filter_in_like_null", "agg_boolean", "agg_stats",
     "sort_multi_null", "explode_outer_semantics", "agg_minby_maxby",
