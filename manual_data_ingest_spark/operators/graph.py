@@ -940,6 +940,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
     dist = (spark.range(1).select(F.lit(0).cast("long").alias("node"),
                                   F.lit(0).cast("long").alias("d")))
+    prev_rows = None
     for k in range(_SSSP_ITERS):
         relax = (edges.join(dist, edges.src == dist.node)
                  .select(F.col("dst").alias("node"),
@@ -952,5 +953,15 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without stalling — the graph_connected_components cadence rule
         if k % 3 == 2 or k == _SSSP_ITERS - 1:
             dist = dist.localCheckpoint(eager=True)
+            # fixed-point early exit at the same cadence: Bellman-Ford
+            # is monotone, so an unchanged |V|-row state (one tiny
+            # sorted-collect on dim-sized data) means every remaining
+            # round is a no-op — identical result BY DEFINITION, and
+            # the loop cost drops from |V|-1 rounds to the graph's
+            # actual distance-diameter (A/B in BASELINE.md r6)
+            rows = set(map(tuple, dist.collect()))  # nodes unique; a
+            if rows == prev_rows:                    # set compare needs
+                break                                # no None-safe sort
+            prev_rows = rows
     return (n.join(dist, n.n_nationkey == dist.node, "left")
             .select("n_nationkey", "n_name", F.col("d").alias("dist")))
