@@ -54,36 +54,38 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #: full 277-query local oracle sweep (tests/oracle_check.py) remains
 #: the regression gate for everything past the 50-slot window.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r3 window (50 slots): the operators a real reference user hits
-    # first and the driver has never seen — §2.12 ingest core (22),
-    # the flagship TPC-H-style suite (20), §2.5 window family (8).
-    "ingest_manifest", "ingest_id_mint", "ingest_validate",
-    "ingest_upsert_latest", "ingest_scd2", "join_skew_salted",
-    "provenance_chain", "ingest_clean_nulls", "ingest_union_drifted",
-    "ingest_file_lineage", "ingest_quarantine", "ingest_incremental_agg",
-    "ingest_profile", "ingest_manifest_diff", "ingest_cdc_apply",
-    "ingest_dq_suite", "ingest_backfill_plan", "provenance_impact_cascade",
-    "ingest_k_anonymity", "ingest_dp_release",
-    "ingest_partition_skew_report", "ingest_gdpr_erasure",
-    "flagship_q2_min_cost_supplier", "flagship_q4_priority_waiting",
-    "flagship_q5_local_volume", "flagship_q6_forecast_revenue",
-    "flagship_q7_bilateral_volume", "flagship_q8_market_share",
-    "flagship_q9_product_profit", "flagship_q10_returns",
-    "flagship_q11_important_stock", "flagship_q12_priority_lines",
-    "flagship_q13_order_distribution", "flagship_q14_promo_share",
-    "flagship_q15_top_supplier", "flagship_q16_supplier_variety",
-    "flagship_q17_small_qty_revenue", "flagship_q18_volume",
-    "flagship_q19_brackets", "flagship_q20_excess_share_suppliers",
-    "flagship_q21_waiting_supplier", "flagship_q22_idle_customers",
-    "win_dist_ranks", "win_conditional", "win_forward_fill",
-    "win_sessionize", "win_period_growth", "win_cumulative_distinct",
-    "win_zscore_outliers", "win_ewma",
-    # r4 candidates follow immediately — behavioural windows + UDF/
-    # scalar/nested surface — so a driver window >50 grades these next.
-    "win_funnel_steps", "win_retention_cohorts", "win_streak_days",
-    "win_rolling_wau", "win_zscore_rolling", "win_churn_weekly",
-    "win_seasonal_backtest", "win_max_drawdown", "win_interval_coalesce",
-    "win_autocorr_lag1",
+    # r7 window (50 slots), per the r6 verdict's Next-round #1: lead
+    # with the LLM-pipeline family and the graph/ML block, and include
+    # the 7 r6 ops that queued behind the r6 curated window. Earlier
+    # rounds' curated lists (r3 ingest/flagship/window, r4 behavioural
+    # windows) are all driver-green on record and filtered to the tail
+    # automatically, so this tuple only needs the CURRENT priorities.
+    # Composition: UDF surface (8) + reshape (2) + sampling (6) +
+    # the 7 queued r6 ops + graph block (9; sssp is in the queued 7) +
+    # ML core (8) + dedup/sim/text/pipeline family (10) = 50, of which
+    # 19 carry the dedup_/sim_/text_/multimodal_/sample_/pipeline_
+    # prefixes (verdict asks >= 15).
+    "udf_grouped_agg", "udf_grouped_map", "udf_map_partitions",
+    "udtf_tokenize", "udf_arrow_scalar", "udf_map_arrow",
+    "udtf_tokenize_arrow", "udf_pandas_scalar_iter",
+    "pivot_segment_counts", "unpivot_part_metrics",
+    "sample_hash", "sample_group_holdout", "sample_balanced_label",
+    "sample_negative_pairs", "sample_epoch_shuffle",
+    "sample_neyman_allocation",
+    "sim_item_cooccurrence", "text_perplexity_ngram",
+    "graph_sssp_weighted", "ml_woe_encoding", "stream_chained_stateful",
+    "stream_observed_metrics", "pipeline_token_shard",
+    "graph_pagerank", "graph_connected_components",
+    "graph_triangle_count", "graph_bfs_levels",
+    "graph_degree_distribution", "graph_label_propagation",
+    "graph_kcore", "graph_hits", "graph_link_prediction",
+    "ml_kmeans_embeddings", "ml_logistic_newton",
+    "ml_ols_normal_equations", "ml_pca_power", "ml_auc_roc",
+    "ml_naive_bayes", "ml_eval_metrics", "ml_knn_classify",
+    "dedup_decontaminate_shuffled", "dedup_minhash_band_tune",
+    "dedup_cross_source", "dedup_survivorship", "sim_threshold_expr",
+    "sim_bm25_topk", "sim_ann_ivf_pruned", "text_gopher_repetition",
+    "text_tfidf", "pipeline_seq_pack",
 )
 
 
