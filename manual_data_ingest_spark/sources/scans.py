@@ -1162,11 +1162,17 @@ def scan_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = (load_table(spark, sf_dir, "orders")
                  .groupBy(F.year("o_orderdate").alias("y"))
                  .agg(F.count("*").alias("cnt")))
-        mx = stats.agg(F.max("cnt")).collect()[0][0] or 0
         dim_out = _tmpdir("mdis_dpp_dim_")
         # keep only the busiest year's row, tagged with its count, so
-        # the read-back filter below is selective AND data-independent
-        stats.filter(F.col("cnt") == mx).write.mode("overwrite")              .parquet(dim_out)
+        # the read-back filter below is selective AND data-independent.
+        # Tie-break matches the oracle (ORDER BY cnt DESC, y LIMIT 1):
+        # on a count tie the smallest year wins on BOTH engines — the
+        # old cnt == max(cnt) filter kept every tied year and the month
+        # totals diverged (r6 advisor, medium). The limit happens at
+        # dim BUILD time, on a <=7-row aggregate, not in the scanned
+        # plan, so the DPP subquery shape below is unaffected.
+        (stats.orderBy(F.desc("cnt"), F.asc("y")).limit(1)
+         .write.mode("overwrite").parquet(dim_out))
         cache[dim_key] = dim_out
     dim = (spark.read.schema("y int, cnt bigint").parquet(dim_out)
            .filter(F.col("cnt") > 0).select("y"))

@@ -766,8 +766,13 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events = sum(r["n_events"] or 0 for r in rows)
     n_errors = sum(r["n_errors"] or 0 for r in rows)
     n_purchases = sum(r["n_purchases"] or 0 for r in rows)
-    cents = sum(r["cents"] or 0 for r in rows)
+    # SQL sum semantics: NULL (not 0.0) when no batch contributed a
+    # non-null cents — zero events, or an all-NULL value column. The
+    # old `r["cents"] or 0` coalesced that case to 0.0 and diverged
+    # from the oracle's sum() (r6 advisor, medium).
+    cent_vals = [r["cents"] for r in rows if r["cents"] is not None]
+    total_value = float(sum(cent_vals)) / 100.0 if cent_vals else None
     return spark.createDataFrame(
-        [(n_events, n_errors, n_purchases, float(cents) / 100.0)],
+        [(n_events, n_errors, n_purchases, total_value)],
         "n_events bigint, n_errors bigint, n_purchases bigint, "
         "total_value double")

@@ -318,6 +318,7 @@ NULL_ORACLE_EXACT = [
     "agg_pricing_summary", "sample_neyman_allocation",
     "agg_lorenz_curve", "ml_woe_encoding", "agg_spearman_grid",
     "win_macd", "agg_overlap_minhash", "text_perplexity_ngram",
+    "stream_observed_metrics",
 ]
 
 
@@ -333,4 +334,24 @@ def test_null_semantics_oracle_exact(spark, nulls_dir):
                       spark=spark)
     bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
     assert len(results) == len(NULL_ORACLE_EXACT)
+    assert not bad, bad
+
+
+#: Aggregate-total operators whose empty-input answer is a SINGLE row
+#: with SQL NULL semantics (sum over zero rows is NULL, count is 0) —
+#: the no-crash probe can't see a NULL-vs-0.0 divergence, so these are
+#: held hash-exact on the EMPTY fixture too (r6 advisor, medium:
+#: stream_observed_metrics coalesced an absent cents sum to 0.0).
+EMPTY_ORACLE_EXACT = [
+    "stream_observed_metrics", "agg_pricing_summary", "agg_boolean",
+]
+
+
+def test_empty_semantics_oracle_exact(spark, empty_dir):
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=empty_dir, only=EMPTY_ORACLE_EXACT,
+                      spark=spark)
+    bad = [(r.name, r.detail[:120]) for r in results if not r.ok]
+    assert len(results) == len(EMPTY_ORACLE_EXACT)
     assert not bad, bad

@@ -556,7 +556,8 @@ def test_perplexity_micronat_boundaries(sf_dir: str) -> None:
     vals = con.execute(f"""
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS l
-        FROM '{sf_dir}/documents.parquet' WHERE text IS NOT NULL
+        FROM '{sf_dir}/documents.parquet'
+        WHERE text IS NOT NULL AND source IS NOT NULL
       ), uni AS (
         SELECT w, count(*)::BIGINT AS c
         FROM (SELECT unnest(l) AS w FROM toks) GROUP BY 1

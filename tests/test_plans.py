@@ -1140,3 +1140,39 @@ def test_dpp_fires_on_partitioned_scan(spark):
         "formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_dpp_tie_break_matches_oracle(spark, tmp_path):
+    """On a max-count TIE between years, both engines must pick the
+    same single year (count DESC, year ASC — the oracle's ORDER BY).
+    The pre-r7 dim build kept EVERY tied year (cnt == max(cnt)), so a
+    tied fixture joined multiple years and the month totals diverged
+    from the oracle (r6 advisor, medium). Synthetic fixture: 1994 and
+    1995 tied at 4 orders each, different month/price mixes so a wrong
+    pick (or a both-years union) cannot hash-collide into a pass."""
+    import shutil
+
+    from tests.oracle_check import compare, duckdb_connect
+
+    src = SF_SMALL
+    dst = str(tmp_path / "dpp_tie")
+    shutil.copytree(src, dst)
+    rows = [
+        ("1994-01-10", 101.00), ("1994-01-20", 202.00),
+        ("1994-02-05", 303.00), ("1994-03-15", 404.00),
+        ("1995-01-10", 111.00), ("1995-02-20", 222.00),
+        ("1995-02-25", 333.00), ("1995-04-01", 444.00),
+    ]
+    o = spark.createDataFrame(
+        [(i + 1, d, p) for i, (d, p) in enumerate(rows)],
+        "o_orderkey long, o_orderdate string, o_totalprice double",
+    ).select("o_orderkey", F.col("o_orderdate").cast("date"),
+             "o_totalprice")
+    o.toPandas().to_parquet(f"{dst}/orders.parquet", index=False)
+    res = compare("scan_dpp_pruned",
+                  E.queries()["scan_dpp_pruned"](spark, dst),
+                  duckdb_connect(dst),
+                  E.oracle_sql()["scan_dpp_pruned"])
+    assert res.ok, res
+    # and the winner is 1994 (smaller year on the tie): 3 month rows
+    assert res.spark_rows == 3, res

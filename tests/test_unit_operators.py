@@ -314,10 +314,13 @@ def test_runs_test_single_day_and_two_day_series(spark, tmp_path):
 
 
 def test_sssp_converges_before_iteration_cap():
-    """graph_sssp_weighted runs a FIXED 6 relaxation rounds; the result
-    is the true shortest-path table only if the fixed point arrives by
-    then. Pin on every fixture SF that one EXTRA round changes nothing
-    (duckdb replay of the generated oracle at k and k+1)."""
+    """graph_sssp_weighted relaxes for at most _SSSP_ITERS = |V|−1 = 24
+    rounds (Bellman-Ford's worst case) and EARLY-EXITS at the fixed
+    point; the result is the true shortest-path table only if the fixed
+    point arrives within the cap. Pin on every fixture SF that one
+    EXTRA round past the cap changes nothing (duckdb replay of the
+    generated oracle at k and k+1). A fixed 6-round heuristic was
+    measured insufficient at sf0.001 — hence the |V|−1 cap."""
     import duckdb
 
     from manual_data_ingest_spark.operators.graph import (_SSSP_ITERS,
