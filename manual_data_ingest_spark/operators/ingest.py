@@ -50,7 +50,7 @@ SELECT doc_id,
            AS minted_id,
        row_number() OVER (ORDER BY source, doc_id) AS surrogate_id
 FROM documents
-""")
+""", twin_of="ingest_id_mint_scalable")
 def ingest_id_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uuid-api minting made deterministic: content-derived ID (sha2 of the
     # natural key) + surrogate numbering over an explicit total order.

@@ -387,7 +387,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
        {sql_rnd(_COS, 6)} AS score
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS} >= {_SIM_THRESHOLD}
-""")
+""", twin_of="sim_threshold_pairs")
 def sim_threshold_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expression-path comparison twin of ``sim_threshold_pairs`` (which
     is the engine's default, BLAS-blocked answer — r1 named the
@@ -438,7 +438,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
        {sql_rnd(_COS, 6)} AS score
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_COS} >= {_SIM_THRESHOLD}
-""")
+""", twin_of="sim_threshold_pairs_chunked")
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All intra-label pairs with cosine ≥ threshold — the engine's
     DEFAULT strategy, computed the production way: per-block BLAS
@@ -755,7 +755,7 @@ SELECT src, dst, score, rn FROM (
                               ORDER BY {_COS} DESC, b.vec_id) AS rn
     FROM pop a JOIN pop b ON b.vec_id <> a.vec_id
 ) WHERE rn <= 5
-""")
+""", twin_of="sim_knn_graph_blocked")
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric-population kNN graph (k=5, cosine) over the every-5th
     subcorpus: the edge list feeding graph clustering / connected-

@@ -116,3 +116,39 @@ def test_bench_headline_contract():
     assert no_oracle == [], f"HEADLINE without oracle: {no_oracle}"
     assert bench.TWINS <= set(bench.HEADLINE)
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_slow_twin_ledger_is_machine_checked():
+    """The deliberate-slow-twin list is a REGISTRY ATTRIBUTE, not prose
+    (r6 verdict, What's-wrong #3: the round log said 11 twins while the
+    true count was 12 — same hand-count defect class the new-op counter
+    fixed). Pins: the exact 12-name set, every scale-safe sibling is a
+    registered non-self operator, twin chains terminate at a non-twin,
+    and bench.py's TWINS exclusion set is a subset of the ledger."""
+    import bench
+    from manual_data_ingest_spark.registry import all_queries, slow_twins
+
+    tw = slow_twins()
+    assert tw == {
+        "sim_threshold_expr": "sim_threshold_pairs",
+        "dedup_near_jaccard": "dedup_near_minhash",
+        "dedup_simhash": "dedup_simhash_wide",
+        "dedup_embedding": "dedup_embedding_ann",
+        "sim_knn_graph": "sim_knn_graph_blocked",
+        "ingest_id_mint": "ingest_id_mint_scalable",
+        "agg_histogram_equidepth": "agg_histogram_sketch_bins",
+        "sim_hamming_topk": "sim_hamming_topk_blocked",
+        "sim_threshold_pairs": "sim_threshold_pairs_chunked",
+        "dedup_decontaminate": "dedup_decontaminate_shuffled",
+        "stream_dedup": "stream_dedup_within_watermark",
+        "agg_spearman": "agg_spearman_grid",
+    }
+    qs = set(all_queries())
+    for slow, fast in tw.items():
+        assert fast in qs and fast != slow
+        seen, cur = {slow}, fast
+        while cur in tw:  # chains allowed, cycles and dead ends not
+            assert cur not in seen, f"twin cycle at {cur}"
+            seen.add(cur)
+            cur = tw[cur]
+    assert set(bench.TWINS) <= set(tw)
