@@ -463,7 +463,8 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("text_chunk_overlap", """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           WHERE text IS NOT NULL)
 SELECT doc_id,
        (s // 40)::INT AS chunk_idx,
        len(l[s+1:s+50]) AS n_toks,
@@ -482,7 +483,10 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering (`pipeline_llm_prep` composition) and the md5 keys feed
     exact chunk-dedup before any embedding cost is paid.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL document has no chunks (both engines; the engines'
+    # split(NULL) shapes diverge — r7 null sweep)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
     base = d.select("doc_id", F.split("text", " ").alias("l"))
     starts = F.expr("sequence(0, greatest(size(l) - 1, 0), 40)")
     c = base.select("doc_id", F.explode(starts).alias("s"), "l")

@@ -469,7 +469,8 @@ m AS (
            avg(pow(o_totalprice - mu, 2)) AS m2,
            avg(pow(o_totalprice - mu, 3)) AS m3,
            avg(pow(o_totalprice - mu, 4)) AS m4
-    FROM orders o JOIN mu USING (o_orderstatus)
+    FROM orders o JOIN mu
+        ON o.o_orderstatus IS NOT DISTINCT FROM mu.o_orderstatus
     GROUP BY o.o_orderstatus
 )
 SELECT o_orderstatus,
@@ -1054,7 +1055,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT o_totalprice,
          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-  FROM orders
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT bucket,
        count(*) AS n,
@@ -1076,7 +1077,11 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUNDARIES, then one map-only pass bins rows — sketch + scan, no
     sort; this operator is the exact-reference version of that.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # histogram of a VALUE: null prices are excluded on both engines
+    # (the engines' null sort order disagrees, so leaving them in
+    # shifts every bucket boundary — r7 null sweep)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
     w = Window.orderBy("o_totalprice", "o_orderkey")
     t = o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
     return (t.groupBy("bucket")
@@ -1438,6 +1443,7 @@ WITH d AS (
     SELECT l_returnflag AS rf, l_extendedprice AS price,
            l_quantity::BIGINT AS wt, l_orderkey, l_linenumber
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ), c AS (
     SELECT rf, price,
            sum(wt) OVER (PARTITION BY rf
@@ -1479,7 +1485,9 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique line key. Measured: 0.86/2.3/8.9 s at 1×/4×/16× naive →
     flat after the rewrite.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull())
     d = li.select(F.col("l_returnflag").alias("rf"),
                   F.col("l_extendedprice").alias("price"),
                   F.col("l_quantity").cast("bigint").alias("wt"),
@@ -1504,7 +1512,7 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumnRenamed("rf", "t_rf"))
         bb = b.select(F.col("rf").alias("b_rf"), F.col("bin").alias("b_bin"),
                       "bw", "cumb", "tot")
-        return (first.join(bb, (F.col("t_rf") == F.col("b_rf"))
+        return (first.join(bb, F.col("t_rf").eqNullSafe(F.col("b_rf"))
                            & (F.col("tbin") == F.col("b_bin")))
                 .select(F.col("t_rf").alias("m_rf"),
                         F.col("tbin").alias("m_bin"),
@@ -1516,7 +1524,7 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # phase 3: exact scan of ONLY the target bins, offset-seeded
     hits = (d.join(F.broadcast(markers),
-                   (F.col("rf") == F.col("m_rf"))
+                   F.col("rf").eqNullSafe(F.col("m_rf"))
                    & (F.col("bin") == F.col("m_bin")))
             .select("rf", "price", "wt",
                     "l_orderkey", "l_linenumber", "off", "tot",

@@ -45,17 +45,27 @@ _SHINGLE_SQL = """
 SELECT doc_id, unnest(list_distinct(
          [array_to_string(l[i:i+4], ' ')
           for i in generate_series(1, greatest(len(l) - 4, 1))])) AS shingle
-FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE text IS NOT NULL)
 """
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct 5-token shingles per document."""
-    toks = F.split("text", " ")
+    """(doc_id, shingle) — distinct 5-token shingles per document.
+
+    NULL text is filtered, and the filter is LOAD-BEARING: without it
+    `concat_ws` (which SKIPS null args rather than propagating) turns
+    every null-text document into one `''` shingle, so ALL null docs
+    share a posting and pair up mutually at jaccard 1.0 — 50 nulls made
+    1225 bogus "perfect duplicate" pairs on the r7 null-injected sweep,
+    and at 100 TB the blowup is quadratic in the null count. The oracle
+    never had the bug (`array_to_string(NULL)` stays NULL and drops);
+    its WHERE clause mirrors this filter for definitional parity."""
     sh = F.array_distinct(F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
         " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(sh).alias("shingle")))
 
 
 @register("dedup_exact", f"""

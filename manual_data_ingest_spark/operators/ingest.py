@@ -46,9 +46,11 @@ def ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ingest_id_mint", """
 SELECT doc_id,
-       'MDI-' || upper(substring(sha256(source || '|' || doc_id::VARCHAR), 1, 12))
+       'MDI-' || upper(substring(sha256(
+           coalesce(source, '') || '|' || doc_id::VARCHAR), 1, 12))
            AS minted_id,
-       row_number() OVER (ORDER BY source, doc_id) AS surrogate_id
+       row_number() OVER (ORDER BY source NULLS FIRST, doc_id)
+           AS surrogate_id
 FROM documents
 """, twin_of="ingest_id_mint_scalable")
 def ingest_id_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,23 +60,32 @@ def ingest_id_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number is the bottleneck — for real pipelines prefer the sha2 ID
     # or zipWithIndex-style per-partition offsets; kept here because the
     # reference's registration flow is sequential by nature.
+    # NULL-source contract, made explicit on both engines (r7 null
+    # sweep): the mint key coalesces NULL source to '' (concat_ws
+    # SKIPS null args, which would make source=NULL collide with a
+    # doc_id-only key shape, while the oracle's || propagated NULL and
+    # minted nothing), and the surrogate order pins NULLS FIRST
+    # (Spark's ASC default; DuckDB defaults NULLS LAST).
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("source", "doc_id")
+    w = Window.orderBy(F.asc_nulls_first("source"), "doc_id")
     return d.select(
         "doc_id",
         F.concat(
             F.lit("MDI-"),
             F.upper(F.substring(
-                F.sha2(F.concat_ws("|", "source", "doc_id"), 256), 1, 12)))
+                F.sha2(F.concat_ws("|", F.coalesce("source", F.lit("")),
+                                   "doc_id"), 256), 1, 12)))
         .alias("minted_id"),
         F.row_number().over(w).alias("surrogate_id"))
 
 
 @register("ingest_id_mint_scalable", """
 SELECT doc_id,
-       'MDI-' || upper(substring(sha256(source || '|' || doc_id::VARCHAR), 1, 12))
+       'MDI-' || upper(substring(sha256(
+           coalesce(source, '') || '|' || doc_id::VARCHAR), 1, 12))
            AS minted_id,
-       row_number() OVER (ORDER BY source, doc_id) AS surrogate_id
+       row_number() OVER (ORDER BY source NULLS FIRST, doc_id)
+           AS surrogate_id
 FROM documents
 """)
 def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,20 +103,29 @@ def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     never funnels through one task. A skewed mega-source subdivides by
     doc_id range with the same cumulative-offset trick.
     """
+    # NULL-source contract matches the serial twin: '' in the mint key,
+    # NULLS FIRST bucket order, and the offsets join back is NULL-SAFE
+    # (a plain equi-join on source silently DROPPED every null-source
+    # document — the ingest_clean_nulls bug class, caught by the r7
+    # null sweep; <=> keeps the broadcast-hash shape).
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n"))
-    w_off = (Window.orderBy("source")
+    w_off = (Window.orderBy(F.asc_nulls_first("source"))
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.select(
-        "source", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+        F.col("source").alias("off_source"),
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
     w_local = Window.partitionBy("source").orderBy("doc_id")
-    return (d.join(F.broadcast(offsets), "source")
+    return (d.join(F.broadcast(offsets),
+                   d["source"].eqNullSafe(F.col("off_source")))
             .select(
                 "doc_id",
                 F.concat(
                     F.lit("MDI-"),
                     F.upper(F.substring(
-                        F.sha2(F.concat_ws("|", "source", "doc_id"), 256),
+                        F.sha2(F.concat_ws("|",
+                                           F.coalesce("source", F.lit("")),
+                                           "doc_id"), 256),
                         1, 12))).alias("minted_id"),
                 (F.col("off") + F.row_number().over(w_local))
                 .cast("long").alias("surrogate_id")))
@@ -114,7 +134,8 @@ def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ingest_post_entities", """
 WITH k AS (
     SELECT doc_id, source,
-           sha256(source || '|' || doc_id::VARCHAR) AS idem_key
+           sha256(coalesce(source, '') || '|' || doc_id::VARCHAR)
+               AS idem_key
     FROM documents
 )
 SELECT doc_id, source, idem_key,
@@ -159,8 +180,12 @@ def ingest_post_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         svc = _MockEntityApi()  # one connection per partition/task
         for pdf in batches:
+            # NULL source keys as '' on both engines (Python would
+            # stringify None as the literal "None"; the oracle's ||
+            # propagated NULL) — same contract as ingest_id_mint.
             keys = [
-                hashlib.sha256(f"{s}|{i}".encode()).hexdigest()
+                hashlib.sha256(
+                    f"{'' if pd.isna(s) else s}|{i}".encode()).hexdigest()
                 for s, i in zip(pdf["source"], pdf["doc_id"])
             ]
             receipts = [svc.post_with_retry(k) for k in keys]
@@ -642,17 +667,25 @@ def ingest_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling only (id, md5) pairs, never content. Checksums come from
     the manifests; content is read zero times.
     """
+    # presence rides EXPLICIT flags, not checksum nullability: a file
+    # can be present with a NULL checksum (unreadable content, null
+    # text), and inferring "added"/"removed" from old_md5 IS NULL
+    # misclassified exactly those rows (r7 null sweep; the oracle
+    # always keyed presence on the join key). The changed-comparison's
+    # NULL semantics (NULL <> anything → not changed) match the oracle.
     d = load_table(spark, sf_dir, "documents")
     old = (d.filter(F.col("doc_id") % 10 != 0)
-           .select("doc_id", F.md5("text").alias("old_md5")))
+           .select("doc_id", F.md5("text").alias("old_md5"),
+                   F.lit(True).alias("in_old")))
     new = (d.filter(F.col("doc_id") % 10 != 1)
            .select("doc_id",
                    F.when(F.col("doc_id") % 7 == 0,
                           F.md5(F.concat(F.col("text"), F.lit("!"))))
-                   .otherwise(F.md5("text")).alias("new_md5")))
+                   .otherwise(F.md5("text")).alias("new_md5"),
+                   F.lit(True).alias("in_new")))
     j = old.join(new, "doc_id", "full_outer")
-    status = (F.when(F.col("old_md5").isNull(), "added")
-              .when(F.col("new_md5").isNull(), "removed")
+    status = (F.when(F.col("in_old").isNull(), "added")
+              .when(F.col("in_new").isNull(), "removed")
               .when(F.col("old_md5") != F.col("new_md5"), "changed")
               .otherwise("unchanged"))
     return (j.select("doc_id", status.alias("status"))
@@ -1272,7 +1305,12 @@ def ingest_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string"),
         F.coalesce(F.col("o_custkey").cast("string"), F.lit("")),
         F.coalesce(F.col("o_orderstatus"), F.lit("")),
-        F.coalesce(F.format_string("%.2f", "o_totalprice"), F.lit("")),
+        # format_string renders a NULL arg as the literal "null" (it
+        # never returns NULL for null args, unlike DuckDB's printf) —
+        # the isNotNull guard keeps the canonical NULL rendering ''
+        F.coalesce(F.when(F.col("o_totalprice").isNotNull(),
+                          F.format_string("%.2f", "o_totalprice")),
+                   F.lit("")),
         F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
                    F.lit("")),
         F.coalesce(F.col("o_orderpriority"), F.lit(""))))

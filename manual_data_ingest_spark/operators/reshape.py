@@ -140,7 +140,8 @@ WITH counts AS (
   SELECT 1000 - sum(base_q) AS d FROM alloc
 ), bonus AS (
   SELECT source,
-         CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+         CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                      source NULLS FIRST)
                    <= (SELECT d FROM deficit) THEN 1 ELSE 0 END AS b
   FROM alloc
 )
@@ -149,7 +150,7 @@ SELECT a.source, a.c,
        least(a.base_q + b.b, a.c)::BIGINT AS n_downsampled,
        floor((a.base_q + b.b)::DOUBLE / a.c * 1000000.0 + 0.5) / 1000000.0
            AS epochs
-FROM alloc a JOIN bonus b ON a.source = b.source
+FROM alloc a JOIN bonus b ON a.source IS NOT DISTINCT FROM b.source
 """)
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based data mixing (τ = 0.5): per-source sampling
@@ -178,7 +179,11 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.expr("w * 1000 div tw").alias("base_q"),
                      F.expr("(w * 1000) % tw").alias("rem")))
     deficit = alloc.agg((F.lit(1000) - F.sum("base_q")).alias("d"))
-    wb = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    # a NULL source is a real stratum: the Spark side never rejoins on
+    # the grouping key (withColumn carries b), and the oracle's rejoin
+    # is IS NOT DISTINCT FROM — a plain equi-join dropped the NULL
+    # stratum (r7 null sweep). Tie-break NULLS FIRST, explicit on both.
+    wb = Window.orderBy(F.col("rem").desc(), F.asc_nulls_first("source"))
     bonus = (alloc.crossJoin(F.broadcast(deficit))
              .withColumn("b", F.when(F.row_number().over(wb)
                                      <= F.col("d"), 1).otherwise(0)))

@@ -139,9 +139,12 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("udf_map_partitions", """
 SELECT c_custkey, c_nationkey,
-       CASE c_nationkey % 5
-            WHEN 0 THEN 'TIER-A' WHEN 1 THEN 'TIER-B' WHEN 2 THEN 'TIER-C'
-            WHEN 3 THEN 'TIER-D' ELSE 'TIER-E' END AS tier
+       CASE WHEN c_nationkey IS NULL THEN NULL
+            WHEN c_nationkey % 5 = 0 THEN 'TIER-A'
+            WHEN c_nationkey % 5 = 1 THEN 'TIER-B'
+            WHEN c_nationkey % 5 = 2 THEN 'TIER-C'
+            WHEN c_nationkey % 5 = 3 THEN 'TIER-D'
+            ELSE 'TIER-E' END AS tier
 FROM customer
 """)
 def udf_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,3 +304,38 @@ def udf_pandas_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
     return d.select("doc_id", nondigit_len("text").alias("n_nondigit"))
+
+
+@register("udf_sql_function", f"""
+SELECT o_orderkey,
+       {sql_rnd('''o_totalprice * CASE WHEN o_orderpriority
+                       IN ('1-URGENT', '2-HIGH') THEN 1.1 ELSE 1.0 END''')}
+           AS uplift_price
+FROM orders
+""")
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN <expr>`) —
+    the API-surface member that makes the whole Python-UDF-is-the-slow-
+    path rule actionable: a named, reusable function that the analyzer
+    INLINES into the calling plan, so it costs exactly what the raw
+    expression costs. tests/test_plans.py pins the contract: the
+    executed plan contains NO BatchEvalPython/ArrowEvalPython node and
+    the function body's CASE expression appears inline in the Project,
+    inside WholeStageCodegen — at 100 TB the difference between this
+    and `udf_python_scalar` is the difference between codegen and a
+    per-row Python round trip (~10-100x, measured on the pandas twin).
+
+    Registered per-session with OR REPLACE (idempotent across the
+    oracle sweep's repeated calls); the uplift arithmetic rides the
+    repo's exact-IEEE rounding contract (functions/rounding.py).
+    """
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mdis_priority_uplift(
+            price DOUBLE, pri STRING) RETURNS DOUBLE
+        RETURN price * CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+                            THEN 1.1 ELSE 1.0 END""")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        rnd(F.expr("mdis_priority_uplift(o_totalprice, o_orderpriority)"))
+        .alias("uplift_price"))

@@ -138,15 +138,20 @@ def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
         d = _tmpdir("mdis_binfiles_")
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         for row in docs.toLocalIterator():
+            if row.text is None:
+                continue  # a NULL document has NO file on the mount —
+                # and Spark's file sources SKIP zero-byte files anyway,
+                # so the old "NULL text = empty file" shim made the scan
+                # silently read 450/500 (r7 null sweep)
             with open(os.path.join(d, f"{row.doc_id}.bin"), "wb") as f:
-                f.write((row.text or "").encode())  # NULL text = empty file
+                f.write(row.text.encode())
         _BINFILE_DIRS[sf_dir] = d
     return _BINFILE_DIRS[sf_dir]
 
 
 @register("scan_binaryfile", """
 SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """)
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-of-media scan via Spark's `binaryFile` source — the real

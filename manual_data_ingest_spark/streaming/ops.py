@@ -313,14 +313,22 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def running(key, pdfs, state: GroupState):
-        cnt, mx = state.get if state.exists else (0, float("-inf"))
+        # "no max yet" is NaN in state and SQL NULL in the output —
+        # the old float('-inf') seed LEAKED -inf rows wherever a user's
+        # prefix was all-NULL values (SQL max ignores NULLs and stays
+        # NULL; caught by the r7 null-injected sweep). NaN comparisons
+        # are all-False, so the isna guards drive the update.
+        import math
+
+        cnt, mx = state.get if state.exists else (0, math.nan)
         pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         out_cnt, out_mx = [], []
         for v in pdf["value"]:
             cnt += 1
-            mx = v if v > mx else mx
+            if not pd.isna(v) and (math.isnan(mx) or v > mx):
+                mx = v
             out_cnt.append(cnt)
-            out_mx.append(mx)
+            out_mx.append(None if math.isnan(mx) else mx)
         state.update((cnt, mx))
         yield pd.DataFrame({
             "event_id": pdf["event_id"].to_numpy(),
@@ -549,7 +557,8 @@ WITH counts AS (
 SELECT window_start, event_type, cnt, rk FROM (
   SELECT window_start, event_type, cnt,
          row_number() OVER (PARTITION BY window_start
-                            ORDER BY cnt DESC, event_type) AS rk
+                            ORDER BY cnt DESC, event_type NULLS LAST)
+             AS rk
   FROM counts
 ) WHERE rk <= 3
 """)
@@ -573,8 +582,11 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("window.start").alias("window_start"),
                    "event_type", "cnt"))
     sink = run_to_batch(agg, "complete")
+    # NULLS LAST on the type tie-break, explicit on both engines (the
+    # defaults disagree: Spark ASC is nulls-first, DuckDB nulls-last) —
+    # on a count tie the real event types outrank the null bucket.
     w = Window.partitionBy("window_start").orderBy(
-        F.col("cnt").desc(), "event_type")
+        F.col("cnt").desc(), F.asc_nulls_last("event_type"))
     return (sink.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
             .select("window_start", "event_type", "cnt", "rk"))

@@ -301,24 +301,69 @@ def test_text_family_oracle_exact_on_unicode(spark, unicode_dir):
     assert not bad, bad
 
 
-#: ops whose NULL semantics are load-bearing (null-safe joins, IGNORE
-#: NULLS windows, null grouping keys, try_/conditional functions, and
-#: every r6 op) — these must stay HASH-EXACT vs the DuckDB oracle on
-#: the null-injected fixture, not merely not-crash. The class exists
-#: because the r6 sweep found ingest_clean_nulls silently DROPPING the
-#: null-cohort row (inner equi-join on a NULL grouping key) — a bug
-#: invisible to both the standard-fixture oracle and the no-crash
-#: probe.
+#: ops whose NULL semantics are load-bearing — these must stay
+#: HASH-EXACT vs the DuckDB oracle on the null-injected fixture, not
+#: merely not-crash. The class exists because the r6 sweep found
+#: ingest_clean_nulls silently DROPPING the null-cohort row (inner
+#: equi-join on a NULL grouping key) — invisible to both the
+#: standard-fixture oracle and the no-crash probe. Extended r7 per the
+#: verdict (21 -> 134 names): every join_*/ingest_*/win_*/sample_*/
+#: provenance_* op that the full-registry null sweep verified exact,
+#: plus the 20 ops the r7 sweep FIXED (null-text shingle pairing
+#: blowup in the dedup family, presence-vs-checksum confusion in
+#: manifest_diff, format_string's "null" literal in row_fingerprint,
+#: -inf leak in stream_stateful_running, equi-join drops of NULL
+#: grouping keys in id_mint_scalable / temperature_mix / skew_kurtosis
+#: / percentile_weighted, null sort-order divergence in equidepth /
+#: topk tie-breaks, and the binaryfile zero-byte-file skip). The
+#: full-registry sweep lives in tools/null_sweep.py (round-close
+#: gate); this pytest subset is the per-commit regression net.
 NULL_ORACLE_EXACT = [
-    "join_null_safe", "win_forward_fill", "agg_gapfill_interp",
-    "ingest_validate",
-    "ingest_clean_nulls", "scalar_try_funcs", "cond_funcs",
-    "filter_in_like_null", "agg_boolean", "agg_stats",
-    "sort_multi_null", "explode_outer_semantics", "agg_minby_maxby",
-    "agg_pricing_summary", "sample_neyman_allocation",
-    "agg_lorenz_curve", "ml_woe_encoding", "agg_spearman_grid",
-    "win_macd", "agg_overlap_minhash", "text_perplexity_ngram",
-    "stream_observed_metrics",
+    "agg_boolean", "agg_gapfill_interp", "agg_histogram_equidepth",
+    "agg_lorenz_curve", "agg_minby_maxby", "agg_overlap_minhash",
+    "agg_percentile_weighted", "agg_pricing_summary", "agg_skew_kurtosis",
+    "agg_spearman_grid", "agg_stats", "cond_funcs",
+    "dedup_clusters", "dedup_containment", "dedup_minhash_band_tune",
+    "dedup_minhash_estimate_error", "dedup_near_jaccard", "dedup_near_minhash",
+    "explode_outer_semantics", "filter_in_like_null", "ingest_backfill_plan",
+    "ingest_cdc_apply", "ingest_checksum_manifest", "ingest_clean_nulls",
+    "ingest_double_submit_guard", "ingest_dp_release", "ingest_dq_suite",
+    "ingest_file_lineage", "ingest_fk_coverage_report", "ingest_freshness_slo",
+    "ingest_gdpr_erasure", "ingest_id_mint", "ingest_id_mint_scalable",
+    "ingest_incremental_agg", "ingest_k_anonymity", "ingest_late_arriving_dims",
+    "ingest_late_data_report", "ingest_manifest", "ingest_manifest_diff",
+    "ingest_missing_hours_report", "ingest_mix_shift_chi2", "ingest_partition_skew_report",
+    "ingest_post_entities", "ingest_profile", "ingest_psi_drift",
+    "ingest_quarantine", "ingest_rate_limit_audit", "ingest_reconcile_totals",
+    "ingest_row_fingerprint", "ingest_scd2", "ingest_union_drifted",
+    "ingest_upsert_latest", "ingest_validate", "ingest_volume_anomaly",
+    "join_anti", "join_asof", "join_asof_forward",
+    "join_asof_nearest", "join_asof_tolerance", "join_band_bucketed",
+    "join_bloom_prefilter", "join_broadcast", "join_cross",
+    "join_full_outer", "join_fuzzy_levenshtein", "join_inner_equi",
+    "join_interval_overlap", "join_left_outer", "join_null_safe",
+    "join_pit_scd2", "join_range_theta", "join_right_outer",
+    "join_semi", "join_skew_salted", "ml_woe_encoding",
+    "provenance_chain", "provenance_impact_cascade", "sample_balanced_label",
+    "sample_epoch_shuffle", "sample_group_holdout", "sample_hash",
+    "sample_importance_weighted", "sample_negative_pairs", "sample_neyman_allocation",
+    "sample_stratified", "sample_temperature_mix", "sample_train_val_test",
+    "scalar_try_funcs", "scan_binaryfile", "sort_multi_null",
+    "stream_observed_metrics", "stream_stateful_running", "stream_topk_windowed",
+    "text_chunk_overlap", "text_perplexity_ngram", "udf_map_partitions",
+    "win_autocorr_lag1", "win_churn_weekly", "win_conditional",
+    "win_cumulative_distinct", "win_dist_ranks", "win_error_burst",
+    "win_ewma", "win_forward_fill", "win_funnel_steps",
+    "win_gap_distribution", "win_interval_coalesce", "win_lag_lead",
+    "win_macd", "win_max_drawdown", "win_moving_range",
+    "win_ntile_firstlast", "win_pareto_share", "win_peak_concurrency",
+    "win_period_growth", "win_range_duration", "win_rank_trio",
+    "win_retention_cohorts", "win_rolling_mad", "win_rolling_median",
+    "win_rolling_regression", "win_rolling_wau", "win_rsi",
+    "win_running_sum", "win_seasonal_backtest", "win_sessionize",
+    "win_streak_days", "win_time_to_convert", "win_top_paths",
+    "win_topk_group", "win_twap", "win_wma",
+    "win_zscore_outliers", "win_zscore_rolling",
 ]
 
 

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Full-registry null-injected oracle sweep — the round-close gate.
+
+Builds the same null fixture as tests/test_empty_input.py's nulls_dir
+(every non-key column NULL on every 10th row of sf0.001), then runs
+EVERY registered operator through the driver-faithful oracle harness
+against it. The pytest gate (NULL_ORACLE_EXACT, 134 ops) is the
+per-commit subset; this sweep is the exhaustive version that found the
+r6 ingest_clean_nulls cohort drop and the r7 batch (20 fixes: the
+dedup null-text pairing blowup, manifest_diff presence confusion,
+stream_stateful_running -inf leak, NULL-grouping-key join drops, null
+sort-order divergences, format_string's "null" literal, the
+binaryfile zero-byte skip).
+
+Known-divergent remainder (adjudicated, standard fixture contract
+declares the columns non-null or the op is approximate/stub —
+re-adjudicate if this list GROWS):
+  approx sketches (agg_approx_quantile, agg_hll_partitioned) — the
+    sketch calibration pins hold on the standard fixture only;
+  ml_*/sim_pq on null embeddings/labels — contract non-null;
+  multimodal stubs on null media buffers — env-gated fakes;
+  CSV/JSON round-trips (scan_*_badrecords, scan_schema_evolution,
+    sink_merge_upsert, scan_manifest_pruned) — format-level null
+    encoding semantics ('' vs missing vs corrupt) differ by design;
+  flagship_q9 — raw group sum sits exactly on a half-cent rounding
+    tie under the null subset (577783.815 measured), both engines
+    wobble on the last bit; win_bollinger/agg_survival_km/
+    agg_runs_test/agg_acf_multi_lag — null-value time series where
+    the window semantics choices are documented per-op.
+
+Usage:  python tools/null_sweep.py            # build + sweep
+        python tools/null_sweep.py NAME ...   # subset
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURE = "/tmp/mdis_nulls_sweep"
+KEYCOLS = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+           "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+           "n_nationkey", "r_regionkey", "user_id", "ts"}
+
+
+def build_fixture(src: str = "/root/testdata/sf0.001",
+                  dst: str = FIXTURE) -> str:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(f"{src}/{f}")
+        cols = []
+        for i, cname in enumerate(t.column_names):
+            col = t.column(i)
+            if cname in KEYCOLS:
+                cols.append(col)
+                continue
+            n = len(t)
+            mask = pa.array([(j % 10) == 3 for j in range(n)])
+            cols.append(pc.if_else(mask, pa.nulls(n, col.type),
+                                   col.combine_chunks()))
+        pq.write_table(pa.table(cols, names=t.column_names), f"{dst}/{f}")
+    return dst
+
+
+def main() -> None:
+    from tests.oracle_check import run_all
+
+    only = sys.argv[1:] or None
+    sf_dir = build_fixture()
+    results = run_all(sf_dir=sf_dir, only=only)
+    bad = [(r.name, r.detail[:110]) for r in results if not r.ok]
+    for name, detail in bad:
+        print(f"BAD {name}: {detail}")
+    print(f"SUMMARY: {len(results) - len(bad)}/{len(results)} OK "
+          f"({len(bad)} divergent)")
+
+
+if __name__ == "__main__":
+    main()
