@@ -965,3 +965,88 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_rows = rows
     return (n.join(dist, n.n_nationkey == dist.node, "left")
             .select("n_nationkey", "n_name", F.col("d").alias("dist")))
+
+
+@register("graph_reach_recursive", """
+WITH RECURSIVE e AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2
+), top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, dst) AS rk
+    FROM e
+  ) WHERE rk <= 3
+), walk AS (
+  SELECT 0 AS node, 0 AS lvl
+  UNION ALL
+  SELECT top3.dst, walk.lvl + 1
+  FROM walk JOIN top3 ON top3.src = walk.node
+  WHERE walk.lvl < 4
+)
+SELECT node AS n_nationkey, min(lvl)::BIGINT AS hops,
+       count(*)::BIGINT AS n_paths
+FROM walk GROUP BY node
+""")
+def graph_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop reachability via the ENGINE'S OWN iteration —
+    Spark 4's `WITH RECURSIVE` (UnionLoop execution), the declarative
+    counterpart to this module's Python-driven frontier loops
+    (`graph_bfs_levels`): hop distance and path multiplicity from
+    nation 0 over each nation's top-3 trading destinations, depth ≤ 4.
+
+    Engine facts recorded: Spark 4.1 recursive CTEs support UNION ALL
+    ONLY ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], probed) — no
+    engine-side frontier dedup, so cycle safety must come from a depth
+    bound and path multiplicity grows with walks, not nodes. That is
+    exactly why the Python frontier loop (visited-set anti-join per
+    round) remains this engine's scale path for unbounded BFS; the
+    recursive form is the right tool when the recursion is DIM-SIZED
+    (here: a ≤25-node nation graph, out-degree capped at 3 by the
+    top-3 rank, so ≤ 3^4 walk rows) — org charts, category trees, BOM
+    explosions — while the heavy fact work stays in the one edge
+    aggregation below the recursion. The walk table also carries
+    n_paths (walk multiplicity), which the dedup-based frontier loop
+    cannot produce — UNION ALL semantics as a feature, not a bug.
+
+    The top-3 edge prune is deterministic ((cnt DESC, dst) total
+    order) and both engines run the identical recursion, so the
+    oracle is the same SQL modulo dialect.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    e = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(li, li.l_orderkey == o.o_orderkey)
+         .join(s, li.l_suppkey == s.s_suppkey)
+         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+         .groupBy(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+         .agg(F.count("*").alias("cnt")))
+    rk = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    # checkpoint BEFORE the recursion: the loop references this view
+    # once per iteration, and an unmaterialized view re-executes the
+    # whole 4-way fact join every step (measured 4.7 s -> see
+    # BASELINE.md; the edge list is <=75 rows, the fact is scanned once)
+    top3 = (e.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") <= 3).select("src", "dst")
+            .localCheckpoint(eager=True))
+    view = "mdis_reach_edges"
+    top3.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE walk AS (
+          SELECT 0 AS node, 0 AS lvl
+          UNION ALL
+          SELECT e.dst, walk.lvl + 1
+          FROM walk JOIN {view} e ON e.src = walk.node
+          WHERE walk.lvl < 4
+        )
+        SELECT node AS n_nationkey, CAST(min(lvl) AS BIGINT) AS hops,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM walk GROUP BY node""")

@@ -727,3 +727,96 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+@register("join_skew_aqe", """
+WITH l AS (
+  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+              ELSE l_orderkey END AS k,
+         floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS cents
+  FROM lineitem
+), d AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 4 <> 0 THEN 0
+                       ELSE o_orderkey END AS k
+  FROM orders
+), dim AS (SELECT k, k % 7 AS grp FROM d)
+SELECT dim.grp, count(*)::BIGINT AS n,
+       floor((sum(l.cents)::DOUBLE / 100.0) * 100.0 + 0.5) / 100.0
+           AS revenue
+FROM l JOIN dim ON l.k = dim.k
+GROUP BY 1
+""")
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW-JOIN handling, demonstrated end to end — the engine-
+    native answer to the HAND-salted `join_skew_salted`: ~75% of the
+    left rows collapse onto one hot key (the real-world power-law
+    join), the plan is forced to sort-merge, and at runtime AQE's
+    OptimizeSkewedJoin SPLITS the hot partition into advisory-sized
+    slices that join the (replicated) dim rows in parallel —
+    tests/test_plans.py asserts `skew=true` inside the executed SMJ.
+    Without the split, one task drags the whole stage (the straggler
+    shape `join_skew_salted` documents); with it, no code changes and
+    no salt key reach the query.
+
+    Demonstration scaling, same policy as `scan_dpp_pruned`: the skew
+    detection thresholds (256 MB partition floor by default) are
+    lowered inside try/finally so the mechanism FIRES at fixture
+    scale; at production scale the defaults do this unprompted.
+    Broadcast is disabled for the same reason — a dim that fits in
+    memory would broadcast and make skew moot (which IS the first-
+    choice fix; this operator is for when neither side broadcasts).
+    Result correctness is split-invariant — the oracle is the plain
+    join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    k_l = F.when(F.col("l_orderkey") % 4 != 0, F.lit(0)) \
+        .otherwise(F.col("l_orderkey")).alias("k")
+    k_o = F.when(F.col("o_orderkey") % 4 != 0, F.lit(0)) \
+        .otherwise(F.col("o_orderkey")).alias("k")
+    # the split unit of OptimizeSkewedJoin is the MAPPER OUTPUT RANGE:
+    # a hot reduce partition fed by a single map task cannot be split
+    # at all (root-caused here — the single-file fixture scan is one
+    # mapper, so skew handling silently never fired). The round-robin
+    # repartition gives the fixture the multi-mapper shuffle a real
+    # table has natively; the dim is checkpointed so its distinct agg
+    # doesn't sit between the join and its shuffle stage (the
+    # SMJ(Sort(ShuffleStage)) pattern OptimizeSkewedJoin matches).
+    left = li.select(k_l, F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+                     .cast("long").alias("cents")).repartition(8)
+    dim = (o.select(k_o).distinct()
+           .select("k", (F.col("k") % 7).alias("grp"))
+           .localCheckpoint(eager=True))
+    conf = spark.conf
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            conf.get("spark.sql.adaptive.skewJoin."
+                     "skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+        "spark.sql.adaptive.coalescePartitions.enabled":
+            conf.get("spark.sql.adaptive.coalescePartitions.enabled"),
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin."
+                 "skewedPartitionThresholdInBytes", "32KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        joined = left.join(dim, "k")
+        res = (joined.groupBy("grp")
+               .agg(F.count("*").alias("n"),
+                    (F.floor((F.sum("cents").cast("double") / 100.0)
+                             * 100.0 + F.lit(0.5)) / 100.0)
+                    .alias("revenue")))
+        out = res.localCheckpoint(eager=True)  # execute under demo confs
+        # executed-plan evidence for tests/test_plans.py (the confs are
+        # restored below, so a test re-run would not reproduce it)
+        spark._mdis_skew_plan = (res._jdf.queryExecution()
+                                 .executedPlan().toString())
+    finally:
+        for key, v in saved.items():
+            conf.set(key, v)
+    return out

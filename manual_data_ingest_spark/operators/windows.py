@@ -2271,3 +2271,107 @@ def win_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(macd, 6).alias("macd"),
                  rnd(fold["sig"], 6).alias("signal_line"),
                  rnd(macd - fold["sig"], 6).alias("histogram")))
+
+
+@register("win_holt_linear", f"""
+WITH RECURSIVE cents AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('month', o_orderdate) AS mo,
+         sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS c
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+), idx AS (
+  SELECT priority, c::DOUBLE / 100.0 AS v,
+         row_number() OVER (PARTITION BY priority ORDER BY mo) AS rn
+  FROM cents
+), nn AS (SELECT priority, count(*)::BIGINT AS n_months FROM idx GROUP BY 1),
+fold AS (
+  SELECT a.priority, 2 AS rn,
+         (1.0::DOUBLE / 5.0) * b.v
+           + (1.0::DOUBLE - 1.0::DOUBLE / 5.0) * (a.v + (b.v - a.v)) AS l,
+         (1.0::DOUBLE / 10.0)
+           * ((1.0::DOUBLE / 5.0) * b.v
+              + (1.0::DOUBLE - 1.0::DOUBLE / 5.0) * (a.v + (b.v - a.v))
+              - a.v)
+           + (1.0::DOUBLE - 1.0::DOUBLE / 10.0) * (b.v - a.v) AS b
+  FROM idx a JOIN idx b ON b.priority = a.priority AND b.rn = 2
+  WHERE a.rn = 1
+  UNION ALL
+  SELECT f.priority, f.rn + 1,
+         (1.0::DOUBLE / 5.0) * i.v
+           + (1.0::DOUBLE - 1.0::DOUBLE / 5.0) * (f.l + f.b),
+         (1.0::DOUBLE / 10.0)
+           * ((1.0::DOUBLE / 5.0) * i.v
+              + (1.0::DOUBLE - 1.0::DOUBLE / 5.0) * (f.l + f.b) - f.l)
+           + (1.0::DOUBLE - 1.0::DOUBLE / 10.0) * f.b
+  FROM fold f JOIN idx i ON i.priority = f.priority AND i.rn = f.rn + 1
+)
+SELECT f.priority, nn.n_months,
+       {sql_rnd('f.l', 6)} AS level,
+       {sql_rnd('f.b', 6)} AS trend,
+       {sql_rnd('f.l + f.b', 6)} AS forecast_next
+FROM fold f JOIN nn ON f.priority = nn.priority AND f.rn = nn.n_months
+UNION ALL
+SELECT i.priority, 1::BIGINT AS n_months,
+       {sql_rnd('i.v', 6)} AS level,
+       NULL::DOUBLE AS trend, NULL::DOUBLE AS forecast_next
+FROM idx i JOIN nn ON i.priority = nn.priority
+WHERE i.rn = 1 AND nn.n_months = 1
+""")
+def win_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing of MONTHLY order
+    revenue per priority — the trend-aware forecaster `win_ewma`
+    (level-only) and `win_seasonal_backtest` (seasonal-naive) bracket
+    but neither provides: level and trend evolve as a COUPLED
+    recurrence (l_t = α·x_t + (1−α)(l+b); b_t = β(l_t−l) + (1−β)b,
+    α=1/5, β=1/10), seeded the standard way (l₁=x₁, b₁=x₂−x₁).
+
+    Same execution contract as `win_macd`: ONE struct-accumulator
+    fold (`F.aggregate`) over the per-key month array — the monthly
+    rollup is the only fact-wide stage (map-side combinable,
+    5×~84 cells), then bounded per-key folds. The oracle is a
+    RECURSIVE CTE carrying (l, b) row-by-row — DuckDB's list_reduce
+    struct accumulators resolve cross-field refs unstably (PARITY
+    #38, discovered on win_macd), so the recurrence is mirrored at
+    the row level. Both engines run the identical IEEE op sequence
+    (constants spelled 1.0/5.0-form on both sides); the series is
+    exact-integer cents so the fold is the only float arithmetic.
+    Groups with a single month emit NULL trend/forecast (no slope
+    from one point) on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = (o.filter(F.col("o_orderpriority").isNotNull()
+                      & F.col("o_orderdate").isNotNull()
+                      & F.col("o_totalprice").isNotNull())
+             .groupBy(F.col("o_orderpriority").alias("priority"),
+                      F.date_trunc("month", "o_orderdate").alias("mo"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                        .cast("long")).alias("c")))
+    arr = F.array_sort(F.collect_list(F.struct("mo", "c")))
+    vals = F.transform(arr, lambda s: s["c"].cast("double") / 100.0)
+    alpha = F.lit(1.0) / F.lit(5.0)
+    beta = F.lit(1.0) / F.lit(10.0)
+    one = F.lit(1.0)
+    x1, x2 = F.element_at(vals, 1), F.element_at(vals, 2)
+
+    def step(acc, x):
+        ln = alpha * x + (one - alpha) * (acc["l"] + acc["b"])
+        bn = beta * (ln - acc["l"]) + (one - beta) * acc["b"]
+        return F.struct(ln.alias("l"), bn.alias("b"))
+
+    # seed at t=2 (l=x1, b=x2−x1), then fold t=2..n INCLUSIVE — the
+    # oracle's anchor row applies the same first step explicitly
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        init, step)
+    has_trend = F.size(vals) >= 2
+    return (cents.groupBy("priority")
+            .agg(F.count("*").alias("n_months"),
+                 rnd(F.when(has_trend, fold["l"])
+                     .otherwise(F.element_at(vals, 1)), 6).alias("level"),
+                 rnd(F.when(has_trend, fold["b"]), 6).alias("trend"),
+                 rnd(F.when(has_trend, fold["l"] + fold["b"]), 6)
+                 .alias("forecast_next")))

@@ -1187,3 +1187,61 @@ def scan_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
                            .cast("long")).cast("double") / 100.0, 2)
                  .alias("revenue")))
+
+
+@register("scan_nested_pruned", """
+SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+       floor((sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE / 100.0)
+             * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders
+GROUP BY 1
+""")
+def scan_nested_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED SCHEMA PRUNING end to end: orders are laid out as a
+    nested document (meta struct<status,priority>, money
+    struct<price_cents,tax_cents>) — the shape every event-log and
+    API-payload lake actually has — and the query touches ONLY
+    meta.status and money.price_cents. Catalyst's nested-schema
+    pruning (spark.sql.optimizer.nestedSchemaPruning, on by default)
+    must push the LEAF selection into the parquet ReadSchema, so the
+    scan decodes two leaf columns, not the whole structs:
+    tests/test_plans.py asserts the formatted plan's ReadSchema
+    carries meta.status and money.price_cents but NOT priority /
+    tax_cents. At 100 TB this is the difference between reading 2
+    columns and deserializing every nested payload field — the
+    columnar win nested data silently loses when pruning breaks
+    (e.g., behind exploded arrays or UDF boundaries).
+
+    The nested layout is written once per (session, sf_dir) and
+    cached (immutable-fixture rule, same as scan_dpp_pruned); money
+    rides exact integer cents so the re-aggregated revenue is
+    hash-stable. The oracle computes the same result from the FLAT
+    base table — hash-equality proves the nested round trip lossless.
+    """
+    import os
+
+    key = ("nested_orders", sf_dir)
+    cache = getattr(spark, "_mdis_nested_cache", None)
+    if cache is None:
+        cache = {}
+        spark._mdis_nested_cache = cache
+    out = cache.get(key)
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(F.col("o_orderstatus").alias("status"),
+                 F.col("o_orderpriority").alias("priority")).alias("meta"),
+        F.struct(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+                 .alias("price_cents"),
+                 F.expr("floor(o_totalprice * 100.0 + 0.5) div 10")
+                 .cast("long").alias("tax_cents")).alias("money"))
+    if out is None or not os.path.isdir(out):
+        out = _tmpdir("mdis_nested_")
+        nested.write.mode("overwrite").parquet(out)
+        cache[key] = out
+    back = spark.read.schema(nested.schema).parquet(out)
+    return (back.groupBy(F.col("meta.status").alias("status"))
+            .agg(F.count("*").alias("n"),
+                 (F.floor((F.sum("money.price_cents").cast("double") / 100.0)
+                          * 100.0 + F.lit(0.5)) / 100.0)
+                 .alias("revenue")))

@@ -788,3 +788,39 @@ def stream_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_events, n_errors, n_purchases, total_value)],
         "n_events bigint, n_errors bigint, n_purchases bigint, "
         "total_value double")
+
+
+@register("stream_static_enrich", f"""
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*) AS cnt,
+       {sql_rnd('sum(e.value)')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the missing member of this module's join
+    coverage (`stream_join`/`stream_join_outer` are stream-stream):
+    every event is enriched with its user's market segment from the
+    BATCH customer table, then aggregated per (segment, type). This is
+    the canonical production enrichment (stream × slowly-changing dim).
+
+    Engine facts: a stream-static equi-join is STATELESS — no
+    watermark, no join state store; the static side is planned as a
+    normal batch relation inside every micro-batch (broadcast here:
+    the dim is dim-sized, and at 100 TB/day stream volume the dim
+    side is still the small one — re-broadcast per trigger is the
+    standard trade against keeping a billion-row dim in state). Only
+    the downstream count/sum aggregation carries state. The batch
+    oracle is the same join+group — availableNow over the full fixture
+    equals the batch answer; multi-batch parity is exercised in
+    tests/test_stream_parity.py.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .select(F.col("c_custkey"), F.col("c_mktsegment")))
+    joined = ev.join(c, ev.user_id == c.c_custkey)
+    agg = (joined.groupBy(F.col("c_mktsegment").alias("segment"),
+                          "event_type")
+           .agg(F.count("*").alias("cnt"),
+                rnd(F.sum("value")).alias("sum_value")))
+    return run_to_batch(agg, "complete")

@@ -112,6 +112,9 @@ PROBES = [
     "ml_two_proportion_ztest", "agg_lorenz_curve",
     "pipeline_curriculum_order", "sample_neyman_allocation",
     "sim_pq_adc_topk", "graph_hits", "stream_dedup_within_watermark",
+    # r7 additions
+    "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
+    "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
 ]
 
 
@@ -215,6 +218,9 @@ NULL_PROBES = [
     "ml_two_proportion_ztest", "agg_lorenz_curve",
     "pipeline_curriculum_order", "sample_neyman_allocation",
     "sim_pq_adc_topk", "graph_hits", "stream_dedup_within_watermark",
+    # r7 additions
+    "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
+    "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
 ]
 
 
@@ -364,6 +370,9 @@ NULL_ORACLE_EXACT = [
     "win_streak_days", "win_time_to_convert", "win_top_paths",
     "win_topk_group", "win_twap", "win_wma",
     "win_zscore_outliers", "win_zscore_rolling",
+    # r7 new ops (verified hash-exact on the null fixture at birth)
+    "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
+    "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
 ]
 
 

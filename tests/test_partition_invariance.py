@@ -53,6 +53,8 @@ PROBES = [
     "ml_woe_encoding",           # ln over smoothed count ratios
     "sim_item_cooccurrence",     # rounded-cosine ranking over count joins
     "agg_spearman_grid",         # cell-count windows + 128-bit moments
+    # r7 additions
+    "win_holt_linear",           # per-key sequential (l, b) float fold
 ]
 
 

@@ -1176,3 +1176,68 @@ def test_dpp_tie_break_matches_oracle(spark, tmp_path):
     assert res.ok, res
     # and the winner is 1994 (smaller year on the tie): 3 month rows
     assert res.spark_rows == 3, res
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """udf_sql_function's reason to exist: the analyzer INLINES the SQL
+    function body, so the plan has NO Python eval node and the CASE
+    expression runs inside WholeStageCodegen — the opposite of
+    udf_python_scalar's BatchEvalPython round trip."""
+    plan = _plan(spark, "udf_sql_function")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "CASE WHEN" in plan, plan
+    # formatted mode marks codegen stages with '* Op' + '[codegen id : n]'
+    assert "[codegen id :" in plan, plan
+
+
+def test_nested_schema_pruning_reaches_scan(spark):
+    """scan_nested_pruned: the parquet ReadSchema must carry ONLY the
+    two touched leaves (meta.status, money.price_cents) — reading the
+    full structs would mean nested pruning broke."""
+    plan = _plan(spark, "scan_nested_pruned")
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "status" in schema and "price_cents" in schema, schema
+    assert "priority" not in schema, schema
+    assert "tax_cents" not in schema, schema
+
+
+def test_skew_join_split_fires(spark):
+    """join_skew_aqe: the executed plan (captured by the operator while
+    its demo thresholds were active) must show OptimizeSkewedJoin's
+    work — SortMergeJoin(skew=true) over an 'AQEShuffleRead skewed'."""
+    E.queries()["join_skew_aqe"](spark, SF_ORACLE).collect()
+    plan = spark._mdis_skew_plan
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
+
+
+def test_recursive_cte_runs_engine_side(spark):
+    """graph_reach_recursive executes via Spark's recursive-CTE
+    operator (UnionLoop), not a Python driver loop — the plan carries
+    the loop node; the heavy edge aggregation sits below it."""
+    df = E.queries()["graph_reach_recursive"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan or "Recursion" in plan, plan
+
+
+def test_stream_static_join_is_stateless(spark):
+    """stream_static_enrich: the stream-static join must plan WITHOUT
+    a stream-stream join state store — only the downstream aggregation
+    carries state (one StateStoreSave), and the static side appears as
+    a batch parquet relation inside the streaming plan."""
+    from manual_data_ingest_spark.streaming.ops import read_events_stream
+
+    ev = read_events_stream(spark, SF_ORACLE)
+    c = (spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+         .select("c_custkey", "c_mktsegment"))
+    agg = (ev.join(c, ev.user_id == c.c_custkey)
+           .groupBy("c_mktsegment", "event_type")
+           .agg(F.count("*").alias("cnt")))
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "extended"))
+    assert "StreamingSymmetricHashJoin" not in plan, plan
+    assert "customer.parquet" in plan, plan
