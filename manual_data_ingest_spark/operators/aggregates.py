@@ -2580,8 +2580,11 @@ WITH span AS (
     SELECT o_custkey,
            min(o_orderdate) AS f,
            max(o_orderdate) AS l
-    FROM orders GROUP BY 1
-), study AS (SELECT max(o_orderdate) AS study_end FROM orders),
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+    GROUP BY 1
+), study AS (SELECT max(o_orderdate) AS study_end FROM orders
+             WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
 cust AS (
     SELECT date_diff('day', f, l) // 30 AS dur_m,
            (date_diff('day', l, study_end) > 180)::INT AS ev
@@ -2626,7 +2629,10 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE operation sequence, so no exp/ln libm divergence
     enters (PARITY.md discipline), then rounded 6dp.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # cohorts are per-CUSTOMER with dated orders on both engines (NULL
+    # custkey/date rows are not a cohort — r7 null sweep)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
     span = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("f"),
                                       F.max("o_orderdate").alias("l"))
     study = o.agg(F.max("o_orderdate").alias("study_end"))
@@ -2664,7 +2670,9 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
     SELECT o_orderdate AS day,
            sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS cents
-    FROM orders GROUP BY 1
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
 ), tot AS (
     SELECT sum(cents) AS t, count(*) AS n FROM daily
 ), signed AS (
@@ -2715,7 +2723,11 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 2·n1·n0 > n (which implies n1>0, n0>0, n>1 AND var>0) and NULL
     otherwise, with the CASE mirrored in the oracle.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # the series is over non-null (day, price) pairs on both engines —
+    # a NULL day otherwise sorts first in Spark's lag window and last
+    # in DuckDB's, shifting every run boundary (r7 null sweep)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
     daily = (o.groupBy(F.col("o_orderdate").alias("day"))
              .agg(F.sum(cents).alias("cents")))
@@ -3142,7 +3154,9 @@ FROM (
 WITH daily AS MATERIALIZED (
     SELECT o_orderdate AS day,
            sum(floor(o_totalprice / 1000.0 + 0.5)::BIGINT)::BIGINT AS x
-    FROM orders GROUP BY 1
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
 ), pairs AS MATERIALIZED (
     SELECT x, {lag_cols} FROM daily
 )""" + " UNION ALL ".join(branches)
@@ -3168,7 +3182,10 @@ def agg_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sums (the `win_autocorr_lag1` explicit-moment discipline),
     zero-variance guarded NULL in both engines.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # non-null (day, price) pairs only, both engines — NULL days sort
+    # differently across engines in the lag window (r7 null sweep)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
     kilo = F.floor(F.col("o_totalprice") / 1000.0 + F.lit(0.5)).cast("long")
     daily = (o.groupBy(F.col("o_orderdate").alias("day"))
              .agg(F.sum(kilo).alias("x")))

@@ -2056,7 +2056,9 @@ WITH daily AS (
     SELECT o_orderdate AS day,
            sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS cents,
            count(*) AS n_orders
-    FROM orders GROUP BY 1
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
 ), win AS (
     SELECT day, cents, n_orders,
            count(*) OVER w AS n_win,
@@ -2097,7 +2099,11 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — fixture distance to the band is pinned by the
     guard-band suite, the `win_zscore_outliers` discipline.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # non-null (day, price) series on both engines — NULL days sort
+    # first in Spark's rolling window and last in DuckDB's, shifting
+    # every 20-day band (r7 null sweep)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
     daily = (o.groupBy(F.col("o_orderdate").alias("day"))
              .agg(F.sum(cents).alias("cents"),

@@ -370,6 +370,9 @@ NULL_ORACLE_EXACT = [
     "win_streak_days", "win_time_to_convert", "win_top_paths",
     "win_topk_group", "win_twap", "win_wma",
     "win_zscore_outliers", "win_zscore_rolling",
+    # r7 second fix batch: null-day/price time series aligned
+    "agg_runs_test", "agg_acf_multi_lag", "agg_survival_km",
+    "win_bollinger",
     # r7 new ops (verified hash-exact on the null fixture at birth)
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
