@@ -20,6 +20,10 @@ row-for-row against the same query on the in-process local session:
 - ``sim_pq_adc_topk``    — session-cached localCheckpoint index on executors
 - ``stream_dedup_within_watermark`` — streaming keyed state (dedup TTL)
   in per-executor state stores, watermark advanced across JVMs
+- ``graph_reach_recursive``  — recursive-CTE UnionLoop jobs over cross-JVM
+  shuffle files
+- ``join_skew_aqe``          — AQE skew split replaying mapper ranges from
+  other executors' shuffle output
 """
 
 from __future__ import annotations
@@ -47,7 +51,14 @@ _QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map",
             # lives in per-executor state stores and the watermark
             # advances via cross-JVM progress aggregation; the last
             # uncovered cross-JVM risk class
-            "stream_dedup_within_watermark"]
+            "stream_dedup_within_watermark",
+            # r7: the two new ENGINE-MECHANISM ops whose machinery is
+            # scheduler/executor-shaped — the recursive CTE's UnionLoop
+            # steps schedule as separate jobs over executor shuffle
+            # files, and the skew split replays mapper ranges from
+            # OTHER executors' shuffle output (pure driver-JVM local
+            # mode cannot exercise either)
+            "graph_reach_recursive", "join_skew_aqe"]
 
 _RUNNER = """
 import json, sys
