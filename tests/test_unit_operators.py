@@ -380,3 +380,49 @@ def test_token_shard_balance():
                 checked += 1
         if sf_dir.endswith("sf0.1"):
             assert checked > 0
+
+
+def test_holt_fold_matches_python_replay(spark):
+    """win_holt_linear's struct fold must be BIT-EXACT against a pure-
+    Python replay of the same IEEE op sequence over the same monthly
+    series (the win_macd verification, pinned as a test): duckdb
+    derives the exact-cents series, Python runs l/b with float
+    arithmetic, and the 6dp-rounded triple must equal the operator's
+    output exactly — any reassociation inside F.aggregate would show
+    up as a last-bit flip straddling a rounding boundary eventually."""
+    import duckdb
+    import math
+
+    import __spark_entry__ as E
+    from tests.conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    series = con.execute(f"""
+        SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mo,
+               sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) AS c
+        FROM read_parquet('{SF_ORACLE}/orders.parquet')
+        WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+              AND o_totalprice IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    by_pri: dict[str, list[float]] = {}
+    for pri, _, c in series:
+        by_pri.setdefault(pri, []).append(float(c) / 100.0)
+
+    def rnd6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expected = {}
+    alpha, beta = 1.0 / 5.0, 1.0 / 10.0
+    for pri, xs in by_pri.items():
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[1:]:
+            ln = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (ln - l) + (1.0 - beta) * b
+            l = ln
+        expected[pri] = (len(xs), rnd6(l), rnd6(b), rnd6(l + b))
+
+    got = {r["priority"]: (r["n_months"], r["level"], r["trend"],
+                           r["forecast_next"])
+           for r in E.queries()["win_holt_linear"](spark, SF_ORACLE)
+           .collect()}
+    assert got == expected
