@@ -3340,3 +3340,72 @@ def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("n_events").desc(), "item")
     return (flat.withColumn("rank", F.row_number().over(w))
             .select("rank", "item", "n_events"))
+
+
+@register("agg_benford_test", f"""
+WITH digits AS (
+  SELECT o_orderpriority AS priority,
+         substring(floor(o_totalprice)::BIGINT::VARCHAR, 1, 1)::INT AS d
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_totalprice >= 1
+), obs AS (
+  SELECT priority, d, count(*)::BIGINT AS o
+  FROM digits GROUP BY 1, 2
+), tot AS (SELECT priority, count(*)::BIGINT AS n FROM digits GROUP BY 1),
+grid AS (
+  SELECT t.priority, t.n, g.d,
+         coalesce(o.o, 0)::BIGINT AS o,
+         log10((g.d + 1.0::DOUBLE) / g.d::DOUBLE) AS p
+  FROM tot t
+  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) g
+  LEFT JOIN obs o ON o.priority = t.priority AND o.d = g.d
+)
+SELECT priority, max(n)::BIGINT AS n,
+       {sql_rnd('sum((o::DOUBLE - n::DOUBLE * p) * (o::DOUBLE - n::DOUBLE * p)'
+                ' / (n::DOUBLE * p))', 4)} AS chi2,
+       ({sql_rnd('sum((o::DOUBLE - n::DOUBLE * p) * (o::DOUBLE - n::DOUBLE * p)'
+                 ' / (n::DOUBLE * p))', 4)} < 21.666) AS benford_ok
+FROM grid GROUP BY priority
+""")
+def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts per priority —
+    the classic fraud / fabricated-data screen for ingest QA: natural
+    multi-scale amounts follow P(d) = log10(1+1/d); a feed whose
+    digits don't is manufactured, truncated, or unit-corrupted. Emits
+    the chi-square distance (df = 8) and a pass flag at the 0.005
+    critical value 21.666.
+
+    Determinism: the first digit comes from the INTEGER-part string
+    (identical text on both engines — no float log10 of the value),
+    observed counts are exact BIGINT on a full 9-digit grid (absent
+    digits count 0 — dropping them would silently lower df), expected
+    shares are the same fixed IEEE log10 expression, and the flag
+    compares the ROUNDED 4dp chi2 so both engines test the identical
+    double. Scale: map-side digit extraction, one partial-agg shuffle
+    on (priority, digit) — 45 cells; the grid join is dim-sized.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") >= 1))
+    digits = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                    1, 1).cast("int").alias("d"))
+    obs = digits.groupBy("priority", "d").agg(F.count("*").alias("o"))
+    tot = digits.groupBy("priority").agg(F.count("*").alias("n"))
+    nine = spark.range(1, 10).select(F.col("id").cast("int").alias("gd"))
+    grid = (tot.crossJoin(F.broadcast(nine))
+            .join(obs, (tot.priority == obs.priority) & (obs.d == F.col("gd")),
+                  "left")
+            .select(tot.priority.alias("priority"), "n", "gd",
+                    F.coalesce(obs.o, F.lit(0)).alias("o"),
+                    F.log10((F.col("gd") + F.lit(1.0)) /
+                            F.col("gd").cast("double")).alias("p")))
+    dev = (F.col("o").cast("double") - F.col("n").cast("double") * F.col("p"))
+    chi2 = rnd(F.sum(dev * dev / (F.col("n").cast("double") * F.col("p"))), 4)
+    return (grid.groupBy("priority")
+            .agg(F.max("n").alias("n"),
+                 chi2.alias("chi2"),
+                 (chi2 < 21.666).alias("benford_ok")))

@@ -1912,3 +1912,72 @@ def ingest_fk_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_rows") > 0,
                rnd(F.col("n_matched") / F.col("n_rows").cast("double"), 4))
         .alias("coverage_pct"))
+
+
+@register("ingest_id_gap_islands", """
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey IS NOT NULL
+), adj AS (
+  SELECT k, lead(k) OVER (ORDER BY k) - k - 1 AS gap
+  FROM keys
+)
+SELECT count(*)::BIGINT AS n_keys,
+       min(k)::BIGINT AS key_min,
+       max(k)::BIGINT AS key_max,
+       (max(k) - min(k) + 1 - count(*))::BIGINT AS n_missing,
+       count(CASE WHEN gap > 0 THEN 1 END)::BIGINT AS n_gaps,
+       coalesce(max(gap), 0)::BIGINT AS max_gap
+FROM adj
+""")
+def ingest_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit of the order-key space (gaps-and-islands):
+    how many ids are missing, in how many gaps, and how wide the worst
+    one is — the CDC-completeness check a curator runs when a feed
+    claims contiguous surrogate keys (the TPC-H-style fixture keys are
+    deliberately SPARSE, so the audit reports real gaps). Missing-hours
+    (`ingest_missing_hours_report`) is this audit's time-axis sibling;
+    this is the key-axis one.
+
+    Scale shape — the naive form (the oracle) is one GLOBAL ordered
+    window over every distinct key, a single-partition sort at 100 TB.
+    Here adjacency is TWO-LEVEL: keys range-bucket by `k div 2^16`
+    (order-preserving, so within-bucket lead() covers every adjacent
+    pair except bucket-boundary ones), per-bucket windows run in
+    parallel, and the boundary gaps come from a lead() over the
+    BUCKET-level min/max table — 2^16× smaller than the key space; if
+    even that outgrows one task, recurse the same trick (the
+    `ingest_id_mint_scalable` hierarchy). Same answer as the oracle
+    (hash-equality proves it), no global sort of the keys.
+    All arithmetic is exact BIGINT.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keys = (o.filter(F.col("o_orderkey").isNotNull())
+            .select(F.col("o_orderkey").alias("k")).distinct()
+            .withColumn("b", F.expr("k div 65536")))
+    win = Window.partitionBy("b").orderBy("k")
+    inner = (keys.withColumn("gap", F.lead("k").over(win) - F.col("k") - 1)
+             .filter(F.col("gap") > 0)
+             .agg(F.count("*").alias("n_gaps_in"),
+                  F.max("gap").alias("max_gap_in")))
+    buckets = keys.groupBy("b").agg(F.min("k").alias("bmin"),
+                                    F.max("k").alias("bmax"))
+    wb = Window.orderBy("b")
+    edge = (buckets.withColumn("gap", F.lead("bmin").over(wb)
+                               - F.col("bmax") - 1)
+            .filter(F.col("gap") > 0)
+            .agg(F.count("*").alias("n_gaps_edge"),
+                 F.max("gap").alias("max_gap_edge")))
+    tot = keys.agg(F.count("*").alias("n_keys"),
+                   F.min("k").alias("key_min"),
+                   F.max("k").alias("key_max"))
+    return (tot.crossJoin(F.broadcast(inner)).crossJoin(F.broadcast(edge))
+            .select(
+                "n_keys", "key_min", "key_max",
+                (F.col("key_max") - F.col("key_min") + 1 - F.col("n_keys"))
+                .cast("long").alias("n_missing"),
+                (F.coalesce("n_gaps_in", F.lit(0))
+                 + F.coalesce("n_gaps_edge", F.lit(0)))
+                .cast("long").alias("n_gaps"),
+                F.greatest(F.coalesce("max_gap_in", F.lit(0)),
+                           F.coalesce("max_gap_edge", F.lit(0)))
+                .cast("long").alias("max_gap")))

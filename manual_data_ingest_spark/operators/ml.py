@@ -1316,7 +1316,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS score_decile
   FROM lab
@@ -1343,7 +1343,10 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the swap is approx-quantile cut points broadcast as bin edges, same
     downstream algebra.
     """
-    c = load_table(spark, sf_dir, "customer")
+    # a NULL score cannot be ranked into a decile (PARITY #40:
+    # opposite null sort orders) — scored entities only, both engines
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull())
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())
@@ -1368,7 +1371,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
              AS score_decile
@@ -1738,7 +1741,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
              AS score_decile
@@ -2440,3 +2443,99 @@ def ml_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seg", "n_pos", "n_neg",
                     rnd(woe, 6).alias("woe"),
                     rnd((pp - pn) * woe, 6).alias("iv_term")))
+
+
+@register("ml_isotonic_calibration", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer WHERE c_acctbal IS NOT NULL
+), binned AS (
+  SELECT y, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS d
+  FROM lab
+), b AS (
+  SELECT d, count(*)::BIGINT AS n,
+         count(CASE WHEN y = 1 THEN 1 END)::BIGINT AS p
+  FROM binned GROUP BY d
+), pre AS (
+  SELECT d, sum(n) OVER (ORDER BY d)::BIGINT AS cn,
+         sum(p) OVER (ORDER BY d)::BIGINT AS cp
+  FROM b
+), pre0 AS (
+  SELECT 0 AS d, 0::BIGINT AS cn, 0::BIGINT AS cp
+  UNION ALL SELECT d, cn, cp FROM pre
+), lvl1 AS (
+  SELECT i.d AS i, j.d AS j,
+         min((k.cp - j.cp)::DOUBLE / (k.cn - j.cn)::DOUBLE) AS mn
+  FROM pre i
+  JOIN pre0 j ON j.d < i.d
+  JOIN pre k ON k.d >= i.d
+  GROUP BY 1, 2
+), iso AS (SELECT i AS d, max(mn) AS iso_raw FROM lvl1 GROUP BY 1)
+SELECT b.d AS score_decile, b.n, b.p AS n_pos,
+       {sql_rnd('b.p::DOUBLE / b.n::DOUBLE', 6)} AS pos_rate,
+       {sql_rnd('iso.iso_raw', 6)} AS iso_prob
+FROM b JOIN iso ON b.d = iso.d
+""")
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the decile reliability table —
+    the standard step AFTER `ml_calibration_bins`: the raw per-decile
+    conversion rates need not be monotone in the score, and serving a
+    non-monotone calibration map lets a HIGHER score imply a LOWER
+    probability. Pool-adjacent-violators fixes that; this computes the
+    exact PAV fit via its minimax identity
+    iso(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k), which needs
+    no sequential pooling loop — on B=10 bins the (i, j, k) grid is
+    <=1000 integer-prefix-sum lookups, a dim-sized triple join both
+    engines evaluate identically (each candidate is one BIGINT/BIGINT
+    division; min/max over a set of doubles is order-free).
+
+    Scale: the fact-side work is `ml_calibration_bins`' label join and
+    decile rank; everything isotonic happens on the 10-row bin table.
+    Monotonicity of iso_prob is pinned in tests/test_new_ops.py —
+    that property IS the operator's contract.
+    """
+    # a NULL score cannot be ranked into a decile (and the engines'
+    # null sort orders differ — PARITY #40); calibration is over
+    # scored entities only, both engines
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull())
+    o = load_table(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey").distinct())
+    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
+           .select("c_custkey", "c_acctbal",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    binned = lab.select("y", F.ntile(10).over(w).alias("d"))
+    b = (binned.groupBy("d")
+         .agg(F.count("*").alias("n"),
+              F.count(F.when(F.col("y") == 1, 1)).alias("p")))
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = b.select("d", F.sum("n").over(wp).alias("cn"),
+                   F.sum("p").over(wp).alias("cp"))
+    pre0 = pre.unionByName(
+        pre.sparkSession.createDataFrame([(0, 0, 0)], "d int, cn bigint, cp bigint"))
+    i = pre.select(F.col("d").alias("i"))
+    j = pre0.select(F.col("d").alias("j"), F.col("cp").alias("jcp"),
+                    F.col("cn").alias("jcn"))
+    k = pre.select(F.col("d").alias("k"), F.col("cp").alias("kcp"),
+                   F.col("cn").alias("kcn"))
+    cand = (i.join(j, F.col("j") < F.col("i"))
+            .join(k, F.col("k") >= F.col("i"))
+            .select("i", "j",
+                    ((F.col("kcp") - F.col("jcp")).cast("double")
+                     / (F.col("kcn") - F.col("jcn")).cast("double"))
+                    .alias("r")))
+    iso = (cand.groupBy("i", "j").agg(F.min("r").alias("mn"))
+           .groupBy("i").agg(F.max("mn").alias("iso_raw")))
+    return (b.join(iso, b.d == iso.i)
+            .select(F.col("d").alias("score_decile"), "n",
+                    F.col("p").alias("n_pos"),
+                    rnd(F.col("p").cast("double") / F.col("n").cast("double"),
+                        6).alias("pos_rate"),
+                    rnd(F.col("iso_raw"), 6).alias("iso_prob")))

@@ -115,6 +115,7 @@ PROBES = [
     # r7 additions
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
+    "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
 ]
 
 
@@ -221,6 +222,7 @@ NULL_PROBES = [
     # r7 additions
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
+    "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
 ]
 
 
@@ -376,6 +378,7 @@ NULL_ORACLE_EXACT = [
     # r7 new ops (verified hash-exact on the null fixture at birth)
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
+    "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
 ]
 
 

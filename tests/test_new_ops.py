@@ -2231,3 +2231,21 @@ def test_hits_normalization_and_direction(spark):
         assert all(r.authority >= 0 and r.hub >= 0 for r in rows)
         assert len({r.authority for r in rows}) > 1
         assert len({r.hub for r in rows}) > 1
+
+
+def test_isotonic_calibration_is_monotone_and_pools(spark):
+    """ml_isotonic_calibration's contract: iso_prob is NON-DECREASING
+    in the score decile (the property PAV exists to enforce) while the
+    raw pos_rate is NOT monotone on this fixture (so the test would
+    catch an identity passthrough), and pooled blocks average to the
+    raw rates they replaced (mass conservation)."""
+    rows = sorted(E.queries()["ml_isotonic_calibration"](spark, SF_ORACLE)
+                  .collect(), key=lambda r: r.score_decile)
+    iso = [r.iso_prob for r in rows]
+    raw = [r.pos_rate for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    assert any(a > b for a, b in zip(raw, raw[1:]))  # PAV had work to do
+    # mass conservation: sum(iso * n) == sum(pos) within rounding
+    tot_iso = sum(r.iso_prob * r.n for r in rows)
+    tot_pos = sum(r.n_pos for r in rows)
+    assert abs(tot_iso - tot_pos) < 1e-2

@@ -1241,3 +1241,24 @@ def test_stream_static_join_is_stateless(spark):
             "extended"))
     assert "StreamingSymmetricHashJoin" not in plan, plan
     assert "customer.parquet" in plan, plan
+
+
+def test_gap_islands_has_no_global_key_window(spark):
+    """ingest_id_gap_islands' claim: adjacency over the KEYS runs in
+    per-bucket windows (partitioned by b), never one global ordered
+    window — the only SinglePartition stages are the dim-sized bucket
+    window and final 1-row aggregates."""
+    plan = _plan(spark, "ingest_id_gap_islands")
+    # the lead-over-keys window is partitioned by the range bucket
+    assert re.search(r"windowspecdefinition\(b#\d+L?, k#", plan), plan
+    # and no window orders the raw key stream globally
+    assert not re.search(r"windowspecdefinition\(k#\d+L? ASC", plan), plan
+
+
+def test_benford_is_one_partial_agg_shuffle(spark):
+    """agg_benford_test: digit extraction rides the scan; the only
+    fact-sized shuffle is the (priority, digit) partial agg; the
+    9-digit grid joins broadcast."""
+    plan = _plan(spark, "agg_benford_test")
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "BroadcastExchange" in plan, plan
