@@ -1407,7 +1407,10 @@ def ml_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; the two ratios are single IEEE divisions rounded
     6dp.
     """
-    c = load_table(spark, sf_dir, "customer")
+    # NULL scores are unrankable (PARITY #40) — scored entities
+    # only, matching the oracle's shared lab CTE
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull())
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())
@@ -1780,7 +1783,10 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 10-row aggregate. Completes the eval suite: calibration,
     lift, AUC, and now the operating point.
     """
-    c = load_table(spark, sf_dir, "customer")
+    # NULL scores are unrankable (PARITY #40) — scored entities
+    # only, matching the oracle's shared lab CTE
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull())
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())

@@ -116,6 +116,7 @@ PROBES = [
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
+    "ml_calibration_bins", "ml_lift_chart", "ml_threshold_sweep",
 ]
 
 
@@ -379,6 +380,7 @@ NULL_ORACLE_EXACT = [
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
+    "ml_calibration_bins", "ml_lift_chart", "ml_threshold_sweep",
 ]
 
 

@@ -17,16 +17,18 @@ declares the columns non-null or the op is approximate/stub —
 re-adjudicate if this list GROWS):
   approx sketches (agg_approx_quantile, agg_hll_partitioned) — the
     sketch calibration pins hold on the standard fixture only;
-  ml_*/sim_pq on null embeddings/labels — contract non-null;
+  ml_* on null embeddings/labels + sim_pq (contract non-null; the
+    score-RANKED ml ops — calibration/lift/threshold-sweep — were
+    FIXED r7: scored entities only, PARITY #40);
   multimodal stubs on null media buffers — env-gated fakes;
   CSV/JSON round-trips (scan_*_badrecords, scan_schema_evolution,
     sink_merge_upsert, scan_manifest_pruned) — format-level null
     encoding semantics ('' vs missing vs corrupt) differ by design;
   flagship_q9 — raw group sum sits exactly on a half-cent rounding
     tie under the null subset (577783.815 measured), both engines
-    wobble on the last bit; win_bollinger/agg_survival_km/
-    agg_runs_test/agg_acf_multi_lag — null-value time series where
-    the window semantics choices are documented per-op.
+    wobble on the last bit. (The null-day time-series class —
+    bollinger/survival/runs/acf — was FIXED r7: explicit non-null
+    (day, value) series on both engines.)
 
 Usage:  python tools/null_sweep.py            # build + sweep
         python tools/null_sweep.py NAME ...   # subset
