@@ -2545,3 +2545,148 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rnd(F.col("p").cast("double") / F.col("n").cast("double"),
                         6).alias("pos_rate"),
                     rnd(F.col("iso_raw"), 6).alias("iso_prob")))
+
+
+@register("ml_conformal_interval", f"""
+WITH scaled AS (
+  SELECT CAST(l_quantity AS BIGINT)                          AS q,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)     AS d,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+         l_orderkey, l_linenumber,
+         (l_orderkey + l_linenumber) % 2 AS split
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE)            AS n,
+         CAST(sum(q)   AS DOUBLE)            AS s1,
+         CAST(sum(d)   AS DOUBLE)            AS s2,
+         CAST(sum(q*q) AS DOUBLE)            AS s11,
+         CAST(sum(q*d) AS DOUBLE)            AS s12,
+         CAST(sum(d*d) AS DOUBLE)            AS s22,
+         CAST(sum(y)   AS DOUBLE)            AS sy,
+         CAST(sum(q*y) AS DOUBLE)            AS s1y,
+         CAST(sum(d*y) AS DOUBLE)            AS s2y
+  FROM scaled WHERE split = 0
+), beta AS (
+  SELECT n AS n_train,
+         ({_DET0}) / ({_DET}) AS b0p,
+         ({_DET1}) / ({_DET}) AS b1p,
+         ({_DET2}) / ({_DET}) AS b2p
+  FROM m
+), cal AS (
+  SELECT abs(CAST(s.y AS DOUBLE)
+             - (b.b0p + b.b1p * s.q + b.b2p * s.d)) AS r,
+         s.l_orderkey, s.l_linenumber, b.n_train, b.b0p, b.b1p, b.b2p
+  FROM scaled s, beta b WHERE s.split = 1
+), kk AS (
+  SELECT count(*)::BIGINT AS n_cal,
+         least(ceil(0.9 * (count(*) + 1))::BIGINT, count(*)::BIGINT) AS k
+  FROM cal
+), qh AS (
+  SELECT r AS q_hat FROM cal, kk
+  ORDER BY r, l_orderkey, l_linenumber
+  OFFSET (SELECT k - 1 FROM kk) LIMIT 1
+)
+SELECT beta.n_train::BIGINT AS n_train, kk.n_cal, kk.k,
+       {sql_rnd('qh.q_hat / 100.0', 6)} AS q90,
+       {sql_rnd('(SELECT count(*) FROM cal WHERE r <= qh.q_hat)::DOUBLE'
+                ' / kk.n_cal::DOUBLE', 6)} AS coverage
+FROM beta, kk, qh
+WHERE beta.n_train > 0 AND kk.n_cal > 0
+""")
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval for the OLS price model —
+    the distribution-free uncertainty layer `ml_ols_normal_equations`
+    lacks: fit on the hash-split train half, take the
+    ⌈0.9·(n+1)⌉-th smallest absolute calibration residual as the
+    half-width q90, and any future prediction ± q90 covers the truth
+    with probability ≥ 0.9, no Gaussian assumption. Emits the split
+    sizes, the selection rank k, q90 (dollars), and the empirical
+    calibration coverage (≈ 0.9 by construction — the self-check).
+
+    Determinism: the train moments are exact integers, so β̂ is the
+    same IEEE expression on both engines; every calibration residual
+    is then the identical double and the rank selection is total-
+    ordered by (r, orderkey, linenumber). The coverage comparison is
+    r ≤ q_hat between doubles from the same computation — exact.
+    Scale: the k-th-smallest selection here rides the oracle-shaped
+    global order; the two-phase binned rewrite (`agg_percentile_
+    weighted`'s) drops in when n_cal stops fitting a task — the
+    operator's output is selection-algorithm-invariant by
+    construction, which the hash-equality gate already proves for
+    the weighted-percentile twin.
+    """
+    # a model row needs COMPLETE (features, y) on both engines — null
+    # residuals otherwise rank nulls-first in Spark and nulls-last in
+    # DuckDB (PARITY #40) and skew the moment count
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    scaled = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("d"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+        .alias("y"),
+        "l_orderkey", "l_linenumber",
+        F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(2))
+        .alias("split"))
+    m = scaled.filter(F.col("split") == 0).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("q").cast("double").alias("s1"),
+        F.sum("d").cast("double").alias("s2"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("s11"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("s12"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("q") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("d") * F.col("y")).cast("double").alias("s2y"))
+    beta = m.select(
+        F.col("n").alias("n_train"),
+        F.expr(f"({_DET0}) / ({_DET})").alias("b0p"),
+        F.expr(f"({_DET1}) / ({_DET})").alias("b1p"),
+        F.expr(f"({_DET2}) / ({_DET})").alias("b2p"))
+    cal = (scaled.filter(F.col("split") == 1)
+           .crossJoin(F.broadcast(beta))
+           .select(F.abs(F.col("y").cast("double")
+                         - (F.col("b0p") + F.col("b1p") * F.col("q")
+                            + F.col("b2p") * F.col("d"))).alias("r"),
+                   "l_orderkey", "l_linenumber", "n_train"))
+    kk = cal.agg(F.count("*").alias("n_cal"),
+                 F.least(F.ceil(0.9 * (F.count("*") + 1)),
+                         F.count("*")).alias("k"))
+    # k-th-smallest WITHOUT a global sort (agg_percentile_weighted's
+    # two-phase selection): residuals bin by ~$164 of error, the bin
+    # table is dim-sized, and only the target bin's rows rank — seeded
+    # by the cumulative offset so rk is the GLOBAL rank
+    binned = cal.withColumn("bin", F.floor(F.col("r") / 16384.0)
+                            .cast("long"))
+    bins = binned.groupBy("bin").agg(F.count("*").alias("bn"))
+    wb = (Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    bins = bins.withColumn("cumb", F.sum("bn").over(wb))
+    target = (bins.crossJoin(F.broadcast(kk))
+              .filter(F.col("cumb") >= F.col("k"))
+              .groupBy().agg(F.min("bin").alias("tbin")))
+    toff = (bins.join(F.broadcast(target),
+                      bins.bin == F.col("tbin"))
+            .select("tbin", (F.col("cumb") - F.col("bn")).alias("off")))
+    qh = (binned.join(F.broadcast(toff), binned.bin == F.col("tbin"))
+          .crossJoin(F.broadcast(kk))
+          .withColumn("rk", F.col("off") + F.row_number().over(
+              Window.partitionBy("tbin")
+              .orderBy("r", "l_orderkey", "l_linenumber")))
+          .filter(F.col("rk") == F.col("k"))
+          .select(F.col("r").alias("q_hat")))
+    cov = (cal.crossJoin(F.broadcast(qh))
+           .agg(F.count(F.when(F.col("r") <= F.col("q_hat"), 1))
+                .alias("n_cov")))
+    return (beta.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(qh))
+            .crossJoin(F.broadcast(cov))
+            .filter((F.col("n_train") > 0) & (F.col("n_cal") > 0))
+            .select(F.col("n_train").cast("long").alias("n_train"),
+                    F.col("n_cal").cast("long"), F.col("k").cast("long"),
+                    rnd(F.col("q_hat") / 100.0, 6).alias("q90"),
+                    rnd(F.col("n_cov").cast("double")
+                        / F.col("n_cal").cast("double"), 6)
+                    .alias("coverage")))

@@ -117,6 +117,7 @@ PROBES = [
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
     "ml_calibration_bins", "ml_lift_chart", "ml_threshold_sweep",
+    "ml_conformal_interval",
 ]
 
 
@@ -224,6 +225,7 @@ NULL_PROBES = [
     "udf_sql_function", "win_holt_linear", "graph_reach_recursive",
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
+    "ml_conformal_interval",
 ]
 
 
@@ -381,6 +383,7 @@ NULL_ORACLE_EXACT = [
     "scan_nested_pruned", "stream_static_enrich", "join_skew_aqe",
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
     "ml_calibration_bins", "ml_lift_chart", "ml_threshold_sweep",
+    "ml_conformal_interval",
 ]
 
 

@@ -2249,3 +2249,14 @@ def test_isotonic_calibration_is_monotone_and_pools(spark):
     tot_iso = sum(r.iso_prob * r.n for r in rows)
     tot_pos = sum(r.n_pos for r in rows)
     assert abs(tot_iso - tot_pos) < 1e-2
+
+
+def test_conformal_coverage_guarantee_holds(spark):
+    """ml_conformal_interval's contract IS the conformal guarantee:
+    empirical calibration coverage = (#r <= q_hat)/n_cal must sit in
+    [0.9, 0.9 + 2/n_cal) — k = ceil(0.9 (n+1)) smallest residual
+    covers at least k/n and at most k/n + ties."""
+    r = E.queries()["ml_conformal_interval"](spark, SF_ORACLE).first()
+    assert r.k == -(-9 * (r.n_cal + 1) // 10)  # ceil(0.9 (n+1))
+    assert 0.9 <= r.coverage < 0.9 + 2.0 / r.n_cal + 1e-9
+    assert r.q90 > 0

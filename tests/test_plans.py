@@ -1262,3 +1262,15 @@ def test_benford_is_one_partial_agg_shuffle(spark):
     plan = _plan(spark, "agg_benford_test")
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     assert "BroadcastExchange" in plan, plan
+
+
+def test_conformal_selection_has_no_global_residual_window(spark):
+    """ml_conformal_interval's k-th-smallest must run the two-phase
+    binned selection: every ordered window is either the dim-sized bin
+    cumulative or partitioned by the target bin — never a global rank
+    over the calibration rows."""
+    plan = _plan(spark, "ml_conformal_interval")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for sp in specs:
+        assert sp.startswith("bin#") or sp.startswith("tbin#"), sp
