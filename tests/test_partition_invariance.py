@@ -55,6 +55,8 @@ PROBES = [
     "agg_spearman_grid",         # cell-count windows + 128-bit moments
     # r7 additions
     "win_holt_linear",           # per-key sequential (l, b) float fold
+    "ml_conformal_interval",     # integer moments -> shared-beta residual
+    #                              ranking + binned k-th selection
 ]
 
 
