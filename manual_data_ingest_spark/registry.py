@@ -74,38 +74,37 @@ def slow_twins() -> dict[str, str]:
 #: full 277-query local oracle sweep (tests/oracle_check.py) remains
 #: the regression gate for everything past the 50-slot window.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # r7 window (50 slots), per the r6 verdict's Next-round #1: lead
-    # with the LLM-pipeline family and the graph/ML block, and include
-    # the 7 r6 ops that queued behind the r6 curated window. Earlier
-    # rounds' curated lists (r3 ingest/flagship/window, r4 behavioural
-    # windows) are all driver-green on record and filtered to the tail
-    # automatically, so this tuple only needs the CURRENT priorities.
-    # Composition: UDF surface (8) + reshape (2) + sampling (6) +
-    # the 7 queued r6 ops + graph block (9; sssp is in the queued 7) +
-    # ML core (8) + dedup/sim/text/pipeline family (10) = 50, of which
-    # 19 carry the dedup_/sim_/text_/multimodal_/sample_/pipeline_
-    # prefixes (verdict asks >= 15).
-    "udf_grouped_agg", "udf_grouped_map", "udf_map_partitions",
-    "udtf_tokenize", "udf_arrow_scalar", "udf_map_arrow",
-    "udtf_tokenize_arrow", "udf_pandas_scalar_iter",
-    "pivot_segment_counts", "unpivot_part_metrics",
-    "sample_hash", "sample_group_holdout", "sample_balanced_label",
-    "sample_negative_pairs", "sample_epoch_shuffle",
-    "sample_neyman_allocation",
-    "sim_item_cooccurrence", "text_perplexity_ngram",
-    "graph_sssp_weighted", "ml_woe_encoding", "stream_chained_stateful",
-    "stream_observed_metrics", "pipeline_token_shard",
-    "graph_pagerank", "graph_connected_components",
-    "graph_triangle_count", "graph_bfs_levels",
-    "graph_degree_distribution", "graph_label_propagation",
-    "graph_kcore", "graph_hits", "graph_link_prediction",
-    "ml_kmeans_embeddings", "ml_logistic_newton",
-    "ml_ols_normal_equations", "ml_pca_power", "ml_auc_roc",
-    "ml_naive_bayes", "ml_eval_metrics", "ml_knn_classify",
-    "dedup_decontaminate_shuffled", "dedup_minhash_band_tune",
-    "dedup_cross_source", "dedup_survivorship", "sim_threshold_expr",
-    "sim_bm25_topk", "sim_ann_ivf_pruned", "text_gopher_repetition",
-    "text_tfidf", "pipeline_seq_pack",
+    # r8 window (50 slots), per the r7 verdict's Next-round #1: stage
+    # the streaming block (largest family never driver-graded), the
+    # pipeline tails, the remaining text/multimodal names, and the 10
+    # r7-born ops. Earlier rounds' curated lists are all driver-green
+    # on record and filtered out automatically, so this tuple only
+    # needs the CURRENT priorities. Composition: 10 r7-born ops +
+    # streaming (12) + pipeline (14) + text tails (11) +
+    # multimodal (3) = 50. The residual never-graded pool (37) is the
+    # ml/dedup/sim tails, staged for r9 to zero the pool.
+    "join_skew_aqe", "agg_benford_test", "win_holt_linear",
+    "scan_nested_pruned", "ingest_id_gap_islands", "udf_sql_function",
+    "graph_reach_recursive", "ml_isotonic_calibration",
+    "ml_conformal_interval", "stream_static_enrich",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup", "stream_join", "stream_stateful_running",
+    "stream_foreach_batch_sink", "stream_transform_with_state",
+    "stream_join_outer", "stream_topk_windowed",
+    "stream_error_rate_alert", "stream_dedup_within_watermark",
+    "pipeline_ingest_register", "pipeline_training_mix",
+    "pipeline_rag_index", "pipeline_incremental_refresh",
+    "pipeline_feature_store", "pipeline_attribution",
+    "pipeline_bpe_train", "pipeline_train_eval_split",
+    "pipeline_filter_funnel", "pipeline_eval_pack",
+    "pipeline_preference_pairs", "pipeline_dataset_card",
+    "pipeline_quality_filter_ablation", "pipeline_curriculum_order",
+    "text_chunk_overlap", "text_unigram_logprob", "text_zipf_slope",
+    "text_vocab_growth", "text_top_terms", "text_boilerplate_prefix",
+    "text_ngram_novelty", "text_cooccurrence_pmi", "text_js_divergence",
+    "text_domain_classify", "text_tokenizer_fertility",
+    "multimodal_shard_assign", "multimodal_phash_dedup",
+    "multimodal_pair_batches",
 )
 
 
