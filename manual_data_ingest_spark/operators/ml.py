@@ -44,6 +44,19 @@ _K = 8
 _ITERS = 3
 _DIM = 64
 
+#: The calibration family's shared "scored entities only" contract: a
+#: NULL score cannot be ranked into a decile/threshold bin (PARITY #40,
+#: opposite engine null sort orders), so every ranked-score op filters
+#: to scored entities FIRST — on BOTH engines, from this ONE string.
+#: Single-sourced per the r7 verdict: a shared-CTE text replace once
+#: patched four oracles but only two Spark sides (the null sweep caught
+#: it); interpolating the same literal into the oracle SQL and
+#: ``F.expr`` makes that skew structurally impossible (the
+#: ``_SHINGLE_SQL`` / ``_simhash_fp_sql`` pattern from operators/dedup.py).
+#: Consumers: ml_calibration_bins, ml_lift_chart, ml_threshold_sweep,
+#: ml_isotonic_calibration (pinned by tests/test_registry.py).
+_SCORED_ONLY_SQL = "c_acctbal IS NOT NULL"
+
 
 def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     """The identical Lloyd trajectory unrolled into portable SQL CTEs."""
@@ -1316,7 +1329,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer WHERE c_acctbal IS NOT NULL
+  FROM customer WHERE {_SCORED_ONLY_SQL}
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS score_decile
   FROM lab
@@ -1346,7 +1359,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a NULL score cannot be ranked into a decile (PARITY #40:
     # opposite null sort orders) — scored entities only, both engines
     c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_acctbal").isNotNull())
+        F.expr(_SCORED_ONLY_SQL))
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())
@@ -1371,7 +1384,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer WHERE c_acctbal IS NOT NULL
+  FROM customer WHERE {_SCORED_ONLY_SQL}
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
              AS score_decile
@@ -1410,7 +1423,7 @@ def ml_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL scores are unrankable (PARITY #40) — scored entities
     # only, matching the oracle's shared lab CTE
     c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_acctbal").isNotNull())
+        F.expr(_SCORED_ONLY_SQL))
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())
@@ -1744,7 +1757,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer WHERE c_acctbal IS NOT NULL
+  FROM customer WHERE {_SCORED_ONLY_SQL}
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
              AS score_decile
@@ -1786,7 +1799,7 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL scores are unrankable (PARITY #40) — scored entities
     # only, matching the oracle's shared lab CTE
     c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_acctbal").isNotNull())
+        F.expr(_SCORED_ONLY_SQL))
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())
@@ -2458,7 +2471,7 @@ WITH lab AS (
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
-  FROM customer WHERE c_acctbal IS NOT NULL
+  FROM customer WHERE {_SCORED_ONLY_SQL}
 ), binned AS (
   SELECT y, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS d
   FROM lab
@@ -2508,7 +2521,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null sort orders differ — PARITY #40); calibration is over
     # scored entities only, both engines
     c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_acctbal").isNotNull())
+        F.expr(_SCORED_ONLY_SQL))
     o = load_table(spark, sf_dir, "orders")
     urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
               .select("o_custkey").distinct())

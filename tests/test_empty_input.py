@@ -318,7 +318,10 @@ def test_text_family_oracle_exact_on_unicode(spark, unicode_dir):
 #: ingest_clean_nulls silently DROPPING the null-cohort row (inner
 #: equi-join on a NULL grouping key) — invisible to both the
 #: standard-fixture oracle and the no-crash probe. Extended r7 per the
-#: verdict (21 -> 134 names): every join_*/ingest_*/win_*/sample_*/
+#: verdict (21 names at r6; current count = len(NULL_ORACLE_EXACT),
+#: never hand-written — tools/null_sweep.py prints it at run time and
+#: test_no_hand_counted_null_gate_literals pins the class): every
+#: join_*/ingest_*/win_*/sample_*/
 #: provenance_* op that the full-registry null sweep verified exact,
 #: plus the 20 ops the r7 sweep FIXED (null-text shingle pairing
 #: blowup in the dedup family, presence-vs-checksum confusion in
@@ -400,6 +403,27 @@ def test_null_semantics_oracle_exact(spark, nulls_dir):
     bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
     assert len(results) == len(NULL_ORACLE_EXACT)
     assert not bad, bad
+
+
+def test_no_hand_counted_null_gate_literals():
+    """The r6 AND r7 verdicts both caught a hand-written NULL_ORACLE_EXACT
+    size in prose drifting from the pinned list (21-vs-134, then
+    134-vs-151). Kill the class: no line mentioning the gate may carry a
+    bare "<N> ops/names" literal other than the frozen historical
+    baseline ("21 names at r6") or the true current length."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    allowed = {21, len(NULL_ORACLE_EXACT)}
+    offenders = []
+    for rel in ("tools/null_sweep.py", "tests/test_empty_input.py"):
+        for i, line in enumerate(open(os.path.join(repo, rel)), 1):
+            if "NULL_ORACLE_EXACT" not in line:
+                continue
+            for m in re.finditer(r"(\d+)\s+(?:ops|names)", line):
+                if int(m.group(1)) not in allowed:
+                    offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, offenders
 
 
 #: Aggregate-total operators whose empty-input answer is a SINGLE row

@@ -196,3 +196,29 @@ def test_driver_materialization_whitelist():
     counts = Counter(f for f, _ in hits)
     assert counts["operators/graph.py"] <= 1, hits
     assert counts["sources/scans.py"] <= 4, hits
+
+
+def test_calibration_filter_single_sourced():
+    """The calibration family's scored-entities filter must derive from
+    ONE module constant on BOTH engine sides (r7 verdict #3: a
+    shared-CTE text replace once patched four oracles but only two
+    Spark sides; the null sweep caught it within a run, but the class
+    dies here). The literal may appear in ml.py source exactly once —
+    the `_SCORED_ONLY_SQL` definition — while every registered
+    calibration oracle carries it at runtime via interpolation."""
+    import os
+
+    from manual_data_ingest_spark.operators.ml import _SCORED_ONLY_SQL
+    from manual_data_ingest_spark.registry import all_oracles
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = open(os.path.join(
+        repo, "manual_data_ingest_spark/operators/ml.py")).read()
+    assert src.count(_SCORED_ONLY_SQL) == 1, (
+        "duplicated copy of the scored-entities filter in ml.py — "
+        "interpolate _SCORED_ONLY_SQL instead")
+    oracles = all_oracles()
+    family = ["ml_calibration_bins", "ml_lift_chart",
+              "ml_threshold_sweep", "ml_isotonic_calibration"]
+    for name in family:
+        assert _SCORED_ONLY_SQL in oracles[name], name

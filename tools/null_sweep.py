@@ -4,8 +4,9 @@
 Builds the same null fixture as tests/test_empty_input.py's nulls_dir
 (every non-key column NULL on every 10th row of sf0.001), then runs
 EVERY registered operator through the driver-faithful oracle harness
-against it. The pytest gate (NULL_ORACLE_EXACT, 134 ops) is the
-per-commit subset; this sweep is the exhaustive version that found the
+against it. The pytest gate (tests/test_empty_input.py's
+NULL_ORACLE_EXACT — count printed at run time, never hand-written) is
+the per-commit subset; this sweep is the exhaustive version that found the
 r6 ingest_clean_nulls cohort drop and the r7 batch (20 fixes: the
 dedup null-text pairing blowup, manifest_diff presence confusion,
 stream_stateful_running -inf leak, NULL-grouping-key join drops, null
@@ -75,7 +76,10 @@ def build_fixture(src: str = "/root/testdata/sf0.001",
 
 def main() -> None:
     from tests.oracle_check import run_all
+    from tests.test_empty_input import NULL_ORACLE_EXACT
 
+    print(f"per-commit pytest gate pins {len(NULL_ORACLE_EXACT)} ops "
+          "hash-exact (tests/test_empty_input.py NULL_ORACLE_EXACT)")
     only = sys.argv[1:] or None
     sf_dir = build_fixture()
     results = run_all(sf_dir=sf_dir, only=only)
