@@ -768,8 +768,27 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result correctness is split-invariant — the oracle is the plain
     join.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    return _skew_aqe_demo(spark, sf_dir)[0]
+
+
+def _skew_aqe_demo(spark: SparkSession, sf_dir: str):
+    """Run the skew-join demo on an ISOLATED ``spark.newSession()`` and
+    return ``(result_df, executed_plan_str)``.
+
+    Conf isolation (r7 advisor): the demo thresholds
+    (autoBroadcastJoinThreshold=-1, 32KB skew floor, no coalesce) used
+    to be set on the SHARED session around execution — any operator
+    running concurrently in the same session would have executed under
+    them. ``newSession()`` shares the SparkContext (and executors) but
+    owns its SQLConf, so the demo confs never leak; nothing needs
+    restoring. The plan string is RETURNED, not stashed on a session
+    attribute, so tests assert on a value they derived themselves.
+    This op reads only lineitem/orders (DATE columns — no nanos
+    timestamp conf needed on the fresh session); AQE is on by default.
+    """
+    s = spark.newSession()
+    li = load_table(s, sf_dir, "lineitem")
+    o = load_table(s, sf_dir, "orders")
     k_l = F.when(F.col("l_orderkey") % 4 != 0, F.lit(0)) \
         .otherwise(F.col("l_orderkey")).alias("k")
     k_o = F.when(F.col("o_orderkey") % 4 != 0, F.lit(0)) \
@@ -787,36 +806,17 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = (o.select(k_o).distinct()
            .select("k", (F.col("k") % 7).alias("grp"))
            .localCheckpoint(eager=True))
-    conf = spark.conf
-    saved = {
-        "spark.sql.autoBroadcastJoinThreshold":
-            conf.get("spark.sql.autoBroadcastJoinThreshold"),
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
-            conf.get("spark.sql.adaptive.skewJoin."
-                     "skewedPartitionThresholdInBytes"),
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
-            conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
-        "spark.sql.adaptive.coalescePartitions.enabled":
-            conf.get("spark.sql.adaptive.coalescePartitions.enabled"),
-    }
-    try:
-        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        conf.set("spark.sql.adaptive.skewJoin."
-                 "skewedPartitionThresholdInBytes", "32KB")
-        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        joined = left.join(dim, "k")
-        res = (joined.groupBy("grp")
-               .agg(F.count("*").alias("n"),
-                    (F.floor((F.sum("cents").cast("double") / 100.0)
-                             * 100.0 + F.lit(0.5)) / 100.0)
-                    .alias("revenue")))
-        out = res.localCheckpoint(eager=True)  # execute under demo confs
-        # executed-plan evidence for tests/test_plans.py (the confs are
-        # restored below, so a test re-run would not reproduce it)
-        spark._mdis_skew_plan = (res._jdf.queryExecution()
-                                 .executedPlan().toString())
-    finally:
-        for key, v in saved.items():
-            conf.set(key, v)
-    return out
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin."
+               "skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    joined = left.join(dim, "k")
+    res = (joined.groupBy("grp")
+           .agg(F.count("*").alias("n"),
+                (F.floor((F.sum("cents").cast("double") / 100.0)
+                         * 100.0 + F.lit(0.5)) / 100.0)
+                .alias("revenue")))
+    out = res.localCheckpoint(eager=True)  # execute under demo confs
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    return out, plan

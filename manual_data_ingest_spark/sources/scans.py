@@ -138,11 +138,13 @@ def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
         d = _tmpdir("mdis_binfiles_")
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         for row in docs.toLocalIterator():
-            if row.text is None:
-                continue  # a NULL document has NO file on the mount —
-                # and Spark's file sources SKIP zero-byte files anyway,
-                # so the old "NULL text = empty file" shim made the scan
-                # silently read 450/500 (r7 null sweep)
+            if not row.text:
+                continue  # NULL text has NO file on the mount; EMPTY
+                # text would write a zero-byte file that Spark's file
+                # sources SKIP (r7 null sweep: the "NULL text = empty
+                # file" shim made the scan silently read 450/500; r7
+                # advisor: an empty STRING hits the same skip, so the
+                # oracle mirrors `text <> ''` and a probe pins it)
             with open(os.path.join(d, f"{row.doc_id}.bin"), "wb") as f:
                 f.write(row.text.encode())
         _BINFILE_DIRS[sf_dir] = d
@@ -151,7 +153,7 @@ def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
 
 @register("scan_binaryfile", """
 SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5
-FROM documents WHERE text IS NOT NULL
+FROM documents WHERE text IS NOT NULL AND text <> ''
 """)
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-of-media scan via Spark's `binaryFile` source — the real

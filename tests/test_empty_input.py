@@ -444,3 +444,35 @@ def test_empty_semantics_oracle_exact(spark, empty_dir):
     bad = [(r.name, r.detail[:120]) for r in results if not r.ok]
     assert len(results) == len(EMPTY_ORACLE_EXACT)
     assert not bad, bad
+
+
+def test_binaryfile_empty_string_doc_oracle_exact(spark, tmp_path):
+    """An EMPTY-STRING (non-NULL) document writes a zero-byte file,
+    which Spark's file sources SKIP — so scan_binaryfile's contract is
+    `text IS NOT NULL AND text <> ''` on BOTH engines (r7 advisor: the
+    fixture shim now skips empty-string docs and the oracle mirrors the
+    filter; this probe pins the contract on a fixture that actually
+    CONTAINS an empty-string doc — the stock fixtures have none)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_check import run_all
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "emptystr")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(f"{src}/{f}", f"{dst}/{f}")
+    t = pq.read_table(f"{dst}/documents.parquet")
+    texts = t.column("text").to_pylist()
+    texts[0] = ""  # one empty-string doc: zero bytes on the mount
+    cols = [t.column(c) if c != "text" else pa.array(texts, pa.string())
+            for c in t.column_names]
+    pq.write_table(pa.table(cols, names=t.column_names),
+                   f"{dst}/documents.parquet")
+    results = run_all(sf_dir=dst, only=["scan_binaryfile"], spark=spark)
+    assert results and all(r.ok for r in results), [
+        (r.name, r.detail[:120]) for r in results if not r.ok]

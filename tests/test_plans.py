@@ -1205,11 +1205,16 @@ def test_nested_schema_pruning_reaches_scan(spark):
 
 
 def test_skew_join_split_fires(spark):
-    """join_skew_aqe: the executed plan (captured by the operator while
-    its demo thresholds were active) must show OptimizeSkewedJoin's
-    work — SortMergeJoin(skew=true) over an 'AQEShuffleRead skewed'."""
-    E.queries()["join_skew_aqe"](spark, SF_ORACLE).collect()
-    plan = spark._mdis_skew_plan
+    """join_skew_aqe: the executed plan must show OptimizeSkewedJoin's
+    work — SortMergeJoin(skew=true) over an 'AQEShuffleRead skewed'.
+    The test derives the plan itself from the demo helper's return
+    value (r7 advisor: no session-attribute side-channel), and the
+    helper runs on an isolated newSession so its demo confs cannot
+    leak into concurrently executing operators."""
+    from manual_data_ingest_spark.operators.joins import _skew_aqe_demo
+
+    out, plan = _skew_aqe_demo(spark, SF_ORACLE)
+    out.collect()
     assert "skew=true" in plan, plan
     assert "AQEShuffleRead skewed" in plan, plan
 
