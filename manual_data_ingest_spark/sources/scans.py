@@ -317,8 +317,18 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = latest(ev.filter(F.col("ts") >= cutoff))
     touched = [r.event_type
                for r in delta.select("event_type").distinct().collect()]
+    # NULL partition key: `isin` is null-UNSAFE (SQL IN), so a delta
+    # touching the NULL partition would overwrite it WITHOUT reading
+    # the standing rows back — latest-wins silently drops every
+    # snapshot-only key in that partition (r7 null sweep; the
+    # __HIVE_DEFAULT_PARTITION__ directory is a partition like any
+    # other and must be merged, not clobbered)
+    touched_pred = F.col("event_type").isin(
+        [t for t in touched if t is not None])
+    if any(t is None for t in touched):
+        touched_pred = touched_pred | F.col("event_type").isNull()
     existing = (spark.read.schema(snap_schema).parquet(out)
-                .filter(F.col("event_type").isin(touched))
+                .filter(touched_pred)
                 .select("user_id", "event_type", "event_id", "ts", "value"))
     (latest(existing.unionByName(delta))
      .write.mode("overwrite")
@@ -554,7 +564,8 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("scan_schema_evolution", """
-SELECT CASE WHEN day(ts) <= 15 THEN '__legacy__' ELSE event_type END
+SELECT CASE WHEN day(ts) <= 15 THEN '__legacy__'
+            ELSE coalesce(event_type, '__legacy__') END
            AS event_type,
        count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users
@@ -566,7 +577,11 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     before `event_type` existed) and v2 files (with it) live in one
     dataset; `mergeSchema=true` reconciles the footers and the missing
     column reads as NULL — then `coalesce(event_type, '__legacy__')`
-    gives the query a total column.
+    gives the query a total column. Declared contract (oracle encodes
+    it): after evolution, "column absent" (v1 file) and "value NULL"
+    (v2 file) are indistinguishable by design — both are __legacy__;
+    a consumer needing the distinction must carry an explicit
+    schema-version column, not infer it from nullness.
 
     The 100 TB point: adding a column must never rewrite petabytes of
     old files — parquet's per-file self-describing schema makes old
@@ -710,8 +725,15 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("scan_manifest_pruned", """
-SELECT 7 AS n_files_total,
-       2 AS n_files_selected,
+SELECT (SELECT count(DISTINCT year(o_orderdate))
+               + (count(*) FILTER (o_orderdate IS NULL) > 0)::INT
+        FROM orders)::INTEGER AS n_files_total,
+       (SELECT count(*) FROM (
+            SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx
+            FROM orders WHERE o_orderdate IS NOT NULL
+            GROUP BY year(o_orderdate))
+        WHERE mx >= TIMESTAMP '1996-06-01'
+          AND mn <= TIMESTAMP '1997-03-31')::INTEGER AS n_files_selected,
        count(*) AS n_rows,
        floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS sum_price
 FROM orders
@@ -968,9 +990,13 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("scan_csv_badrecords", """
-SELECT count(*) FILTER (doc_id % 10 <> 0) AS n_parsed,
-       count(*) FILTER (doc_id % 10 = 0)  AS n_corrupt,
-       (sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars ELSE 0 END))::BIGINT
+SELECT count(*) FILTER (doc_id % 10 <> 0 AND text IS NOT NULL
+                        AND n_chars IS NOT NULL) AS n_parsed,
+       count(*) FILTER (doc_id % 10 = 0 OR text IS NULL
+                        OR n_chars IS NULL)  AS n_corrupt,
+       (sum(CASE WHEN doc_id % 10 <> 0 AND text IS NOT NULL
+                      AND n_chars IS NOT NULL
+                 THEN n_chars ELSE 0 END))::BIGINT
            AS parsed_chars
 FROM documents
 """)
@@ -989,6 +1015,12 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     DROPMALFORMED silently loses data — the mode choice is the whole
     design decision, recorded here. The oracle pins the recovery
     accounting from the construction rule.
+
+    Declared null contract (oracle encodes it; null fixture exercises
+    it): a record with NULL text or NULL n_chars degrades to a line
+    with FEWER TOKENS than the schema (concat_ws skips nulls), and
+    Spark's CSV parser classifies token-count mismatch as malformed —
+    so such records are CORRUPT at the parse layer, by design.
     """
     import os
 
@@ -1030,13 +1062,17 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("scan_jsonl_badrecords", """
 SELECT 'parsed' AS status,
-       count(CASE WHEN doc_id % 10 <> 0 THEN 1 END) AS n_rows,
-       sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars ELSE 0 END)::BIGINT
+       count(CASE WHEN doc_id % 10 <> 0 AND text IS NOT NULL
+                       AND n_chars IS NOT NULL THEN 1 END) AS n_rows,
+       sum(CASE WHEN doc_id % 10 <> 0 AND text IS NOT NULL
+                     AND n_chars IS NOT NULL
+                THEN n_chars ELSE 0 END)::BIGINT
            AS sum_chars
 FROM documents
 UNION ALL
 SELECT 'corrupt',
-       count(CASE WHEN doc_id % 10 = 0 THEN 1 END),
+       count(CASE WHEN doc_id % 10 = 0 AND text IS NOT NULL
+                       AND n_chars IS NOT NULL THEN 1 END),
        0
 FROM documents
 """)
@@ -1055,6 +1091,12 @@ def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle pins the recovery accounting from the construction
     rule (every 10th doc), so the parse layer is verified against
     ground truth, not against itself.
+
+    Declared null contract (oracle encodes it; null fixture exercises
+    it): NULL text or n_chars nulls the whole constructed line
+    (concat propagates NULL), the text sink emits an empty line, and
+    Spark's JSON reader SKIPS blank lines — such records simply do
+    not exist in the batch, neither parsed nor corrupt, by design.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars")

@@ -339,7 +339,10 @@ NULL_ORACLE_EXACT = [
     "agg_spearman_grid", "agg_stats", "cond_funcs",
     "dedup_clusters", "dedup_containment", "dedup_minhash_band_tune",
     "dedup_minhash_estimate_error", "dedup_near_jaccard", "dedup_near_minhash",
-    "explode_outer_semantics", "filter_in_like_null", "ingest_backfill_plan",
+    "explode_outer_semantics", "filter_in_like_null",
+    # r8: per-row BIGINT-cent quantization removed q9's half-cent tie
+    "flagship_q9_product_profit",
+    "ingest_backfill_plan",
     "ingest_cdc_apply", "ingest_checksum_manifest", "ingest_clean_nulls",
     "ingest_double_submit_guard", "ingest_dp_release", "ingest_dq_suite",
     "ingest_file_lineage", "ingest_fk_coverage_report", "ingest_freshness_slo",
@@ -363,6 +366,14 @@ NULL_ORACLE_EXACT = [
     "sample_importance_weighted", "sample_negative_pairs", "sample_neyman_allocation",
     "sample_stratified", "sample_temperature_mix", "sample_train_val_test",
     "scalar_try_funcs", "scan_binaryfile", "sort_multi_null",
+    # r8: the format-null class made EXECUTABLE (r7 verdict #5) — the
+    # CSV/JSON/partition-layer null contracts are now stated by the
+    # oracles themselves (token-count-mismatch = corrupt, blank JSON
+    # line = skipped, NULL event_type = __legacy__ post-evolution,
+    # NULL partition dir in the manifest) and sink_merge_upsert's
+    # null-partition merge drop was a real bug, fixed
+    "scan_csv_badrecords", "scan_jsonl_badrecords",
+    "scan_schema_evolution", "sink_merge_upsert", "scan_manifest_pruned",
     "stream_observed_metrics", "stream_stateful_running", "stream_topk_windowed",
     "text_chunk_overlap", "text_perplexity_ngram", "udf_map_partitions",
     "win_autocorr_lag1", "win_churn_weekly", "win_conditional",

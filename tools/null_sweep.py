@@ -21,15 +21,19 @@ re-adjudicate if this list GROWS):
   ml_* on null embeddings/labels + sim_pq (contract non-null; the
     score-RANKED ml ops — calibration/lift/threshold-sweep — were
     FIXED r7: scored entities only, PARITY #40);
-  multimodal stubs on null media buffers — env-gated fakes;
-  CSV/JSON round-trips (scan_*_badrecords, scan_schema_evolution,
-    sink_merge_upsert, scan_manifest_pruned) — format-level null
-    encoding semantics ('' vs missing vs corrupt) differ by design;
-  flagship_q9 — raw group sum sits exactly on a half-cent rounding
-    tie under the null subset (577783.815 measured), both engines
-    wobble on the last bit. (The null-day time-series class —
+  multimodal stubs on null media buffers — env-gated fakes.
+  (The null-day time-series class —
     bollinger/survival/runs/acf — was FIXED r7: explicit non-null
-    (day, value) series on both engines.)
+    (day, value) series on both engines. flagship_q9 was FIXED r8:
+    per-row BIGINT-cent quantization — the flagship_q11 rule —
+    replaced the round-the-float-sum form whose group total sat
+    exactly on a half-cent tie (577783.815). The CSV/JSON/partition
+    format-null class was made EXECUTABLE r8 per the r7 verdict #5:
+    the oracles of scan_csv_badrecords / scan_jsonl_badrecords /
+    scan_schema_evolution / scan_manifest_pruned now state the
+    designed null encoding, sink_merge_upsert's null-partition merge
+    drop was a real bug fixed at the isin site, and all five joined
+    NULL_ORACLE_EXACT.)
 
 Usage:  python tools/null_sweep.py            # build + sweep
         python tools/null_sweep.py NAME ...   # subset
