@@ -24,6 +24,10 @@ row-for-row against the same query on the in-process local session:
   shuffle files
 - ``join_skew_aqe``          — AQE skew split replaying mapper ranges from
   other executors' shuffle output
+- ``stream_chained_stateful`` / ``stream_foreach_batch_sink`` /
+  ``stream_transform_with_state`` — chained state stores, foreachBatch
+  closures, and Python arbitrary state across executor JVMs (r7
+  verdict #7: state-machinery evidence for every stateful shape)
 """
 
 from __future__ import annotations
@@ -58,7 +62,17 @@ _QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map",
             # files, and the skew split replays mapper ranges from
             # OTHER executors' shuffle output (pure driver-JVM local
             # mode cannot exercise either)
-            "graph_reach_recursive", "join_skew_aqe"]
+            "graph_reach_recursive", "join_skew_aqe",
+            # r8 (r7 verdict #7): every STATEFUL streaming shape with
+            # state machinery across real executor JVMs — two chained
+            # state stores in one query (window agg feeding dedup
+            # state), a foreachBatch sink whose batch closure executes
+            # against executor-side shuffle output, and the Python
+            # arbitrary-state path (applyInPandasWithState) whose
+            # state object pickles across the JVM/Python boundary on
+            # each executor
+            "stream_chained_stateful", "stream_foreach_batch_sink",
+            "stream_transform_with_state"]
 
 _RUNNER = """
 import json, sys
