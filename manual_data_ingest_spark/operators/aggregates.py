@@ -3409,3 +3409,44 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").alias("n"),
                  chi2.alias("chi2"),
                  (chi2 < 21.666).alias("benford_ok")))
+
+
+@register("agg_exchange_reuse", """
+WITH yr AS (
+  SELECT year(o_orderdate) AS y,
+         sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT a.y AS y,
+       floor((a.cents::DOUBLE / b.cents::DOUBLE) * 1e6 + 0.5) / 1e6
+           AS yoy_ratio
+FROM yr a JOIN yr b ON b.y = a.y + 1
+""")
+def agg_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCHANGE REUSE — one shuffle feeding two plan consumers: the
+    year-level revenue aggregate is consumed twice (each year joined to
+    its successor for a year-over-year ratio), and Spark plans the
+    second consumer as a `ReusedExchange` over the FIRST aggregation's
+    shuffle files instead of recomputing the fact scan + partial aggs.
+    tests/test_plans.py asserts the node on the executed plan.
+
+    This is the engine mechanism that makes self-join analytics
+    (period-over-period, share-of-total, cohort-vs-cohort) pay for the
+    fact pass ONCE — at 100 TB the difference between one
+    orders-table scan and two. It falls out of expressing both
+    consumers over the SAME DataFrame object (same canonical plan);
+    re-deriving the aggregate from a second `spark.read` would defeat
+    the reuse, which is the design rule this operator records.
+    Per-row BIGINT-cent quantization (the flagship_q9/q11 rule) keeps
+    the group sums exact on both engines; the ratio is rounded to 6dp.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yr = (o.groupBy(F.year("o_orderdate").alias("y"))
+          .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+                     .cast("long")).alias("cents")))
+    a, b = yr.alias("a"), yr.alias("b")
+    return (a.join(b, F.col("b.y") == F.col("a.y") + 1)
+            .select(F.col("a.y").alias("y"),
+                    (F.floor((F.col("a.cents").cast("double")
+                              / F.col("b.cents").cast("double"))
+                             * 1e6 + F.lit(0.5)) / 1e6).alias("yoy_ratio")))

@@ -820,3 +820,54 @@ def _skew_aqe_demo(spark: SparkSession, sf_dir: str):
     out = res.localCheckpoint(eager=True)  # execute under demo confs
     plan = res._jdf.queryExecution().executedPlan().toString()
     return out, plan
+
+
+@register("join_runtime_bloom", """
+SELECT p_brand, count(*)::BIGINT AS n,
+       floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_partkey % 10 = 0
+GROUP BY p_brand
+""")
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE runtime bloom-filter injection — the engine-side
+    sibling of the hand-built `join_bloom_prefilter`: when a selective
+    filter sits on the creation (dim) side of a shuffle join, the
+    InjectRuntimeFilter rule plants a `bloom_filter_agg` subquery over
+    the filtered dim keys and rewrites the fact scan's predicate to
+    `might_contain(...)` — fact rows that cannot join are dropped
+    BEFORE the shuffle, with zero query changes. tests/test_plans.py
+    asserts both plan nodes on the executed plan.
+
+    Demonstration scaling, same policy as `scan_dpp_pruned` /
+    `join_skew_aqe`: the application-side scan-size threshold (10 GB
+    default — exactly right at 100 TB, where this fires unprompted) is
+    lowered on an ISOLATED newSession so the mechanism fires at
+    fixture scale; broadcast is disabled because a broadcast join
+    already ships the dim keys (runtime bloom targets shuffle joins).
+    """
+    return _runtime_bloom_demo(spark, sf_dir)[0]
+
+
+def _runtime_bloom_demo(spark: SparkSession, sf_dir: str):
+    """Run the runtime-bloom demo on an isolated session; return
+    (result_df, executed_plan_str) — the join_skew_aqe pattern: confs
+    never touch the shared session, tests assert on a returned value."""
+    from manual_data_ingest_spark.functions.rounding import rnd
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+               "applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+               "creationSideThreshold", "64MB")
+    li = load_table(s, sf_dir, "lineitem")
+    p = (load_table(s, sf_dir, "part")
+         .filter(F.col("p_partkey") % 10 == 0))
+    res = (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+           .groupBy("p_brand")
+           .agg(F.count(F.lit(1)).alias("n"),
+                rnd(F.sum("l_extendedprice")).alias("revenue")))
+    out = res.localCheckpoint(eager=True)  # execute under demo confs
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    return out, plan

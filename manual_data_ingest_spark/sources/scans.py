@@ -1289,3 +1289,59 @@ def scan_nested_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor((F.sum("money.price_cents").cast("double") / 100.0)
                           * 100.0 + F.lit(0.5)) / 100.0)
                  .alias("revenue")))
+
+
+@register("scan_agg_pushdown", """
+SELECT min(l_quantity) AS min_qty,
+       max(l_extendedprice) AS max_price,
+       count(*) AS n_rows
+FROM lineitem
+""")
+def scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown — MIN/MAX/COUNT answered from footer
+    statistics without decoding a single data page: the v2 ParquetScan
+    plans `PushedAggregation: [MIN(...), MAX(...), COUNT(*)]` and each
+    task reads only row-group metadata. The manual twin is
+    `scan_footer_stats` (pyarrow footer walk); this is the ENGINE doing
+    it inside a plain `df.agg(...)` — tests/test_plans.py asserts the
+    pushed aggregation on the executed plan.
+
+    At 100 TB this is the difference between a metadata-only planning
+    pass (~KBs per file) and a full-column scan for a table-level
+    MIN/MAX/COUNT — the audit queries every ingest run fires. Engine
+    facts: fires only on the DSv2 read path (`useV1SourceList` must
+    exclude parquet — set on an isolated newSession), only without
+    residual data filters, and min/max skip nulls exactly like the SQL
+    aggregates they answer (footer stats exclude nulls; COUNT(*) uses
+    row-group row counts, so null rows still count).
+    """
+    return _agg_pushdown_demo(spark, sf_dir)[0]
+
+
+def _agg_pushdown_demo(spark: SparkSession, sf_dir: str):
+    """Run the pushdown demo on an isolated v2-source session; return
+    (result_df, executed_plan_str) — the join_skew_aqe pattern.
+
+    Engine fact (empty-input sweep): the pushed-aggregate read path
+    CRASHES on a parquet file with ZERO row groups (FAILED_READ_FILE —
+    there is no footer statistic to answer from), so a production
+    deployment gates pushdown on footer row-group presence; here the
+    guard is try/fallback to the ordinary v1 aggregation, which is
+    also what Spark itself does when pushdown support checks fail."""
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.agg(F.min("l_quantity").alias("min_qty"),
+                      F.max("l_extendedprice").alias("max_price"),
+                      F.count(F.lit(1)).alias("n_rows"))
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    res = _agg(s.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    try:
+        out = res.localCheckpoint(eager=True)  # execute under demo confs
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # zero-row-group file: fall back to the v1 scan
+        res = _agg(load_table(spark, sf_dir, "lineitem"))
+        out = res.localCheckpoint(eager=True)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    return out, plan

@@ -118,6 +118,9 @@ PROBES = [
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
     "ml_calibration_bins", "ml_lift_chart", "ml_threshold_sweep",
     "ml_conformal_interval",
+    # r8 additions
+    "join_runtime_bloom", "scan_agg_pushdown", "agg_exchange_reuse",
+    "stream_checkpoint_resume",
 ]
 
 
@@ -374,6 +377,9 @@ NULL_ORACLE_EXACT = [
     # null-partition merge drop was a real bug, fixed
     "scan_csv_badrecords", "scan_jsonl_badrecords",
     "scan_schema_evolution", "sink_merge_upsert", "scan_manifest_pruned",
+    # r8 new ops, null-exact from birth
+    "join_runtime_bloom", "scan_agg_pushdown", "agg_exchange_reuse",
+    "stream_checkpoint_resume",
     "stream_observed_metrics", "stream_stateful_running", "stream_topk_windowed",
     "text_chunk_overlap", "text_perplexity_ngram", "udf_map_partitions",
     "win_autocorr_lag1", "win_churn_weekly", "win_conditional",
@@ -425,6 +431,9 @@ def test_no_hand_counted_null_gate_literals():
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # and the list itself must be duplicate-free (an r8 insertion once
+    # matched BOTH lists' identical tails and double-added four names)
+    assert len(NULL_ORACLE_EXACT) == len(set(NULL_ORACLE_EXACT))
     allowed = {21, len(NULL_ORACLE_EXACT)}
     offenders = []
     for rel in ("tools/null_sweep.py", "tests/test_empty_input.py"):

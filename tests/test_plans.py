@@ -1279,3 +1279,52 @@ def test_conformal_selection_has_no_global_residual_window(spark):
     assert specs, plan
     for sp in specs:
         assert sp.startswith("bin#") or sp.startswith("tbin#"), sp
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom: Spark's InjectRuntimeFilter must plant a
+    bloom_filter_agg subquery over the filtered dim keys AND rewrite
+    the fact side with might_contain — both on the EXECUTED plan (the
+    demo helper returns it; confs live on an isolated newSession)."""
+    from manual_data_ingest_spark.operators.joins import _runtime_bloom_demo
+
+    out, plan = _runtime_bloom_demo(spark, SF_ORACLE)
+    out.collect()
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
+
+
+def test_parquet_aggregate_pushdown_fires(spark):
+    """scan_agg_pushdown: the v2 ParquetScan must carry the pushed
+    MIN/MAX/COUNT — the scan answers from footer stats, no data pages."""
+    from manual_data_ingest_spark.sources.scans import _agg_pushdown_demo
+
+    out, plan = _agg_pushdown_demo(spark, SF_ORACLE)
+    out.collect()
+    assert "PushedAggregation" in plan, plan
+    assert re.search(r"PushedAggregation:[^\n]*MIN\(l_quantity\)", plan), plan
+    assert re.search(r"PushedAggregation:[^\n]*COUNT\(\*\)", plan), plan
+
+
+def test_exchange_reuse_fires(spark):
+    """agg_exchange_reuse: the second consumer of the year aggregate
+    must plan as ReusedExchange — one fact pass, not two."""
+    df = E.queries()["agg_exchange_reuse"](spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_checkpoint_resume_offset_recovery(spark):
+    """stream_checkpoint_resume: the restarted query must process ONLY
+    the newly arrived file (offset-log recovery — a from-scratch rerun
+    would read half_a + half_b) and its batch id must advance past the
+    first run's. State recovery is pinned by the oracle (the complete
+    aggregate equals the full-table batch answer)."""
+    from manual_data_ingest_spark.streaming.ops import (
+        _checkpoint_resume_demo)
+
+    _out, ev = _checkpoint_resume_demo(spark, SF_ORACLE)
+    assert ev["run2_batch_id"] > ev["run1_batch_id"], ev
+    assert ev["run2_rows"] == ev["half_b_rows"], ev
+    assert ev["run1_rows"] + ev["run2_rows"] > ev["half_b_rows"], ev
