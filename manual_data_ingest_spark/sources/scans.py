@@ -1345,3 +1345,89 @@ def _agg_pushdown_demo(spark: SparkSession, sf_dir: str):
         out = res.localCheckpoint(eager=True)
         plan = res._jdf.queryExecution().executedPlan().toString()
     return out, plan
+
+
+@register("scan_metadata_columns", """
+SELECT year(o_orderdate)::INTEGER AS o_year,
+       count(*) AS n_rows,
+       0::BIGINT AS min_ri,
+       count(*) - 1 AS max_ri,
+       1::BIGINT AS n_files
+FROM orders GROUP BY 1
+""")
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_metadata` HIDDEN COLUMNS — per-row file provenance served
+    by the engine, no UDF: `_metadata.file_name` / `file_path` /
+    `row_index` materialize only when selected (zero cost otherwise).
+    The modern replacement for `input_file_name()` (used by
+    `ingest_file_lineage`): unlike the SQL function it survives joins,
+    works under DSv2, and adds the per-file ROW ORDINAL — the column
+    every seekable-manifest / resumable-reader design needs.
+
+    Layout under test: orders written one file per year partition
+    (`repartition(year)` before `partitionBy`), so the contract is
+    exact — every partition's row_index runs 0..n-1 and file count is
+    1, which the oracle states from the construction rule. At 100 TB
+    the same selection gives free per-file audit joins (which rows
+    came from the corrupt file?) without a lineage sidecar.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    out = _tmpdir("mdis_meta_")
+    w = o.withColumn("o_year", F.year("o_orderdate"))
+    (w.repartition("o_year").write.mode("overwrite")
+     .partitionBy("o_year").parquet(out))
+    back = spark.read.schema(w.schema).parquet(out)
+    return (back.select(F.col("o_year").cast("int").alias("o_year"),
+                        F.col("_metadata.row_index").alias("ri"),
+                        F.col("_metadata.file_name").alias("fn"))
+            .groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("ri").alias("min_ri"),
+                 F.max("ri").alias("max_ri"),
+                 F.countDistinct("fn").alias("n_files")))
+
+
+@register("sink_rebalance_write", """
+SELECT l_returnflag,
+       count(*) AS n,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS cents
+FROM lineitem GROUP BY l_returnflag
+""")
+def sink_rebalance_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE REBALANCE before a write — the engine-native answer to the
+    output-file-size problem: a fixed `repartition(N)` is wrong at
+    every other data volume, `coalesce` can't split, but the REBALANCE
+    hint plans a round-robin exchange whose partitions AQE re-splits
+    AND re-coalesces to the advisory size at RUNTIME — small-file
+    storms and 10 GB mega-files both disappear without a hand-tuned N.
+    tests/test_plans.py asserts REBALANCE_PARTITIONS on the executed
+    plan and that the written file count landed BELOW the shuffle
+    partition count (coalesce happened) yet above one (no single-file
+    choke). The read-back aggregate is the oracle, so the rebalance is
+    also proven value-neutral.
+    """
+    return _rebalance_write_demo(spark, sf_dir)[0]
+
+
+def _rebalance_write_demo(spark: SparkSession, sf_dir: str):
+    """Run the rebalance-write demo on an isolated session; return
+    (result_df, (executed_plan_str, n_files_written))."""
+    import os
+
+    s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    li = (load_table(s, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+                  .cast("long").alias("cents")))
+    out = _tmpdir("mdis_rebal_")
+    w = li.hint("rebalance")
+    w.write.mode("overwrite").parquet(out)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    n_files = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    back = spark.read.schema(li.schema).parquet(out)
+    res = (back.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents")))
+    return res, (plan, n_files)

@@ -120,7 +120,8 @@ PROBES = [
     "ml_conformal_interval",
     # r8 additions
     "join_runtime_bloom", "scan_agg_pushdown", "agg_exchange_reuse",
-    "stream_checkpoint_resume",
+    "stream_checkpoint_resume", "scan_metadata_columns",
+    "sink_rebalance_write",
 ]
 
 
@@ -379,7 +380,8 @@ NULL_ORACLE_EXACT = [
     "scan_schema_evolution", "sink_merge_upsert", "scan_manifest_pruned",
     # r8 new ops, null-exact from birth
     "join_runtime_bloom", "scan_agg_pushdown", "agg_exchange_reuse",
-    "stream_checkpoint_resume",
+    "stream_checkpoint_resume", "scan_metadata_columns",
+    "sink_rebalance_write",
     "stream_observed_metrics", "stream_stateful_running", "stream_topk_windowed",
     "text_chunk_overlap", "text_perplexity_ngram", "udf_map_partitions",
     "win_autocorr_lag1", "win_churn_weekly", "win_conditional",

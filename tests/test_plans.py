@@ -1328,3 +1328,25 @@ def test_checkpoint_resume_offset_recovery(spark):
     assert ev["run2_batch_id"] > ev["run1_batch_id"], ev
     assert ev["run2_rows"] == ev["half_b_rows"], ev
     assert ev["run1_rows"] + ev["run2_rows"] > ev["half_b_rows"], ev
+
+
+def test_rebalance_write_fires(spark):
+    """sink_rebalance_write: the write stage must plan a
+    REBALANCE_PARTITIONS exchange, and the written file count must land
+    below the shuffle partition count (AQE coalesced) but above one."""
+    from manual_data_ingest_spark.sources.scans import _rebalance_write_demo
+
+    _res, (plan, n_files) = _rebalance_write_demo(spark, SF_ORACLE)
+    assert "REBALANCE_PARTITIONS" in plan, plan
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 1 <= n_files < shuffle_n, (n_files, shuffle_n)
+
+
+def test_metadata_columns_prune_free(spark):
+    """scan_metadata_columns: selecting `_metadata` must not widen the
+    data ReadSchema — the provenance struct is served from the reader
+    context, not decoded from data pages."""
+    plan = _plan(spark, "scan_metadata_columns")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert "o_totalprice" not in m.group(1), m.group(1)
