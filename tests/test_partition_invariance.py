@@ -57,6 +57,9 @@ PROBES = [
     "win_holt_linear",           # per-key sequential (l, b) float fold
     "ml_conformal_interval",     # integer moments -> shared-beta residual
     #                              ranking + binned k-th selection
+    # r8 additions
+    "join_runtime_bloom",        # rounded float revenue sum over a
+    #                              bloom-pruned fact shuffle
 ]
 
 
