@@ -3450,3 +3450,33 @@ def agg_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.floor((F.col("a.cents").cast("double")
                               / F.col("b.cents").cast("double"))
                              * 1e6 + F.lit(0.5)) / 1e6).alias("yoy_ratio")))
+
+
+@register("agg_grouping_id", """
+SELECT event_type,
+       GROUPING(event_type)::INTEGER AS is_total,
+       count(*) AS n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS cents
+FROM events
+GROUP BY ROLLUP(event_type)
+""")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`grouping()` over a ROLLUP — the only correct way to tell a
+    rollup TOTAL row from a genuine NULL-key group: both render
+    event_type as NULL, and on the null-injected fixture both rows
+    EXIST, so any consumer keying on `event_type IS NULL` silently
+    merges real null-typed events into the grand total. The grouping
+    flag is engine-computed metadata (bit i of grouping_id), identical
+    in Spark and DuckDB, which makes the disambiguation portable —
+    the rollup/cube family (`agg_rollup`/`agg_cube`/
+    `agg_grouping_sets`) left this surface undemonstrated.
+    Per-row BIGINT-cent quantization (q9/q11 rule) keeps the sums
+    exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.rollup("event_type")
+            .agg(F.grouping("event_type").cast("int").alias("is_total"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+                 .alias("cents"))
+            .select("event_type", "is_total", "n", "cents"))

@@ -105,3 +105,66 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     FROM orders_v o2
                                     WHERE o2.o_custkey = o.o_custkey)
     """)
+
+
+@register("sql_parameterized", """
+SELECT o_orderpriority, count(*) AS n,
+       sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))::BIGINT
+           AS cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+""")
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL — named parameter markers bound through
+    `spark.sql(query, args=...)`: the values travel as LITERALS in the
+    analyzed plan, never pasted into the query text, which is both the
+    injection-safe templating surface every query service needs and
+    the plan-cache-friendly form (same text, different args). The
+    markers behave exactly like the inlined constants the oracle
+    states, including predicate pushdown of the bound dates.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents
+        FROM orders_param_v
+        WHERE o_orderdate >= :lo AND o_orderdate < :hi
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": "1996-01-01", "hi": "1997-01-01"})
+
+
+@register("sql_session_variables", """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders)
+                    - INTERVAL 90 DAY
+GROUP BY o_orderpriority
+""")
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (`DECLARE` / `SET VAR`) — engine-held
+    session state: a computed scalar (the corpus's high-water-mark
+    order date) is stored ONCE and referenced by name in later
+    queries, replacing the re-evaluated scalar subquery the oracle
+    states. The production pattern for incremental jobs: the watermark
+    is computed in one statement, then drives any number of extraction
+    queries in the same session without re-scanning or string-pasting.
+    Exact DATE arithmetic — no float threshold can flip between
+    engines.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_var_v")
+    spark.sql("DECLARE OR REPLACE VARIABLE mdis_hwm TIMESTAMP")
+    spark.sql("SET VAR mdis_hwm = "
+              "(SELECT max(o_orderdate) FROM orders_var_v)")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_var_v
+        WHERE o_orderdate > mdis_hwm - INTERVAL 90 DAY
+        GROUP BY o_orderpriority
+    """)

@@ -1431,3 +1431,48 @@ def _rebalance_write_demo(spark: SparkSession, sf_dir: str):
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("cents").alias("cents")))
     return res, (plan, n_files)
+
+
+@register("scan_csv_multiline", r"""
+SELECT doc_id,
+       md5(regexp_replace(text, '( \w+ )', chr(10) || '\1', 'g'))
+           AS mtext_md5,
+       length(regexp_replace(text, '( \w+ )', chr(10) || '\1', 'g'))::BIGINT
+           AS mtext_len
+FROM documents WHERE text IS NOT NULL
+""")
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV records with EMBEDDED NEWLINES — the curator-sheet reality
+    (free-text description cells) that breaks line-oriented parsing:
+    quoted fields spanning physical lines round-trip only under
+    `multiLine=true` with a matching quote/escape contract on write
+    and read. Every doc gets real newlines injected (one per ~5 words)
+    and the oracle pins the md5 of the EXACT reconstructed text, so a
+    quote-handling or line-splitting bug anywhere in the round trip
+    hash-fails.
+
+    Engine fact, and the 100 TB design note: `multiLine=true` makes a
+    CSV file UNSPLITTABLE (record boundaries are no longer physical
+    lines, so input splits cannot start mid-file) — parallelism falls
+    back to one task per FILE. Ship many medium files (as this sink's
+    distributed write does naturally), or better, land multiline text
+    in parquet; multiLine CSV is the interchange fallback, not the
+    storage format.
+    """
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("text").isNotNull())
+         .select("doc_id", "text"))
+    multi = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"( \w+ )", "\n$1").alias("mtext"))
+    out = _tmpdir("mdis_mlcsv_")
+    (multi.write.mode("overwrite").option("header", True)
+     .option("quoteAll", True).option("escape", '"').csv(out))
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("mtext", T.StringType())])
+    back = (spark.read.schema(schema).option("header", True)
+            .option("multiLine", True).option("escape", '"').csv(out))
+    return back.select(
+        "doc_id",
+        F.md5("mtext").alias("mtext_md5"),
+        F.length("mtext").cast("long").alias("mtext_len"))

@@ -122,6 +122,8 @@ PROBES = [
     "join_runtime_bloom", "scan_agg_pushdown", "agg_exchange_reuse",
     "stream_checkpoint_resume", "scan_metadata_columns",
     "sink_rebalance_write",
+    "sql_parameterized", "sql_session_variables",
+    "agg_grouping_id", "scan_csv_multiline",
 ]
 
 
@@ -382,6 +384,8 @@ NULL_ORACLE_EXACT = [
     "join_runtime_bloom", "scan_agg_pushdown", "agg_exchange_reuse",
     "stream_checkpoint_resume", "scan_metadata_columns",
     "sink_rebalance_write",
+    "sql_parameterized", "sql_session_variables",
+    "agg_grouping_id", "scan_csv_multiline",
     "stream_observed_metrics", "stream_stateful_running", "stream_topk_windowed",
     "text_chunk_overlap", "text_perplexity_ngram", "udf_map_partitions",
     "win_autocorr_lag1", "win_churn_weekly", "win_conditional",

@@ -1350,3 +1350,22 @@ def test_metadata_columns_prune_free(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
     assert "o_totalprice" not in m.group(1), m.group(1)
+
+
+def test_parameterized_args_push_down(spark):
+    """sql_parameterized: the named-parameter bindings must reach the
+    parquet scan as ordinary literal PushedFilters — parameter markers
+    are plan literals, not opaque runtime values that block pushdown."""
+    plan = _plan(spark, "sql_parameterized")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate,"
+                     r"1996-01-01", plan), plan
+    assert re.search(r"PushedFilters:.*LessThan\(o_orderdate,1997-01-01",
+                     plan), plan
+
+
+def test_grouping_id_expand_node(spark):
+    """agg_grouping_id: the rollup plans ONE Expand node feeding a
+    single aggregate — not one scan per grouping set."""
+    plan = _plan(spark, "agg_grouping_id")
+    assert re.search(r"\(\d+\) Expand", plan), plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
