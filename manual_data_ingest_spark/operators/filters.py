@@ -159,6 +159,10 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "orders_var_v")
+    # the variable is SESSION-scoped shared state (same class as temp
+    # views): a concurrent invocation of this op re-derives the same
+    # value from the same data, so the race is benign; no other
+    # operator uses the name
     spark.sql("DECLARE OR REPLACE VARIABLE mdis_hwm TIMESTAMP")
     spark.sql("SET VAR mdis_hwm = "
               "(SELECT max(o_orderdate) FROM orders_var_v)")

@@ -312,7 +312,10 @@ def test_text_family_oracle_exact_on_unicode(spark, unicode_dir):
 
     names = ["text_stats", "text_wordcount", "text_ngrams", "text_lang_id",
              "text_token_bpe", "text_fingerprint", "dedup_exact",
-             "pipeline_bpe_train"]
+             "pipeline_bpe_train",
+             # r8: multiline-CSV quoting must survive non-ASCII text
+             # (the unicode fixture embeds a literal TAB too)
+             "scan_csv_multiline"]
     results = run_all(sf_dir=unicode_dir, only=names, spark=spark)
     bad = [r.name for r in results if not r.ok]
     assert not bad, bad

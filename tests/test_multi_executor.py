@@ -72,7 +72,11 @@ _QUERIES = ["flagship_q3", "dedup_near_minhash", "sim_topk", "udf_grouped_map",
             # state object pickles across the JVM/Python boundary on
             # each executor
             "stream_chained_stateful", "stream_foreach_batch_sink",
-            "stream_transform_with_state"]
+            "stream_transform_with_state",
+            # r8 new op: RESTART machinery across real executor JVMs —
+            # the resumed query reloads state-store files written by
+            # the first run's executors and replays the offset log
+            "stream_checkpoint_resume"]
 
 _RUNNER = """
 import json, sys
