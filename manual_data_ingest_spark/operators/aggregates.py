@@ -288,10 +288,14 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("e")))
     close = (F.abs(F.col("q")[0] - F.col("e")[0]) <= 0.02 * F.col("e")[0]) & \
             (F.abs(F.col("q")[1] - F.col("e")[1]) <= 0.02 * F.col("e")[1])
+    # a group with zero non-null prices has nothing to estimate: the
+    # bound is VACUOUSLY satisfied (null-fixture contract; was NULL,
+    # which diverged from the oracle's unconditional TRUE)
+    ok = F.when(F.col("e")[0].isNull(), F.lit(True)).otherwise(close)
     return agg.select("o_orderstatus",
                       rnd(F.col("e")[0]).alias("p50_exact"),
                       rnd(F.col("e")[1]).alias("p90_exact"),
-                      close.alias("approx_ok"))
+                      ok.alias("approx_ok"))
 
 
 @register("agg_gapfill_timeseries", f"""
@@ -638,7 +642,11 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("agg_hll_partitioned", """
 SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
-       count(DISTINCT event_type)::BIGINT AS n_sketches,
+       -- a NULL event_type shard still holds rows and owns a sketch
+       -- (Spark's groupBy keeps the NULL group; bare count(DISTINCT)
+       -- would drop it and under-count the shards)
+       (SELECT count(*) FROM (SELECT DISTINCT event_type FROM events))::BIGINT
+           AS n_sketches,
        TRUE AS within_bound
 FROM events
 """)

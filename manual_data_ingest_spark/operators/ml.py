@@ -54,7 +54,7 @@ _DIM = 64
 #: ``F.expr`` makes that skew structurally impossible (the
 #: ``_SHINGLE_SQL`` / ``_simhash_fp_sql`` pattern from operators/dedup.py).
 #: Consumers: ml_calibration_bins, ml_lift_chart, ml_threshold_sweep,
-#: ml_isotonic_calibration (pinned by tests/test_registry.py).
+#: ml_isotonic_calibration, ml_auc_roc (pinned by tests/test_registry.py).
 _SCORED_ONLY_SQL = "c_acctbal IS NOT NULL"
 
 
@@ -63,6 +63,7 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     head = f"""
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
 ), vd AS (
   SELECT id, t.d AS d, CAST(embedding[CAST(t.d AS INTEGER)] AS DOUBLE) AS x
   FROM v, generate_series(1, {dim}) AS t(d)
@@ -111,7 +112,10 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     inertia and mean squared distance under the final centroids.
     Oracle: the identical trajectory unrolled into SQL CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(F.col("vec_id").cast("long").alias("id"), "embedding")
+    # contract: only non-null vectors cluster (a missing embedding has no
+    # position; mirrors the oracle's WHERE embedding IS NOT NULL)
+    v = (emb.filter(F.col("embedding").isNotNull())
+         .select(F.col("vec_id").cast("long").alias("id"), "embedding"))
 
     # long form: (id, d, x) with x promoted to double BEFORE any math
     vd = (v.select("id", F.posexplode("embedding").alias("d", "x"))
@@ -167,6 +171,7 @@ _KNN_COS = ("list_dot_product(p.v, b.v) / "
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
   FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
 ), probes AS (
   SELECT vec_id, label, v FROM e
   WHERE CAST(vec_id AS BIGINT) % {_PROBE_MOD} = 0
@@ -214,7 +219,10 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from manual_data_ingest_spark.operators.similarity import cosine
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = (load_table(spark, sf_dir, "embeddings")
+         # labeled-corpus contract: an unlabeled or vector-less row can
+         # neither vote nor be classified (mirrors the oracle's WHERE)
+         .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull()))
     pid_num = F.col("vec_id").cast("long")
     probes = (e.filter((pid_num % _PROBE_MOD == 0) & (pid_num < _PROBE_CAP))
               .select(F.col("vec_id").alias("pid"),
@@ -384,6 +392,7 @@ def _pca_oracle(iters: int, dim: int) -> str:
     head = f"""
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
 ), vd AS (
   SELECT id, t.d AS d, CAST(embedding[CAST(t.d AS INTEGER)] AS DOUBLE) AS x
   FROM v, generate_series(1, {dim}) AS t(d)
@@ -533,6 +542,7 @@ def _pq_oracle_prefix(k: int, iters: int, dim: int, nsub: int) -> str:
     head = f"""
 WITH v AS (
   SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
 ), vd AS (
   SELECT id, (t.d - 1) // {dim // nsub} AS s, t.d AS d,
          CAST(embedding[CAST(t.d AS INTEGER)] AS DOUBLE) AS x
@@ -616,7 +626,9 @@ def _pq_train(spark: SparkSession,
     dim) centroids, and the per-(id, subspace) code assignment with
     its residual dist2."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(F.col("vec_id").cast("long").alias("id"), "embedding")
+    # same non-null-vector contract as ml_kmeans_embeddings / the oracle
+    v = (emb.filter(F.col("embedding").isNotNull())
+         .select(F.col("vec_id").cast("long").alias("id"), "embedding"))
     sub_w = _DIM // _PQ_SUB
     vd = (v.select("id", F.posexplode("embedding").alias("d0", "x"))
           .select("id",
@@ -1639,6 +1651,7 @@ WITH lab AS (
                              AND o_orderpriority = '1-URGENT')
               THEN 1 ELSE 0 END AS y
   FROM customer
+  WHERE {_SCORED_ONLY_SQL}
 ), ranked AS (
   SELECT y,
          row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rk
@@ -1670,7 +1683,9 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; at 100 TB it becomes the two-phase rank
     (`ingest_id_mint_scalable`'s shape) feeding the same U algebra.
     """
-    c = load_table(spark, sf_dir, "customer")
+    # AUC is a ranked-score op: a NULL score cannot be ranked, so it joins
+    # the _SCORED_ONLY_SQL family (calibration/lift/threshold-sweep).
+    c = load_table(spark, sf_dir, "customer").filter(F.expr(_SCORED_ONLY_SQL))
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey").distinct())

@@ -98,27 +98,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode(batches):
         for pdf in batches:
             n_bytes, width, height, checksum = [], [], [], []
+            thumb_w, thumb_h = [], []
             for buf in pdf["media"]:
                 if real is not None:  # pragma: no cover
                     raise NotImplementedError("real decoder not wired")
-                arr = np.frombuffer(buf or b"", dtype=np.uint8)  # NULL media = empty
+                if buf is None:
+                    # decode(NULL) = NULL: a missing buffer has no
+                    # decodable metadata (channels stays the constant
+                    # format declaration — same as the oracle's literal)
+                    n_bytes.append(None)
+                    width.append(None)
+                    height.append(None)
+                    checksum.append(None)
+                    thumb_w.append(None)
+                    thumb_h.append(None)
+                    continue
+                arr = np.frombuffer(buf, dtype=np.uint8)
                 n = arr.size
+                w = 1 + n % 640
+                h = 1 + n % 480
+                m = max(w, h)
                 n_bytes.append(n)
-                width.append(1 + n % 640)
-                height.append(1 + n % 480)
+                width.append(w)
+                height.append(h)
                 checksum.append(int(arr.sum(dtype=np.int64)) % 2147483647)
-            w = np.array(width, dtype=np.int64)
-            h = np.array(height, dtype=np.int64)
-            m = np.maximum(w, h)
+                thumb_w.append(w * 64 // m)
+                thumb_h.append(h * 64 // m)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": n_bytes,
-                "width": w,
-                "height": h,
+                "width": width,
+                "height": height,
                 "channels": 3,
                 "px_checksum": checksum,
-                "thumb_w": w * 64 // m,
-                "thumb_h": h * 64 // m,
+                "thumb_w": thumb_w,
+                "thumb_h": thumb_h,
             })
 
     d = load_table(spark, sf_dir, "documents")
@@ -165,7 +179,12 @@ def _frame_sample_batches(batches):
     for pdf in batches:
         n_frames, first_b, last_b = [], [], []
         for buf in pdf["media"]:
-            arr = np.frombuffer(buf or b"", dtype=np.uint8)  # NULL media = empty
+            if buf is None:  # decode(NULL) = NULL; b"" stays the 0-frame case
+                n_frames.append(None)
+                first_b.append(None)
+                last_b.append(None)
+                continue
+            arr = np.frombuffer(buf, dtype=np.uint8)
             frames = arr[::500]
             n_frames.append(len(frames))
             first_b.append(int(frames[0]) if len(frames) else None)
@@ -194,7 +213,11 @@ def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             dur, rms = [], []
             for buf in pdf["media"]:
-                arr = np.frombuffer(buf or b"", dtype=np.uint8)  # NULL media = empty
+                if buf is None:  # decode(NULL) = NULL (rate is the format const)
+                    dur.append(None)
+                    rms.append(None)
+                    continue
+                arr = np.frombuffer(buf, dtype=np.uint8)
                 dur.append(np.floor(arr.size / 16000.0 * 1e6 + 0.5) / 1e6)
                 rms.append(np.floor((int(arr.sum(dtype=np.int64)) % 1000)
                                     / 1000.0 * 1e6 + 0.5) / 1e6)

@@ -413,6 +413,19 @@ NULL_ORACLE_EXACT = [
     "agg_benford_test", "ml_isotonic_calibration", "ingest_id_gap_islands",
     "ml_calibration_bins", "ml_lift_chart", "ml_threshold_sweep",
     "ml_conformal_interval",
+    # r8 second fix batch: the null-sweep residual burned down 10 → 2.
+    # decode(NULL) = NULL in the multimodal stubs (was: coerced to b"");
+    # the embedding trainers/evals filter NULL vectors/labels on BOTH
+    # engines (was: posexplode silently dropped them Spark-side while
+    # the oracle's cross join kept NULL-x rows); AUC joined the
+    # _SCORED_ONLY_SQL ranked-score family.
+    "multimodal_decode", "multimodal_frame_sample", "multimodal_audio_stub",
+    "ml_kmeans_embeddings", "ml_knn_classify", "ml_pca_power",
+    "ml_auc_roc", "sim_pq_quantize", "sim_pq_adc_topk",
+    # r8: the last two sketch divergers became exact — approx_ok is
+    # vacuously TRUE for a group with nothing to estimate, and a NULL
+    # event_type shard owns a sketch on both engines. Residual = 0.
+    "agg_approx_quantile", "agg_hll_partitioned",
 ]
 
 

@@ -219,6 +219,7 @@ def test_calibration_filter_single_sourced():
         "interpolate _SCORED_ONLY_SQL instead")
     oracles = all_oracles()
     family = ["ml_calibration_bins", "ml_lift_chart",
-              "ml_threshold_sweep", "ml_isotonic_calibration"]
+              "ml_threshold_sweep", "ml_isotonic_calibration",
+              "ml_auc_roc"]  # r8: AUC joined the ranked-score family
     for name in family:
         assert _SCORED_ONLY_SQL in oracles[name], name

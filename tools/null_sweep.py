@@ -13,16 +13,17 @@ stream_stateful_running -inf leak, NULL-grouping-key join drops, null
 sort-order divergences, format_string's "null" literal, the
 binaryfile zero-byte skip).
 
-Known-divergent remainder (adjudicated, standard fixture contract
-declares the columns non-null or the op is approximate/stub —
-re-adjudicate if this list GROWS):
-  approx sketches (agg_approx_quantile, agg_hll_partitioned) — the
-    sketch calibration pins hold on the standard fixture only;
-  ml_* on null embeddings/labels + sim_pq (contract non-null; the
-    score-RANKED ml ops — calibration/lift/threshold-sweep — were
-    FIXED r7: scored entities only, PARITY #40);
-  multimodal stubs on null media buffers — env-gated fakes.
-  (The null-day time-series class —
+Known-divergent remainder: NONE — the sweep is 440/440 as of late r8.
+Every prior adjudicated class was burned down to an exact contract;
+any future diverger is a regression, not an adjudication candidate.
+  (Burn-down record: the ml-on-null-embeddings class — kmeans/knn/pca/
+    sim_pq — was FIXED late r8: non-null vector/label contract on BOTH
+    engines; ml_auc_roc joined the _SCORED_ONLY_SQL ranked-score
+    family; the multimodal stubs now propagate decode(NULL) = NULL
+    instead of coercing to b""; the two approx sketches became exact —
+    approx_ok is vacuously TRUE for a group with zero non-null values,
+    and a NULL event_type shard owns a sketch on both engines (bare
+    count(DISTINCT) dropped it). The null-day time-series class —
     bollinger/survival/runs/acf — was FIXED r7: explicit non-null
     (day, value) series on both engines. flagship_q9 was FIXED r8:
     per-row BIGINT-cent quantization — the flagship_q11 rule —
