@@ -18,6 +18,20 @@ from manual_data_ingest_spark.io import load_table
 from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
 from manual_data_ingest_spark.registry import register
 
+#: Shared tight-JSON guard (single-sourced on both engine sides, the
+#: _SCORED_ONLY_SQL discipline). A payload participates in JSON
+#: extraction iff the WHOLE string is one object — Spark's Jackson
+#: readers (get_json_object / from_json / try_parse_json) silently
+#: ACCEPT trailing garbage after the closing brace, while DuckDB's
+#: json_valid rejects it (adversarial sweep: '{"k":55} héllo' parsed
+#: to 55 on Spark, threw in DuckDB). The regex is engine-portable
+#: (RE2 and Java both honor (?s)); the oracle additionally applies
+#: json_valid so a regex-passing-but-malformed payload still NULLs
+#: instead of throwing.
+_TIGHT_JSON_RE = r"(?s)^\s*\{.*\}\s*$"
+_TIGHT_JSON_ORACLE = (f"regexp_matches(props, '{_TIGHT_JSON_RE}') "
+                      "AND json_valid(props)")
+
 
 @register("array_ops", """
 SELECT doc_id,
@@ -122,16 +136,21 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ",").alias("event_counts")))
 
 
-@register("json_extract", """
-SELECT event_id,
-       json_extract_string(props, '$.k')::INT AS k
-FROM events
-WHERE json_extract_string(props, '$.k')::INT > 50
+@register("json_extract", f"""
+SELECT event_id, k FROM (
+  SELECT event_id,
+         CASE WHEN {_TIGHT_JSON_ORACLE}
+              THEN json_extract_string(props, '$.k')::INT END AS k
+  FROM events)
+WHERE k > 50
 """)
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # API-payload parsing: pull typed field out of a JSON-string column
+    # (guarded by the shared tight-JSON contract, _TIGHT_JSON_RE)
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = (F.when(F.col("props").rlike(_TIGHT_JSON_RE),
+                F.get_json_object("props", "$.k"))
+         .cast("int"))
     return ev.select("event_id", k.alias("k")).filter(F.col("k") > 50)
 
 
@@ -165,12 +184,17 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.get_json_object("payload", "$.id").cast("bigint").alias("rt_id")))
 
 
-@register("json_schema_parse", """
-SELECT json_extract_string(props, '$.k')::INT // 10 AS k_decade,
+@register("json_schema_parse", f"""
+WITH parsed AS (
+  SELECT CASE WHEN {_TIGHT_JSON_ORACLE}
+              THEN json_extract_string(props, '$.k')::INT END AS k
+  FROM events
+)
+SELECT k // 10 AS k_decade,
        count(*) AS cnt,
-       min(json_extract_string(props, '$.k')::INT) AS k_min,
-       max(json_extract_string(props, '$.k')::INT) AS k_max
-FROM events
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM parsed
 GROUP BY 1
 """)
 def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,10 +202,12 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs json_extract's path-probing get_json_object: the declared form
     # is the scale path — one parse per row into native columns, fully
     # codegen'd downstream, and malformed payloads surface as nulls in
-    # one place instead of per-path
+    # one place instead of per-path (payloads outside the shared
+    # tight-JSON contract land in the NULL decade on both engines)
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
-        F.from_json("props", "k INT").alias("p"))
+        F.from_json(F.when(F.col("props").rlike(_TIGHT_JSON_RE),
+                           F.col("props")), "k INT").alias("p"))
     return (parsed.select(F.expr("p.k div 10").alias("k_decade"), "p.k")
             .groupBy("k_decade")
             .agg(F.count("*").alias("cnt"),
@@ -294,11 +320,14 @@ def struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entity.attrs.balance").alias("attr_balance"))
 
 
-@register("variant_funcs", """
+@register("variant_funcs", f"""
 SELECT event_id,
-       json_extract(props, '$.k')::INT          AS k_int,
-       json_extract(props, '$.missing')::INT    AS k_missing,
-       json_extract(props, '$.k')::INT * 2      AS k_doubled
+       CASE WHEN {_TIGHT_JSON_ORACLE}
+            THEN json_extract(props, '$.k')::INT END         AS k_int,
+       CASE WHEN {_TIGHT_JSON_ORACLE}
+            THEN json_extract(props, '$.missing')::INT END   AS k_missing,
+       CASE WHEN {_TIGHT_JSON_ORACLE}
+            THEN json_extract(props, '$.k')::INT * 2 END     AS k_doubled
 FROM events
 """)
 def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +343,12 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths via DuckDB's JSON extraction.
     """
     ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json (parse_json is FAILFAST: an empty/garbage payload
+    # aborts the whole job), gated on the shared tight-JSON contract —
+    # Jackson would otherwise extract from trailing-garbage payloads
+    # that DuckDB's json_valid rejects.
+    v = F.try_parse_json(F.when(F.col("props").rlike(_TIGHT_JSON_RE),
+                                F.col("props")))
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),

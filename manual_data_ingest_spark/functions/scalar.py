@@ -21,7 +21,7 @@ from manual_data_ingest_spark.registry import register
 
 @register("str_basic", """
 SELECT p_partkey,
-       upper(p_name)                    AS name_upper,
+       upper(replace(p_name, 'ß', 'SS')) AS name_upper,
        lower(p_brand)                   AS brand_lower,
        length(p_name)                   AS name_len,
        lpad(p_type, 20, '*')            AS type_padded,
@@ -31,10 +31,16 @@ SELECT p_partkey,
 FROM part
 """)
 def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # upper() pre-expands ß explicitly: Java/Spark apply the FULL
+    # unicode case mapping (ß → SS, string may grow), DuckDB the
+    # SIMPLE 1:1 mapping (ß → U+1E9E ẞ) — the one full-folding char
+    # the adversarial fixture carries is normalized identically on
+    # both engines so the contract is engine-independent.
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.upper("p_name").alias("name_upper"),
+        F.upper(F.replace(F.col("p_name"), F.lit("ß"), F.lit("SS")))
+        .alias("name_upper"),
         F.lower("p_brand").alias("brand_lower"),
         F.length("p_name").alias("name_len"),
         F.lpad("p_type", 20, "*").alias("type_padded"),
@@ -52,12 +58,15 @@ FROM customer
 """)
 def str_split_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # '#'-suffixed curator IDs → parse pieces (1-based on both engines:
-    # DuckDB list index, Spark element_at)
+    # DuckDB list index, Spark element_at). try_element_at, not
+    # element_at: a name WITHOUT the '#' yields a 1-element array, and
+    # out-of-range access is NULL in DuckDB but an ANSI throw in Spark
+    # (adversarial sweep: whitespace-only names crashed the query).
     c = load_table(spark, sf_dir, "customer")
     toks = F.split("c_name", "#")
     return c.select("c_custkey",
-                    F.element_at(toks, 1).alias("name_head"),
-                    F.element_at(toks, 2).alias("name_id"))
+                    F.try_element_at(toks, F.lit(1)).alias("name_head"),
+                    F.try_element_at(toks, F.lit(2)).alias("name_id"))
 
 
 @register("str_regexp", """
@@ -79,18 +88,27 @@ def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("str_fuzzy", """
 SELECT c_custkey, s_suppkey,
-       levenshtein(c_name, s_name) AS edit_dist
+       levenshtein(regexp_replace(c_name, '[^\\x20-\\x7e]', '', 'g'),
+                   regexp_replace(s_name, '[^\\x20-\\x7e]', '', 'g'))
+           AS edit_dist
 FROM customer CROSS JOIN supplier
 WHERE c_custkey <= 20
 """)
 def str_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzzy matching of curator-typed names on a bounded candidate set;
     # at scale the cross join is blocked (by prefix/length bucket) first.
+    # Distance is over the ASCII PROJECTION of the names (the standard
+    # translit/normalize step before edit distance): levenshtein UNITS
+    # are engine-specific outside ASCII — DuckDB counts UTF-8 BYTES,
+    # Spark counts UTF-16 units — so the portable contract strips
+    # non-ASCII first, where byte = unit = codepoint.
+    ascii_ = lambda col: F.regexp_replace(col, r"[^\x20-\x7e]", "")  # noqa: E731
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
     s = load_table(spark, sf_dir, "supplier")
     return (c.crossJoin(F.broadcast(s))
             .select("c_custkey", "s_suppkey",
-                    F.levenshtein("c_name", "s_name").alias("edit_dist")))
+                    F.levenshtein(ascii_("c_name"), ascii_("s_name"))
+                    .alias("edit_dist")))
 
 
 @register("date_parts", """

@@ -1089,10 +1089,16 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).alias("n_chars"))
             .select("lang", "n_docs", "n_bpe_tokens", "n_ws_tokens",
                     "n_chars",
-                    rnd(F.col("n_bpe_tokens").cast("double")
-                        / F.col("n_ws_tokens"), 4).alias("bpe_per_word"),
-                    rnd(F.col("n_chars").cast("double")
-                        / F.col("n_bpe_tokens"), 4)
+                    # ratio is NULL when the denominator is 0 (a lang
+                    # shard of empty/whitespace docs) — DuckDB's native
+                    # x/0 semantics; Spark ANSI would throw instead
+                    rnd(F.when(F.col("n_ws_tokens") > 0,
+                               F.col("n_bpe_tokens").cast("double")
+                               / F.col("n_ws_tokens")), 4)
+                    .alias("bpe_per_word"),
+                    rnd(F.when(F.col("n_bpe_tokens") > 0,
+                               F.col("n_chars").cast("double")
+                               / F.col("n_bpe_tokens")), 4)
                     .alias("chars_per_bpe_token")))
 
 

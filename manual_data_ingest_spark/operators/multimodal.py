@@ -8,9 +8,10 @@ the binary column itself, Arrow batch transfer, ``mapInPandas``
 signatures, output schemas, and the metadata math.
 
 The fixture has no binary media, so binaries are synthesized
-deterministically: ``image = utf-8 bytes of documents.text`` (ASCII
-corpus → byte k == codepoint k, which is what makes the DuckDB oracle
-expressible with character functions).
+deterministically: ``image = utf-8 bytes of documents.text``. The
+DuckDB oracles are BYTE-TRUE (``encode(text)`` + hex-dump slicing —
+see ``_BYTE_SUM_SQL``), so they stay exact on non-ASCII text too; the
+old character-function forms only agreed on a pure-ASCII corpus.
 
 Scale notes: media decode is the textbook mapInPandas workload — pure
 per-row CPU, no shuffle, linear scaling with executors; keep batch
@@ -48,15 +49,28 @@ def _try_real_decoder():
         return None
 
 
-_BYTE_SUM_SQL = ("list_sum(list_transform(generate_series(1, length(text)),"
-                 " i -> ascii(substring(text, i, 1))))")
+# Byte-true oracle fragments (single-sourced). DuckDB's `text::BLOB`
+# cast REJECTS non-ASCII bytes ("Invalid byte encountered" — the cast
+# parses \x escapes, it does not re-encode), so string→bytes is
+# `encode(text)`; and per-byte access has no blob indexing, so bytes
+# are read from the hex dump two characters at a time. Both verified
+# equal to Python's utf-8 encode on multilingual probes. The Spark
+# side (numpy over Arrow binary batches) is byte-true by construction,
+# so these fragments make the ORACLE match it beyond ASCII — the old
+# `ascii(substring(text, i, 1))` form was codepoint-based and only
+# agreed because the stock corpus is pure ASCII.
+_NBYTES_SQL = "octet_length(encode(text))"
+_BYTE_SUM_SQL = (
+    "list_sum(list_transform("
+    f" generate_series(1, {_NBYTES_SQL}),"
+    " i -> ('0x' || substring(hex(encode(text)), 2*i-1, 2))::INT))")
 
 
 @register("multimodal_manifest", """
 SELECT doc_id,
        'image/fake' AS media_type,
        md5(text) AS media_md5,
-       octet_length(text::BLOB) AS n_bytes
+       octet_length(encode(text)) AS n_bytes
 FROM documents
 """)
 def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,17 +87,19 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_decode", f"""
 SELECT doc_id,
-       octet_length(text::BLOB)             AS n_bytes,
-       1 + octet_length(text::BLOB) % 640   AS width,
-       1 + octet_length(text::BLOB) % 480   AS height,
+       octet_length(encode(text))             AS n_bytes,
+       1 + octet_length(encode(text)) % 640   AS width,
+       1 + octet_length(encode(text)) % 480   AS height,
        3                                    AS channels,
-       ({_BYTE_SUM_SQL} % 2147483647)::BIGINT AS px_checksum,
-       (1 + octet_length(text::BLOB) % 640) * 64
-           // greatest(1 + octet_length(text::BLOB) % 640,
-                       1 + octet_length(text::BLOB) % 480) AS thumb_w,
-       (1 + octet_length(text::BLOB) % 480) * 64
-           // greatest(1 + octet_length(text::BLOB) % 640,
-                       1 + octet_length(text::BLOB) % 480) AS thumb_h
+       CASE WHEN text IS NOT NULL
+            THEN (coalesce({_BYTE_SUM_SQL}, 0) % 2147483647)::BIGINT
+       END AS px_checksum,
+       (1 + octet_length(encode(text)) % 640) * 64
+           // greatest(1 + octet_length(encode(text)) % 640,
+                       1 + octet_length(encode(text)) % 480) AS thumb_w,
+       (1 + octet_length(encode(text)) % 480) * 64
+           // greatest(1 + octet_length(encode(text)) % 640,
+                       1 + octet_length(encode(text)) % 480) AS thumb_h
 FROM documents
 """)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,14 +161,16 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_frame_sample", """
 SELECT doc_id,
-       CASE WHEN octet_length(text::BLOB) = 0 THEN 0
-            ELSE (octet_length(text::BLOB) - 1) // 500 + 1 END AS n_frames,
-       CASE WHEN octet_length(text::BLOB) = 0 THEN NULL
-            ELSE ascii(substring(text, 1, 1)) END AS first_frame_byte,
-       CASE WHEN octet_length(text::BLOB) = 0 THEN NULL
-            ELSE ascii(substring(text,
-                 ((octet_length(text::BLOB) - 1) // 500) * 500 + 1, 1))
-            END AS last_frame_byte
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0
+            ELSE (octet_length(encode(text)) - 1) // 500 + 1 END AS n_frames,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+            ELSE ('0x' || substring(hex(encode(text)), 1, 2))::INT
+       END AS first_frame_byte,
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+            ELSE ('0x' || substring(hex(encode(text)),
+                 2 * (((octet_length(encode(text)) - 1) // 500) * 500 + 1)
+                   - 1, 2))::INT
+       END AS last_frame_byte
 FROM documents
 """)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,9 +214,11 @@ def _frame_sample_batches(batches):
 
 @register("multimodal_audio_stub", f"""
 SELECT doc_id,
-       {sql_rnd('octet_length(text::BLOB) / 16000.0', 6)} AS duration_sec,
+       {sql_rnd('octet_length(encode(text)) / 16000.0', 6)} AS duration_sec,
        16000 AS sample_rate,
-       {sql_rnd(f'({_BYTE_SUM_SQL} % 1000) / 1000.0', 6)} AS rms_stub
+       CASE WHEN text IS NOT NULL THEN
+         {sql_rnd(f'(coalesce({_BYTE_SUM_SQL}, 0) % 1000) / 1000.0', 6)}
+       END AS rms_stub
 FROM documents
 """)
 def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +253,7 @@ def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_shard_assign", """
 WITH sized AS (
-  SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
 ), packed AS (
   SELECT doc_id, n_bytes,
          ((sum(n_bytes) OVER (ORDER BY doc_id
@@ -279,10 +299,18 @@ def multimodal_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("multimodal_phash_dedup", """
-WITH chars AS MATERIALIZED (
-    SELECT doc_id, ascii(substring(text, i, 1)) // 16 AS bin
-    FROM documents, unnest(generate_series(1, length(text))) AS g(i)
-    WHERE text IS NOT NULL AND length(text) > 0
+WITH hx AS MATERIALIZED (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS nb
+    FROM documents
+    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+), chars AS MATERIALIZED (
+    -- byte-true bins: the Spark side histograms UTF-8 BYTES (numpy
+    -- bincount over the Arrow binary), so the oracle reads bytes from
+    -- the hex dump, not codepoints from substring()
+    SELECT doc_id,
+           ('0x' || substring(h, 2 * i - 1, 2))::INT // 16 AS bin
+    FROM hx, unnest(generate_series(1, nb)) AS g(i)
 ), hist AS (
     SELECT doc_id, bin, count(*)::DOUBLE AS cnt FROM chars GROUP BY 1, 2
 ), avgc AS (

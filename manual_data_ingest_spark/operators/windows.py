@@ -348,7 +348,7 @@ WITH s AS (
 SELECT event_id, event_type,
        floor(((value - mu) / sd) * 1000000.0 + 0.5) / 1000000.0 AS zscore
 FROM s
-WHERE abs((value - mu) / sd) >= 3.0
+WHERE sd > 0 AND abs((value - mu) / sd) >= 3.0
 """)
 def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score outlier flagging (|z| ≥ 3) — the row-level QC
@@ -367,8 +367,12 @@ def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / \
-        F.stddev_pop("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    # a zero-variance group has no outliers by definition — and the
+    # explicit sd > 0 guard keeps Spark's ANSI division from throwing
+    # where DuckDB's x/0 quietly NULLs (tiny groups appear the moment
+    # event_type carries adversarial values)
+    z = F.when(sd > 0, (F.col("value") - F.avg("value").over(w)) / sd)
     return (ev.select("event_id", "event_type", z.alias("z"))
             .filter(F.abs(F.col("z")) >= 3.0)
             .select("event_id", "event_type",
@@ -1100,8 +1104,10 @@ WITH daily AS (
 )
 SELECT m.event_type,
        CAST(m.n AS BIGINT) AS n_days,
-       floor(b.vb / ((m.sxx - (m.sx * m.sx) / m.n) / m.n)
-             * 1000000.0 + 0.5) / 1000000.0 AS seasonality_strength
+       CASE WHEN (m.sxx - (m.sx * m.sx) / m.n) / m.n > 0 THEN
+         floor(b.vb / ((m.sxx - (m.sx * m.sx) / m.n) / m.n)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS seasonality_strength
 FROM m JOIN between_var b USING (event_type)
 """)
 def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,9 +1145,11 @@ def agg_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("event_type")
           .agg((F.sum(F.col("gn") * dev * dev) / F.max("n")).alias("vb")))
     vtot = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    # a zero-variance series (e.g. a single day) has no seasonality to
+    # measure: NULL on both engines (Spark ANSI would throw on /0)
     return (m.join(vb, "event_type")
             .select("event_type", F.col("n").cast("long").alias("n_days"),
-                    rnd(F.col("vb") / vtot, 6)
+                    rnd(F.when(vtot > 0, F.col("vb") / vtot), 6)
                     .alias("seasonality_strength")))
 
 

@@ -152,7 +152,8 @@ def _binfile_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register("scan_binaryfile", """
-SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
 FROM documents WHERE text IS NOT NULL AND text <> ''
 """)
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
