@@ -285,12 +285,23 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (o.groupBy("o_orderstatus")
            .agg(F.percentile_approx(
                     "o_totalprice", [0.5, 0.9], 1000).alias("q"),
-                F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("e")))
-    close = (F.abs(F.col("q")[0] - F.col("e")[0]) <= 0.02 * F.col("e")[0]) & \
-            (F.abs(F.col("q")[1] - F.col("e")[1]) <= 0.02 * F.col("e")[1])
+                F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("e"),
+                F.expr("percentile_disc(0.5) WITHIN GROUP "
+                       "(ORDER BY o_totalprice)").alias("d50"),
+                F.expr("percentile_disc(0.9) WITHIN GROUP "
+                       "(ORDER BY o_totalprice)").alias("d90")))
+    # the GK bound is stated against the DISCRETE exact quantile — the
+    # sketch returns an OBSERVED element with an ε·n rank guarantee, so
+    # comparing it to the INTERPOLATED percentile conflates sketch
+    # error with the discrete-vs-interpolated definitional gap, which
+    # dominates on small groups in sparse value regions (adversarial
+    # sweep: a 136-row group sat 2.8% from the interpolated median
+    # while being EXACTLY the discrete one). The hashed payload stays
+    # the interpolated quantiles; approx_ok is the sketch-vs-disc spec.
+    close = (F.abs(F.col("q")[0] - F.col("d50")) <= 0.02 * F.col("d50")) & \
+            (F.abs(F.col("q")[1] - F.col("d90")) <= 0.02 * F.col("d90"))
     # a group with zero non-null prices has nothing to estimate: the
-    # bound is VACUOUSLY satisfied (null-fixture contract; was NULL,
-    # which diverged from the oracle's unconditional TRUE)
+    # bound is VACUOUSLY satisfied (null-fixture contract)
     ok = F.when(F.col("e")[0].isNull(), F.lit(True)).otherwise(close)
     return agg.select("o_orderstatus",
                       rnd(F.col("e")[0]).alias("p50_exact"),
@@ -534,23 +545,87 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_if(F.col("c_acctbal") < 0).alias("n_negative")))
 
 
+#: shared fixed-IEEE combine for the bivariate moments (the _det3
+#: discipline): both engines evaluate this IDENTICAL op sequence over
+#: bit-identical double moments, so the rounded outputs cannot sit on
+#: different sides of a rounding boundary. Engine-native corr/covar
+#: accumulate doubles in partition order — the adversarial sweep caught
+#: a 6-row group whose covar_pop landed one cent apart across engines.
+def _rnd_sql_dbl(expr: str, digits: int) -> str:
+    """sql_rnd twin whose literals are written 1eN so SPARK's SQL
+    parser types them DOUBLE — `1000000.0` is a DECIMAL literal to
+    Spark (fine in the DuckDB-only oracles, but a string meant for
+    BOTH engines via F.expr would come back decimal-typed)."""
+    return f"floor(({expr}) * 1e{digits} + cast(0.5 as double)) / 1e{digits}"
+
+
+_CORR_SQL = ("CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0"
+             " AND (n * syy - sy * sy) > 0 THEN "
+             + _rnd_sql_dbl("(n * sxy - sx * sy)"
+                            " / sqrt((n * sxx - sx * sx)"
+                            " * (n * syy - sy * sy))", 6)
+             + " END")
+_CVS_SQL = ("CASE WHEN n >= 2 THEN "
+            + _rnd_sql_dbl("((sxy - sx * sy / n) / (n - 1)) / 1e4", 2)
+            + " END")
+_CVP_SQL = ("CASE WHEN n >= 1 THEN "
+            + _rnd_sql_dbl("((sxy - sx * sy / n) / n) / 1e4", 2)
+            + " END")
+
+
 @register("agg_corr_covar", f"""
+WITH sc AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+         CAST(o_custkey % 100 AS BIGINT) * 100 AS y
+  FROM orders
+), m AS (
+  -- every sum is EXACT (DuckDB promotes BIGINT sums to HUGEINT), then
+  -- cast once to DOUBLE: both engines combine bit-identical moments
+  SELECT o_orderstatus,
+         CAST(count(c) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN c IS NOT NULL THEN y END) AS DOUBLE) AS sy,
+         CAST(sum(c * y) AS DOUBLE) AS sxy,
+         CAST(sum(c * c) AS DOUBLE) AS sxx,
+         CAST(sum(CASE WHEN c IS NOT NULL THEN y * y END) AS DOUBLE) AS syy
+  FROM sc GROUP BY o_orderstatus
+)
 SELECT o_orderstatus,
-       {sql_rnd('corr(o_totalprice, o_custkey % 100)', 6)} AS price_mod_corr,
-       {sql_rnd('covar_samp(o_totalprice, o_custkey % 100)', 2)} AS cv_samp,
-       {sql_rnd('covar_pop(o_totalprice, o_custkey % 100)', 2)} AS cv_pop
-FROM orders
-GROUP BY o_orderstatus
+       {_CORR_SQL} AS price_mod_corr,
+       {_CVS_SQL} AS cv_samp,
+       {_CVP_SQL} AS cv_pop
+FROM m
 """)
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bivariate statistics per group (corr ≈ 0 by construction — the
-    # check is engine parity of the co-moment computation, rounded)
+    # check is engine parity of the co-moment computation). Moments are
+    # integer-scaled (price cents, y·100) and summed exactly — Spark
+    # sums DECIMAL (exact, order-free), DuckDB HUGEINT — then the
+    # shared _CORR_SQL/_CVS_SQL/_CVP_SQL strings combine them with one
+    # fixed IEEE op sequence on both engines. The /10000 in the covar
+    # combine undoes the two ×100 scalings.
     o = load_table(spark, sf_dir, "orders")
-    y = F.pmod("o_custkey", F.lit(100))
-    return (o.groupBy("o_orderstatus")
-            .agg(rnd(F.corr("o_totalprice", y), 6).alias("price_mod_corr"),
-                 rnd(F.covar_samp("o_totalprice", y), 2).alias("cv_samp"),
-                 rnd(F.covar_pop("o_totalprice", y), 2).alias("cv_pop")))
+    c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    y = (F.pmod("o_custkey", F.lit(100)).cast("long") * 100)
+    sc = o.select("o_orderstatus", c.alias("c"), y.alias("y"))
+    dec = "decimal(38,0)"
+    m = (sc.groupBy("o_orderstatus")
+         .agg(F.count("c").cast("double").alias("n"),
+              F.sum("c").cast("double").alias("sx"),
+              F.sum(F.when(F.col("c").isNotNull(), F.col("y")))
+              .cast("double").alias("sy"),
+              F.sum((F.col("c") * F.col("y")).cast(dec))
+              .cast("double").alias("sxy"),
+              F.sum((F.col("c").cast(dec) * F.col("c").cast(dec)))
+              .cast("double").alias("sxx"),
+              F.sum(F.when(F.col("c").isNotNull(),
+                           F.col("y") * F.col("y")))
+              .cast("double").alias("syy")))
+    return m.select("o_orderstatus",
+                    F.expr(_CORR_SQL).alias("price_mod_corr"),
+                    F.expr(_CVS_SQL).alias("cv_samp"),
+                    F.expr(_CVP_SQL).alias("cv_pop"))
 
 
 @register("agg_string_concat", """
@@ -992,38 +1067,97 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(dof, 6).alias("welch_dof"))
 
 
+#: shared fixed-IEEE combine for the OLS trend line (same discipline as
+#: _CORR_SQL): x = epoch SECONDS (exact int), y = value micro-units
+#: (exact int); the combine unscales to value-per-DAY / value at the
+#: end. Engine-native regr_* aggregates accumulate doubles and their
+#: intercept extrapolates to epoch 0 (magnitude ~4e5), so 6dp parity
+#: needs ~1e-12 relative agreement — the adversarial sweep caught a
+#: 3-row group one ulp apart. Guards: NULL when x has no variance, and
+#: r2 NULL when y has none (matching regr_r2's NULL on zero variance).
+_REGR_DEN = "(np * sxx - sx * sx)"
+_REGR_NUM = "(np * svx - sx * sv)"
+_REGR_SLOPE_SQL = (f"CASE WHEN np >= 2 AND {_REGR_DEN} > 0 THEN "
+                   + _rnd_sql_dbl(f"{_REGR_NUM} / {_REGR_DEN}"
+                                  " * 86400.0 / 1e6", 6)
+                   + " END")
+_REGR_ICEPT_SQL = (f"CASE WHEN np >= 2 AND {_REGR_DEN} > 0 THEN "
+                   + _rnd_sql_dbl(
+                       f"(sv - {_REGR_NUM} / {_REGR_DEN} * sx) / np / 1e6", 6)
+                   + " END")
+_REGR_R2_SQL = (f"CASE WHEN np >= 2 AND {_REGR_DEN} > 0"
+                " AND (np * svv - sv * sv) > 0 THEN "
+                + _rnd_sql_dbl(f"{_REGR_NUM} * {_REGR_NUM}"
+                               f" / ({_REGR_DEN} * (np * svv - sv * sv))", 6)
+                + " END")
+
+
 @register("agg_regression", f"""
-SELECT event_type,
-       count(*) AS n,
-       {sql_rnd("regr_slope(value, epoch_us(ts::TIMESTAMP) / 86400000000.0)", 6)}
-           AS slope_per_day,
-       {sql_rnd("regr_intercept(value, epoch_us(ts::TIMESTAMP) / 86400000000.0)", 6)}
-           AS intercept,
-       {sql_rnd("regr_r2(value, epoch_us(ts::TIMESTAMP) / 86400000000.0)", 6)}
-           AS r2
-FROM events
-GROUP BY event_type
+WITH p AS (
+  SELECT event_type,
+         CAST(epoch_us(ts::TIMESTAMP) // 1000000 AS BIGINT) AS xs,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+  FROM events
+), m AS (
+  -- exact integer moments over valid (x, y) pairs (DuckDB sums promote
+  -- to HUGEINT; the Spark twin sums DECIMAL) cast once to DOUBLE
+  SELECT event_type,
+         count(*) AS n,
+         CAST(count(CASE WHEN xs IS NOT NULL AND v6 IS NOT NULL
+                         THEN 1 END) AS DOUBLE) AS np,
+         CAST(sum(CASE WHEN v6 IS NOT NULL THEN xs END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN xs IS NOT NULL THEN v6 END) AS DOUBLE) AS sv,
+         CAST(sum(CASE WHEN v6 IS NOT NULL THEN xs * xs END) AS DOUBLE)
+             AS sxx,
+         CAST(sum(xs * v6) AS DOUBLE) AS svx,
+         CAST(sum(CASE WHEN xs IS NOT NULL THEN v6 * v6 END) AS DOUBLE)
+             AS svv
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n,
+       {_REGR_SLOPE_SQL} AS slope_per_day,
+       {_REGR_ICEPT_SQL} AS intercept,
+       {_REGR_R2_SQL} AS r2
+FROM m
 """)
 def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group OLS trend line: value regressed on time (days), via the
-    SQL-standard regr_* aggregates both engines implement natively.
+    """Per-group OLS trend line: value regressed on time, reported as
+    slope per DAY plus intercept and R².
 
-    Slope/intercept/R² are moment functions, so they partial-aggregate
-    like any sum — one shuffle of constant-size moment tuples per
-    group, the same 100 TB shape as `agg_stats`. The regressor is
-    epoch-µs rescaled to days BEFORE aggregation: moments of raw-µs
-    x-values (~1e15) square to ~1e30 and the engines' different
-    summation orders would diverge above 6dp; day-scale keeps the
-    moments small enough that both engines agree bit-for-bit after
-    rounding. Drift detection over ingest time is the curator use.
+    Moments are exact integers — x in epoch seconds, y in micro-units
+    (floor(value·1e6 + 0.5), documented 5e-7 quantization) — summed
+    exactly (Spark DECIMAL partials, DuckDB HUGEINT), so both engines
+    feed bit-identical doubles into the shared _REGR_*_SQL combine
+    strings and the 6dp rounding cannot land on different sides of a
+    boundary. Still one shuffle of constant-size moment tuples per
+    group, the same 100 TB shape as `agg_stats`; drift detection over
+    ingest time is the curator use.
     """
     ev = load_table(spark, sf_dir, "events")
-    x = F.unix_micros("ts") / 86400000000.0
-    return (ev.groupBy("event_type")
-            .agg(F.count("*").alias("n"),
-                 rnd(F.regr_slope("value", x), 6).alias("slope_per_day"),
-                 rnd(F.regr_intercept("value", x), 6).alias("intercept"),
-                 rnd(F.regr_r2("value", x), 6).alias("r2")))
+    dec = "decimal(38,0)"
+    xs = F.expr("unix_micros(ts) div 1000000")
+    v6 = F.floor(F.col("value") * 1e6 + 0.5).cast("long")
+    p = ev.select("event_type", xs.alias("xs"), v6.alias("v6"))
+    both = F.col("xs").isNotNull() & F.col("v6").isNotNull()
+    m = (p.groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.count(F.when(both, 1)).cast("double").alias("np"),
+              F.sum(F.when(F.col("v6").isNotNull(), F.col("xs")))
+              .cast("double").alias("sx"),
+              F.sum(F.when(F.col("xs").isNotNull(), F.col("v6")))
+              .cast("double").alias("sv"),
+              F.sum(F.when(F.col("v6").isNotNull(),
+                           F.col("xs").cast(dec) * F.col("xs").cast(dec)))
+              .cast("double").alias("sxx"),
+              F.sum((F.col("xs") * F.col("v6")).cast(dec))
+              .cast("double").alias("svx"),
+              F.sum(F.when(F.col("xs").isNotNull(),
+                           F.col("v6").cast(dec) * F.col("v6").cast(dec)))
+              .cast("double").alias("svv")))
+    return m.select("event_type", "n",
+                    F.expr(_REGR_SLOPE_SQL).alias("slope_per_day"),
+                    F.expr(_REGR_ICEPT_SQL).alias("intercept"),
+                    F.expr(_REGR_R2_SQL).alias("r2"))
 
 
 @register("agg_bitmap_distinct", """
@@ -3299,12 +3433,14 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_approx_topk_merge", """
-SELECT row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank,
-       event_type AS item,
-       count(*)::BIGINT AS n_events
-FROM events
-WHERE event_type IS NOT NULL
-GROUP BY event_type
+SELECT rank, item, n_events FROM (
+  SELECT row_number() OVER (ORDER BY count(*) DESC, event_type) AS rank,
+         event_type AS item,
+         count(*)::BIGINT AS n_events
+  FROM events
+  WHERE event_type IS NOT NULL
+  GROUP BY event_type
+) WHERE rank <= 5
 """)
 def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4's native mergeable top-k sketch pipeline —
@@ -3339,14 +3475,22 @@ def agg_approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     if daily.isEmpty():
         return spark.createDataFrame(
             [], "rank int, item string, n_events long")
+    # estimate the FULL tracked set (100 = maxItemsTracked), then apply
+    # the deterministic (count DESC, item) rank and cut to k=5 HERE —
+    # asking the sketch for exactly k would leave boundary-tie
+    # SELECTION to sketch internals (adversarial fixture: dozens of
+    # singleton event types tie at the k-th count), while the rank-5
+    # cut over the exact tracked counts ties-break identically on both
+    # engines.
     merged = daily.agg(
-        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 100), 5)")
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 100), 100)")
         .alias("top"))
     flat = (merged.select(F.explode("top").alias("t"))
             .select(F.col("t.item").alias("item"),
                     F.col("t.count").cast("long").alias("n_events")))
     w = Window.orderBy(F.col("n_events").desc(), "item")
     return (flat.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
             .select("rank", "item", "n_events"))
 
 

@@ -176,7 +176,10 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
-            if text:
+            # NULL-only guard: an EMPTY doc tokenizes to one empty
+            # token (`''.split(' ')` == ['']) exactly like the
+            # oracle's string_split — `if text:` silently dropped it
+            if text is not None:
                 for i, tok in enumerate(text.split(" "), start=1):
                     yield i, tok
 
@@ -262,7 +265,10 @@ def udtf_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string", useArrow=True)
     class TokenizeArrow:
         def eval(self, text: str):
-            if text:
+            # NULL-only guard: an EMPTY doc tokenizes to one empty
+            # token (`''.split(' ')` == ['']) exactly like the
+            # oracle's string_split — `if text:` silently dropped it
+            if text is not None:
                 for i, tok in enumerate(text.split(" "), start=1):
                     yield i, tok
 

@@ -64,16 +64,31 @@ SELECT * FROM nation
 """)
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write CSV with header, re-read with an EXPLICIT schema (inference is
-    # banned in the engine: curator sheets get declared schemas)
+    # banned in the engine: curator sheets get declared schemas).
+    # The LOSSLESS round-trip option set (adversarial sweep findings —
+    # each option closes a real write/read asymmetry):
+    #  - multiLine read: the writer QUOTES embedded newlines but the
+    #    default line-split reader tears those records apart (25
+    #    nations came back as 27 rows);
+    #  - ignore*WhiteSpace=false on WRITE: the CSV writer TRIMS
+    #    leading/trailing whitespace by default, silently corrupting
+    #    whitespace-significant values;
+    #  - nullValue '\\N' on both sides: by default NULL and '' both
+    #    serialize to an empty field and both read back as NULL — a
+    #    distinct null token keeps '' and NULL distinguishable.
     n = load_table(spark, sf_dir, "nation")
     out = _tmpdir("mdis_csv_")
-    n.write.mode("overwrite").option("header", True).csv(out)
+    (n.write.mode("overwrite").option("header", True)
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false")
+     .option("nullValue", "\\N").csv(out))
     schema = T.StructType([
         T.StructField("n_nationkey", T.IntegerType()),
         T.StructField("n_name", T.StringType()),
         T.StructField("n_regionkey", T.IntegerType()),
     ])
-    return spark.read.schema(schema).option("header", True).csv(out)
+    return (spark.read.schema(schema).option("header", True)
+            .option("multiLine", True).option("nullValue", "\\N").csv(out))
 
 
 @register("scan_json_lines", """
@@ -192,8 +207,15 @@ def sink_manifest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.pmod("doc_id", F.lit(16)).alias("bucket"))
     out = _tmpdir("mdis_tsv_")
-    manifest.write.mode("overwrite").option("sep", "\t") \
-        .option("header", True).csv(out)
+    # same lossless option set as scan_csv_roundtrip: preserve
+    # whitespace on write, keep NULL distinguishable from '', and read
+    # multiLine so writer-quoted embedded newlines/tabs reassemble
+    # (adversarial sweep: 500 manifest rows came back as 545)
+    (manifest.write.mode("overwrite").option("sep", "\t")
+     .option("header", True)
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false")
+     .option("nullValue", "\\N").csv(out))
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("source", T.StringType()),
@@ -201,8 +223,9 @@ def sink_manifest_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("n_chars", T.LongType()),
         T.StructField("bucket", T.LongType()),
     ])
-    return spark.read.schema(schema).option("sep", "\t") \
-        .option("header", True).csv(out)
+    return (spark.read.schema(schema).option("sep", "\t")
+            .option("header", True).option("multiLine", True)
+            .option("nullValue", "\\N").csv(out))
 
 
 def read_excel_sheet(spark: SparkSession, path: str, sheet: str | int = 0,
@@ -261,16 +284,24 @@ def scan_excel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return read_excel_sheet(spark, xlsx, schema=schema)
     except (ImportError, ModuleNotFoundError, NotImplementedError):
         csv_path = os.path.join(d, "nation.csv")
-        sheet_pdf.to_csv(csv_path, index=False)
-        pdf = pd.read_csv(csv_path)  # same driver-side sheet shape
+        # lossless pandas round trip (the scan_csv_roundtrip recipe in
+        # pandas spelling): a distinct NA token keeps NULL and ''
+        # distinguishable, keep_default_na=False stops read_csv from
+        # NA-ing empty/whitespace cells a curator legitimately typed
+        sheet_pdf.to_csv(csv_path, index=False, na_rep="\\N")
+        pdf = pd.read_csv(csv_path, keep_default_na=False,
+                          na_values=["\\N"])
         return spark.createDataFrame(pdf, schema=schema)
 
 
 @register("sink_merge_upsert", f"""
 WITH merged AS (
-    SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts, value
+    -- nullif: the hive-layout '' → NULL partition normalization the
+    -- Spark side declares (see the operator docstring)
+    SELECT user_id, nullif(event_type, '') AS event_type,
+           event_id, ts::TIMESTAMP AS ts, value
     FROM events
-    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+    QUALIFY row_number() OVER (PARTITION BY user_id, nullif(event_type, '')
                                ORDER BY ts DESC, event_id DESC) = 1
 )
 SELECT event_type,
@@ -297,7 +328,15 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from manual_data_ingest_spark.functions.rounding import rnd
 
-    ev = load_table(spark, sf_dir, "events")
+    # DECLARED layout contract: hive-style partitioning cannot
+    # represent an EMPTY-STRING partition value — Spark (like Hive)
+    # writes it as __HIVE_DEFAULT_PARTITION__ and reads it back as
+    # NULL, silently merging '' keys into the NULL partition AFTER the
+    # per-key dedup had treated them as distinct (adversarial sweep).
+    # The merge key therefore normalizes '' → NULL up front, on both
+    # engines (nullif in the oracle).
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("event_type", F.nullif("event_type", F.lit(""))))
     cutoff = F.lit("2024-01-20").cast("timestamp")
 
     def latest(df: DataFrame) -> DataFrame:
@@ -1029,15 +1068,30 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "n_chars")
     out = _tmpdir("mdis_badcsv_")
     # write the batch distributed: good rows are proper CSV, every 10th
-    # row gets an unbalanced quote in the text field
+    # row gets an unbalanced quote in the text field. The feed is a
+    # SINGLE-LINE-RECORD contract (what real CSV batch feeds declare),
+    # so the constructor escapes in the READER'S dialect and flattens
+    # newlines to spaces — without this, a quoted text field containing
+    # '"', '\\' or '\n' silently shifted records into the corrupt
+    # bucket (adversarial sweep) even on the good-row rule. Engine
+    # fact: Spark's CSV parser (univocity) BACKSLASH-escapes by
+    # default (escape='\\'), NOT RFC-4180 "" doubling — and a trailing
+    # unescaped backslash eats the closing quote. The output never
+    # exposes text, so sanitization cannot change the answer — only
+    # keep the parse accounting equal to the construction rule.
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", r"\\", r"\\\\"),  # \ -> \\
+            '"', r'\\"'),                              # " -> \"
+        r"[\n\r]", " ")
     path = f"{out}/batch.csv"
     good = d.filter(F.col("doc_id") % 10 != 0).select(
         F.concat_ws(",", F.col("doc_id"),
-                    F.concat(F.lit('"'), F.col("text"), F.lit('"')),
+                    F.concat(F.lit('"'), clean, F.lit('"')),
                     F.col("n_chars")).alias("line"))
     bad = d.filter(F.col("doc_id") % 10 == 0).select(
         F.concat_ws(",", F.col("doc_id"),
-                    F.concat(F.lit('"'), F.col("text")),  # unbalanced quote
+                    F.concat(F.lit('"'), clean),  # unbalanced quote
                     F.col("n_chars")).alias("line"))
     good.unionByName(bad).write.mode("overwrite").text(path)
 
@@ -1107,8 +1161,14 @@ def scan_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # advisor caught the previous r'\\\\', which only matched PAIRS and
     # left a lone backslash unescaped → invalid JSON line miscounted as
     # corrupt); replacement r'\\\\' emits the two-char escape sequence.
+    # Control characters must be \-escaped too (adversarial sweep): a
+    # literal newline SPLITS the JSONL line into two malformed records,
+    # and a literal tab inside a JSON string is invalid JSON — proper
+    # escaping keeps the VALUE exact while the line stays one line.
     esc = F.regexp_replace(F.regexp_replace("text", r'\\', r'\\\\'),
                            '"', r'\\"')
+    for ch, rep in (("\n", r"\\n"), ("\r", r"\\r"), ("\t", r"\\t")):
+        esc = F.regexp_replace(esc, ch, rep)
     full = F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
                     F.lit(', "text": "'), esc,
                     F.lit('", "n_chars": '), F.col("n_chars"), F.lit('}'))
@@ -1467,12 +1527,20 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace("text", r"( \w+ )", "\n$1").alias("mtext"))
     out = _tmpdir("mdis_mlcsv_")
+    # nullValue token on both sides: an EMPTY mtext is written as ""
+    # under quoteAll but the reader's default nullValue="" turns it
+    # back into NULL (adversarial sweep) — same lossless recipe as
+    # scan_csv_roundtrip
     (multi.write.mode("overwrite").option("header", True)
-     .option("quoteAll", True).option("escape", '"').csv(out))
+     .option("quoteAll", True).option("escape", '"')
+     .option("ignoreLeadingWhiteSpace", "false")
+     .option("ignoreTrailingWhiteSpace", "false")
+     .option("nullValue", "\\N").csv(out))
     schema = T.StructType([T.StructField("doc_id", T.LongType()),
                            T.StructField("mtext", T.StringType())])
     back = (spark.read.schema(schema).option("header", True)
-            .option("multiLine", True).option("escape", '"').csv(out))
+            .option("multiLine", True).option("escape", '"')
+            .option("nullValue", "\\N").csv(out))
     return back.select(
         "doc_id",
         F.md5("mtext").alias("mtext_md5"),

@@ -468,6 +468,52 @@ def test_no_hand_counted_null_gate_literals():
     assert not offenders, offenders
 
 
+#: ops the ADVERSARIAL-TEXT sweep (tools/adversarial_sweep.py: unicode
+#: suffixes, empty strings, whitespace-only, embedded quote/comma/
+#: newline/tab/backslash in every string column) found divergent at
+#: its first full run — all fixed late r8, held HASH-EXACT here as the
+#: per-commit regression net (the full 440-op sweep is the close
+#: gate). The classes: ANSI-throw-vs-NULL (÷0, element_at,
+#: parse_json), Jackson trailing-garbage JSON leniency, byte-vs-
+#: codepoint oracles, simple-vs-full case mapping, levenshtein units,
+#: CSV writer trimming / ''-vs-NULL / multiLine asymmetries, the
+#: hive '' partition coercion, and accumulation-order rounding ties in
+#: engine-native moment aggregates (PARITY #44-#50).
+ADVERSARIAL_ORACLE_EXACT = [
+    "text_tokenizer_fertility", "win_zscore_outliers",
+    "agg_seasonality_strength", "str_split_extract", "str_fuzzy",
+    "str_basic", "json_extract", "json_schema_parse", "variant_funcs",
+    "multimodal_manifest", "multimodal_decode", "multimodal_frame_sample",
+    "multimodal_audio_stub", "multimodal_shard_assign",
+    "multimodal_phash_dedup", "scan_binaryfile",
+    "agg_approx_quantile", "agg_approx_topk_merge", "agg_corr_covar",
+    "agg_regression", "udtf_tokenize", "udtf_tokenize_arrow",
+    "scan_csv_roundtrip", "sink_manifest_tsv", "scan_excel",
+    "sink_merge_upsert", "scan_csv_badrecords", "scan_jsonl_badrecords",
+    "scan_csv_multiline",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(tmp_path_factory):
+    """The adversarial-text fixture, built by the sweep tool itself so
+    the per-commit gate and the close gate can never drift."""
+    from tools.adversarial_sweep import build_fixture
+
+    dst = str(tmp_path_factory.mktemp("mdis_adversarial"))
+    return build_fixture(dst=dst)
+
+
+def test_adversarial_text_oracle_exact(spark, adversarial_dir):
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=adversarial_dir, only=ADVERSARIAL_ORACLE_EXACT,
+                      spark=spark)
+    bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
+    assert len(results) == len(ADVERSARIAL_ORACLE_EXACT)
+    assert not bad, bad
+
+
 #: Aggregate-total operators whose empty-input answer is a SINGLE row
 #: with SQL NULL semantics (sum over zero rows is NULL, count is 0) —
 #: the no-crash probe can't see a NULL-vs-0.0 divergence, so these are

@@ -24,8 +24,14 @@ write these values and read them back), JSON parse failure on a
 corrupted props column, empty-vs-whitespace tokenization, string sort
 order of mixed-script values, md5-of-UTF-8, split/trim semantics.
 
-First full run: late r8 (results + burn-down record in the round log,
-SURVEY.md). Target state: 0 divergent, same as the null gate.
+Known-divergent remainder: NONE — 440/440 as of late r8. First run
+found 29 divergers; every one was burned down to an exact contract
+(burn-down record in the round log, SURVEY.md; engine facts in
+PARITY.md #44-#50). The per-commit pytest subset is
+tests/test_empty_input.py::test_adversarial_text_oracle_exact
+(ADVERSARIAL_ORACLE_EXACT — the 29 once-divergent ops); this sweep is
+the exhaustive close gate. Any future diverger is a regression, not
+an adjudication candidate.
 
 Usage:  python tools/adversarial_sweep.py            # build + sweep
         python tools/adversarial_sweep.py NAME ...   # subset
