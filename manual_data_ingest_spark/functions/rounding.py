@@ -21,10 +21,22 @@ from pyspark.sql import functions as F
 
 
 def rnd(col: Column | str, digits: int = 2) -> Column:
-    """Deterministic cross-engine round-half-up of a double column."""
+    """Deterministic cross-engine round-half-up of a double column.
+
+    The floor is computed IN DOUBLES (x − fmod(x,1), minus 1 when the
+    remainder is negative) rather than with Spark's ``floor()``:
+    Spark's floor returns LONG and silently SATURATES at ±2^63 —
+    the numeric-edge sweep caught values collapsing to
+    long_min/10^d — while DuckDB's floor stays DOUBLE. The double
+    form agrees with the long form everywhere in long range (fmod is
+    exact for doubles) and with DuckDB's floor beyond it (above 2^53
+    fmod(x,1)=0, so floor(x)=x on both engines).
+    """
     c = F.col(col) if isinstance(col, str) else col
     m = float(10 ** digits)
-    return F.floor(c * m + F.lit(0.5)) / m
+    x = c * m + F.lit(0.5)
+    fr = x % F.lit(1.0)
+    return (x - fr - F.when(fr < 0, F.lit(1.0)).otherwise(F.lit(0.0))) / m
 
 
 def sql_rnd(expr: str, digits: int = 2) -> str:

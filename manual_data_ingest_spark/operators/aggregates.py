@@ -21,25 +21,45 @@ from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
 from manual_data_ingest_spark.registry import register
 
 
-@register("agg_pricing_summary", """
+@register("agg_pricing_summary", f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)      AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_discount), 4)      AS avg_disc,
+       -- exact integers: cents × (100 − disc_c), one division at the
+       -- end. A double product sum is order-sensitive once values
+       -- leave the 2dp-clean domain (numeric-edge sweep), and at
+       -- 100 TB a bigint cents sum overflows anyway — DuckDB promotes
+       -- to HUGEINT; the Spark twin sums DECIMAL.
+       {sql_rnd('''sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+                  )::DOUBLE / 10000.0''')} AS sum_disc_price,
+       CASE WHEN count(l_discount) > 0 THEN
+         {sql_rnd('''sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                    )::DOUBLE / (100.0 * count(l_discount))''', 4)}
+       END AS avg_disc,
        count(*)                       AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """)
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q1 shape — the flagship aggregation
+    # TPC-H Q1 shape — the flagship aggregation. Revenue and the
+    # discount mean ride exact integer moments (2dp money/rates ×100),
+    # so the one rounded division is identical on both engines at any
+    # magnitude; qty/base-price sums stay native (their drift is orders
+    # of magnitude inside the rounding margin).
+    dec = "decimal(38,0)"
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    dc = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
     return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 rnd(F.sum((cents * (100 - dc)).cast(dec)).cast("double")
+                     / 10000.0).alias("sum_disc_price"),
+                 F.when(F.count("l_discount") > 0,
+                        rnd(F.sum(dc).cast("double")
+                            / (100.0 * F.count("l_discount")), 4))
+                 .alias("avg_disc"),
                  F.count("*").alias("count_order")))
 
 
@@ -130,25 +150,35 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-@register("agg_filtered", """
+@register("agg_filtered", f"""
 SELECT l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount))
-             FILTER (WHERE l_returnflag = 'R'), 2) AS rev_returned,
-       round(sum(l_extendedprice * (1 - l_discount))
-             FILTER (WHERE l_returnflag = 'A'), 2) AS rev_accepted,
+       {sql_rnd('''sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+                   FILTER (WHERE l_returnflag = 'R')::DOUBLE
+                   / 10000.0''')} AS rev_returned,
+       {sql_rnd('''sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
+                   FILTER (WHERE l_returnflag = 'A')::DOUBLE
+                   / 10000.0''')} AS rev_accepted,
        count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
 FROM lineitem
 GROUP BY l_linestatus
 """)
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # conditional aggregation in ONE pass (no self-joins / multiple scans)
+    # conditional aggregation in ONE pass (no self-joins / multiple
+    # scans); revenue rides the agg_pricing_summary exact-cents form —
+    # DECIMAL partials here, HUGEINT in the oracle — so the FILTER
+    # sums agree at any value magnitude
+    dec = "decimal(38,0)"
     li = load_table(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    dc = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+    rev_units = (cents * (100 - dc)).cast(dec)
     return (li.groupBy("l_linestatus")
-            .agg(F.round(F.sum(F.when(F.col("l_returnflag") == "R", rev)), 2)
-                  .alias("rev_returned"),
-                 F.round(F.sum(F.when(F.col("l_returnflag") == "A", rev)), 2)
-                  .alias("rev_accepted"),
+            .agg(rnd(F.sum(F.when(F.col("l_returnflag") == "R", rev_units))
+                     .cast("double") / 10000.0).alias("rev_returned"),
+                 rnd(F.sum(F.when(F.col("l_returnflag") == "A", rev_units))
+                     .cast("double") / 10000.0).alias("rev_accepted"),
                  F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk")))
 
 
@@ -577,7 +607,9 @@ _CVP_SQL = ("CASE WHEN n >= 1 THEN "
 WITH sc AS (
   SELECT o_orderstatus,
          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
-         CAST(o_custkey % 100 AS BIGINT) * 100 AS y
+         -- positive mod, matching Spark's pmod (SQL % takes the
+         -- dividend's sign — diverges on negative keys)
+         CAST(((o_custkey % 100) + 100) % 100 AS BIGINT) * 100 AS y
   FROM orders
 ), m AS (
   -- every sum is EXACT (DuckDB promotes BIGINT sums to HUGEINT), then
@@ -1107,11 +1139,14 @@ WITH p AS (
                          THEN 1 END) AS DOUBLE) AS np,
          CAST(sum(CASE WHEN v6 IS NOT NULL THEN xs END) AS DOUBLE) AS sx,
          CAST(sum(CASE WHEN xs IS NOT NULL THEN v6 END) AS DOUBLE) AS sv,
-         CAST(sum(CASE WHEN v6 IS NOT NULL THEN xs * xs END) AS DOUBLE)
-             AS sxx,
-         CAST(sum(xs * v6) AS DOUBLE) AS svx,
-         CAST(sum(CASE WHEN xs IS NOT NULL THEN v6 * v6 END) AS DOUBLE)
-             AS svv
+         -- HUGEINT casts BEFORE the multiply: xs·v6 and v6² exceed
+         -- int64 at edge magnitudes and DuckDB (like Spark) errors on
+         -- bigint multiplication overflow rather than promoting
+         CAST(sum(CASE WHEN v6 IS NOT NULL
+                       THEN CAST(xs AS HUGEINT) * xs END) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(xs AS HUGEINT) * v6) AS DOUBLE) AS svx,
+         CAST(sum(CASE WHEN xs IS NOT NULL
+                       THEN CAST(v6 AS HUGEINT) * v6 END) AS DOUBLE) AS svv
   FROM p GROUP BY event_type
 )
 SELECT event_type, n,
@@ -1149,7 +1184,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.when(F.col("v6").isNotNull(),
                            F.col("xs").cast(dec) * F.col("xs").cast(dec)))
               .cast("double").alias("sxx"),
-              F.sum((F.col("xs") * F.col("v6")).cast(dec))
+              F.sum(F.col("xs").cast(dec) * F.col("v6").cast(dec))
               .cast("double").alias("svx"),
               F.sum(F.when(F.col("xs").isNotNull(),
                            F.col("v6").cast(dec) * F.col("v6").cast(dec)))

@@ -1387,7 +1387,9 @@ def ingest_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH line_units AS (
   -- exact integers: cents × (100+tax_c) × (100−disc_c); 1 dollar = 1e6 units
   SELECT l_orderkey,
-         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         -- HUGEINT first factor: a wild rate overflows the bigint
+         -- triple product and DuckDB errors rather than promotes
+         sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT)
              * (100 + CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT))
              * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
              AS line_units
@@ -1425,12 +1427,17 @@ def ingest_reconcile_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     cents = lambda c: F.floor(F.col(c) * 100.0 + F.lit(0.5)).cast("long")
-    units = (cents("l_extendedprice")
-             * (F.lit(100) + cents("l_tax"))
-             * (F.lit(100) - cents("l_discount")))
+    # DECIMAL factors (HUGEINT in the oracle): a wild tax/discount rate
+    # makes the triple product exceed int64, and both engines ERROR on
+    # bigint multiplication overflow rather than promote — the audit
+    # must REPORT an absurd row as mismatched, not die on it
+    dec12 = "decimal(12,0)"
+    units = (cents("l_extendedprice").cast(dec12)
+             * (F.lit(100) + cents("l_tax")).cast(dec12)
+             * (F.lit(100) - cents("l_discount")).cast(dec12))
     lu = li.groupBy("l_orderkey").agg(F.sum(units).alias("line_units"))
-    diff = F.abs(F.coalesce(F.col("line_units"), F.lit(0))
-                 - cents("o_totalprice") * 10000)
+    diff = F.abs(F.coalesce(F.col("line_units"), F.lit(0).cast("decimal(38,0)"))
+                 - (cents("o_totalprice") * 10000).cast("decimal(38,0)"))
     recon = (o.join(lu, o.o_orderkey == lu.l_orderkey, "left")
              .select("o_orderpriority", diff.alias("diff_units")))
     return (recon.groupBy("o_orderpriority")

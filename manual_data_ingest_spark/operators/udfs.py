@@ -111,25 +111,58 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("udf_grouped_map", f"""
-SELECT c_custkey, c_nationkey,
-       {sql_rnd('''(c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
-                   / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey)''', 6)}
-           AS bal_zscore
-FROM customer
+WITH sc AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS c
+  FROM customer
+), m AS (
+  SELECT c_nationkey,
+         CAST(count(c) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS sx,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sxx
+  FROM sc GROUP BY c_nationkey
+)
+SELECT c_custkey, sc.c_nationkey,
+       CASE WHEN n >= 2 AND (sxx - sx * sx / n) > 0 THEN
+         {sql_rnd('(c - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1))', 6)}
+       END AS bal_zscore
+-- null-safe join: the NULL-nationkey cohort is a group like any other
+-- (Spark's groupBy keeps it; a bare equi-join dropped its rows)
+FROM sc JOIN m ON sc.c_nationkey IS NOT DISTINCT FROM m.c_nationkey
 """)
 def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group-map (applyInPandas): z-score normalization within nation —
     # the per-cohort normalization pattern. Whole groups cross to Python;
     # group count (25 nations) bounds parallelism, so at scale prefer the
-    # window formulation (the oracle shows it) unless logic is custom.
+    # window formulation unless logic is custom. Moments are exact
+    # integer cents (python-int sums, overflow-proof) and the pandas
+    # body evaluates the SAME IEEE op sequence as the oracle's combine,
+    # so the 6dp rounding agrees at any magnitude (pandas' pairwise
+    # mean/std drifted from DuckDB's window stddev on the numeric-edge
+    # fixture); a zero-variance or single-row cohort yields NULL.
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf["c_acctbal"]
-        z = (x - x.mean()) / x.std(ddof=1)
+        import math
+
         import numpy as np
+
+        x = pdf["c_acctbal"]
+        ok = x.notna()
+        cents = np.floor(x[ok].to_numpy() * 100.0 + 0.5)
+        n = float(len(cents))
+        sx = float(sum(int(v) for v in cents))
+        sxx = float(sum(int(v) * int(v) for v in cents))
+        # Python-None for the NULL cells (a float NaN would cross
+        # Arrow as NaN, not SQL NULL, and hash-mismatch the oracle)
+        z: list = [None] * len(pdf)
+        if n >= 2 and (sxx - sx * sx / n) > 0:
+            denom = math.sqrt((sxx - sx * sx / n) / (n - 1))
+            zv = np.floor((cents - sx / n) / denom * 1e6 + 0.5) / 1e6
+            it = iter(zv.tolist())
+            z = [next(it) if o else None for o in ok.tolist()]
         return pd.DataFrame({
             "c_custkey": pdf["c_custkey"],
             "c_nationkey": pdf["c_nationkey"],
-            "bal_zscore": np.floor(z * 1e6 + 0.5) / 1e6,
+            "bal_zscore": pd.Series(z, dtype="object"),
         })
 
     c = load_table(spark, sf_dir, "customer")
@@ -139,11 +172,16 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("udf_map_partitions", """
 SELECT c_custkey, c_nationkey,
+       -- ((k % 5) + 5) % 5: POSITIVE mod. SQL % takes the dividend's
+       -- sign, so a negative key would fall through to the ELSE arm
+       -- while the Spark side's pandas `%` (floored, always positive
+       -- for a positive modulus) buckets it — the numeric-edge sweep
+       -- caught TIER-E vs TIER-C on k = -13.
        CASE WHEN c_nationkey IS NULL THEN NULL
-            WHEN c_nationkey % 5 = 0 THEN 'TIER-A'
-            WHEN c_nationkey % 5 = 1 THEN 'TIER-B'
-            WHEN c_nationkey % 5 = 2 THEN 'TIER-C'
-            WHEN c_nationkey % 5 = 3 THEN 'TIER-D'
+            WHEN ((c_nationkey % 5) + 5) % 5 = 0 THEN 'TIER-A'
+            WHEN ((c_nationkey % 5) + 5) % 5 = 1 THEN 'TIER-B'
+            WHEN ((c_nationkey % 5) + 5) % 5 = 2 THEN 'TIER-C'
+            WHEN ((c_nationkey % 5) + 5) % 5 = 3 THEN 'TIER-D'
             ELSE 'TIER-E' END AS tier
 FROM customer
 """)

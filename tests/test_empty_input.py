@@ -514,6 +514,41 @@ def test_adversarial_text_oracle_exact(spark, adversarial_dir):
     assert not bad, bad
 
 
+#: ops the EXTREME-NUMERICS sweep (tools/numeric_sweep.py: zeros,
+#: negated values, large-magnitude values in every numeric non-key
+#: column) found divergent at its first full run — all fixed late r8,
+#: held HASH-EXACT here as the per-commit regression net. The classes:
+#: Spark floor() silently SATURATING at ±2^63 (the shared rounder now
+#: floors in doubles), pmod-vs-% on negative keys, bigint
+#: multiplication overflow (both engines ERROR rather than promote —
+#: DECIMAL/HUGEINT factors), and double-sum accumulation order at
+#: magnitudes the 2dp-clean standard fixture never reaches
+#: (exact-integer moment forms; PARITY #51-#53).
+NUMERIC_ORACLE_EXACT = [
+    "project_compute", "agg_pricing_summary", "agg_filtered",
+    "agg_corr_covar", "agg_regression", "ingest_reconcile_totals",
+    "udf_grouped_map", "udf_map_partitions",
+]
+
+
+@pytest.fixture(scope="module")
+def numeric_dir(tmp_path_factory):
+    from tools.numeric_sweep import build_fixture
+
+    dst = str(tmp_path_factory.mktemp("mdis_numeric"))
+    return build_fixture(dst=dst)
+
+
+def test_numeric_edge_oracle_exact(spark, numeric_dir):
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=numeric_dir, only=NUMERIC_ORACLE_EXACT,
+                      spark=spark)
+    bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
+    assert len(results) == len(NUMERIC_ORACLE_EXACT)
+    assert not bad, bad
+
+
 #: Aggregate-total operators whose empty-input answer is a SINGLE row
 #: with SQL NULL semantics (sum over zero rows is NULL, count is 0) —
 #: the no-crash probe can't see a NULL-vs-0.0 divergence, so these are

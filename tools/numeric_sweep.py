@@ -22,8 +22,18 @@ error), Benford/first-digit logic on signed and zero values,
 zero-variance and zero-denominator guards under values the standard
 fixture never produces, and negative-half floor rounding.
 
-First full run: late r8 (results + burn-down record in the round log,
-SURVEY.md). Target state: 0 divergent, same as the other two gates.
+Known-divergent remainder: NONE — 440/440 as of late r8. First run
+found 8 divergers, all real and all fixed (PARITY #51-#53): Spark's
+floor() silently SATURATING money to long_min/10^d at ±2^63 (the
+shared rounder now floors in doubles — a data-CORRUPTION class, worse
+than a crash), two bigint-multiplication overflow ABORTS (both
+engines error rather than promote; DECIMAL/HUGEINT factors now),
+pmod-vs-% on negative keys (2 ops), and double-sum accumulation-order
+divergence at magnitudes the 2dp-clean standard fixture never reaches
+(exact-integer moment forms for Q1-shape revenue sums and the pandas
+z-score). Per-commit net: tests/test_empty_input.py::
+test_numeric_edge_oracle_exact (NUMERIC_ORACLE_EXACT). Any future
+diverger is a regression, not an adjudication candidate.
 
 Usage:  python tools/numeric_sweep.py            # build + sweep
         python tools/numeric_sweep.py NAME ...   # subset
