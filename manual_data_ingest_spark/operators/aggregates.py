@@ -22,40 +22,56 @@ from manual_data_ingest_spark.registry import register
 
 
 @register("agg_pricing_summary", f"""
+WITH sc AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+         l_discount,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS u,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS dc
+  FROM lineitem
+)
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)      AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       -- exact integers: cents × (100 − disc_c), one division at the
-       -- end. A double product sum is order-sensitive once values
-       -- leave the 2dp-clean domain (numeric-edge sweep), and at
-       -- 100 TB a bigint cents sum overflows anyway — DuckDB promotes
-       -- to HUGEINT; the Spark twin sums DECIMAL.
-       {sql_rnd('''sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
-                  )::DOUBLE / 10000.0''')} AS sum_disc_price,
+       -- exact integers: u = cents × (100 − disc_c), summed as a
+       -- TWO-LEVEL SPLIT (lo = u % 1e6, hi = (u−lo)/1e6 exact) so
+       -- both partial sums stay in fast int64 — a plain double
+       -- product sum is order-sensitive once values leave the
+       -- 2dp-clean domain (numeric-edge sweep), a DECIMAL sum costs
+       -- ~1.5× (A/B measured), and the split's envelope holds through
+       -- 100 TB in-domain row counts (|Σhi| ≤ 1.2e3/row,
+       -- |Σlo| < 1e6/row). The recombine Σhi·1e6 + Σlo runs over
+       -- identical exact ints on both engines.
+       {sql_rnd('''(sum(CAST((u - u % 1000000) / 1000000 AS BIGINT))::DOUBLE
+                     * 1000000.0
+                   + sum(u % 1000000)::DOUBLE) / 10000.0''')}
+           AS sum_disc_price,
        CASE WHEN count(l_discount) > 0 THEN
-         {sql_rnd('''sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
-                    )::DOUBLE / (100.0 * count(l_discount))''', 4)}
+         {sql_rnd('sum(dc)::DOUBLE / (100.0 * count(l_discount))', 4)}
        END AS avg_disc,
        count(*)                       AS count_order
-FROM lineitem
+FROM sc
 GROUP BY l_returnflag, l_linestatus
 """)
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1 shape — the flagship aggregation. Revenue and the
-    # discount mean ride exact integer moments (2dp money/rates ×100),
-    # so the one rounded division is identical on both engines at any
-    # magnitude; qty/base-price sums stay native (their drift is orders
-    # of magnitude inside the rounding margin).
-    dec = "decimal(38,0)"
+    # discount mean ride exact integer moments (2dp money/rates ×100,
+    # two-level split sums — see the oracle comment), so the one
+    # rounded division is identical on both engines at any magnitude;
+    # qty/base-price sums stay native (their drift is orders of
+    # magnitude inside the rounding margin).
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
     dc = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
+    u = cents * (100 - dc)
+    lo = u % F.lit(1000000)
+    hi = ((u - lo) / F.lit(1000000)).cast("long")  # exact division
     return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 rnd(F.sum((cents * (100 - dc)).cast(dec)).cast("double")
-                     / 10000.0).alias("sum_disc_price"),
+                 rnd((F.sum(hi).cast("double") * 1000000.0
+                      + F.sum(lo).cast("double")) / 10000.0)
+                 .alias("sum_disc_price"),
                  F.when(F.count("l_discount") > 0,
                         rnd(F.sum(dc).cast("double")
                             / (100.0 * F.count("l_discount")), 4))
@@ -151,34 +167,46 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_filtered", f"""
+WITH sc AS (
+  SELECT l_linestatus, l_returnflag, l_quantity,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS u
+  FROM lineitem
+)
 SELECT l_linestatus,
-       {sql_rnd('''sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
-                   FILTER (WHERE l_returnflag = 'R')::DOUBLE
+       {sql_rnd('''(sum(CAST((u - u % 1000000) / 1000000 AS BIGINT))
+                     FILTER (WHERE l_returnflag = 'R')::DOUBLE * 1000000.0
+                   + sum(u % 1000000)
+                     FILTER (WHERE l_returnflag = 'R')::DOUBLE)
                    / 10000.0''')} AS rev_returned,
-       {sql_rnd('''sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)))
-                   FILTER (WHERE l_returnflag = 'A')::DOUBLE
+       {sql_rnd('''(sum(CAST((u - u % 1000000) / 1000000 AS BIGINT))
+                     FILTER (WHERE l_returnflag = 'A')::DOUBLE * 1000000.0
+                   + sum(u % 1000000)
+                     FILTER (WHERE l_returnflag = 'A')::DOUBLE)
                    / 10000.0''')} AS rev_accepted,
        count(*) FILTER (WHERE l_quantity > 25) AS n_bulk
-FROM lineitem
+FROM sc
 GROUP BY l_linestatus
 """)
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional aggregation in ONE pass (no self-joins / multiple
-    # scans); revenue rides the agg_pricing_summary exact-cents form —
-    # DECIMAL partials here, HUGEINT in the oracle — so the FILTER
-    # sums agree at any value magnitude
-    dec = "decimal(38,0)"
+    # scans); revenue rides the agg_pricing_summary exact two-level
+    # split form so the FILTER sums agree at any value magnitude
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
     dc = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long")
-    rev_units = (cents * (100 - dc)).cast(dec)
+    u = cents * (100 - dc)
+    lo = u % F.lit(1000000)
+    hi = ((u - lo) / F.lit(1000000)).cast("long")  # exact division
+
+    def rev(flag):
+        w = F.col("l_returnflag") == flag
+        return rnd((F.sum(F.when(w, hi)).cast("double") * 1000000.0
+                    + F.sum(F.when(w, lo)).cast("double")) / 10000.0)
+
     return (li.groupBy("l_linestatus")
-            .agg(rnd(F.sum(F.when(F.col("l_returnflag") == "R", rev_units))
-                     .cast("double") / 10000.0).alias("rev_returned"),
-                 rnd(F.sum(F.when(F.col("l_returnflag") == "A", rev_units))
-                     .cast("double") / 10000.0).alias("rev_accepted"),
+            .agg(rev("R").alias("rev_returned"),
+                 rev("A").alias("rev_accepted"),
                  F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk")))
 
 
