@@ -46,3 +46,33 @@ def sql_rnd(expr: str, digits: int = 2) -> str:
     """DuckDB twin of :func:`rnd` — paste into oracle SQL."""
     m = float(10 ** digits)
     return f"floor(({expr}) * {m} + 0.5) / {m}"
+
+
+def floordiv_long(col: Column, divisor: int) -> Column:
+    """EXACT floored integer division of a long column — the Spark twin
+    of DuckDB's ``//`` on BIGINTs.
+
+    The naive ``(x / lit(d)).cast("long")`` is wrong twice (temporal-
+    edge sweep): Spark's ``/`` is DOUBLE division, so (a) the cast
+    TRUNCATES toward zero where ``//`` floors — off by one on every
+    negative input — and (b) the double quotient can round UP across
+    an integer boundary when the remainder is within half an ulp
+    (measured: the last µs before a far-future midnight lands in the
+    next day). ``x − pmod(x, d)`` is an exact long multiple of d, so
+    the one division is exact and sign-correct.
+    """
+    r = F.pmod(col, F.lit(divisor))
+    return ((col - r) / F.lit(divisor)).cast("long")
+
+
+#: µs per day — the shared day-bucket divisor. Oracle twin: the
+#: positive-mod spelling `(epoch_us(ts) − ((epoch_us(ts) % d) + d) % d)
+#: // d` — NOT a bare `// d`: DuckDB's integer `//` TRUNCATES toward
+#: zero (probed: −7 // 2 = −3), so pre-epoch timestamps would bucket
+#: off-by-one against this helper's floor (temporal-edge sweep).
+US_PER_DAY = 86400000000
+
+
+def epoch_day(ts_col: Column) -> Column:
+    """Floored epoch-day bucket of a timestamp column (µs precision)."""
+    return floordiv_long(F.unix_micros(ts_col), US_PER_DAY)

@@ -138,7 +138,12 @@ def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day("o_orderdate").cast("timestamp").alias("o_month_end"),
         F.datediff(F.lit("2000-01-01").cast("date"),
                    F.col("o_orderdate")).alias("days_to_y2k"),
-        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"))
+        # interval addition, NOT date_add: Spark's date_add returns a
+        # DATE (silently truncating any time-of-day the timestamp
+        # carries) while DuckDB's + INTERVAL preserves it — invisible
+        # on midnight-only fixtures, caught by the temporal-edge sweep
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp").alias("due_date"))
 
 
 @register("ts_funcs", """

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
-from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.functions.rounding import (epoch_day, rnd,
+                                                         sql_rnd)
 from manual_data_ingest_spark.registry import register
 
 
@@ -2086,7 +2087,7 @@ def agg_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_dau_wau", f"""
 WITH d AS (
   SELECT DISTINCT date_trunc('week', ts)::DATE AS wk,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day, user_id
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day, user_id
   FROM events WHERE ts IS NOT NULL
 ), dau AS (
   SELECT wk, day, count(*) AS dau FROM d GROUP BY wk, day
@@ -2116,8 +2117,7 @@ def agg_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = (ev.select(F.date_trunc("week", "ts").cast("date").alias("wk"),
-                   (F.unix_micros("ts") / F.lit(86400000000))
-                   .cast("long").alias("day"),
+                   epoch_day(F.col("ts")).alias("day"),
                    "user_id")
          .distinct())
     dau = d.groupBy("wk", "day").agg(F.count("*").alias("dau"))
@@ -2349,7 +2349,7 @@ def agg_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_new_vs_returning", """
 WITH ud AS (
   SELECT DISTINCT user_id,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day
   FROM events WHERE ts IS NOT NULL
 ), first_day AS (
   SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id
@@ -2376,8 +2376,7 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     ud = (ev.select("user_id",
-                    (F.unix_micros("ts") / F.lit(86400000000))
-                    .cast("long").alias("day"))
+                    epoch_day(F.col("ts")).alias("day"))
           .distinct())
     first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
     return (ud.join(first_day, "user_id")
@@ -2682,8 +2681,8 @@ def agg_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_seasonal_index", f"""
 WITH daily AS (
   SELECT event_type,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day,
-         ((epoch_us(ts) // 86400000000) % 7)::INT AS dow,
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day,
+         (((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000) % 7)::INT AS dow,
          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   GROUP BY event_type, day, dow
@@ -2717,7 +2716,7 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
-    day = (F.unix_micros("ts") / F.lit(86400000000)).cast("long")
+    day = epoch_day(F.col("ts"))
     daily = (ev.select("event_type", day.alias("day"),
                        F.floor(F.col("value") * 100.0 + F.lit(0.5))
                        .cast("long").alias("c"))

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
-from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.functions.rounding import (epoch_day, rnd,
+                                                         sql_rnd)
 from manual_data_ingest_spark.registry import register
 
 
@@ -1631,7 +1632,7 @@ def ingest_mix_shift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ingest_rate_limit_audit", """
 WITH pm AS (
   SELECT user_id,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day,
          count(*) AS n
   FROM events WHERE ts IS NOT NULL
   GROUP BY user_id, day
@@ -1663,8 +1664,7 @@ def ingest_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     pm = (ev.select("user_id",
-                    (F.unix_micros("ts") / F.lit(86400000000))
-                    .cast("long").alias("day"))
+                    epoch_day(F.col("ts")).alias("day"))
           .groupBy("user_id", "day").agg(F.count("*").alias("n")))
     return (pm.filter(F.col("n") >= 3)
             .groupBy("user_id")

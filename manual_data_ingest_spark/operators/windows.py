@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from manual_data_ingest_spark.io import load_table
-from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+from manual_data_ingest_spark.functions.rounding import (epoch_day, rnd,
+                                                         sql_rnd)
 from manual_data_ingest_spark.registry import register
 
 
@@ -963,9 +964,15 @@ WITH firsts AS (
   FROM events GROUP BY user_id
 ), rev AS (
   SELECT e.user_id, f.cohort_week,
-         CAST(date_diff('week', f.cohort_week,
-                        date_trunc('week', e.ts::TIMESTAMP)) AS BIGINT)
-             AS week_no,
+         -- day-diff // 7, not date_diff('week'): DuckDB's week diff
+         -- is epoch-anchored and TRUNCATING — a Monday→Monday span
+         -- crossing 1970-01-01 comes back one week short (probed:
+         -- 1969-12-29 → 1970-01-05 gives 0). The day diff is
+         -- calendar-exact, and between two week-truncated Mondays it
+         -- is an exact multiple of 7.
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts::TIMESTAMP)) // 7
+              AS BIGINT) AS week_no,
          CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
   FROM events e JOIN firsts f USING (user_id)
   WHERE e.event_type = 'purchase'
@@ -1608,7 +1615,7 @@ def win_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("win_rolling_regression", f"""
 WITH daily AS (
   SELECT event_type,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day,
          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   GROUP BY event_type, day
@@ -1646,8 +1653,7 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
     daily = (ev.select("event_type",
-                       (F.unix_micros("ts") / F.lit(86400000000))
-                       .cast("long").alias("day"),
+                       epoch_day(F.col("ts")).alias("day"),
                        F.floor(F.col("value") * 100.0 + F.lit(0.5))
                        .cast("long").alias("c"))
              .groupBy("event_type", "day")
@@ -1777,7 +1783,7 @@ def win_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("win_wma", f"""
 WITH daily AS (
   SELECT event_type,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day,
          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   GROUP BY event_type, day
@@ -1810,8 +1816,7 @@ def win_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
     daily = (ev.select("event_type",
-                       (F.unix_micros("ts") / F.lit(86400000000))
-                       .cast("long").alias("day"),
+                       epoch_day(F.col("ts")).alias("day"),
                        F.floor(F.col("value") * 100.0 + F.lit(0.5))
                        .cast("long").alias("c"))
              .groupBy("event_type", "day")
@@ -1946,7 +1951,7 @@ def win_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("win_twap", f"""
 WITH seq AS (
   SELECT event_type,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day,
          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
          lead(epoch_us(ts)) OVER (PARTITION BY event_type
                                   ORDER BY ts, event_id)
@@ -1955,8 +1960,11 @@ WITH seq AS (
 )
 SELECT event_type, day,
        count(*) AS n_intervals,
-       {sql_rnd('sum(cents * dt_us)::DOUBLE / sum(dt_us)::DOUBLE'
-                ' / 100.0', 4)} AS twap
+       -- HUGEINT first factor: a pathological multi-century gap makes
+       -- cents·µs exceed int64 and DuckDB (like Spark ANSI) ERRORS on
+       -- bigint multiply overflow instead of promoting
+       {sql_rnd('sum(CAST(cents AS HUGEINT) * dt_us)::DOUBLE'
+                ' / sum(dt_us)::DOUBLE / 100.0', 4)} AS twap
 FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
 GROUP BY event_type, day
 """)
@@ -1969,25 +1977,30 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives the exposure-correct level between them.
 
     One event_type shuffle for the lead; weights are exact integer µs
-    and values exact cents — the weighted sums stay inside BIGINT
-    (~4e17 max here, documented headroom to 9.2e18) so both engines
-    aggregate exactly and divide once. Zero-length intervals (equal
-    timestamps) are excluded on both sides.
+    and values exact cents, multiplied in DECIMAL/HUGEINT (a
+    pathological multi-century gap overflows the int64 product and
+    both engines ERROR rather than promote — temporal-edge sweep) so
+    both engines aggregate exactly and divide once. Zero-length
+    intervals (equal timestamps) are excluded on both sides.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
-        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+        epoch_day(F.col("ts")).alias("day"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
         .alias("cents"),
         (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
         .alias("dt_us"))
+    dec = "decimal(38,0)"
     return (seq.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
             .groupBy("event_type", "day")
             .agg(F.count("*").alias("n_intervals"),
-                 rnd(F.sum(F.col("cents") * F.col("dt_us")).cast("double")
+                 # DECIMAL factors: cents·µs overflows int64 on
+                 # pathological gaps (see the oracle comment)
+                 rnd(F.sum(F.col("cents").cast(dec)
+                           * F.col("dt_us").cast(dec)).cast("double")
                      / F.sum("dt_us").cast("double") / 100.0, 4)
                  .alias("twap")))
 
@@ -1995,7 +2008,7 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("win_rsi", f"""
 WITH daily AS (
   SELECT event_type,
-         (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000)::BIGINT AS day,
          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   GROUP BY event_type, day
@@ -2036,8 +2049,7 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
     daily = (ev.select("event_type",
-                       (F.unix_micros("ts") / F.lit(86400000000))
-                       .cast("long").alias("day"),
+                       epoch_day(F.col("ts")).alias("day"),
                        F.floor(F.col("value") * 100.0 + F.lit(0.5))
                        .cast("long").alias("c"))
              .groupBy("event_type", "day")

@@ -30,6 +30,27 @@ from manual_data_ingest_spark.registry import register
 
 _SINK_COUNTER = itertools.count()
 
+#: Event-time VALIDITY WINDOW — the production gate every watermarked
+#: op applies at ingest, on BOTH engine sides (temporal-edge sweep):
+#: (a) one garbage FAR-FUTURE event time advances the watermark past
+#: every in-flight row, silently dropping the rest of the stream (the
+#: classic production incident); (b) Spark's event-time watermark
+#: INITIALIZES AT EPOCH 0, so a pre-1970 event time is born late and
+#: is dropped by append-mode/stateful ops no matter what (observed:
+#: every 1904 window missing, every epoch-zero row deduped away).
+#: Out-of-window rows belong in a quarantine path (ingest_quarantine),
+#: not in the watermarked state machinery.
+_VALID_TS_SQL = ("ts::TIMESTAMP >= TIMESTAMP '1990-01-01' AND "
+                 "ts::TIMESTAMP < TIMESTAMP '2100-01-01'")
+
+
+def _valid_ts(df: DataFrame) -> DataFrame:
+    """Spark twin of :data:`_VALID_TS_SQL` (applied after the ns→µs
+    conversion, so `ts` is a timestamp column on both sides)."""
+    return df.filter(
+        (F.col("ts") >= F.lit("1990-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2100-01-01").cast("timestamp")))
+
 
 _STREAM_DIRS: dict[str, str] = {}
 
@@ -151,8 +172,10 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("stream_sliding", """
-SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 1000000 // 900 * 900
-                       - k * 900) * 1000000) AS window_start,
+SELECT make_timestamp(epoch_us(ts::TIMESTAMP)
+                      - ((epoch_us(ts::TIMESTAMP) % 900000000) + 900000000)
+                        % 900000000
+                      - CAST(k AS BIGINT) * 900000000) AS window_start,
        count(*) AS cnt
 FROM events, LATERAL (SELECT unnest([0, 1, 2, 3]) AS k) u
 GROUP BY 1
@@ -160,6 +183,9 @@ GROUP BY 1
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-hour windows sliding every 15 min: every event lands in exactly 4
     # epoch-aligned windows — the oracle materializes those 4 starts
+    # with the positive-mod FLOORED bucket (Spark's window() floors;
+    # DuckDB's integer // truncates toward zero, which mis-bucketed
+    # pre-epoch timestamps in the temporal-edge sweep)
     st = read_events_stream(spark, sf_dir)
     agg = (st.groupBy(F.window("ts", "1 hour", "15 minutes"))
            .agg(F.count("*").alias("cnt"))
@@ -203,8 +229,9 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(agg, "complete")
 
 
-@register("stream_watermark_late", """
-WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+@register("stream_watermark_late", f"""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events
+           WHERE {_VALID_TS_SQL}),
 wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e)
 SELECT date_trunc('hour', ts) AS window_start, user_id, count(*) AS cnt
 FROM e
@@ -220,7 +247,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never emitted. That finalization rule IS batch-expressible (the
     # HAVING clause above). The pytest suite additionally drives the
     # multi-batch case where late rows are genuinely dropped mid-stream.
-    st = read_events_stream(spark, sf_dir)
+    st = _valid_ts(read_events_stream(spark, sf_dir))
     agg = (st.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour"), "user_id")
            .agg(F.count("*").alias("cnt"))
@@ -229,9 +256,9 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_batch(agg, "append")
 
 
-@register("stream_dedup", """
+@register("stream_dedup", f"""
 SELECT event_id, user_id, event_type, value
-FROM events
+FROM events WHERE {_VALID_TS_SQL}
 QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
 """, twin_of="stream_dedup_within_watermark")
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,17 +266,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (so the state store genuinely suppresses duplicates), keyed state
     # holds seen event_ids. ts is excluded from the output because which
     # physical duplicate wins is a race; all other fields are identical.
-    a = read_events_stream(spark, sf_dir)
-    b = read_events_stream(spark, sf_dir)
+    a = _valid_ts(read_events_stream(spark, sf_dir))
+    b = _valid_ts(read_events_stream(spark, sf_dir))
     deduped = (a.unionByName(b)
                .dropDuplicates(["event_id"])
                .select("event_id", "user_id", "event_type", "value"))
     return run_to_batch(deduped, "append")
 
 
-@register("stream_join", """
+@register("stream_join", f"""
 WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts
-           FROM events)
+           FROM events WHERE {_VALID_TS_SQL})
 SELECT p.event_id AS purchase_id,
        c.event_id AS click_id,
        p.user_id,
@@ -267,7 +294,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clicks older than (watermark - 1 h) — without the time bound,
     # stream-stream join state grows forever. availableNow single-batch
     # == the batch join, which is the oracle.
-    ev = read_events_stream(spark, sf_dir)
+    ev = _valid_ts(read_events_stream(spark, sf_dir))
     purchases = (ev.filter(F.col("event_type") == "purchase")
                  .withWatermark("ts", "1 hour")
                  .select(F.col("event_id").alias("purchase_id"),
@@ -494,13 +521,13 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                       rnd(F.col("ewma"), 6).alias("ewma"))
 
 
-@register("stream_join_outer", """
+@register("stream_join_outer", f"""
 WITH p AS (
   SELECT event_id AS purchase_id, user_id AS u, ts AS p_ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND {_VALID_TS_SQL}
 ), c AS (
   SELECT event_id AS click_id, user_id AS cu, ts AS c_ts
-  FROM events WHERE event_type = 'click'
+  FROM events WHERE event_type = 'click' AND {_VALID_TS_SQL}
 ), wm AS (
   SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c)) AS w
 )
@@ -529,7 +556,7 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission latency is the price of correctness — a production
     pipeline picks the watermark delay as its staleness budget.
     """
-    st = read_events_stream(spark, sf_dir)
+    st = _valid_ts(read_events_stream(spark, sf_dir))
     p = (st.filter(F.col("event_type") == "purchase")
          .select(F.col("event_id").alias("purchase_id"),
                  F.col("user_id").alias("u"), F.col("ts").alias("p_ts"))
@@ -631,9 +658,9 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_errors") * 4 > F.col("n_events")).alias("alert"))
 
 
-@register("stream_dedup_within_watermark", """
+@register("stream_dedup_within_watermark", f"""
 SELECT event_id, user_id, event_type, value
-FROM events
+FROM events WHERE {_VALID_TS_SQL}
 QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
 """)
 def stream_dedup_within_watermark(spark: SparkSession,
@@ -652,8 +679,8 @@ def stream_dedup_within_watermark(spark: SparkSession,
     dedup, identical to `stream_dedup`'s (same contract, bounded-state
     strategy — the streaming twin of a `_capped` scale sibling).
     """
-    a = read_events_stream(spark, sf_dir)
-    b = read_events_stream(spark, sf_dir)
+    a = _valid_ts(read_events_stream(spark, sf_dir))
+    b = _valid_ts(read_events_stream(spark, sf_dir))
     deduped = (a.unionByName(b)
                .withWatermark("ts", "10 minutes")
                .dropDuplicatesWithinWatermark(["event_id"])
@@ -661,9 +688,10 @@ def stream_dedup_within_watermark(spark: SparkSession,
     return run_to_batch(deduped, "append")
 
 
-@register("stream_chained_stateful", """
+@register("stream_chained_stateful", f"""
 WITH e AS (SELECT user_id, event_type, value, ts::TIMESTAMP AS ts
-           FROM events WHERE event_type = 'purchase'),
+           FROM events WHERE event_type = 'purchase'
+             AND {_VALID_TS_SQL}),
 per_user AS (
   SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, user_id,
          count(*) AS n, sum(floor(value * 100.0 + 0.5)::BIGINT) AS cents
@@ -676,7 +704,7 @@ SELECT window_start,
 FROM per_user
 WHERE window_start + INTERVAL 1 DAY
       <= (SELECT max(ts::TIMESTAMP) - INTERVAL 1 HOUR
-          FROM events WHERE event_type = 'purchase')
+          FROM events WHERE event_type = 'purchase' AND {_VALID_TS_SQL})
 GROUP BY 1
 """)
 def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,7 +729,7 @@ def stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division is one fixed IEEE op. Oracle = the same two-level
     batch rollup (availableNow single pass ≡ batch).
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = _valid_ts(read_events_stream(spark, sf_dir))
     per_user = (ev.filter(F.col("event_type") == "purchase")
                 .withWatermark("ts", "1 hour")
                 .groupBy(F.window("ts", "1 day").alias("w"),

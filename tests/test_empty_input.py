@@ -549,6 +549,45 @@ def test_numeric_edge_oracle_exact(spark, numeric_dir):
     assert not bad, bad
 
 
+#: ops the TEMPORAL-EDGE sweep (tools/temporal_sweep.py: pre-epoch
+#: leap-day, far-future end-of-day, epoch-zero timestamps) found
+#: divergent at its first full run — all fixed late r8, held
+#: HASH-EXACT here as the per-commit net. The classes: DuckDB's
+#: integer `//` and date_diff('week') TRUNCATE toward zero / the
+#: epoch where Spark floors (exact positive-mod day buckets now on
+#: both engines); Spark's watermark initializes at epoch 0 and a
+#: far-future event poisons it (the watermarked streaming ops now
+#: gate event time at ingest — _VALID_TS_SQL); date_add truncates
+#: time-of-day; cents·µs products overflow int64 on pathological
+#: gaps (PARITY #54-#56).
+TEMPORAL_ORACLE_EXACT = [
+    "date_parts", "agg_cohort_ltv_curve", "win_twap",
+    "stream_sliding", "stream_watermark_late", "stream_join",
+    "stream_join_outer", "stream_dedup", "stream_dedup_within_watermark",
+    "stream_chained_stateful",
+    # floored-day-bucket reps (epoch_day sites swept green)
+    "win_rsi", "agg_dau_wau", "agg_seasonal_index",
+]
+
+
+@pytest.fixture(scope="module")
+def temporal_dir(tmp_path_factory):
+    from tools.temporal_sweep import build_fixture
+
+    dst = str(tmp_path_factory.mktemp("mdis_temporal"))
+    return build_fixture(dst=dst)
+
+
+def test_temporal_edge_oracle_exact(spark, temporal_dir):
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=temporal_dir, only=TEMPORAL_ORACLE_EXACT,
+                      spark=spark)
+    bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
+    assert len(results) == len(TEMPORAL_ORACLE_EXACT)
+    assert not bad, bad
+
+
 #: Aggregate-total operators whose empty-input answer is a SINGLE row
 #: with SQL NULL semantics (sum over zero rows is NULL, count is 0) —
 #: the no-crash probe can't see a NULL-vs-0.0 divergence, so these are

@@ -282,6 +282,34 @@ def test_rnd_matches_duckdb_bit_exactly(spark, vals, digits):
 
 
 @settings(**SETTINGS)
+@given(vals=st.lists(st.floats(min_value=-1e290, max_value=1e290,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=30),
+       digits=st.integers(min_value=0, max_value=6))
+def test_rnd_no_saturation_full_double_range(spark, vals, digits):
+    """The rounder law over the FULL double range — the numeric-edge
+    sweep's regression pin: Spark's old long-based floor silently
+    SATURATED money to ±2^63/10^d above |x| ≈ 9.2e18/10^d, while
+    DuckDB floors in doubles. The hybrid rnd() must stay BIT-identical
+    to the DuckDB twin at any magnitude (beyond 2^53 both reduce to
+    the identity, which is what a double 'floor' means there)."""
+    import duckdb
+    from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
+
+    got = [r.v for r in
+           spark.createDataFrame([(v,) for v in vals], "x double")
+           .select(rnd(F.col("x"), digits).alias("v"))
+           .collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT {sql_rnd('?::DOUBLE', digits)}", [v]).fetchone()[0]
+        for v in vals]
+    assert all(
+        (a is None and b is None) or a == b or (a != a and b != b)
+        for a, b in zip(got, want)), (vals, digits, got, want)
+
+
+@settings(**SETTINGS)
 @given(keys=st.lists(st.text(min_size=1, max_size=30), min_size=1,
                      max_size=25, unique=True))
 def test_md5_base_hash_contract_property(spark, keys):
