@@ -198,7 +198,7 @@ WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
 marked AS (
     SELECT user_id, ts,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                     < INTERVAL 30 MINUTE
+                     <= INTERVAL 30 MINUTE
                 THEN 0 ELSE 1 END AS new_sess
     FROM e
 ),
@@ -216,9 +216,15 @@ FROM sess GROUP BY user_id, sid
 """)
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-user session windows (30-min inactivity gap); the batch oracle
-    # is the classic gaps-and-islands formulation. Boundary semantics:
-    # a gap of EXACTLY 30:00 starts a new session (windows are
-    # half-open [start, last+gap)) — hence strict '<' in the oracle.
+    # is the classic gaps-and-islands formulation. Boundary semantics
+    # (r9 fix, hypothesis-found [0, 1800] counterexample): Spark's
+    # session_window treats each event's window as [ts, ts+gap] for
+    # MERGING purposes — two events exactly 30:00 apart share a session
+    # even though the emitted bounds are half-open. Hence '<=' in the
+    # oracle island rule: a new session starts only when gap > 30:00.
+    # Pinned: tests/test_streaming.py::test_session_exact_gap_boundary
+    # and the temporal sweep's boundary-tie injector (tools/
+    # temporal_sweep.py) both drive an exact-1800 s pair.
     st = read_events_stream(spark, sf_dir)
     agg = (st.groupBy(F.session_window("ts", "30 minutes"), "user_id")
            .agg(F.count("*").alias("n_events"))

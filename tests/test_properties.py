@@ -94,11 +94,14 @@ def test_session_window_equals_gaps_and_islands(spark, ts_offsets):
           .agg(F.count("*").alias("n"))
           .select(F.col("session_window.start").alias("start"),
                   F.col("session_window.end").alias("end"), "n").collect())
-    # python reference: split when gap >= 30 min (half-open windows)
+    # python reference (r9 fix): split only when gap > 30 min — Spark's
+    # session_window MERGES events exactly gap-distance apart (each
+    # event's mergeable extent is [ts, ts+gap] inclusive), found by
+    # hypothesis on ts_offsets=[0, 1800].
     expect = []
     cur = []
     for _, t in rows:
-        if cur and (t - cur[-1]).total_seconds() >= 1800:
+        if cur and (t - cur[-1]).total_seconds() > 1800:
             expect.append(cur)
             cur = []
         cur.append(t)

@@ -87,9 +87,15 @@ def test_latest_verdict_overrides_earlier_green(monkeypatch, tmp_path):
 
 
 def test_live_grading_window_is_all_never_graded_or_red():
-    """The first 50 entries must spend driver slots on new evidence only."""
+    """Driver slots must go to new evidence FIRST: no green may occupy a
+    window slot while a never-graded/red op sits outside it. Once the
+    ungraded+red pool is smaller than the 50-slot window (endgame, r8+),
+    greens necessarily pad the tail — assert over min(50, pool) slots
+    instead of all 50 (r8 verdict, What's-wrong #2)."""
     latest = registry._latest_verdicts()
-    window = list(all_queries())[:50]
+    order = list(all_queries())
+    pool = [n for n in order if latest.get(n) is not True]
+    window = order[:min(50, len(pool))]
     wasted = [n for n in window if latest.get(n) is True]
     assert wasted == [], f"greens occupying grading slots: {wasted}"
 

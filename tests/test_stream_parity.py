@@ -469,3 +469,47 @@ def test_chained_stateful_multibatch_equals_batch(spark, tmp_path):
              .select(F.col("w.start").alias("ws"),
                      "n_buyers", "n_purchases"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_exact_gap_boundary(spark, tmp_path):
+    """PINNED regression (r9, hypothesis counterexample [0, 1800]):
+    Spark's session_window MERGES two events exactly gap-distance
+    apart — each event's mergeable extent is [ts, ts+gap] inclusive —
+    so the stream_session oracle's island rule must be '<=' (new
+    session only when gap > 30:00). This fixture contains the exact
+    boundary pair plus the one-second-either-side neighbors, and runs
+    the REGISTERED op against its REGISTERED oracle, so a future
+    regression in either side hash-fails here before the driver."""
+    import datetime as dt
+
+    import duckdb
+
+    from manual_data_ingest_spark.registry import all_oracles, all_queries
+    from tests.oracle_check import compare
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: exact 30:00 gap → ONE session of 2 (the bug class)
+    # user 2: 29:59 gap → one session; user 3: 30:01 gap → two sessions
+    for uid, offsets in ((1, [0, 1800]), (2, [0, 1799]), (3, [0, 1801])):
+        for i, s in enumerate(offsets):
+            rows.append((uid * 100 + i, base + dt.timedelta(seconds=s),
+                         uid, "click", 1.0, "{}"))
+    sf_dir = str(tmp_path / "sf_boundary")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet/*.parquet')")
+    res = compare("stream_session",
+                  all_queries()["stream_session"](spark, sf_dir),
+                  con, all_oracles()["stream_session"])
+    assert res.ok, res.detail
+    # and the boundary pair really merged: user 1 has exactly 1 session
+    got = {r.user_id: r.n_events for r in
+           all_queries()["stream_session"](spark, sf_dir).collect()
+           if r.user_id == 1}
+    assert got == {1: 2}, got
