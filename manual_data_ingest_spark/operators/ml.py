@@ -1352,7 +1352,7 @@ SELECT score_decile,
        {sql_rnd('count(CASE WHEN y = 1 THEN 1 END)::DOUBLE'
                 ' / count(*)::DOUBLE', 6)} AS pos_rate
 FROM binned GROUP BY score_decile
-""")
+""", twin_of="ml_calibration_bins_scalable")
 def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration table for an account-balance propensity score: rank
     customers into score deciles (acctbal as the monotone score proxy)
@@ -1382,6 +1382,64 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     pos = F.count(F.when(F.col("y") == 1, 1))
     return (lab.withColumn("score_decile", F.ntile(10).over(w))
+            .groupBy("score_decile")
+            .agg(F.count("*").alias("n"),
+                 pos.alias("n_pos"),
+                 rnd(pos.cast("double") / F.count("*").cast("double"), 6)
+                 .alias("pos_rate")))
+
+
+@register("ml_calibration_bins_scalable", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer WHERE {_SCORED_ONLY_SQL}
+), binned AS (
+  SELECT y, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS score_decile
+  FROM lab
+)
+SELECT score_decile,
+       count(*) AS n,
+       count(CASE WHEN y = 1 THEN 1 END) AS n_pos,
+       {sql_rnd('count(CASE WHEN y = 1 THEN 1 END)::DOUBLE'
+                ' / count(*)::DOUBLE', 6)} AS pos_rate
+FROM binned GROUP BY score_decile
+""")
+def ml_calibration_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB calibration table: same contract and same oracle as
+    ``ml_calibration_bins`` (whose global `ntile(10)` single-threads
+    the whole scored population through one WindowExec task), computed
+    with the distributed exact-rank primitive instead
+    (functions/ranking.py): approx-quantile cut points bucket the
+    score, each bucket ranks under a PARTITIONED window, cumulative
+    bucket offsets restore the exact global rank, and the SQL-standard
+    tile rule converts rank → decile arithmetically. Bucket-major
+    order equals global order for any cut placement, so the result is
+    hash-identical to the serial ntile — the `ingest_id_mint_scalable`
+    precedent applied to a continuous score. The only single-partition
+    step is the offsets window over ≤64 count rows."""
+    from manual_data_ingest_spark.functions.ranking import (
+        ntile_from_rank, with_exact_global_rank)
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.expr(_SCORED_ONLY_SQL))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_custkey", "c_acctbal",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    n_tot = lab.agg(F.count("*").alias("_n_tot"))
+    ranked = (with_exact_global_rank(lab, "c_acctbal", ["c_custkey"])
+              .crossJoin(F.broadcast(n_tot)))
+    pos = F.count(F.when(F.col("y") == 1, 1))
+    return (ranked.withColumn(
+                "score_decile",
+                ntile_from_rank(F.col("global_rank"), F.col("_n_tot"), 10))
             .groupBy("score_decile")
             .agg(F.count("*").alias("n"),
                  pos.alias("n_pos"),

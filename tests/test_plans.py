@@ -1369,3 +1369,27 @@ def test_grouping_id_expand_node(spark):
     plan = _plan(spark, "agg_grouping_id")
     assert re.search(r"\(\d+\) Expand", plan), plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+@pytest.mark.parametrize("name", ["ml_calibration_bins_scalable",
+                                  "pipeline_curriculum_order_scalable"])
+def test_scalable_rank_has_no_full_data_single_partition(spark, name):
+    """The global-rank family's scale swap (r8 verdict, Perf): the
+    scalable twins must rank under PARTITIONED windows only — every
+    SinglePartition exchange in their plans feeds the tiny per-bucket
+    offsets window (rows = bucket count) or a scalar count, i.e. sits
+    above an aggregate, never above the scored relation itself."""
+    plan = _plan(spark, name)
+    assert re.search(r"hashpartitioning\(_bkt", plan), plan[:2000]
+    # (?:[^\n]+\n)*? cannot cross the blank line ending a node's detail
+    # block — the mint test's (?:.*\n)*? variant can leak into a LATER
+    # node's Arguments and misattribute its SinglePartition
+    single_ids = re.findall(
+        r"\((\d+)\) Exchange\n(?:[^\n]+\n)*?Arguments: SinglePartition", plan)
+    assert single_ids, plan[:2000]  # the offsets window does need one
+    tree = plan.splitlines()
+    for nid in single_ids:
+        idx = next(i for i, l in enumerate(tree)
+                   if re.search(rf"\+- Exchange \({nid}\)$", l))
+        assert re.search(r"(Hash|Sort|Object.*)Aggregate", tree[idx + 1]), \
+            f"SinglePartition over raw data:\n" + "\n".join(tree[:30])

@@ -128,7 +128,7 @@ def test_slow_twin_ledger_is_machine_checked():
     """The deliberate-slow-twin list is a REGISTRY ATTRIBUTE, not prose
     (r6 verdict, What's-wrong #3: the round log said 11 twins while the
     true count was 12 — same hand-count defect class the new-op counter
-    fixed). Pins: the exact 12-name set, every scale-safe sibling is a
+    fixed). Pins: the exact 14-name set, every scale-safe sibling is a
     registered non-self operator, twin chains terminate at a non-twin,
     and bench.py's TWINS exclusion set is a subset of the ledger."""
     import bench
@@ -148,6 +148,8 @@ def test_slow_twin_ledger_is_machine_checked():
         "dedup_decontaminate": "dedup_decontaminate_shuffled",
         "stream_dedup": "stream_dedup_within_watermark",
         "agg_spearman": "agg_spearman_grid",
+        "ml_calibration_bins": "ml_calibration_bins_scalable",
+        "pipeline_curriculum_order": "pipeline_curriculum_order_scalable",
     }
     qs = set(all_queries())
     for slow, fast in tw.items():
