@@ -20,17 +20,30 @@ from manual_data_ingest_spark.registry import register
 
 #: Shared tight-JSON guard (single-sourced on both engine sides, the
 #: _SCORED_ONLY_SQL discipline). A payload participates in JSON
-#: extraction iff the WHOLE string is one object — Spark's Jackson
-#: readers (get_json_object / from_json / try_parse_json) silently
-#: ACCEPT trailing garbage after the closing brace, while DuckDB's
-#: json_valid rejects it (adversarial sweep: '{"k":55} héllo' parsed
-#: to 55 on Spark, threw in DuckDB). The regex is engine-portable
-#: (RE2 and Java both honor (?s)); the oracle additionally applies
-#: json_valid so a regex-passing-but-malformed payload still NULLs
-#: instead of throwing.
-_TIGHT_JSON_RE = r"(?s)^\s*\{.*\}\s*$"
-_TIGHT_JSON_ORACLE = (f"regexp_matches(props, '{_TIGHT_JSON_RE}') "
-                      "AND json_valid(props)")
+#: extraction iff it matches a strict FLAT-OBJECT grammar: one object,
+#: escape-free string keys/values, JSON numbers / true / false / null,
+#: no nesting, no trailing comma, no trailing content. Any payload the
+#: regex accepts is valid JSON that Spark's Jackson readers
+#: (get_json_object / from_json / try_parse_json) and DuckDB's yyjson
+#: parse IDENTICALLY, so the guard is the SAME predicate on both
+#: engines — no engine-native validity check needed or wanted. The r8
+#: guard was `^\s*\{.*\}\s*$` + json_valid on the oracle side ONLY
+#: (r9 advice): '{"k":55} junk}' or '{"k":55}{"x":1}' passed that
+#: regex, Jackson leniently extracted k=55, DuckDB json_valid said
+#: false → NULL — an asymmetric contract no engine-native pair can
+#: close (Jackson tolerates trailing garbage; yyjson tolerates
+#: trailing commas). The grammar regex is the symmetric contract:
+#: every historical fixture payload ('{"k": 69}') passes; every
+#: lenient-parse divergence class fails on BOTH sides. Engine-portable
+#: (RE2 and Java: alternation, classes, bounded quantifiers only).
+#: Pinned by the adversarial sweep's props arm (j%11==3) and
+#: tests/test_empty_input.py::test_tight_json_guard_symmetry.
+_TIGHT_JSON_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_TIGHT_JSON_VAL = rf'(?:{_TIGHT_JSON_NUM}|"[^"\\]*"|true|false|null)'
+_TIGHT_JSON_PAIR = rf'"[^"\\]*"\s*:\s*{_TIGHT_JSON_VAL}'
+_TIGHT_JSON_RE = (rf"^\s*\{{\s*(?:{_TIGHT_JSON_PAIR}"
+                  rf"(?:\s*,\s*{_TIGHT_JSON_PAIR})*)?\s*\}}\s*$")
+_TIGHT_JSON_ORACLE = f"regexp_matches(props, '{_TIGHT_JSON_RE}')"
 
 
 @register("array_ops", """

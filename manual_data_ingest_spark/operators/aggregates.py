@@ -357,8 +357,15 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep: a 136-row group sat 2.8% from the interpolated median
     # while being EXACTLY the discrete one). The hashed payload stays
     # the interpolated quantiles; approx_ok is the sketch-vs-disc spec.
-    close = (F.abs(F.col("q")[0] - F.col("d50")) <= 0.02 * F.col("d50")) & \
-            (F.abs(F.col("q")[1] - F.col("d90")) <= 0.02 * F.col("d90"))
+    # |.| on BOTH sides (r9, advice): a negative discrete quantile made
+    # the threshold negative, failing groups where the sketch returned
+    # the EXACT element (the numeric sweep's 8% negations never turned
+    # a group median negative, so the gate missed it). A zero quantile
+    # degenerates the relative bound to exact equality — intended.
+    close = (F.abs(F.col("q")[0] - F.col("d50"))
+             <= 0.02 * F.abs(F.col("d50"))) & \
+            (F.abs(F.col("q")[1] - F.col("d90"))
+             <= 0.02 * F.abs(F.col("d90")))
     # a group with zero non-null prices has nothing to estimate: the
     # bound is VACUOUSLY satisfied (null-fixture contract)
     ok = F.when(F.col("e")[0].isNull(), F.lit(True)).otherwise(close)
@@ -647,8 +654,11 @@ WITH sc AS (
          CAST(count(c) AS DOUBLE) AS n,
          CAST(sum(c) AS DOUBLE) AS sx,
          CAST(sum(CASE WHEN c IS NOT NULL THEN y END) AS DOUBLE) AS sy,
-         CAST(sum(c * y) AS DOUBLE) AS sxy,
-         CAST(sum(c * c) AS DOUBLE) AS sxx,
+         -- cast BEFORE the multiply (r9 advice): a BIGINT c*c errors
+         -- once price cents reach ~3.04e9; HUGEINT products match the
+         -- Spark side's decimal products (agg_regression discipline)
+         CAST(sum(CAST(c AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sxx,
          CAST(sum(CASE WHEN c IS NOT NULL THEN y * y END) AS DOUBLE) AS syy
   FROM sc GROUP BY o_orderstatus
 )
@@ -676,7 +686,10 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum("c").cast("double").alias("sx"),
               F.sum(F.when(F.col("c").isNotNull(), F.col("y")))
               .cast("double").alias("sy"),
-              F.sum((F.col("c") * F.col("y")).cast(dec))
+              # cast-before-multiply (r9 advice): c*y in long ANSI-
+              # throws just past the documented envelope; decimal
+              # products mirror the oracle's HUGEINT products
+              F.sum(F.col("c").cast(dec) * F.col("y").cast(dec))
               .cast("double").alias("sxy"),
               F.sum((F.col("c").cast(dec) * F.col("c").cast(dec)))
               .cast("double").alias("sxx"),

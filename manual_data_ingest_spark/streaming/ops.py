@@ -38,18 +38,34 @@ _SINK_COUNTER = itertools.count()
 #: INITIALIZES AT EPOCH 0, so a pre-1970 event time is born late and
 #: is dropped by append-mode/stateful ops no matter what (observed:
 #: every 1904 window missing, every epoch-zero row deduped away).
-#: Out-of-window rows belong in a quarantine path (ingest_quarantine),
-#: not in the watermarked state machinery.
+#: The window is a DECLARED CONTRACT (PARITY #57): in-window event
+#: times are a precondition of every watermarked op; out-of-window
+#: rows are DROPPED, not silently — _valid_ts attaches an observe()
+#: metric (`ts_validity`: rows_total / rows_dropped per micro-batch)
+#: so the drop count is visible on every query's progress/listener
+#: feed (the `stream_observed_metrics` channel). A production deploy
+#: routes them to a dead-letter sink with the `ingest_quarantine`
+#: shape; rewiring that sink into these ops would change their
+#: registered output contracts, so the observable count is the
+#: engine-level guarantee here (r9 advice: no unobservable drops).
 _VALID_TS_SQL = ("ts::TIMESTAMP >= TIMESTAMP '1990-01-01' AND "
                  "ts::TIMESTAMP < TIMESTAMP '2100-01-01'")
 
 
 def _valid_ts(df: DataFrame) -> DataFrame:
     """Spark twin of :data:`_VALID_TS_SQL` (applied after the ns→µs
-    conversion, so `ts` is a timestamp column on both sides)."""
-    return df.filter(
-        (F.col("ts") >= F.lit("1990-01-01").cast("timestamp"))
-        & (F.col("ts") < F.lit("2100-01-01").cast("timestamp")))
+    conversion, so `ts` is a timestamp column on both sides). Rows
+    outside the validity window are dropped AND counted: the
+    ``ts_validity`` observation reports rows_total/rows_dropped per
+    micro-batch on the StreamingQueryListener / lastProgress feed."""
+    in_window = ((F.col("ts") >= F.lit("1990-01-01").cast("timestamp"))
+                 & (F.col("ts") < F.lit("2100-01-01").cast("timestamp")))
+    # rows_dropped = rows_total - rows_kept (a NULL ts is dropped too,
+    # which a count over ~in_window would miss — NULL is not true)
+    return (df.observe(f"ts_validity_{next(_SINK_COUNTER)}",
+                       F.count(F.lit(1)).alias("rows_total"),
+                       F.count(F.when(in_window, 1)).alias("rows_kept"))
+            .filter(in_window))
 
 
 _STREAM_DIRS: dict[str, str] = {}

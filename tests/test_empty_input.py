@@ -124,6 +124,8 @@ PROBES = [
     "sink_rebalance_write",
     "sql_parameterized", "sql_session_variables",
     "agg_grouping_id", "scan_csv_multiline",
+    # r9 additions
+    "ml_calibration_bins_scalable", "pipeline_curriculum_order_scalable",
 ]
 
 
@@ -638,3 +640,91 @@ def test_binaryfile_empty_string_doc_oracle_exact(spark, tmp_path):
     results = run_all(sf_dir=dst, only=["scan_binaryfile"], spark=spark)
     assert results and all(r.ok for r in results), [
         (r.name, r.detail[:120]) for r in results if not r.ok]
+
+
+def test_tight_json_guard_symmetry(spark, tmp_path):
+    """PINNED (r9 advice): the tight-JSON guard must be the SAME
+    predicate on both engines. The r8 contract was regex-only on Spark
+    but regex+json_valid on the oracle, so '{"k":55} junk}' (Jackson
+    leniently extracts 55; yyjson says invalid) diverged. The strict
+    flat-object grammar regex closes the class: every lenient-parse
+    payload NULLs on BOTH sides, every historical payload still parses.
+    Runs the three registered JSON consumers against their registered
+    oracles on a fixture made ENTIRELY of boundary payloads."""
+    import duckdb
+
+    from manual_data_ingest_spark.registry import all_oracles, all_queries
+    from tests.oracle_check import compare
+
+    payloads = [
+        '{"k": 69}', '{"k":55}', '  {"k": 7, "s": "ab"}  ', '{}',
+        '{"a": -1.5e-3, "b": null, "k": 99}',
+        '{"k":55} junk}', '{"k":55}{"x":1}', '{"k":55,}', '{"k":55}}',
+        '{"a":{"b":2}}', "{'k':55}", '{"k":}', '{broken', 'null',
+        # brace inside a string VALUE passes the grammar (valid JSON,
+        # parsed identically) — keyed "s" because the fixture contract
+        # types $.k as int on both engines
+        '{"s":"a}b", "k": 3}', '{"k": [1,2]}', '{"k": 69} héllo', None,
+    ]
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), i % 3,
+             "click", 1.0, p) for i, p in enumerate(payloads)]
+    sf_dir = str(tmp_path / "sf_json")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet/*.parquet')")
+    for name in ("json_extract", "json_schema_parse", "variant_funcs"):
+        res = compare(name, all_queries()[name](spark, sf_dir),
+                      con, all_oracles()[name])
+        assert res.ok, (name, res.detail)
+
+
+def test_numeric_envelope_negative_median_and_big_price(spark, tmp_path):
+    """PINNED (r9 advice): two envelope cases the numeric sweep's 8%
+    negation / bounded magnitudes never reach. (a) a group whose
+    discrete median is NEGATIVE — agg_approx_quantile's relative bound
+    threshold must use |quantile| or approx_ok goes false on an EXACT
+    sketch answer; (b) o_totalprice ≥ $30.4M — agg_corr_covar's
+    c*c / c*y co-moments overflow BIGINT/long unless both engines cast
+    before multiplying. Registered ops vs registered oracles."""
+    import datetime as dt
+
+    import duckdb
+
+    from manual_data_ingest_spark.registry import all_oracles, all_queries
+    from tests.oracle_check import compare
+
+    rows = []
+    # group 'N': all-negative prices -> negative discrete median
+    for i, p in enumerate([-10.0, -20.0, -30.0, -40.0, -50.0, -60.0, -70.0]):
+        rows.append((i, 100 + i, "N", p,
+                     dt.datetime(2024, 1, 1) + dt.timedelta(days=i), "3-MEDIUM"))
+    # group 'B': price cents past 3.04e9 (c*c and c*y overflow int64)
+    for i, p in enumerate([40_000_000.0, 41_000_000.0, 42_000_000.0]):
+        rows.append((100 + i, 200 + i, "B", p,
+                     dt.datetime(2024, 2, 1) + dt.timedelta(days=i), "1-URGENT"))
+    sf_dir = str(tmp_path / "sf_envelope")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/orders.parquet")
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet/*.parquet')")
+    for name in ("agg_approx_quantile", "agg_corr_covar"):
+        res = compare(name, all_queries()[name](spark, sf_dir),
+                      con, all_oracles()[name])
+        assert res.ok, (name, res.detail)
+    # and the negative-median group really exercises the bound: Spark
+    # must report approx_ok TRUE there (the oracle hard-codes TRUE)
+    got = {r.o_orderstatus: r.approx_ok for r in
+           all_queries()["agg_approx_quantile"](spark, sf_dir).collect()}
+    assert got == {"N": True, "B": True}, got

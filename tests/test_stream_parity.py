@@ -513,3 +513,41 @@ def test_session_exact_gap_boundary(spark, tmp_path):
            all_queries()["stream_session"](spark, sf_dir).collect()
            if r.user_id == 1}
     assert got == {1: 2}, got
+
+
+def test_valid_ts_drops_are_observable(spark, tmp_path):
+    """PARITY #57 (r9 advice): the event-time validity window drops
+    out-of-window rows — but never silently. _valid_ts attaches an
+    observe() metric; a streaming query over a fixture with pre-1990 /
+    post-2100 / NULL timestamps must report the exact drop count on its
+    progress feed while the output excludes those rows."""
+    import datetime as dt
+
+    from manual_data_ingest_spark.streaming.ops import _valid_ts
+
+    rows = [(1, dt.datetime(1904, 2, 29), 1, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1), 1, "click", 1.0, "{}"),
+            (3, dt.datetime(2199, 12, 31), 1, "click", 1.0, "{}"),
+            (4, None, 1, "click", 1.0, "{}"),
+            (5, dt.datetime(2024, 1, 2), 1, "click", 1.0, "{}")]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    st = _valid_ts(spark.readStream.schema(schema).parquet(src))
+    q = (st.select("event_id").writeStream.format("memory")
+         .queryName("valid_ts_obs").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    kept = {r.event_id for r in spark.table("valid_ts_obs").collect()}
+    assert kept == {2, 5}
+    obs = {}
+    for prog in q.recentProgress:
+        for name, m in (prog["observedMetrics"] or {}).items():
+            if name.startswith("ts_validity_"):
+                obs["total"] = obs.get("total", 0) + m["rows_total"]
+                obs["kept"] = obs.get("kept", 0) + m["rows_kept"]
+    assert obs == {"total": 5, "kept": 2}, obs

@@ -65,6 +65,16 @@ def _mutate(texts: list, colname: str) -> list:
             out.append(v)
         elif m == 2:
             out.append(f"{v} {UNICODE_SAMPLES[j % len(UNICODE_SAMPLES)]}")
+        elif m == 3 and colname == "props":
+            # regex-passing-but-INVALID JSON under the r8 guard (r9
+            # advice): Jackson leniently extracts from these, yyjson
+            # rejects them — the strict flat-object grammar regex must
+            # NULL them on BOTH engines. Cycle the three lenient-parse
+            # classes: trailing garbage ending in '}', concatenated
+            # objects, and a trailing comma (valid to yyjson only).
+            out.append([f"{v} junk}}", f"{v}{{\"x\":1}}",
+                        (v[:-1] + ",}") if v.endswith("}") else v]
+                       [j % 3])
         elif m == 5:
             out.append("")
         elif m == 7:
