@@ -41,24 +41,43 @@ def with_exact_global_rank(df: DataFrame, score: str,
                            tiebreaks: list[str],
                            descending: bool = False,
                            n_buckets: int = 64,
-                           rank_col: str = "global_rank") -> DataFrame:
+                           rank_col: str = "global_rank",
+                           bucket_proxy: Column | None = None,
+                           total_col: str | None = None) -> DataFrame:
     """Return ``df`` + an exact dense 1-based ``rank_col`` equal to
     ``row_number() OVER (ORDER BY score [DESC], *tiebreaks)`` with
     NULLS LAST, computed without an unpartitioned window over the data.
 
-    ``score`` must be numeric; ``tiebreaks`` must make rows unique
-    (row_number on a non-unique order is nondeterministic on EVERY
-    engine — the oracle harness would flag it anyway).
+    ``bucket_proxy`` (default ``score`` cast to double) only needs to
+    be MONOTONE non-decreasing in ``score``'s order — buckets come from
+    its approximate quantiles, but the within-bucket sort uses the
+    exact ``score`` column, so proxy precision loss (e.g. a timestamp's
+    epoch-double) moves rows between buckets never within the order.
+    ``tiebreaks`` must make rows unique (row_number on a non-unique
+    order is nondeterministic on EVERY engine — the oracle harness
+    would flag it anyway). ``total_col`` (optional) additionally
+    attaches the total row count as a column — derived from the
+    per-bucket counts the rank already needs, so ntile callers skip a
+    whole extra pass over the input.
     """
-    sgn = F.col(score) * (-1 if descending else 1)
-    work = df.withColumn("_rk_score", sgn.cast("double"))
+    proxy = F.col(score).cast("double") if bucket_proxy is None \
+        else bucket_proxy.cast("double")
+    work = df.withColumn("_rk_score", proxy * (-1 if descending else 1))
+    # three plan branches read `work` (quantile cuts, bucket counts,
+    # the ranked main path) and Spark re-executes a shared subtree per
+    # branch — chained rank passes compound that exponentially
+    # (agg_rfm_segments' three scores). Materialize once (the
+    # operators/dedup.py shingle-checkpoint discipline): one pass over
+    # the input, three reads of local columnar blocks — the same
+    # trade at 100 TB, where the input is usually a derived join/agg.
+    work = work.localCheckpoint(eager=True)
 
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = work.agg(F.percentile_approx(
         "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts"))
     # bucket(x) = #cuts < x; NULL scores order last on both engines'
-    # default (Spark desc/asc_nulls_last, DuckDB nulls_last) → the
-    # final bucket, past every cut.
+    # convention (Spark desc_nulls_last/asc_nulls_last here, DuckDB
+    # default nulls_last) → the final bucket, past every cut.
     bucketed = (work.crossJoin(F.broadcast(cuts))
                 .withColumn("_bkt", F.when(
                     F.col("_rk_score").isNull(), F.lit(n_buckets))
@@ -69,12 +88,19 @@ def with_exact_global_rank(df: DataFrame, score: str,
     counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
     w_off = (Window.orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.select(
-        F.col("_bkt").alias("_off_bkt"),
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    off_cols = [F.col("_bkt").alias("_off_bkt"),
+                F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")]
+    if total_col is not None:
+        w_all = (Window.orderBy("_bkt")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        off_cols.append(F.sum("_n").over(w_all).alias(total_col))
+    offsets = counts.select(*off_cols)
 
+    lead = (F.desc_nulls_last(score) if descending
+            else F.asc_nulls_last(score))
     w_local = Window.partitionBy("_bkt").orderBy(
-        F.asc_nulls_last("_rk_score"), *[F.asc(t) for t in tiebreaks])
+        lead, *[F.asc(t) for t in tiebreaks])
     return (bucketed.join(F.broadcast(offsets),
                           F.col("_bkt") == F.col("_off_bkt"))
             .withColumn(rank_col,

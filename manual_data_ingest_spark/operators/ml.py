@@ -58,6 +58,35 @@ _DIM = 64
 _SCORED_ONLY_SQL = "c_acctbal IS NOT NULL"
 
 
+def _scored_lab_ranked(spark: SparkSession, sf_dir: str,
+                       descending: bool = False) -> DataFrame:
+    """The shared fact-side stage of the ranked-score eval family
+    (calibration / lift / threshold-sweep / isotonic / AUC): scored
+    customers EXISTS-labeled with "has ≥1 URGENT order", plus an EXACT
+    distributed global rank over (c_acctbal [DESC], c_custkey) and the
+    broadcast population count ``_n_tot``. Since r9 this is the
+    DEFAULT path — the rank comes from functions/ranking.py's
+    bucket+offset primitive (no unpartitioned WindowExec; the serial
+    global-ntile form survives only as the ledgered slow twin
+    `ml_calibration_bins`). Columns: c_custkey, c_acctbal, y,
+    global_rank, _n_tot."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_global_rank)
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.expr(_SCORED_ONLY_SQL))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_custkey", "c_acctbal",
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    return with_exact_global_rank(lab, "c_acctbal", ["c_custkey"],
+                                  descending=descending,
+                                  total_col="_n_tot")
+
+
 def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
     """The identical Lloyd trajectory unrolled into portable SQL CTEs."""
     head = f"""
@@ -1421,21 +1450,9 @@ def ml_calibration_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-identical to the serial ntile — the `ingest_id_mint_scalable`
     precedent applied to a continuous score. The only single-partition
     step is the offsets window over ≤64 count rows."""
-    from manual_data_ingest_spark.functions.ranking import (
-        ntile_from_rank, with_exact_global_rank)
+    from manual_data_ingest_spark.functions.ranking import ntile_from_rank
 
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.expr(_SCORED_ONLY_SQL))
-    o = (load_table(spark, sf_dir, "orders")
-         .filter(F.col("o_orderpriority") == "1-URGENT")
-         .select("o_custkey").distinct())
-    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
-           .select("c_custkey", "c_acctbal",
-                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
-                   .alias("y")))
-    n_tot = lab.agg(F.count("*").alias("_n_tot"))
-    ranked = (with_exact_global_rank(lab, "c_acctbal", ["c_custkey"])
-              .crossJoin(F.broadcast(n_tot)))
+    ranked = _scored_lab_ranked(spark, sf_dir)
     pos = F.count(F.when(F.col("y") == 1, 1))
     return (ranked.withColumn(
                 "score_decile",
@@ -1490,19 +1507,15 @@ def ml_lift_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers; the two ratios are single IEEE divisions rounded
     6dp.
     """
-    # NULL scores are unrankable (PARITY #40) — scored entities
-    # only, matching the oracle's shared lab CTE
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.expr(_SCORED_ONLY_SQL))
-    o = (load_table(spark, sf_dir, "orders")
-         .filter(F.col("o_orderpriority") == "1-URGENT")
-         .select("o_custkey").distinct())
-    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
-           .select("c_acctbal", "c_custkey",
-                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
-                   .alias("y")))
-    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    per = (lab.withColumn("score_decile", F.ntile(10).over(w))
+    # NULL scores are unrankable (PARITY #40) — scored entities only.
+    # Decile via the distributed exact-rank stage (r9: default path,
+    # no unpartitioned window over entities; _scored_lab_ranked)
+    from manual_data_ingest_spark.functions.ranking import ntile_from_rank
+
+    ranked = _scored_lab_ranked(spark, sf_dir, descending=True)
+    per = (ranked.withColumn(
+               "score_decile",
+               ntile_from_rank(F.col("global_rank"), F.col("_n_tot"), 10))
            .groupBy("score_decile")
            .agg(F.count("*").alias("n"),
                 F.count(F.when(F.col("y") == 1, 1)).alias("n_pos")))
@@ -1741,18 +1754,13 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass; at 100 TB it becomes the two-phase rank
     (`ingest_id_mint_scalable`'s shape) feeding the same U algebra.
     """
-    # AUC is a ranked-score op: a NULL score cannot be ranked, so it joins
-    # the _SCORED_ONLY_SQL family (calibration/lift/threshold-sweep).
-    c = load_table(spark, sf_dir, "customer").filter(F.expr(_SCORED_ONLY_SQL))
-    o = (load_table(spark, sf_dir, "orders")
-         .filter(F.col("o_orderpriority") == "1-URGENT")
-         .select("o_custkey").distinct())
-    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
-           .select("c_acctbal", "c_custkey",
-                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
-                   .alias("y")))
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    ranked = lab.withColumn("rk", F.row_number().over(w))
+    # AUC is a ranked-score op: a NULL score cannot be ranked, so it
+    # joins the _SCORED_ONLY_SQL family (calibration/lift/threshold-
+    # sweep). The rank comes from the distributed exact-rank stage
+    # (r9: default path — the "at 100 TB it becomes the two-phase
+    # rank" note in earlier revisions is now the executed plan).
+    ranked = (_scored_lab_ranked(spark, sf_dir)
+              .withColumnRenamed("global_rank", "rk"))
     agg = ranked.agg(
         F.sum(F.when(F.col("y") == 1, F.col("rk")).otherwise(0))
         .alias("pos_rank_sum"),
@@ -1869,19 +1877,15 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 10-row aggregate. Completes the eval suite: calibration,
     lift, AUC, and now the operating point.
     """
-    # NULL scores are unrankable (PARITY #40) — scored entities
-    # only, matching the oracle's shared lab CTE
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.expr(_SCORED_ONLY_SQL))
-    o = (load_table(spark, sf_dir, "orders")
-         .filter(F.col("o_orderpriority") == "1-URGENT")
-         .select("o_custkey").distinct())
-    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
-           .select("c_acctbal", "c_custkey",
-                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
-                   .alias("y")))
-    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    per = (lab.withColumn("score_decile", F.ntile(10).over(w))
+    # NULL scores are unrankable (PARITY #40) — scored entities only.
+    # Decile via the distributed exact-rank stage (r9: default path,
+    # no unpartitioned window over entities; _scored_lab_ranked)
+    from manual_data_ingest_spark.functions.ranking import ntile_from_rank
+
+    ranked = _scored_lab_ranked(spark, sf_dir, descending=True)
+    per = (ranked.withColumn(
+               "score_decile",
+               ntile_from_rank(F.col("global_rank"), F.col("_n_tot"), 10))
            .groupBy("score_decile")
            .agg(F.count("*").alias("n"),
                 F.count(F.when(F.col("y") == 1, 1)).alias("n_pos")))
@@ -2592,18 +2596,14 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # a NULL score cannot be ranked into a decile (and the engines'
     # null sort orders differ — PARITY #40); calibration is over
-    # scored entities only, both engines
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.expr(_SCORED_ONLY_SQL))
-    o = load_table(spark, sf_dir, "orders")
-    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
-              .select("o_custkey").distinct())
-    lab = (c.join(urgent, c.c_custkey == urgent.o_custkey, "left")
-           .select("c_custkey", "c_acctbal",
-                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
-                   .alias("y")))
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    binned = lab.select("y", F.ntile(10).over(w).alias("d"))
+    # scored entities only, both engines. Decile via the distributed
+    # exact-rank stage (r9: default path, _scored_lab_ranked).
+    from manual_data_ingest_spark.functions.ranking import ntile_from_rank
+
+    ranked = _scored_lab_ranked(spark, sf_dir)
+    binned = ranked.select(
+        "y", ntile_from_rank(F.col("global_rank"),
+                             F.col("_n_tot"), 10).alias("d"))
     b = (binned.groupBy("d")
          .agg(F.count("*").alias("n"),
               F.count(F.when(F.col("y") == 1, 1)).alias("p")))

@@ -925,11 +925,18 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every ntile ORDER BY carries the c_custkey tie-break
     (ntile over a non-total order is engine-divergent on boundary
-    rows); monetary is exact integer cents. The three ntiles share ONE
-    global sort domain each — at 100 TB these become the percentile
-    pre-pass (`agg_quantile_sketch_merge`) + a map-side score lookup,
-    same downstream segment algebra.
+    rows); monetary is exact integer cents. Since r9 the three
+    quintile scores run on the distributed exact-rank primitive
+    (functions/ranking.py — quantile-cut buckets, per-bucket
+    partitioned windows, cumulative offsets, SQL tile rule): three
+    bounded shuffles instead of three single-partition global sorts,
+    hash-identical to the oracle's ntiles. last_order buckets on its
+    epoch-double proxy (monotone; exact timestamp ordering stays
+    inside the buckets).
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        ntile_from_rank, with_exact_global_rank)
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     rfm = (c.join(o, F.col("o_custkey") == F.col("c_custkey"))
@@ -938,12 +945,27 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("frequency"),
                 F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)
                       .cast("long")).alias("monetary_c")))
-    r_s = F.ntile(5).over(Window.orderBy("last_order", "c_custkey"))
-    f_s = F.ntile(5).over(Window.orderBy("frequency", "c_custkey"))
-    m_s = F.ntile(5).over(Window.orderBy("monetary_c", "c_custkey"))
-    scored = rfm.select("c_custkey", "monetary_c",
-                        r_s.alias("r_score"), f_s.alias("f_score"),
-                        m_s.alias("m_score"))
+    # each rank pass reads its input twice (quantile cuts + bucketing)
+    # and the three passes chain — checkpoint the per-customer rollup
+    # once (the dedup shingle discipline) so the fact join+agg runs
+    # ONE time, not 6+
+    rfm = rfm.localCheckpoint(eager=True)
+    ranked = with_exact_global_rank(
+        rfm, "last_order", ["c_custkey"], rank_col="_rk_r",
+        bucket_proxy=F.unix_micros(F.col("last_order")).cast("double"),
+        total_col="_n_tot")
+    ranked = with_exact_global_rank(
+        ranked, "frequency", ["c_custkey"], rank_col="_rk_f")
+    ranked = with_exact_global_rank(
+        ranked, "monetary_c", ["c_custkey"], rank_col="_rk_m")
+    nt = F.col("_n_tot")
+    scored = ranked.select("c_custkey", "monetary_c",
+                           ntile_from_rank(F.col("_rk_r"), nt, 5)
+                           .alias("r_score"),
+                           ntile_from_rank(F.col("_rk_f"), nt, 5)
+                           .alias("f_score"),
+                           ntile_from_rank(F.col("_rk_m"), nt, 5)
+                           .alias("m_score"))
     seg = F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4)
                  & (F.col("m_score") >= 4), "champion") \
         .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new") \

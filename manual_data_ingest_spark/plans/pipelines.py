@@ -1224,10 +1224,8 @@ def pipeline_curriculum_order_scalable(spark: SparkSession,
         "doc_id",
         (F.size(F.array_distinct(toks)).cast("double")
          / F.size(toks).cast("double")).alias("ttr"))
-    n_tot = q.agg(F.count("*").alias("_n_tot"))
-    ranked = (with_exact_global_rank(q, "ttr", ["doc_id"],
-                                     descending=True)
-              .crossJoin(F.broadcast(n_tot)))
+    ranked = with_exact_global_rank(q, "ttr", ["doc_id"],
+                                    descending=True, total_col="_n_tot")
     b = ranked.withColumn(
         "bucket", ntile_from_rank(F.col("global_rank"),
                                   F.col("_n_tot"), 4))

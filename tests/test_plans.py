@@ -1372,12 +1372,16 @@ def test_grouping_id_expand_node(spark):
 
 
 @pytest.mark.parametrize("name", ["ml_calibration_bins_scalable",
-                                  "pipeline_curriculum_order_scalable"])
+                                  "pipeline_curriculum_order_scalable",
+                                  "ml_lift_chart", "ml_threshold_sweep",
+                                  "ml_auc_roc", "ml_isotonic_calibration",
+                                  "agg_rfm_segments"])
 def test_scalable_rank_has_no_full_data_single_partition(spark, name):
     """The global-rank family's scale swap (r8 verdict, Perf): the
-    scalable twins must rank under PARTITIONED windows only — every
-    SinglePartition exchange in their plans feeds the tiny per-bucket
-    offsets window (rows = bucket count) or a scalar count, i.e. sits
+    scalable twins AND the five rewritten default paths (r9) must rank
+    under PARTITIONED windows only — every SinglePartition exchange in
+    their plans feeds the tiny per-bucket offsets window (rows = bucket
+    count), a dim-sized decile table, or a scalar count, i.e. sits
     above an aggregate, never above the scored relation itself."""
     plan = _plan(spark, name)
     assert re.search(r"hashpartitioning\(_bkt", plan), plan[:2000]
