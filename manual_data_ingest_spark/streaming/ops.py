@@ -238,9 +238,9 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGING purposes — two events exactly 30:00 apart share a session
     # even though the emitted bounds are half-open. Hence '<=' in the
     # oracle island rule: a new session starts only when gap > 30:00.
-    # Pinned: tests/test_streaming.py::test_session_exact_gap_boundary
-    # and the temporal sweep's boundary-tie injector (tools/
-    # temporal_sweep.py) both drive an exact-1800 s pair.
+    # Pinned: tests/test_stream_parity.py::
+    # test_session_exact_gap_boundary, and the boundary-tie sweep
+    # (tools/boundary_sweep.py) injects exact-1800 s pairs fleet-wide.
     st = read_events_stream(spark, sf_dir)
     agg = (st.groupBy(F.session_window("ts", "30 minutes"), "user_id")
            .agg(F.count("*").alias("n_events"))
