@@ -590,6 +590,44 @@ def test_temporal_edge_oracle_exact(spark, temporal_dir):
     assert not bad, bad
 
 
+#: Interval-parameterized operators held hash-exact on the BOUNDARY-TIE
+#: fixture (tools/boundary_sweep.py: per-user event gaps landing
+#: exactly on every declared tolerance/gap/band, supplier balances
+#: exactly at the band-join edge). The r8 stream_session bug class —
+#: Spark's session_window MERGES at exactly gap-distance where the
+#: gaps-and-islands oracle split — survived all four value-mutation
+#: gates precisely because no fixture row sat at a boundary; this net
+#: holds the exact-tie semantics per commit (the full 442-op boundary
+#: sweep is the close gate).
+BOUNDARY_ORACLE_EXACT = [
+    "stream_session", "stream_watermark_late", "stream_tumbling",
+    "stream_sliding", "win_sessionize", "agg_session_bounce",
+    "join_asof", "join_asof_nearest", "join_asof_forward",
+    "join_asof_tolerance", "join_interval_overlap", "join_pit_scd2",
+    "join_band_bucketed", "join_range_theta",
+    "win_rolling_wau", "win_churn_weekly", "win_interval_coalesce",
+    "win_peak_concurrency", "win_gap_distribution",
+]
+
+
+@pytest.fixture(scope="module")
+def boundary_dir(tmp_path_factory):
+    from tools.boundary_sweep import build_fixture
+
+    dst = str(tmp_path_factory.mktemp("mdis_boundary"))
+    return build_fixture(dst=dst)
+
+
+def test_boundary_tie_oracle_exact(spark, boundary_dir):
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=boundary_dir, only=BOUNDARY_ORACLE_EXACT,
+                      spark=spark)
+    bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
+    assert len(results) == len(BOUNDARY_ORACLE_EXACT)
+    assert not bad, bad
+
+
 #: Aggregate-total operators whose empty-input answer is a SINGLE row
 #: with SQL NULL semantics (sum over zero rows is NULL, count is 0) —
 #: the no-crash probe can't see a NULL-vs-0.0 divergence, so these are
