@@ -45,6 +45,29 @@ _TIGHT_JSON_RE = (rf"^\s*\{{\s*(?:{_TIGHT_JSON_PAIR}"
                   rf"(?:\s*,\s*{_TIGHT_JSON_PAIR})*)?\s*\}}\s*$")
 _TIGHT_JSON_ORACLE = f"regexp_matches(props, '{_TIGHT_JSON_RE}')"
 
+#: DUPLICATE-KEY leg of the contract (r9 probe): the grammar cannot
+#: forbid a repeated key (needs backreferences; DuckDB is RE2), and
+#: the engines disagree three ways on '{"k":1,"k":2}' — Spark
+#: from_json is LAST-wins (2), Spark try_parse_json/variant REJECTS
+#: (NULL), DuckDB json_extract is FIRST-wins (1); only get_json_object
+#: happens to agree with DuckDB. So consumers whose Spark reader is
+#: not first-wins (json_schema_parse's from_json, variant_funcs'
+#: variant path) additionally require the EXTRACTED key to appear at
+#: most once; grammar-valid strings cannot contain quotes or escapes,
+#: so '"k"\s*:' can only match the key position. Pinned by
+#: test_tight_json_guard_symmetry's duplicate-key payload and the
+#: adversarial props arm.
+def _key_once_re(key: str) -> str:
+    return rf'"{key}"\s*:'
+
+
+def _key_once_spark(key: str):
+    return F.regexp_count(F.col("props"), F.lit(_key_once_re(key))) <= 1
+
+
+def _key_once_sql(key: str) -> str:
+    return (f"len(regexp_extract_all(props, '{_key_once_re(key)}')) <= 1")
+
 
 @register("array_ops", """
 SELECT doc_id,
@@ -199,7 +222,7 @@ def json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("json_schema_parse", f"""
 WITH parsed AS (
-  SELECT CASE WHEN {_TIGHT_JSON_ORACLE}
+  SELECT CASE WHEN {_TIGHT_JSON_ORACLE} AND {_key_once_sql('k')}
               THEN json_extract_string(props, '$.k')::INT END AS k
   FROM events
 )
@@ -218,8 +241,11 @@ def json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one place instead of per-path (payloads outside the shared
     # tight-JSON contract land in the NULL decade on both engines)
     ev = load_table(spark, sf_dir, "events")
+    # tight grammar + key-once leg: from_json is LAST-wins on a
+    # duplicated key where the oracle's json_extract is FIRST-wins
     parsed = ev.select(
-        F.from_json(F.when(F.col("props").rlike(_TIGHT_JSON_RE),
+        F.from_json(F.when(F.col("props").rlike(_TIGHT_JSON_RE)
+                           & _key_once_spark("k"),
                            F.col("props")), "k INT").alias("p"))
     return (parsed.select(F.expr("p.k div 10").alias("k_decade"), "p.k")
             .groupBy("k_decade")
@@ -335,11 +361,11 @@ def struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("variant_funcs", f"""
 SELECT event_id,
-       CASE WHEN {_TIGHT_JSON_ORACLE}
+       CASE WHEN {_TIGHT_JSON_ORACLE} AND {_key_once_sql('k')}
             THEN json_extract(props, '$.k')::INT END         AS k_int,
-       CASE WHEN {_TIGHT_JSON_ORACLE}
+       CASE WHEN {_TIGHT_JSON_ORACLE} AND {_key_once_sql('k')}
             THEN json_extract(props, '$.missing')::INT END   AS k_missing,
-       CASE WHEN {_TIGHT_JSON_ORACLE}
+       CASE WHEN {_TIGHT_JSON_ORACLE} AND {_key_once_sql('k')}
             THEN json_extract(props, '$.k')::INT * 2 END     AS k_doubled
 FROM events
 """)
@@ -360,7 +386,10 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aborts the whole job), gated on the shared tight-JSON contract —
     # Jackson would otherwise extract from trailing-garbage payloads
     # that DuckDB's json_valid rejects.
-    v = F.try_parse_json(F.when(F.col("props").rlike(_TIGHT_JSON_RE),
+    # tight grammar + key-once leg: the variant builder REJECTS a
+    # duplicated key (NULL) where the oracle's json_extract first-wins
+    v = F.try_parse_json(F.when(F.col("props").rlike(_TIGHT_JSON_RE)
+                                & _key_once_spark("k"),
                                 F.col("props")))
     return ev.select(
         "event_id",

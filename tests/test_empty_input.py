@@ -703,6 +703,12 @@ def test_tight_json_guard_symmetry(spark, tmp_path):
         # parsed identically) — keyed "s" because the fixture contract
         # types $.k as int on both engines
         '{"s":"a}b", "k": 3}', '{"k": [1,2]}', '{"k": 69} héllo', None,
+        # duplicate extracted key: grammar-valid but the engines split
+        # three ways (from_json last-wins, variant rejects, yyjson
+        # first-wins) — the key-once contract leg NULLs it for the
+        # from_json/variant consumers; get_json_object stays
+        # first-wins-aligned with the oracle
+        '{"k":1,"k":2}', '{"k": 7, "s": "x", "k": 8}',
     ]
     import datetime as dt
 

@@ -335,3 +335,39 @@ def test_md5_base_hash_contract_property(spark, keys):
             f"SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT % {P}",
             [k]).fetchone()[0]
         assert got[k] == want, (k, got[k], want)
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_subnormal=False)),
+    st.integers(0, 10**6)), min_size=1, max_size=40),
+    desc=st.booleans(), buckets=st.sampled_from([2, 3, 10]))
+def test_distributed_rank_equals_serial_window(spark, rows, desc, buckets):
+    """functions/ranking.py's bucket+offset rank must equal the serial
+    row_number window (and its tile rule must equal ntile) on ANY
+    score multiset — duplicates, negatives, NULLs — in both sort
+    directions. This is the identity the whole r9 global-rank rewrite
+    rests on (SURVEY §5.4)."""
+    from manual_data_ingest_spark.functions.ranking import (
+        ntile_from_rank, with_exact_global_rank)
+
+    uniq = {}
+    for s, i in rows:
+        uniq.setdefault(i, s)
+    df = spark.createDataFrame(
+        [(s, i) for i, s in uniq.items()], "score double, id long")
+    got = {r.id: (r.global_rank, r.tile) for r in
+           with_exact_global_rank(df, "score", ["id"], descending=desc,
+                                  n_buckets=4, total_col="_n")
+           .withColumn("tile", ntile_from_rank(
+               F.col("global_rank"), F.col("_n"), buckets))
+           .collect()}
+    lead = (F.desc_nulls_last("score") if desc
+            else F.asc_nulls_last("score"))
+    w = Window.orderBy(lead, F.asc("id"))
+    want = {r.id: (r.rn, r.nt) for r in
+            df.select("id", F.row_number().over(w).alias("rn"),
+                      F.ntile(buckets).over(w).alias("nt")).collect()}
+    assert got == want

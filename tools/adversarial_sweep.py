@@ -69,12 +69,15 @@ def _mutate(texts: list, colname: str) -> list:
             # regex-passing-but-INVALID JSON under the r8 guard (r9
             # advice): Jackson leniently extracts from these, yyjson
             # rejects them — the strict flat-object grammar regex must
-            # NULL them on BOTH engines. Cycle the three lenient-parse
-            # classes: trailing garbage ending in '}', concatenated
-            # objects, and a trailing comma (valid to yyjson only).
+            # NULL them on BOTH engines. Cycle four classes: trailing
+            # garbage ending in '}', concatenated objects, a trailing
+            # comma (valid to yyjson only), and a DUPLICATED key
+            # (grammar-valid; engines split three ways — the key-once
+            # contract leg owns it).
             out.append([f"{v} junk}}", f"{v}{{\"x\":1}}",
-                        (v[:-1] + ",}") if v.endswith("}") else v]
-                       [j % 3])
+                        (v[:-1] + ",}") if v.endswith("}") else v,
+                        (v[:-1] + ', "k": 9}') if v.endswith("}") else v]
+                       [j % 4])
         elif m == 5:
             out.append("")
         elif m == 7:
