@@ -952,11 +952,16 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tw = d.select("source", F.explode(F.split("text", " ")).alias("w"))
     counts = (tw.filter(F.col("w") != "")
               .groupBy("source", "w").agg(F.count("*").alias("c")))
-    tots = counts.groupBy("source").agg(F.sum("c").alias("tot"))
-    t0 = tots.filter(F.col("source") == "src0").select(
-        F.col("tot").alias("tot0"))
-    t1 = tots.filter(F.col("source") == "src1").select(
-        F.col("tot").alias("tot1"))
+    # per-source totals as ONE-ROW aggregates, never filtered frames
+    # (r9 skew sweep): when a source has zero docs, a filtered frame
+    # is EMPTY and the cross join annihilates the whole grid
+    # (n_vocab=0) while the oracle's scalar subquery yields NULL and
+    # keeps the vocab rows — the conditional sum is NULL-on-absent on
+    # both engines
+    t0 = counts.agg(F.sum(F.when(F.col("source") == "src0",
+                                 F.col("c"))).alias("tot0"))
+    t1 = counts.agg(F.sum(F.when(F.col("source") == "src1",
+                                 F.col("c"))).alias("tot1"))
     a = (counts.filter(F.col("source") == "src0")
          .select("w", F.col("c").alias("c0")))
     b = (counts.filter(F.col("source") == "src1")

@@ -694,8 +694,12 @@ w AS MATERIALIZED (
     GROUP BY 1, 2
 )
 SELECT probe_id, neighbor_id, {sql_rnd('score_raw', 6)} AS score, rn
+-- rank on the ROUNDED score (PARITY #58a, same class as
+-- sim_bm25_topk): a float group-sum ranking key can tie exactly in
+-- one engine and sit one ulp apart in the other's accumulation order
 FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY score_raw DESC, neighbor_id) AS rn
+                                   ORDER BY {sql_rnd('score_raw', 6)} DESC,
+                                            neighbor_id) AS rn
       FROM sims)
 WHERE rn <= 3
 """)
@@ -737,9 +741,11 @@ def sim_sparse_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("doc_id") != F.col("probe_id"))
             .groupBy("probe_id", F.col("doc_id").alias("neighbor_id"))
             .agg(F.sum(F.col("pwn") * F.col("wn")).alias("score_raw")))
+    # ROUNDED ranking key (PARITY #58a — the sim_bm25_topk class,
+    # fixed here proactively: same group-sum score shape)
     rn = F.row_number().over(
         Window.partitionBy("probe_id")
-        .orderBy(F.col("score_raw").desc(), F.col("neighbor_id")))
+        .orderBy(rnd(F.col("score_raw"), 6).desc(), F.col("neighbor_id")))
     return (sims.withColumn("rn", rn).filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id",
                     rnd(F.col("score_raw"), 6).alias("score"), "rn"))
@@ -1406,8 +1412,13 @@ WITH tok AS MATERIALIZED (
     GROUP BY 1, 2
 )
 SELECT probe_id, neighbor_id, {sql_rnd('raw', 6)} AS score, rn
+-- rank on the ROUNDED score (r9 skew sweep): identical template docs
+-- tie exactly in one engine and one ulp apart in the other's
+-- accumulation order (PARITY #50 applied to ranking) — the 6dp round
+-- makes the tie exact on BOTH engines, then neighbor_id breaks it
 FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY raw DESC, neighbor_id) AS rn
+                                   ORDER BY {sql_rnd('raw', 6)} DESC,
+                                            neighbor_id) AS rn
       FROM scores)
 WHERE rn <= 3
 """)
@@ -1455,9 +1466,14 @@ def sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("c")))
     scores = (contrib.groupBy("probe_id", "neighbor_id")
               .agg(F.sum("c").alias("raw")))
+    # rank on the ROUNDED score (r9 skew sweep): a group-SUM raw key
+    # is accumulation-order-sensitive — identical template docs tied
+    # exactly in DuckDB but sat one ulp apart here, flipping rn vs the
+    # neighbor_id tie-break (PARITY #50 applied to ranking)
     return (scores.withColumn("rn", F.row_number().over(
                 Window.partitionBy("probe_id")
-                .orderBy(F.col("raw").desc(), F.col("neighbor_id"))))
+                .orderBy(rnd(F.col("raw"), 6).desc(),
+                         F.col("neighbor_id"))))
             .filter(F.col("rn") <= 3)
             .select("probe_id", "neighbor_id",
                     rnd(F.col("raw"), 6).alias("score"), "rn"))

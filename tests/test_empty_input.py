@@ -628,6 +628,40 @@ def test_boundary_tie_oracle_exact(spark, boundary_dir):
     assert not bad, bad
 
 
+#: ops the KEY-SKEW sweep (tools/skew_sweep.py: hot user/customer/
+#: supplier/nation keys, template mega-dup text clusters, a hot
+#: embedding vector) found divergent at its first full run — both
+#: fixed same-session (PARITY #58) — plus the hot-key / mega-cluster
+#: representatives whose answers must stay distribution-invariant.
+SKEW_ORACLE_EXACT = [
+    "sim_bm25_topk", "text_js_divergence",
+    # hot-key / giant-group representatives
+    "stream_session", "win_sessionize", "win_funnel_steps",
+    "join_skew_salted", "join_skew_aqe", "join_asof",
+    "dedup_near_jaccard_capped", "dedup_near_minhash", "dedup_clusters",
+    "dedup_simhash_wide", "sim_sparse_tfidf_topk", "sim_topk",
+    "sim_ann_lsh", "agg_heavy_hitters", "agg_mode_deterministic",
+    "ingest_id_mint_scalable", "agg_rfm_segments",
+]
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    from tools.skew_sweep import build_fixture
+
+    dst = str(tmp_path_factory.mktemp("mdis_skew"))
+    return build_fixture(dst=dst)
+
+
+def test_key_skew_oracle_exact(spark, skew_dir):
+    from tests.oracle_check import run_all
+
+    results = run_all(sf_dir=skew_dir, only=SKEW_ORACLE_EXACT, spark=spark)
+    bad = [(r.name, r.detail[:100]) for r in results if not r.ok]
+    assert len(results) == len(SKEW_ORACLE_EXACT)
+    assert not bad, bad
+
+
 #: Aggregate-total operators whose empty-input answer is a SINGLE row
 #: with SQL NULL semantics (sum over zero rows is NULL, count is 0) —
 #: the no-crash probe can't see a NULL-vs-0.0 divergence, so these are
