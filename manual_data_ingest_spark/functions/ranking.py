@@ -122,3 +122,46 @@ def ntile_from_rank(rank: Column, n_total: Column, buckets: int) -> Column:
     return (F.when(rank <= head, F.floor((rank - 1) / big) + 1)
             .otherwise(r + F.floor((rank - head - 1) / F.greatest(q, F.lit(1))) + 1)
             .cast("int"))
+
+
+def with_exact_running_sum(df: DataFrame, value: str, score: str,
+                           tiebreaks: list[str],
+                           n_buckets: int = 64,
+                           out_col: str = "running_sum") -> DataFrame:
+    """Return ``df`` + an exact inclusive running sum of ``value`` in
+    ``(score, *tiebreaks)`` ascending order — the same bucket+offset
+    skeleton as :func:`with_exact_global_rank` with per-bucket VALUE
+    sums as the offsets (integer ``value`` stays exact under the
+    reordering; float callers must accept reassociation). Powers the
+    shard-packing family (`multimodal_shard_assign`): cumulative bytes
+    in a global order without an unpartitioned window.
+    ``(score, *tiebreaks)`` must be unique per row."""
+    work = df.withColumn("_rk_score", F.col(score).cast("double"))
+    work = work.localCheckpoint(eager=True)
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = work.agg(F.percentile_approx(
+        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts"))
+    bucketed = (work.crossJoin(F.broadcast(cuts))
+                .withColumn("_bkt", F.when(
+                    F.col("_rk_score").isNull(), F.lit(n_buckets))
+                    .otherwise(F.size(F.filter(
+                        "_cuts", lambda c: c < F.col("_rk_score")))))
+                .drop("_cuts"))
+
+    sums = bucketed.groupBy("_bkt").agg(
+        F.coalesce(F.sum(value), F.lit(0)).alias("_s"))
+    w_off = (Window.orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = sums.select(
+        F.col("_bkt").alias("_off_bkt"),
+        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off"))
+
+    w_local = (Window.partitionBy("_bkt")
+               .orderBy(F.asc_nulls_last(score),
+                        *[F.asc(t) for t in tiebreaks])
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (bucketed.join(F.broadcast(offsets),
+                          F.col("_bkt") == F.col("_off_bkt"))
+            .withColumn(out_col, F.col("_off") + F.sum(value).over(w_local))
+            .drop("_rk_score", "_bkt", "_off_bkt", "_off"))

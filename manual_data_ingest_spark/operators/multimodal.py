@@ -276,21 +276,26 @@ def multimodal_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     are reproducible, and consecutive records stay together (the
     property dataloader streaming needs).
 
-    The running sum is the one global-order operation; at 100 TB it
-    runs hierarchically exactly like `ingest_id_mint_scalable` — rank
-    within source-buckets, add broadcast cumulative offsets — because
-    the order key leads with the bucket. Shard manifests (this output)
-    are what the training job mounts; the tar-bytes concat itself is a
-    `foreachPartition` writer downstream.
+    The running sum is the one global-order operation; since r9 it
+    EXECUTES hierarchically (tools/plan_audit.py flagged the original
+    unpartitioned-window form): `with_exact_running_sum`
+    (functions/ranking.py) buckets on doc_id quantile cuts, running-
+    sums bytes per bucket under a PARTITIONED window, and adds
+    broadcast cumulative bucket-byte offsets — exact because bytes are
+    integers and bucket-major order is the doc_id order. Shard
+    manifests (this output) are what the training job mounts; the
+    tar-bytes concat itself is a `foreachPartition` writer downstream.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_sum)
+
     d = load_table(spark, sf_dir, "documents")
     sized = d.select("doc_id",
                      F.octet_length(F.col("text").cast("binary"))
                      .alias("n_bytes"))
-    packed = sized.withColumn(
-        "shard_id",
-        F.expr("(sum(n_bytes) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED"
-               " PRECEDING AND CURRENT ROW) - n_bytes) div 10000"))
+    packed = (with_exact_running_sum(sized, "n_bytes", "doc_id", [])
+              .withColumn("shard_id",
+                          F.expr("(running_sum - n_bytes) div 10000")))
     return (packed.groupBy("shard_id")
             .agg(F.count("*").alias("n_items"),
                  F.sum("n_bytes").alias("total_bytes"),

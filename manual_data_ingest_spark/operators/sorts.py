@@ -23,10 +23,21 @@ FROM customer
 """)
 def sort_multi_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rank column carries the ordering through the driver's
-    # order-insensitive hash; tie-break on the unique key.
+    # order-insensitive hash; tie-break on the unique key. Computed
+    # via the distributed exact-rank primitive (r9: tools/plan_audit.py
+    # flagged the original unpartitioned-window form — the 8th member
+    # of the global-rank family, missed by every hand audit) so no
+    # stage single-partitions the relation.
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_global_rank)
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
-    return c.select("c_custkey", "c_acctbal", F.row_number().over(w).alias("rnk"))
+    return (with_exact_global_rank(
+                c.select("c_custkey", "c_acctbal"),
+                "c_acctbal", ["c_custkey"], descending=True,
+                rank_col="rnk")
+            .select("c_custkey", "c_acctbal",
+                    F.col("rnk").cast("int").alias("rnk")))
 
 
 @register("topk_global", """

@@ -1375,7 +1375,8 @@ def test_grouping_id_expand_node(spark):
                                   "pipeline_curriculum_order_scalable",
                                   "ml_lift_chart", "ml_threshold_sweep",
                                   "ml_auc_roc", "ml_isotonic_calibration",
-                                  "agg_rfm_segments"])
+                                  "agg_rfm_segments", "sort_multi_null",
+                                  "multimodal_shard_assign"])
 def test_scalable_rank_has_no_full_data_single_partition(spark, name):
     """The global-rank family's scale swap (r8 verdict, Perf): the
     scalable twins AND the five rewritten default paths (r9) must rank
