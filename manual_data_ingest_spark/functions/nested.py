@@ -38,9 +38,20 @@ from manual_data_ingest_spark.registry import register
 #: (RE2 and Java: alternation, classes, bounded quantifiers only).
 #: Pinned by the adversarial sweep's props arm (j%11==3) and
 #: tests/test_empty_input.py::test_tight_json_guard_symmetry.
-_TIGHT_JSON_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
-_TIGHT_JSON_VAL = rf'(?:{_TIGHT_JSON_NUM}|"[^"\\]*"|true|false|null)'
-_TIGHT_JSON_PAIR = rf'"[^"\\]*"\s*:\s*{_TIGHT_JSON_VAL}'
+#: r10 (r9 advice, medium): the r9 number class accepted leading-zero
+#: numbers ('{"k": 012}') and the string class accepted raw control
+#: chars ('{"s":"a\nb"}') — both are INVALID JSON (DuckDB's yyjson
+#: throws 'Malformed JSON'; Jackson's strict defaults NULL them), so a
+#: payload in either class broke the 'regex-accepted ⇒ valid JSON'
+#: contract and aborted the oracle query. The number grammar is now
+#: the exact RFC 8259 production (-?(?:0|[1-9]\d*)...) and string
+#: chars exclude \x00-\x1f (RFC: unescaped control chars forbidden);
+#: both escapes are portable across Java regex and RE2.
+_TIGHT_JSON_NUM = r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_TIGHT_JSON_STR_CHARS = r'[^"\\\x00-\x1f]*'
+_TIGHT_JSON_VAL = (rf'(?:{_TIGHT_JSON_NUM}|"{_TIGHT_JSON_STR_CHARS}"'
+                   rf'|true|false|null)')
+_TIGHT_JSON_PAIR = rf'"{_TIGHT_JSON_STR_CHARS}"\s*:\s*{_TIGHT_JSON_VAL}'
 _TIGHT_JSON_RE = (rf"^\s*\{{\s*(?:{_TIGHT_JSON_PAIR}"
                   rf"(?:\s*,\s*{_TIGHT_JSON_PAIR})*)?\s*\}}\s*$")
 _TIGHT_JSON_ORACLE = f"regexp_matches(props, '{_TIGHT_JSON_RE}')"

@@ -26,15 +26,53 @@ tile rule: first n%B tiles get one extra row), so the oracle for a
 scalable twin is the same ``ntile(B) OVER (ORDER BY ...)`` SQL as its
 serial form — hash-identical by construction.
 
-A skewed mega-bucket (one dominant score value) subdivides by the
-tie-break column with the same cumulative-offset trick; at fixture
-scale the default 63 cuts keep every bucket far below a task's memory.
+Cut points are COLLECTED to the driver (≤63 doubles — KBs at any
+scale) and embedded as a literal array, so every plan branch sees the
+same constants by construction: bucket-assignment consistency is
+structural, not dependent on Spark reusing the broadcast exchange of
+a merge-order-sensitive GK sketch (r9 advice).
+
+Skew limitation, stated plainly: a single DOMINANT TIED score value
+(e.g. one frequency in `agg_rfm_segments`) lands all its rows in one
+bucket and therefore one window task — value-contiguous buckets
+cannot split a tie. Subdividing a mega-bucket by the tie-break column
+with a second cumulative-offset pass is the designed extension but is
+NOT implemented; at fixture scale the 63 cuts keep every bucket far
+below a task's memory, and the key-skew gate measures (not hides) the
+single-task residue.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bucketize(work: DataFrame, n_buckets: int) -> tuple[DataFrame, int]:
+    """Materialize ``work`` (one pass — its plan is read by multiple
+    branches downstream), collect the approx-quantile cuts of
+    ``_rk_score`` to the driver, and attach ``_bkt`` = #cuts < score
+    from a LITERAL cut array (NULL scores → the final bucket, past
+    every cut — both engines' nulls-last convention). Returns the
+    bucketed frame and the NULL-bucket id. Duplicate cuts (heavy ties)
+    are collapsed — bucket ids shift but the rank identity holds for
+    ANY cut placement."""
+    work = work.localCheckpoint(eager=True)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = work.agg(F.percentile_approx(
+        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts")).first()
+    cuts = sorted({float(c) for c in (row[0] or []) if c is not None})
+    if cuts:
+        arr = F.array(*[F.lit(c) for c in cuts])
+        bkt = (F.when(F.col("_rk_score").isNull(), F.lit(len(cuts) + 1))
+               .otherwise(F.size(F.filter(
+                   arr, lambda c: c < F.col("_rk_score")))))
+        null_bkt = len(cuts) + 1
+    else:  # empty input or all-NULL scores: one data bucket
+        bkt = (F.when(F.col("_rk_score").isNull(), F.lit(1))
+               .otherwise(F.lit(0)))
+        null_bkt = 1
+    return work.withColumn("_bkt", bkt), null_bkt
 
 
 def with_exact_global_rank(df: DataFrame, score: str,
@@ -63,27 +101,12 @@ def with_exact_global_rank(df: DataFrame, score: str,
     proxy = F.col(score).cast("double") if bucket_proxy is None \
         else bucket_proxy.cast("double")
     work = df.withColumn("_rk_score", proxy * (-1 if descending else 1))
-    # three plan branches read `work` (quantile cuts, bucket counts,
-    # the ranked main path) and Spark re-executes a shared subtree per
-    # branch — chained rank passes compound that exponentially
-    # (agg_rfm_segments' three scores). Materialize once (the
-    # operators/dedup.py shingle-checkpoint discipline): one pass over
-    # the input, three reads of local columnar blocks — the same
-    # trade at 100 TB, where the input is usually a derived join/agg.
-    work = work.localCheckpoint(eager=True)
-
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = work.agg(F.percentile_approx(
-        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts"))
-    # bucket(x) = #cuts < x; NULL scores order last on both engines'
-    # convention (Spark desc_nulls_last/asc_nulls_last here, DuckDB
-    # default nulls_last) → the final bucket, past every cut.
-    bucketed = (work.crossJoin(F.broadcast(cuts))
-                .withColumn("_bkt", F.when(
-                    F.col("_rk_score").isNull(), F.lit(n_buckets))
-                    .otherwise(F.size(F.filter(
-                        "_cuts", lambda c: c < F.col("_rk_score")))))
-                .drop("_cuts"))
+    # _bucketize materializes `work` once (two plan branches — bucket
+    # counts and the ranked main path — plus the driver-side cut
+    # collection read it; the operators/dedup.py shingle-checkpoint
+    # discipline) and embeds the cuts as literals, so both branches
+    # bucket identically by construction.
+    bucketed, _ = _bucketize(work, n_buckets)
 
     counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
     w_off = (Window.orderBy("_bkt")
@@ -137,17 +160,7 @@ def with_exact_running_sum(df: DataFrame, value: str, score: str,
     in a global order without an unpartitioned window.
     ``(score, *tiebreaks)`` must be unique per row."""
     work = df.withColumn("_rk_score", F.col(score).cast("double"))
-    work = work.localCheckpoint(eager=True)
-
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = work.agg(F.percentile_approx(
-        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts"))
-    bucketed = (work.crossJoin(F.broadcast(cuts))
-                .withColumn("_bkt", F.when(
-                    F.col("_rk_score").isNull(), F.lit(n_buckets))
-                    .otherwise(F.size(F.filter(
-                        "_cuts", lambda c: c < F.col("_rk_score")))))
-                .drop("_cuts"))
+    bucketed, _ = _bucketize(work, n_buckets)
 
     sums = bucketed.groupBy("_bkt").agg(
         F.coalesce(F.sum(value), F.lit(0)).alias("_s"))

@@ -41,7 +41,7 @@ _SINK_COUNTER = itertools.count()
 #: The window is a DECLARED CONTRACT (PARITY #57): in-window event
 #: times are a precondition of every watermarked op; out-of-window
 #: rows are DROPPED, not silently — _valid_ts attaches an observe()
-#: metric (`ts_validity`: rows_total / rows_dropped per micro-batch)
+#: metric (`ts_validity`: rows_total / rows_kept per micro-batch)
 #: so the drop count is visible on every query's progress/listener
 #: feed (the `stream_observed_metrics` channel). A production deploy
 #: routes them to a dead-letter sink with the `ingest_quarantine`
@@ -56,8 +56,11 @@ def _valid_ts(df: DataFrame) -> DataFrame:
     """Spark twin of :data:`_VALID_TS_SQL` (applied after the ns→µs
     conversion, so `ts` is a timestamp column on both sides). Rows
     outside the validity window are dropped AND counted: the
-    ``ts_validity`` observation reports rows_total/rows_dropped per
-    micro-batch on the StreamingQueryListener / lastProgress feed."""
+    ``ts_validity`` observation reports rows_total/rows_kept per
+    micro-batch on the StreamingQueryListener / lastProgress feed
+    (drops = rows_total − rows_kept; emitting kept rather than dropped
+    keeps the aggregate a plain conditional count — a NULL ts is
+    dropped too, which a count over ~in_window would miss)."""
     in_window = ((F.col("ts") >= F.lit("1990-01-01").cast("timestamp"))
                  & (F.col("ts") < F.lit("2100-01-01").cast("timestamp")))
     # rows_dropped = rows_total - rows_kept (a NULL ts is dropped too,

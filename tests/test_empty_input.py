@@ -743,6 +743,15 @@ def test_tight_json_guard_symmetry(spark, tmp_path):
         # from_json/variant consumers; get_json_object stays
         # first-wins-aligned with the oracle
         '{"k":1,"k":2}', '{"k": 7, "s": "x", "k": 8}',
+        # r10 (r9 advice, medium): regex-accepted-but-INVALID JSON under
+        # the r9 grammar — a leading-zero number and a raw control char
+        # inside a string (both RFC-invalid; yyjson throws, Jackson
+        # NULLs). The tightened grammar must reject both so the guard
+        # NULLs them symmetrically instead of aborting the oracle.
+        # (valid-JSON positives ride non-k keys: the fixture contract
+        # types $.k as int on both engines)
+        '{"k": 012}', '{"s":"a\nb", "k": 4}', '{"k": 0}',
+        '{"a": 0.5, "k": 11}', '{"a": -0.5e2, "k": 12}',
     ]
     import datetime as dt
 

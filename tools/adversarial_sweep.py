@@ -69,15 +69,18 @@ def _mutate(texts: list, colname: str) -> list:
             # regex-passing-but-INVALID JSON under the r8 guard (r9
             # advice): Jackson leniently extracts from these, yyjson
             # rejects them — the strict flat-object grammar regex must
-            # NULL them on BOTH engines. Cycle four classes: trailing
+            # NULL them on BOTH engines. Cycle six classes: trailing
             # garbage ending in '}', concatenated objects, a trailing
-            # comma (valid to yyjson only), and a DUPLICATED key
+            # comma (valid to yyjson only), a DUPLICATED key
             # (grammar-valid; engines split three ways — the key-once
-            # contract leg owns it).
+            # contract leg owns it), and the two r10 grammar-tighten
+            # classes (r9 advice, medium): a leading-zero number and a
+            # raw control char inside a string value.
             out.append([f"{v} junk}}", f"{v}{{\"x\":1}}",
                         (v[:-1] + ",}") if v.endswith("}") else v,
-                        (v[:-1] + ', "k": 9}') if v.endswith("}") else v]
-                       [j % 4])
+                        (v[:-1] + ', "k": 9}') if v.endswith("}") else v,
+                        '{"k": 012}', '{"s":"a\nb", "k": 4}']
+                       [j % 6])
         elif m == 5:
             out.append("")
         elif m == 7:
