@@ -132,6 +132,70 @@ def with_exact_global_rank(df: DataFrame, score: str,
             .drop("_rk_score", "_bkt", "_off_bkt", "_off"))
 
 
+def with_exact_partitioned_rank(df: DataFrame, partition_by: list[str],
+                                score: str, tiebreaks: list[str],
+                                descending: bool = False,
+                                n_buckets: int = 64,
+                                rank_col: str = "rank",
+                                total_col: str | None = None) -> DataFrame:
+    """Partitioned variant of :func:`with_exact_global_rank` (r9
+    verdict task): ``df`` + an exact 1-based ``rank_col`` equal to
+    ``row_number() OVER (PARTITION BY *partition_by ORDER BY score
+    [DESC], *tiebreaks)`` with NULLS LAST, without funneling any one
+    partition's rows through a single task.
+
+    Same skeleton, keyed one level deeper: ONE global set of literal
+    score cuts buckets every partition (cut placement never affects
+    the result, only work distribution); local ranks run under a
+    window partitioned by ``(*partition_by, _bkt)``; cumulative
+    offsets run per partition over the per-(partition, bucket) COUNTS
+    (rows = |partitions| × ≤65, not data) and broadcast back.
+    ``total_col`` optionally attaches each partition's row count —
+    per-partition exact ``ntile`` via :func:`ntile_from_rank`.
+
+    Scale contract: ``partition_by`` must be bounded-cardinality
+    (dim-sized — segments, classes, days), because the offsets frame
+    is |partitions| × buckets and broadcasts. That is exactly the
+    regime where a NATIVE partitioned window single-tasks per giant
+    partition; for entity-scale partitions (per-customer, per-doc)
+    the native window already parallelizes and should be used
+    directly. Partition keys compare null-safely (NULL is a group,
+    matching window semantics). ``(*partition_by, score, *tiebreaks)``
+    must be unique per row."""
+    proxy = F.col(score).cast("double")
+    work = df.withColumn("_rk_score", proxy * (-1 if descending else 1))
+    bucketed, _ = _bucketize(work, n_buckets)
+
+    counts = (bucketed.groupBy(*partition_by, "_bkt")
+              .agg(F.count("*").alias("_n")))
+    w_off = (Window.partitionBy(*partition_by).orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off_cols = ([F.col(p).alias(f"_off_{p}") for p in partition_by]
+                + [F.col("_bkt").alias("_off_bkt"),
+                   F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+                   .alias("_off")])
+    if total_col is not None:
+        w_all = (Window.partitionBy(*partition_by).orderBy("_bkt")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+        off_cols.append(F.sum("_n").over(w_all).alias(total_col))
+    offsets = counts.select(*off_cols)
+
+    lead = (F.desc_nulls_last(score) if descending
+            else F.asc_nulls_last(score))
+    w_local = Window.partitionBy(*partition_by, "_bkt").orderBy(
+        lead, *[F.asc(t) for t in tiebreaks])
+    cond = F.col("_bkt") == F.col("_off_bkt")
+    for p in partition_by:
+        cond = cond & F.col(p).eqNullSafe(F.col(f"_off_{p}"))
+    return (bucketed.join(F.broadcast(offsets), cond)
+            .withColumn(rank_col,
+                        (F.col("_off") + F.row_number().over(w_local))
+                        .cast("long"))
+            .drop("_rk_score", "_bkt", "_off_bkt", "_off",
+                  *[f"_off_{p}" for p in partition_by]))
+
+
 def ntile_from_rank(rank: Column, n_total: Column, buckets: int) -> Column:
     """SQL-standard NTILE from an exact 1-based global rank: with n
     rows and B tiles, the first ``n % B`` tiles hold ``n//B + 1`` rows,

@@ -371,3 +371,74 @@ def test_distributed_rank_equals_serial_window(spark, rows, desc, buckets):
             df.select("id", F.row_number().over(w).alias("rn"),
                       F.ntile(buckets).over(w).alias("nt")).collect()}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(), st.integers(0, 3)),
+    st.one_of(st.none(),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_subnormal=False)),
+    st.integers(0, 10**6)), min_size=1, max_size=40),
+    desc=st.booleans(), buckets=st.sampled_from([2, 3, 10]))
+def test_partitioned_rank_equals_native_window(spark, rows, desc, buckets):
+    """with_exact_partitioned_rank must equal the NATIVE partitioned
+    row_number window (and its tile rule per-partition ntile) on ANY
+    (partition, score) multiset — NULL partition keys, NULL scores,
+    duplicates, both directions (r9 verdict task 2; mirrors the global
+    rank primitive's pin)."""
+    from manual_data_ingest_spark.functions.ranking import (
+        ntile_from_rank, with_exact_partitioned_rank)
+
+    uniq = {}
+    for p, s, i in rows:
+        uniq.setdefault(i, (p, s))
+    df = spark.createDataFrame(
+        [(p, s, i) for i, (p, s) in uniq.items()],
+        "pkey int, score double, id long")
+    got = {r.id: (r.rank, r.tile) for r in
+           with_exact_partitioned_rank(df, ["pkey"], "score", ["id"],
+                                       descending=desc, n_buckets=4,
+                                       total_col="_n")
+           .withColumn("tile", ntile_from_rank(
+               F.col("rank"), F.col("_n"), buckets))
+           .collect()}
+    lead = (F.desc_nulls_last("score") if desc
+            else F.asc_nulls_last("score"))
+    w = Window.partitionBy("pkey").orderBy(lead, F.asc("id"))
+    want = {r.id: (r.rn, r.nt) for r in
+            df.select("id", F.row_number().over(w).alias("rn"),
+                      F.ntile(buckets).over(w).alias("nt")).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.integers(-1000, 1000),
+    st.one_of(st.none(),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_subnormal=False)),
+    st.integers(0, 10**6)), min_size=1, max_size=40))
+def test_distributed_running_sum_equals_serial_window(spark, rows):
+    """with_exact_running_sum must equal the serial inclusive
+    running-sum window on ANY (value, score) multiset — NULL scores,
+    duplicate scores, negative values (r9 verdict task 6; integer
+    values keep the reassociation exact, per the primitive's
+    contract)."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_sum)
+
+    uniq = {}
+    for v, s, i in rows:
+        uniq.setdefault(i, (v, s))
+    df = spark.createDataFrame(
+        [(v, s, i) for i, (v, s) in uniq.items()],
+        "val long, score double, id long")
+    got = {r.id: r.rs for r in
+           with_exact_running_sum(df, "val", "score", ["id"],
+                                  n_buckets=4, out_col="rs").collect()}
+    w = (Window.orderBy(F.asc_nulls_last("score"), F.asc("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r.id: r.rs for r in
+            df.select("id", F.sum("val").over(w).alias("rs")).collect()}
+    assert got == want
