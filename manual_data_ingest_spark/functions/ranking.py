@@ -32,14 +32,18 @@ same constants by construction: bucket-assignment consistency is
 structural, not dependent on Spark reusing the broadcast exchange of
 a merge-order-sensitive GK sketch (r9 advice).
 
-Skew limitation, stated plainly: a single DOMINANT TIED score value
-(e.g. one frequency in `agg_rfm_segments`) lands all its rows in one
-bucket and therefore one window task — value-contiguous buckets
-cannot split a tie. Subdividing a mega-bucket by the tie-break column
-with a second cumulative-offset pass is the designed extension but is
-NOT implemented; at fixture scale the 63 cuts keep every bucket far
-below a task's memory, and the key-skew gate measures (not hides) the
-single-task residue.
+Skew: a single DOMINANT TIED score value (e.g. one frequency in
+`agg_rfm_segments`) would land all its rows in one bucket and
+therefore one window task — value-contiguous buckets cannot split a
+tie by score alone. Callers that rank tie-heavy scores pass
+``tie_proxy`` (a numeric column monotone in the first tiebreak's
+ascending order): dominant values — detected from quantile-probe
+multiplicity in the same driver round-trip — are subdivided by tie
+quantiles into sub-buckets, restoring balance while keeping
+bucket-major order equal to global (score, tie) order (the dominant
+value is the top of its score range, so sub-buckets slot after every
+other score in the bucket). Without a proxy the mega-bucket residue
+is measured, not hidden, by the key-skew gate.
 """
 
 from __future__ import annotations
@@ -48,7 +52,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _bucketize(work: DataFrame, n_buckets: int) -> tuple[DataFrame, int]:
+def _bucketize(work: DataFrame, n_buckets: int,
+               tie: str | None = None) -> tuple[DataFrame, int]:
     """Materialize ``work`` (one pass — its plan is read by multiple
     branches downstream), collect the approx-quantile cuts of
     ``_rk_score`` to the driver, and attach ``_bkt`` = #cuts < score
@@ -56,22 +61,64 @@ def _bucketize(work: DataFrame, n_buckets: int) -> tuple[DataFrame, int]:
     every cut — both engines' nulls-last convention). Returns the
     bucketed frame and the NULL-bucket id. Duplicate cuts (heavy ties)
     are collapsed — bucket ids shift but the rank identity holds for
-    ANY cut placement."""
+    ANY cut placement.
+
+    ``tie`` (optional): name of a NUMERIC column monotone in the first
+    tiebreak's ascending order. When given, a DOMINANT TIED score
+    value — one hit by ≥2 quantile probes, i.e. holding roughly ≥1/
+    n_buckets of the rows — is SUBDIVIDED by tie-value quantiles (the
+    r9-docstring extension, now implemented): rows at the dominant
+    score spread across sub-buckets by tie range, rows at other scores
+    keep sub-bucket 0. Bucket-major order still equals global
+    (score, tie) order because a dominant value is the TOP of its
+    score range (bucket = #cuts < x puts x == cut in the bucket the
+    cut closes), so every other score in the bucket precedes it and
+    sub-buckets ascend in tie. NULL ties get sub-bucket 0, matching
+    the local windows' ``F.asc`` (nulls-first) tiebreak order."""
     work = work.localCheckpoint(eager=True)
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    row = work.agg(F.percentile_approx(
-        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts")).first()
-    cuts = sorted({float(c) for c in (row[0] or []) if c is not None})
-    if cuts:
-        arr = F.array(*[F.lit(c) for c in cuts])
-        bkt = (F.when(F.col("_rk_score").isNull(), F.lit(len(cuts) + 1))
-               .otherwise(F.size(F.filter(
-                   arr, lambda c: c < F.col("_rk_score")))))
-        null_bkt = len(cuts) + 1
-    else:  # empty input or all-NULL scores: one data bucket
+    aggs = [F.percentile_approx(
+        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts")]
+    row = work.agg(*aggs).first()
+    raw = [float(c) for c in (row[0] or []) if c is not None]
+    cuts = sorted(set(raw))
+    if not cuts:  # empty input or all-NULL scores: one data bucket
         bkt = (F.when(F.col("_rk_score").isNull(), F.lit(1))
                .otherwise(F.lit(0)))
-        null_bkt = 1
+        return work.withColumn("_bkt", bkt), 1
+
+    from collections import Counter
+    dom = (sorted(v for v, k in Counter(raw).items() if k >= 2)
+           if tie is not None else [])
+    sub_cuts: dict[float, list[float]] = {}
+    if dom:
+        mult = Counter(raw)
+        n_sub = max(mult[v] for v in dom) + 1
+        sprobs = [i / n_sub for i in range(1, n_sub)]
+        for r in (work.filter(F.col("_rk_score").isin(dom))
+                  .groupBy("_rk_score")
+                  .agg(F.percentile_approx(
+                      tie, F.lit(sprobs), F.lit(10000)).alias("_sc"))
+                  .collect()):
+            sub_cuts[float(r[0])] = sorted(
+                {float(c) for c in (r[1] or []) if c is not None})
+    stride = max((len(c) + 1 for c in sub_cuts.values()), default=1)
+
+    arr = F.array(*[F.lit(c) for c in cuts])
+    base = F.size(F.filter(arr, lambda c: c < F.col("_rk_score")))
+    sub = F.lit(0)
+    for v, scs in sub_cuts.items():
+        if not scs:
+            continue
+        arr_v = F.array(*[F.lit(c) for c in scs])
+        # NULL tie → filter drops every element → sub-bucket 0 (the
+        # nulls-first slot under F.asc tiebreak order)
+        sub = F.when(F.col("_rk_score") == F.lit(v),
+                     F.size(F.filter(arr_v, lambda c: c < F.col(tie))))\
+               .otherwise(sub)
+    null_bkt = (len(cuts) + 1) * stride
+    bkt = (F.when(F.col("_rk_score").isNull(), F.lit(null_bkt))
+           .otherwise(base * F.lit(stride) + sub))
     return work.withColumn("_bkt", bkt), null_bkt
 
 
@@ -81,7 +128,8 @@ def with_exact_global_rank(df: DataFrame, score: str,
                            n_buckets: int = 64,
                            rank_col: str = "global_rank",
                            bucket_proxy: Column | None = None,
-                           total_col: str | None = None) -> DataFrame:
+                           total_col: str | None = None,
+                           tie_proxy: Column | None = None) -> DataFrame:
     """Return ``df`` + an exact dense 1-based ``rank_col`` equal to
     ``row_number() OVER (ORDER BY score [DESC], *tiebreaks)`` with
     NULLS LAST, computed without an unpartitioned window over the data.
@@ -96,17 +144,24 @@ def with_exact_global_rank(df: DataFrame, score: str,
     would flag it anyway). ``total_col`` (optional) additionally
     attaches the total row count as a column — derived from the
     per-bucket counts the rank already needs, so ntile callers skip a
-    whole extra pass over the input.
+    whole extra pass over the input. ``tie_proxy`` (optional): numeric
+    column monotone in ``tiebreaks[0]``'s ASCENDING order — enables
+    subdividing dominant tied score values across buckets (module
+    docstring, Skew); pass it whenever the score is low-cardinality
+    (frequencies, grades, small counts).
     """
     proxy = F.col(score).cast("double") if bucket_proxy is None \
         else bucket_proxy.cast("double")
     work = df.withColumn("_rk_score", proxy * (-1 if descending else 1))
+    if tie_proxy is not None:
+        work = work.withColumn("_rk_tie", tie_proxy.cast("double"))
     # _bucketize materializes `work` once (two plan branches — bucket
     # counts and the ranked main path — plus the driver-side cut
     # collection read it; the operators/dedup.py shingle-checkpoint
     # discipline) and embeds the cuts as literals, so both branches
     # bucket identically by construction.
-    bucketed, _ = _bucketize(work, n_buckets)
+    bucketed, _ = _bucketize(
+        work, n_buckets, tie="_rk_tie" if tie_proxy is not None else None)
 
     counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
     w_off = (Window.orderBy("_bkt")
@@ -129,7 +184,7 @@ def with_exact_global_rank(df: DataFrame, score: str,
             .withColumn(rank_col,
                         (F.col("_off") + F.row_number().over(w_local))
                         .cast("long"))
-            .drop("_rk_score", "_bkt", "_off_bkt", "_off"))
+            .drop("_rk_score", "_rk_tie", "_bkt", "_off_bkt", "_off"))
 
 
 def with_exact_partitioned_rank(df: DataFrame, partition_by: list[str],
@@ -211,34 +266,44 @@ def ntile_from_rank(rank: Column, n_total: Column, buckets: int) -> Column:
             .cast("int"))
 
 
-def with_exact_running_sum(df: DataFrame, value: str, score: str,
-                           tiebreaks: list[str],
+def with_exact_running_sum(df: DataFrame, value: str | list[str],
+                           score: str, tiebreaks: list[str],
                            n_buckets: int = 64,
-                           out_col: str = "running_sum") -> DataFrame:
-    """Return ``df`` + an exact inclusive running sum of ``value`` in
-    ``(score, *tiebreaks)`` ascending order — the same bucket+offset
-    skeleton as :func:`with_exact_global_rank` with per-bucket VALUE
-    sums as the offsets (integer ``value`` stays exact under the
-    reordering; float callers must accept reassociation). Powers the
-    shard-packing family (`multimodal_shard_assign`): cumulative bytes
-    in a global order without an unpartitioned window.
+                           out_col: str | list[str] = "running_sum"
+                           ) -> DataFrame:
+    """Return ``df`` + an exact inclusive running sum of each ``value``
+    column in ``(score, *tiebreaks)`` ascending order — the same
+    bucket+offset skeleton as :func:`with_exact_global_rank` with
+    per-bucket VALUE sums as the offsets (integer values stay exact
+    under the reordering; float callers must accept reassociation).
+    Powers the shard-packing family (`multimodal_shard_assign`) and
+    the cumulative-distribution family (`agg_ks_test` runs TWO sums
+    over one order — pass lists to share the bucketing pass).
     ``(score, *tiebreaks)`` must be unique per row."""
+    values = [value] if isinstance(value, str) else list(value)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(values) != len(outs):
+        raise ValueError("value/out_col length mismatch")
     work = df.withColumn("_rk_score", F.col(score).cast("double"))
     bucketed, _ = _bucketize(work, n_buckets)
 
     sums = bucketed.groupBy("_bkt").agg(
-        F.coalesce(F.sum(value), F.lit(0)).alias("_s"))
+        *[F.coalesce(F.sum(v), F.lit(0)).alias(f"_s{i}")
+          for i, v in enumerate(values)])
     w_off = (Window.orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = sums.select(
         F.col("_bkt").alias("_off_bkt"),
-        F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off"))
+        *[F.coalesce(F.sum(f"_s{i}").over(w_off), F.lit(0))
+          .alias(f"_off{i}") for i in range(len(values))])
 
     w_local = (Window.partitionBy("_bkt")
                .orderBy(F.asc_nulls_last(score),
                         *[F.asc(t) for t in tiebreaks])
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (bucketed.join(F.broadcast(offsets),
-                          F.col("_bkt") == F.col("_off_bkt"))
-            .withColumn(out_col, F.col("_off") + F.sum(value).over(w_local))
-            .drop("_rk_score", "_bkt", "_off_bkt", "_off"))
+    out = bucketed.join(F.broadcast(offsets),
+                        F.col("_bkt") == F.col("_off_bkt"))
+    for i, (v, o) in enumerate(zip(values, outs)):
+        out = out.withColumn(o, F.col(f"_off{i}") + F.sum(v).over(w_local))
+    return out.drop("_rk_score", "_bkt", "_off_bkt",
+                    *[f"_off{i}" for i in range(len(values))])

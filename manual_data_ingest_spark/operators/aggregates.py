@@ -1792,13 +1792,16 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact inside: D's argmax is taken over
     |cum_a·n_b − cum_b·n_a| (exact integers), with ONE float division at
     the end — so no running-sum float drift can reorder the max (the
-    PARITY #12/#21 classes are structurally excluded). The global-order
-    window runs over the VALUE-LEVEL aggregate (distinct values, already
-    reduced by a keyed shuffle), not the raw events — the serial window
-    input is bounded by support cardinality, the same shape every exact
-    order statistic has; a 100 TB deployment bins the support first
-    (`agg_histogram_equidepth`) and runs the same max over bin edges.
+    PARITY #12/#21 classes are structurally excluded). r10 scale
+    rewrite (r9 verdict task 1): the cumulative counts run through the
+    distributed running-sum primitive (both sums share ONE bucketing
+    pass over the value-level aggregate), so the support cardinality —
+    which grows with the data for a continuous measure — never funnels
+    through a single window task; exact integers make the bucket
+    reassociation hash-free.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_sum)
     from manual_data_ingest_spark.io import load_events
 
     ev = (load_events(spark, sf_dir)
@@ -1808,13 +1811,13 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(0)).cast("long").alias("ca"),
                   F.sum(F.when(F.col("event_type") == "purchase", 1)
                         .otherwise(0)).cast("long").alias("cb")))
-    tot = per_v.agg(F.sum("ca").cast("long").alias("na"),
-                    F.sum("cb").cast("long").alias("nb"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding,
-                                            Window.currentRow)
-    cums = per_v.select(F.sum("ca").over(w).cast("long").alias("cum_a"),
-                        F.sum("cb").over(w).cast("long").alias("cum_b"))
-    return (cums.crossJoin(F.broadcast(tot))
+    cums = with_exact_running_sum(per_v, ["ca", "cb"], "value", [],
+                                  out_col=["cum_a", "cum_b"])
+    tot = cums.agg(F.sum("ca").cast("long").alias("na"),
+                   F.sum("cb").cast("long").alias("nb"))
+    return (cums.select(F.col("cum_a").cast("long").alias("cum_a"),
+                        F.col("cum_b").cast("long").alias("cum_b"))
+            .crossJoin(F.broadcast(tot))
             .groupBy("na", "nb")
             .agg(rnd(F.max(F.abs(F.col("cum_a") * F.col("nb")
                                  - F.col("cum_b") * F.col("na")))
@@ -2488,19 +2491,28 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Class boundaries are EXACT integer comparisons (cum·10 ≤ tot·8,
     cum·100 ≤ tot·95 — the PARITY #21 rule; a float 0.8·tot literal
-    could flip a boundary part between engines). The rank window runs
-    over the per-part rollup, not facts; the three-row report divides
-    once at the end.
+    could flip a boundary part between engines). r10 scale rewrite
+    (r9 verdict task 1): the cumulative revenue over the per-part
+    rollup — part-cardinality, which grows with the data — runs
+    through the distributed running-sum primitive instead of an
+    unpartitioned window (exact integer cents make the bucket
+    reassociation hash-free); the total arrives as a broadcast
+    scalar and the three-row report divides once at the end.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_sum)
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = (li.groupBy("l_partkey")
            .agg(F.sum(F.floor(F.col("l_extendedprice") * 100.0
                               + F.lit(0.5)).cast("long")).alias("cents")))
-    wc = (Window.orderBy(F.col("cents").desc(), "l_partkey")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wt = Window.partitionBy()
-    ranked = (rev.withColumn("cum", F.sum("cents").over(wc))
-              .withColumn("tot", F.sum("cents").over(wt)))
+    # descending revenue order == ascending order of the negated cents
+    # (custkey... partkey tie-break asc in both framings)
+    cum = with_exact_running_sum(
+        rev.withColumn("_neg", -F.col("cents")),
+        "cents", "_neg", ["l_partkey"], out_col="cum").drop("_neg")
+    tot = cum.agg(F.sum("cents").alias("tot"))
+    ranked = cum.crossJoin(F.broadcast(tot))
     abc = (F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
            .otherwise("C"))
@@ -3473,25 +3485,35 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer share and cumulative revenue share. Reading it off:
     cum_rev_share at decile 8 = the revenue share of the bottom 80%.
 
-    Scale shape: one fact shuffle (per-customer spend), one ranking
-    window per segment, then a 10-row-per-segment aggregate and
-    dim-sized cumulative windows. Ranking on the ROUNDED spend keeps
-    the cross-engine order deterministic away from rounding
-    boundaries (the `dedup_survivorship` discipline), and the share
-    numerators are EXACT 128-bit integer cents sums per decile
-    (decimal(38,0)/HUGEINT — the r5 advisor flagged the earlier float
-    per-decile sums, whose association order is engine/partition
-    dependent) with ONE final IEEE division each, so the 6dp shares
-    are structurally drift-free.
+    Scale shape: one fact shuffle (per-customer spend), then — r10
+    rewrite (r9 verdict tasks 1+2) — the PARTITIONED exact-rank
+    primitive deciles each segment without funneling a segment's
+    customers (entity-scale: grows with the data, split across only
+    ~5 segment partitions) through one window task; the 10-row-per-
+    segment aggregate and its dim-sized cumulative windows follow.
+    Ranking on the ROUNDED spend keeps the cross-engine order
+    deterministic away from rounding boundaries (the
+    `dedup_survivorship` discipline), and the share numerators are
+    EXACT 128-bit integer cents sums per decile (decimal(38,0)/
+    HUGEINT — the r5 advisor flagged the earlier float per-decile
+    sums, whose association order is engine/partition dependent)
+    with ONE final IEEE division each, so the 6dp shares are
+    structurally drift-free.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        ntile_from_rank, with_exact_partitioned_rank)
+
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     spend = (c.join(o, c.c_custkey == o.o_custkey)
              .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
              .agg(rnd(F.sum("o_totalprice"), 2).alias("s")))
-    ranked = spend.withColumn(
-        "decile", F.ntile(10).over(
-            Window.partitionBy("segment").orderBy("s", "c_custkey")))
+    ranked = (with_exact_partitioned_rank(
+        spend, ["segment"], "s", ["c_custkey"],
+        rank_col="_rk", total_col="_n")
+        .withColumn("decile",
+                    ntile_from_rank(F.col("_rk"), F.col("_n"), 10))
+        .drop("_rk", "_n"))
     d = (ranked.groupBy("segment", "decile")
          .agg(F.count("*").alias("n_d"),
               F.sum(F.floor(F.col("s") * 100.0 + 0.5)

@@ -932,7 +932,11 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded shuffles instead of three single-partition global sorts,
     hash-identical to the oracle's ntiles. last_order buckets on its
     epoch-double proxy (monotone; exact timestamp ordering stays
-    inside the buckets).
+    inside the buckets). The frequency score is LOW-CARDINALITY
+    (small order counts — a dominant tied value under key skew), so
+    its pass carries tie_proxy=c_custkey: dominant frequencies
+    subdivide across buckets by custkey quantiles instead of landing
+    one mega-bucket on one window task (r10; module docstring Skew).
     """
     from manual_data_ingest_spark.functions.ranking import (
         ntile_from_rank, with_exact_global_rank)
@@ -955,7 +959,8 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_proxy=F.unix_micros(F.col("last_order")).cast("double"),
         total_col="_n_tot")
     ranked = with_exact_global_rank(
-        ranked, "frequency", ["c_custkey"], rank_col="_rk_f")
+        ranked, "frequency", ["c_custkey"], rank_col="_rk_f",
+        tie_proxy=F.col("c_custkey"))
     ranked = with_exact_global_rank(
         ranked, "monetary_c", ["c_custkey"], rank_col="_rk_m")
     nt = F.col("_n_tot")
@@ -1383,22 +1388,23 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("win_pareto_share", f"""
 WITH cust AS (
-    SELECT o_custkey, sum(o_totalprice) AS revenue
+    SELECT o_custkey,
+           sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
     FROM orders GROUP BY o_custkey
+), tot AS (
+    SELECT sum(cents) AS tot_cents, count(*) AS n_cust FROM cust
 ), ranked AS (
-    SELECT o_custkey, revenue,
-           row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
-           sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
-           sum(revenue) OVER () AS total_rev,
-           count(*) OVER () AS n_cust
+    SELECT o_custkey, cents,
+           row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+           sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_cents
     FROM cust
 )
 SELECT rnk, o_custkey,
-       {sql_rnd('revenue', 2)} AS revenue,
-       {sql_rnd('cum_rev / total_rev', 6)} AS cum_share,
+       {sql_rnd('cents::DOUBLE / 100.0', 2)} AS revenue,
+       {sql_rnd('cum_cents::DOUBLE / tot_cents::DOUBLE', 6)} AS cum_share,
        {sql_rnd('rnk::DOUBLE / n_cust', 6)} AS cust_frac
-FROM ranked
+FROM ranked, tot
 WHERE rnk <= 25
 """)
 def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,32 +1412,43 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cumulative revenue share and customer fraction — the top-25
     rows of the whale curve every revenue team draws.
 
-    The per-customer rollup is the only fact-sized shuffle; the ranking
-    windows run over the CUSTOMER aggregate (dim-sized). The unbounded
-    global window single-threads by construction — at 100 TB the rollup
-    stays distributed and only the customer-level curve (millions of
-    rows, not billions) pays the global order, or switches to the
-    two-phase rank (`ingest_id_mint_scalable`) if even that saturates.
-    Total-order tie-break on custkey (SURVEY §5).
+    r10 scale rewrite (r9 verdict task 1): the output is a TOP-K, so
+    no global window is needed AT ALL — the per-customer rollup (the
+    only fact-sized shuffle) feeds (a) a constant-size totals
+    aggregate and (b) `orderBy().limit(25)`, which Spark plans as
+    TakeOrderedAndProject (per-partition top-25, merge of 25-row
+    heads — the same plan at any scale). Rank and cumulative revenue
+    are then serial windows over the 25 SURVIVING rows (bounded by k,
+    not data). Revenue moves as EXACT integer cents (PARITY #21) so
+    the 6dp cumulative shares cannot drift under reordering;
+    tie-break on custkey asc NULLS LAST to match DuckDB.
     """
     o = load_table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
-    wrank = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
-    wcum = wrank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    return (cust.select(
-        F.row_number().over(wrank).alias("rnk"),
-        "o_custkey", "revenue",
-        F.sum("revenue").over(wcum).alias("cum_rev"),
-        F.sum("revenue").over(wall).alias("total_rev"),
-        F.count("*").over(wall).alias("n_cust"))
-        .filter(F.col("rnk") <= 25)
-        .select("rnk", "o_custkey",
-                rnd(F.col("revenue"), 2).alias("revenue"),
-                rnd(F.col("cum_rev") / F.col("total_rev"), 6)
-                .alias("cum_share"),
-                rnd(F.col("rnk").cast("double") / F.col("n_cust"), 6)
-                .alias("cust_frac")))
+    cust = (o.groupBy("o_custkey")
+            .agg(F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                       .cast("long")).alias("cents")))
+    # two consumers of the rollup (totals + top-k): materialize once so
+    # the fact shuffle runs once
+    cust = cust.localCheckpoint(eager=True)
+    tot = cust.agg(F.sum("cents").alias("tot_cents"),
+                   F.count("*").alias("n_cust"))
+    lead = [F.col("cents").desc(), F.asc_nulls_last("o_custkey")]
+    top = cust.orderBy(*lead).limit(25)
+    w = Window.orderBy(*lead)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (top.crossJoin(F.broadcast(tot))
+            .select(F.row_number().over(w).alias("rnk"),
+                    "o_custkey",
+                    rnd(F.col("cents").cast("double") / 100.0, 2)
+                    .alias("revenue"),
+                    rnd(F.sum("cents").over(wcum).cast("double")
+                        / F.col("tot_cents").cast("double"), 6)
+                    .alias("cum_share"),
+                    F.col("n_cust"))
+            .withColumn("cust_frac",
+                        rnd(F.col("rnk").cast("double") / F.col("n_cust"),
+                            6))
+            .drop("n_cust"))
 
 
 @register("agg_session_bounce", """

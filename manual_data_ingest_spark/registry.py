@@ -107,6 +107,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_pair_batches",
 )
 
+#: REGRADE list (r9 verdict task 4): green-on-record operators whose
+#: IMPLEMENTATION changed after their last driver verdict — their green
+#: predates the code now shipping, so they jump the green tail and
+#: re-enter the next 50-slot grading window. Hand-curated per round,
+#: pruned once the post-rewrite green lands (same lifecycle as
+#: _DRIVER_PRIORITY). Current composition: the r9 rank-family rewrites
+#: + the two r9 skew-gate fixes that missed the r9 window, every
+#: consumer of functions/ranking.py (r10 literal-cuts change), the
+#: three tight-JSON consumers (r10 grammar tighten), and the four r10
+#: entity-window rewrites.
+_REGRADE_PRIORITY: tuple[str, ...] = (
+    # r10 entity-window rewrites (r9 verdict task 1)
+    "win_pareto_share", "agg_abc_classification", "agg_ks_test",
+    "agg_lorenz_curve",
+    # r9 rank-family rewrites never re-graded + r10 literal-cuts change
+    "ml_auc_roc", "ml_isotonic_calibration", "agg_rfm_segments",
+    "sort_multi_null", "multimodal_shard_assign", "ml_lift_chart",
+    "ml_threshold_sweep", "ml_calibration_bins_scalable",
+    "pipeline_curriculum_order_scalable", "ingest_id_mint_scalable",
+    # r9 skew-gate fixes that missed the r9 window
+    "sim_bm25_topk", "text_js_divergence",
+    # r10 tight-JSON grammar consumers
+    "json_extract", "json_schema_parse", "variant_funcs",
+)
+
 
 def _latest_verdicts() -> dict[str, bool]:
     """Latest driver verdict per name across ``CORRECTNESS_r*.json``.
@@ -156,8 +181,12 @@ def _driver_order(names: list[str]) -> list[str]:
            if n in _QUERIES and n not in green and n not in graded]
     head = set(red) | set(pri)
     mid = [n for n in names if n not in head and n not in green]
+    # green but rewritten since the verdict: re-grade ahead of the tail
+    regrade = [n for n in _REGRADE_PRIORITY
+               if n in _QUERIES and n in green and n not in head]
+    head |= set(regrade)
     tail = [n for n in names if n not in head and n in green]
-    return red + pri + mid + tail
+    return red + pri + mid + regrade + tail
 
 
 def _graded_names() -> frozenset[str]:

@@ -1398,3 +1398,29 @@ def test_scalable_rank_has_no_full_data_single_partition(spark, name):
                    if re.search(rf"\+- Exchange \({nid}\)$", l))
         assert re.search(r"(Hash|Sort|Object.*)Aggregate", tree[idx + 1]), \
             f"SinglePartition over raw data:\n" + "\n".join(tree[:30])
+
+
+@pytest.mark.parametrize("name", ["win_pareto_share",
+                                  "agg_abc_classification",
+                                  "agg_ks_test", "agg_lorenz_curve"])
+def test_r10_entity_window_rewrites_audit_clean(spark, name):
+    """The last four entity-scale single-partition windows (r9 verdict
+    task 1), migrated onto the distributed rank/running-sum primitives
+    (or, for the pareto top-k, onto TakeOrderedAndProject): the fleet
+    audit's tightened rule — a SinglePartition above an aggregate
+    KEYED ON AN ENTITY COLUMN is still a scale killer — must pass,
+    and the expected distributed shape must be in the plan."""
+    from tools.plan_audit import audit_plan
+
+    plan = _plan(spark, name)
+    assert audit_plan(plan) == set(), plan[:3000]
+    if name == "win_pareto_share":
+        # top-k plans as per-partition heads + bounded merge
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+    elif name == "agg_lorenz_curve":
+        # per-(segment, bucket) local windows — never one task per
+        # segment's whole customer population
+        assert re.search(r"hashpartitioning\(segment\S*, _bkt", plan), \
+            plan[:3000]
+    else:
+        assert re.search(r"hashpartitioning\(_bkt", plan), plan[:3000]

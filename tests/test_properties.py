@@ -442,3 +442,49 @@ def test_distributed_running_sum_equals_serial_window(spark, rows):
     want = {r.id: r.rs for r in
             df.select("id", F.sum("val").over(w).alias("rs")).collect()}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(), st.sampled_from([0.0, 1.0, 2.0])),
+    st.integers(0, 10**6)), min_size=1, max_size=60),
+    desc=st.booleans())
+def test_rank_tie_subdivision_equals_serial_window(spark, rows, desc):
+    """tie_proxy subdivision (r10): with a 3-value score domain every
+    value is dominant, so the subdivision path is exercised on every
+    draw — the rank must STILL equal the serial row_number window
+    exactly, in both directions, with NULL scores mixed in."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_global_rank)
+
+    uniq = {}
+    for s, i in rows:
+        uniq.setdefault(i, s)
+    df = spark.createDataFrame(
+        [(s, i) for i, s in uniq.items()], "score double, id long")
+    got = {r.id: r.global_rank for r in
+           with_exact_global_rank(df, "score", ["id"], descending=desc,
+                                  n_buckets=4,
+                                  tie_proxy=F.col("id")).collect()}
+    lead = (F.desc_nulls_last("score") if desc
+            else F.asc_nulls_last("score"))
+    w = Window.orderBy(lead, F.asc("id"))
+    want = {r.id: r.rn for r in
+            df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+def test_rank_tie_subdivision_spreads_buckets(spark):
+    """The subdivision must actually BALANCE: one dominant tied score
+    over the whole frame spreads across multiple sub-buckets (i.e.
+    multiple window tasks) instead of one mega-bucket."""
+    from manual_data_ingest_spark.functions.ranking import _bucketize
+
+    work = spark.range(2000).select(
+        F.lit(1.0).alias("_rk_score"),
+        F.col("id").cast("double").alias("_rk_tie"))
+    b, _ = _bucketize(work, 8, tie="_rk_tie")
+    counts = [r.n for r in
+              b.groupBy("_bkt").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) >= 4, counts
+    assert max(counts) < 2000 * 0.5, counts

@@ -13,7 +13,13 @@ every correctness gate:
    windows, global sorts into one partition, coalesce(1) writes).
    Offsets windows over per-bucket/per-source counts are fine: their
    SinglePartition sits above a Hash/Sort/ObjectHashAggregate, i.e.
-   rows = group count, not data.
+   rows = group count, not data — PROVIDED the grouping key is
+   bounded-cardinality. An aggregate keyed on an ENTITY column
+   (custkey/partkey/doc_id/user_id/raw value/...) grows with the
+   data, so a SinglePartition above it is still a scale killer
+   (r9 verdict task 3: win_pareto_share passed the old exemption by
+   aggregating per-customer first); those flag as
+   `single_partition_entity_agg`.
 2. **CartesianProduct** — a physical cartesian join. Only the bounded
    `join_cross` contract is allowed one.
 3. **BatchEvalPython** — a row-at-a-time (non-Arrow) Python UDF in
@@ -55,6 +61,15 @@ WHITELIST = {
 }
 
 AGG_RE = re.compile(r"(Hash|Sort|Object\w*)Aggregate")
+LIMIT_RE = re.compile(r"(TakeOrderedAndProject|GlobalLimit|CollectLimit)")
+#: entity-scale grouping keys: per-row identity / entity columns whose
+#: distinct count grows with the data (TPC-H entity keys, the doc/vec/
+#: user/event ids, and the raw continuous `value` measure). A grouping
+#: key list containing any of these means the aggregate's output is
+#: entity-sized, not dim-sized.
+ENTITY_KEY_RE = re.compile(
+    r"\b(?:[a-z]+_)?(?:custkey|partkey|suppkey|orderkey)#"
+    r"|\b(?:doc_id|vec_id|user_id|event_id|value)#")
 #: row-preserving / row-bounded nodes an exchange's child chain may
 #: pass through before the verdict node (their row count equals their
 #: child's, so they don't change dim-vs-data sizing)
@@ -84,8 +99,25 @@ def audit_plan(plan: str) -> set[str]:
         cur = idx + 1
         while cur < len(tree) and PASSTHROUGH_RE.search(tree[cur]):
             cur += 1
+        # a global limit is structurally bounded (rows <= k) — anything
+        # gathered above it is fine regardless of what sits below
+        if cur < len(tree) and LIMIT_RE.search(tree[cur]):
+            continue
         if cur >= len(tree) or not AGG_RE.search(tree[cur]):
             hits.add("single_partition_raw")
+            continue
+        # the exemption node IS an aggregate: dim-sized only if its
+        # grouping keys are bounded — look up the node's detail block
+        # (`(N) HashAggregate ... Keys [k]: [...]`) and flag entity-
+        # keyed aggregates (their output grows with the data)
+        m = re.search(r"Aggregate \((\d+)\)", tree[cur])
+        if m:
+            detail = re.search(
+                rf"^\({m.group(1)}\) \w*Aggregate[^\n]*\n"
+                rf"(?:[^\n]+\n)*?Keys \[\d+\]: \[([^\n]*)\]",
+                plan, re.M)
+            if detail and ENTITY_KEY_RE.search(detail.group(1)):
+                hits.add("single_partition_entity_agg")
     if re.search(r"\(\d+\) CartesianProduct", plan):
         hits.add("cartesian")
     if re.search(r"\(\d+\) BatchEvalPython", plan):
@@ -101,7 +133,7 @@ def main() -> None:
     whitelist = dict(WHITELIST)
     for slow in slow_twins():
         whitelist[slow] = whitelist.get(slow, set()) | {
-            "single_partition_raw"}
+            "single_partition_raw", "single_partition_entity_agg"}
 
     only = set(sys.argv[1:]) or None
     spark = get_spark("mdis-plan-audit")
