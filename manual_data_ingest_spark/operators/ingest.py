@@ -393,7 +393,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("provenance_chain", f"""
 SELECT r_name,
-       {sql_rnd('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       {sql_rnd('sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0'
+                ' + 0.5) AS BIGINT))::DOUBLE / 100.0', 2)} AS revenue,
        count(*) AS n_lineitems
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
@@ -404,21 +405,40 @@ GROUP BY r_name
 """)
 def provenance_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Donor→Sample→Dataset analog: 5-way provenance traversal with a
-    # rollup at the root. Dims (region, nation) broadcast; the two
-    # fact-fact joins shuffle on their keys and AQE handles skew.
+    # rollup at the root. Dims (region, nation) broadcast; the fact-
+    # fact joins shuffle on their keys and AQE handles skew. r10: the
+    # leaf fact PRE-AGGREGATES per order below the join (l_orderkey is
+    # the join key, so the rollup is join-transparent): the biggest
+    # shuffle carries order-count rows instead of lineitem-count rows,
+    # the orders join reuses the same orderkey distribution, and one
+    # whole AQE stage round disappears (A/B: BASELINE.md r10). The
+    # two-level re-aggregation makes float association VISIBLE (the
+    # numeric sweep caught the first cut at 1e13 magnitudes), so
+    # revenue moves as EXACT integer cents per lineitem term (PARITY
+    # #21; decimal sums — no overflow at any scale) with ONE double
+    # division at the root, identically on both engines.
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
+    # long cents through the HOT per-order aggregate (a single order's
+    # cents cannot overflow int64 — ~7 items/order leaves 1000x
+    # headroom over the numeric sweep's 1e15-cent terms); the root
+    # re-aggregate widens to decimal where rows are order-count-sized
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100.0 + F.lit(0.5)).cast("long")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.sum(cents).alias("_rc"),
+                      F.count("*").alias("_n")))
+    return (per_order.join(o, per_order.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name")
-            .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-                 .alias("revenue"),
-                 F.count("*").alias("n_lineitems")))
+            .agg(rnd(F.sum(F.col("_rc").cast("decimal(19,0)"))
+                     .cast("double") / 100.0, 2).alias("revenue"),
+                 F.sum("_n").alias("n_lineitems")))
 
 
 @register("ingest_clean_nulls", f"""

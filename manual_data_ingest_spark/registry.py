@@ -130,6 +130,8 @@ _REGRADE_PRIORITY: tuple[str, ...] = (
     "sim_bm25_topk", "text_js_divergence",
     # r10 tight-JSON grammar consumers
     "json_extract", "json_schema_parse", "variant_funcs",
+    # r10 plan rewrites
+    "provenance_chain",
 )
 
 
