@@ -192,7 +192,10 @@ def with_exact_partitioned_rank(df: DataFrame, partition_by: list[str],
                                 descending: bool = False,
                                 n_buckets: int = 64,
                                 rank_col: str = "rank",
-                                total_col: str | None = None) -> DataFrame:
+                                total_col: str | None = None,
+                                bucket_proxy: Column | None = None,
+                                tie_proxy: Column | None = None
+                                ) -> DataFrame:
     """Partitioned variant of :func:`with_exact_global_rank` (r9
     verdict task): ``df`` + an exact 1-based ``rank_col`` equal to
     ``row_number() OVER (PARTITION BY *partition_by ORDER BY score
@@ -216,10 +219,20 @@ def with_exact_partitioned_rank(df: DataFrame, partition_by: list[str],
     the native window already parallelizes and should be used
     directly. Partition keys compare null-safely (NULL is a group,
     matching window semantics). ``(*partition_by, score, *tiebreaks)``
-    must be unique per row."""
-    proxy = F.col(score).cast("double")
+    must be unique per row. ``bucket_proxy``: numeric column MONOTONE
+    in ``score``'s order, for non-numeric scores (md5 strings → the
+    hex-prefix bigint; the within-bucket sort stays on the exact
+    ``score`` column). ``tie_proxy``: as in
+    :func:`with_exact_global_rank` — subdivides dominant tied score
+    values by ``tiebreaks[0]`` quantiles (pass for low-cardinality
+    scores)."""
+    proxy = F.col(score).cast("double") if bucket_proxy is None \
+        else bucket_proxy.cast("double")
     work = df.withColumn("_rk_score", proxy * (-1 if descending else 1))
-    bucketed, _ = _bucketize(work, n_buckets)
+    if tie_proxy is not None:
+        work = work.withColumn("_rk_tie", tie_proxy.cast("double"))
+    bucketed, _ = _bucketize(
+        work, n_buckets, tie="_rk_tie" if tie_proxy is not None else None)
 
     counts = (bucketed.groupBy(*partition_by, "_bkt")
               .agg(F.count("*").alias("_n")))
@@ -247,7 +260,7 @@ def with_exact_partitioned_rank(df: DataFrame, partition_by: list[str],
             .withColumn(rank_col,
                         (F.col("_off") + F.row_number().over(w_local))
                         .cast("long"))
-            .drop("_rk_score", "_bkt", "_off_bkt", "_off",
+            .drop("_rk_score", "_rk_tie", "_bkt", "_off_bkt", "_off",
                   *[f"_off_{p}" for p in partition_by]))
 
 
@@ -269,7 +282,8 @@ def ntile_from_rank(rank: Column, n_total: Column, buckets: int) -> Column:
 def with_exact_running_sum(df: DataFrame, value: str | list[str],
                            score: str, tiebreaks: list[str],
                            n_buckets: int = 64,
-                           out_col: str | list[str] = "running_sum"
+                           out_col: str | list[str] = "running_sum",
+                           partition_by: list[str] | None = None
                            ) -> DataFrame:
     """Return ``df`` + an exact inclusive running sum of each ``value``
     column in ``(score, *tiebreaks)`` ascending order — the same
@@ -279,31 +293,91 @@ def with_exact_running_sum(df: DataFrame, value: str | list[str],
     Powers the shard-packing family (`multimodal_shard_assign`) and
     the cumulative-distribution family (`agg_ks_test` runs TWO sums
     over one order — pass lists to share the bucketing pass).
-    ``(score, *tiebreaks)`` must be unique per row."""
+    ``partition_by`` (optional, r10): per-partition running sums with
+    ONE global cut set — the :func:`with_exact_partitioned_rank`
+    regime (bounded-cardinality partitions whose members are
+    entity-scale: per-source shard packing); keys compare null-safely.
+    ``(*partition_by, score, *tiebreaks)`` must be unique per row."""
     values = [value] if isinstance(value, str) else list(value)
     outs = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(values) != len(outs):
         raise ValueError("value/out_col length mismatch")
+    parts = list(partition_by or [])
     work = df.withColumn("_rk_score", F.col(score).cast("double"))
     bucketed, _ = _bucketize(work, n_buckets)
 
-    sums = bucketed.groupBy("_bkt").agg(
+    sums = bucketed.groupBy(*parts, "_bkt").agg(
         *[F.coalesce(F.sum(v), F.lit(0)).alias(f"_s{i}")
           for i, v in enumerate(values)])
-    w_off = (Window.orderBy("_bkt")
+    w_off = (Window.partitionBy(*parts).orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = sums.select(
+        *[F.col(p).alias(f"_off_{p}") for p in parts],
         F.col("_bkt").alias("_off_bkt"),
         *[F.coalesce(F.sum(f"_s{i}").over(w_off), F.lit(0))
           .alias(f"_off{i}") for i in range(len(values))])
 
-    w_local = (Window.partitionBy("_bkt")
+    w_local = (Window.partitionBy(*parts, "_bkt")
                .orderBy(F.asc_nulls_last(score),
                         *[F.asc(t) for t in tiebreaks])
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = bucketed.join(F.broadcast(offsets),
-                        F.col("_bkt") == F.col("_off_bkt"))
+    cond = F.col("_bkt") == F.col("_off_bkt")
+    for p in parts:
+        cond = cond & F.col(p).eqNullSafe(F.col(f"_off_{p}"))
+    out = bucketed.join(F.broadcast(offsets), cond)
     for i, (v, o) in enumerate(zip(values, outs)):
         out = out.withColumn(o, F.col(f"_off{i}") + F.sum(v).over(w_local))
     return out.drop("_rk_score", "_bkt", "_off_bkt",
+                    *[f"_off_{p}" for p in parts],
                     *[f"_off{i}" for i in range(len(values))])
+
+
+def with_bounded_frame_buckets(df: DataFrame, partition_by: list[str],
+                               score: str, tiebreaks: list[str],
+                               k_back: int = 0, k_fwd: int = 0,
+                               n_buckets: int = 64,
+                               bucket_proxy: Column | None = None,
+                               bucket_col: str = "_fbkt",
+                               halo_col: str = "_fhalo") -> DataFrame:
+    """Distributed BOUNDED-FRAME rolling windows (r10): return ``df``
+    + ``bucket_col`` + ``halo_col`` such that a window over
+    ``(*partition_by, bucket_col)`` ordered by ``(score, *tiebreaks)``
+    NULLS LAST with ``rowsBetween(-k_back, k_fwd)`` equals the serial
+    per-``partition_by`` window for every ``halo_col == False`` row.
+
+    Construction: the partitioned exact rank assigns each row its
+    per-partition position i; buckets are contiguous rank blocks of
+    exactly ``B = max(k_back + k_fwd + 1, ceil(n / n_buckets))`` rows
+    (sized per partition from the rank pass's own total), so a row's
+    ±k frame can only reach into the ADJACENT block — the last
+    ``k_back`` rows of each block are duplicated into the next block
+    and the first ``k_fwd`` into the previous one (HALO rows, flagged;
+    they complete neighbors' frames but their own outputs must be
+    dropped by the caller's ``halo_col`` filter). Exact-size blocks —
+    not value buckets — make the k-halo sufficient by construction,
+    dominant ties included. Cost: the rank pass + one window shuffle
+    vs. the serial form's single shuffle; the win is one task per
+    BLOCK instead of one task per partition (a handful of event types
+    over 100 TB of events). Callers must order NULLS LAST (matching
+    the rank and both engines' SQL-window convention)."""
+    ranked = with_exact_partitioned_rank(
+        df, partition_by, score, tiebreaks, rank_col="_fi",
+        total_col="_fn", n_buckets=n_buckets, bucket_proxy=bucket_proxy)
+    B = F.greatest(F.lit(k_back + k_fwd + 1),
+                   F.ceil(F.col("_fn") / n_buckets)).cast("long")
+    base = ((F.col("_fi") - 1) / B).cast("long")
+    pos = (F.col("_fi") - 1) - base * B
+    main = (ranked.withColumn(bucket_col, base)
+            .withColumn(halo_col, F.lit(False)))
+    out = main
+    if k_back > 0:
+        out = out.unionByName(
+            ranked.filter(pos >= B - k_back)
+            .withColumn(bucket_col, base + 1)
+            .withColumn(halo_col, F.lit(True)))
+    if k_fwd > 0:
+        out = out.unionByName(
+            ranked.filter((pos < k_fwd) & (base > 0))
+            .withColumn(bucket_col, base - 1)
+            .withColumn(halo_col, F.lit(True)))
+    return out.drop("_fi", "_fn")

@@ -926,18 +926,28 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_heavy_hitters` (who).
 
     Rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
-    ranks — one count shuffle, then ranks/totals/final reduce all on
-    the same event_type layout. Tie-break (x, user_id) is pinned so
-    row_number ranks agree across engines.
+    ranks. Tie-break (x, user_id) is pinned so row_number ranks agree
+    across engines. r10: the per-type rank runs over USER-cardinality
+    rows (grows with the data, split across only a few event types),
+    so it rides the partitioned exact-rank primitive with the
+    dominant-tie subdivision (x is a small count — massively tied);
+    per-type totals arrive as a broadcast aggregate joined null-safely
+    (NULL event_type is a group, like the window it replaces).
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
     ev = load_table(spark, sf_dir, "events")
-    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
-    wp = Window.partitionBy("event_type")
-    r = c.select(
-        "event_type", "x",
-        F.row_number().over(wp.orderBy("x", "user_id")).alias("i"),
-        F.count("*").over(wp).alias("n"),
-        F.sum("x").over(wp).alias("tot"))
+    c = (ev.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+         .localCheckpoint(eager=True))  # two consumers: ranks + totals
+    ranked = with_exact_partitioned_rank(
+        c, ["event_type"], "x", ["user_id"], rank_col="i",
+        total_col="n", tie_proxy=F.col("user_id"))
+    tot = (c.groupBy("event_type").agg(F.sum("x").alias("tot"))
+           .withColumnRenamed("event_type", "_tot_et"))
+    r = (ranked.join(F.broadcast(tot),
+                     F.col("event_type").eqNullSafe(F.col("_tot_et")))
+         .drop("_tot_et"))
     return (r.groupBy("event_type", "n", "tot")
             .agg(rnd(2.0 * F.sum(F.col("i") * F.col("x"))
                      / (F.col("n") * F.col("tot"))

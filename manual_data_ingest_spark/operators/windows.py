@@ -356,25 +356,29 @@ def win_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of `agg_stats`: the same pass that computes group moments
     tags the individual violating rows for quarantine.
 
-    One shuffle: both analytic moments ride a single event_type window
-    (no ORDER BY → one unbounded frame, computed once per partition).
-    At 100 TB the window form beats the groupBy-then-rejoin form only
-    when the group count is huge; with few groups the broadcast-join
-    rewrite wins — both shapes exist in this repo (`agg_heavy_hitters`
-    uses the join form) precisely because that crossover is real.
-    Population stddev (not sample) matches `stddev_pop` across
-    engines; z rounded 6dp, selection on the unrounded value
-    identically in both.
+    r10 scale shape: per-type moments as a tiny aggregate BROADCAST-
+    JOINED back (null-safe — NULL event_type is a group, like the
+    window form it replaces). The r1 window form (unbounded frame per
+    type) put the whole stream through one task per type; the join
+    form is two narrow passes with NO wide shuffle at all — the
+    crossover its own docstring recorded, now taken. Population
+    stddev (not sample) matches `stddev_pop` across engines; z
+    rounded 6dp, selection on the unrounded value identically in
+    both.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    sd = F.stddev_pop("value").over(w)
+    mom = (ev.groupBy(F.col("event_type").alias("_m_et"))
+           .agg(F.avg("value").alias("_mu"),
+                F.stddev_pop("value").alias("_sd")))
     # a zero-variance group has no outliers by definition — and the
     # explicit sd > 0 guard keeps Spark's ANSI division from throwing
     # where DuckDB's x/0 quietly NULLs (tiny groups appear the moment
     # event_type carries adversarial values)
-    z = F.when(sd > 0, (F.col("value") - F.avg("value").over(w)) / sd)
-    return (ev.select("event_id", "event_type", z.alias("z"))
+    z = F.when(F.col("_sd") > 0,
+               (F.col("value") - F.col("_mu")) / F.col("_sd"))
+    return (ev.join(F.broadcast(mom),
+                    F.col("event_type").eqNullSafe(F.col("_m_et")))
+            .select("event_id", "event_type", z.alias("z"))
             .filter(F.abs(F.col("z")) >= 3.0)
             .select("event_id", "event_type",
                     rnd(F.col("z"), 6).alias("zscore")))
@@ -1539,16 +1543,28 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     `(a+b)/2` expression. Bit-exact by construction, same discipline
     as the rounding helpers (functions/rounding.py).
 
-    Scale: one event_type shuffle; the frame is ROWS-bounded (7), so
-    state per row is O(7) regardless of corpus size — collect_list
-    over a bounded frame is safe where an unbounded frame would OOM.
-    Rows with < 4 non-null points are suppressed (warm-up).
+    Scale: the frame is ROWS-bounded (7), so state per row is O(7) —
+    and since r10 the PARTITION is bounded too: the halo-block
+    primitive (functions/ranking.py, with_bounded_frame_buckets)
+    splits each event type's stream into contiguous rank blocks with
+    a 6-row halo, so the window runs one task per BLOCK instead of
+    one task per type over the whole corpus. Rows with < 4 non-null
+    points are suppressed (warm-up).
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_frame_buckets)
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+    aug = with_bounded_frame_buckets(
+        ev, ["event_type"], "ts", ["event_id"], k_back=6,
+        bucket_proxy=F.unix_micros(F.col("ts")))
+    w = (Window.partitionBy("event_type", "_fbkt")
+         .orderBy(F.asc_nulls_last("ts"), "event_id")
          .rowsBetween(-6, 0))
     arr = F.sort_array(F.collect_list("value").over(w))
-    return (ev.select("event_id", "event_type", arr.alias("arr"))
+    return (aug.select("event_id", "event_type", arr.alias("arr"),
+                       "_fhalo")
+            .filter(~F.col("_fhalo")).drop("_fhalo")
             .withColumn("n", F.size("arr"))
             .filter(F.col("n") >= 4)
             .select("event_id", "event_type",
@@ -1587,13 +1603,22 @@ def win_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     late`'s lateness bound SHOULD be read off this table, not guessed)
     and flags dying feeds before `ingest_freshness_slo` pages.
 
-    One event_type shuffle for the lag; the bucket edges are explicit
-    integer CASE arms (never log-scale math — the PARITY libm rule);
-    gaps in exact integer seconds via unix_micros // 1e6, both engines
-    flooring the same integer division.
+    The lag rides the r10 halo-block primitive (k_back=1: each block
+    carries its predecessor's last row, so lag(1) is exact per block
+    and the stream never funnels one task per type); the bucket edges
+    are explicit integer CASE arms (never log-scale math — the PARITY
+    libm rule); gaps in exact integer seconds via unix_micros // 1e6,
+    both engines flooring the same integer division.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_frame_buckets)
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = (with_bounded_frame_buckets(
+        ev, ["event_type"], "ts", ["event_id"], k_back=1,
+        bucket_proxy=F.unix_micros(F.col("ts"))))
+    w = (Window.partitionBy("event_type", "_fbkt")
+         .orderBy(F.asc_nulls_last("ts"), "event_id"))
     gap = ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
            / F.lit(1000000)).cast("long")
     bucket = (F.when(F.col("gap_s") < 60, "a_under_1m")
@@ -1601,7 +1626,9 @@ def win_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(F.col("gap_s") < 3600, "c_10m_1h")
               .when(F.col("gap_s") < 86400, "d_1h_1d")
               .otherwise("e_over_1d"))
-    return (ev.select("event_type", gap.alias("gap_s"))
+    # halo rows feed the lag above, then drop — AFTER the window
+    return (ev.select("event_type", gap.alias("gap_s"), "_fhalo")
+            .filter(~F.col("_fhalo"))
             .filter(F.col("gap_s").isNotNull())
             .select("event_type", bucket.alias("gap_bucket"), "gap_s")
             .groupBy("event_type", "gap_bucket")
@@ -1904,17 +1931,27 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     and masks the next one; the median absorbs it).
 
     Same bounded-frame discipline as `win_rolling_median` (O(14)
-    state/row), self-excluded frame (-14..-1), and the same explicit
-    (a+b)/2 middle-element form for BOTH medians on both engines —
-    the whole med/MAD/threshold chain is one shared IEEE sequence, so
-    the 5×MAD flag cannot flip between engines. One event_type
-    shuffle; flagged rows only.
+    state/row, and since r10 the same halo-block distribution — a
+    14-row halo, one task per block instead of one per type),
+    self-excluded frame (-14..-1), and the same explicit (a+b)/2
+    middle-element form for BOTH medians on both engines — the whole
+    med/MAD/threshold chain is one shared IEEE sequence, so the
+    5×MAD flag cannot flip between engines. Flagged rows only.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_frame_buckets)
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+    aug = with_bounded_frame_buckets(
+        ev, ["event_type"], "ts", ["event_id"], k_back=14,
+        bucket_proxy=F.unix_micros(F.col("ts")))
+    w = (Window.partitionBy("event_type", "_fbkt")
+         .orderBy(F.asc_nulls_last("ts"), "event_id")
          .rowsBetween(-14, -1))
     arr = F.sort_array(F.collect_list("value").over(w))
-    m = (ev.select("event_id", "event_type", "value", arr.alias("arr"))
+    m = (aug.select("event_id", "event_type", "value", arr.alias("arr"),
+                    "_fhalo")
+         .filter(~F.col("_fhalo")).drop("_fhalo")
          .filter(F.size("arr") >= 10))
     # F.get (0-based) instead of element_at: Catalyst fuses the mad>0
     # conjunct into one predicate with the size guard, and conjunct
@@ -2022,16 +2059,27 @@ def win_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines aggregate exactly and divide once. Zero-length
     intervals (equal timestamps) are excluded on both sides.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_frame_buckets)
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type",
+    # r10: the lead rides the halo-block primitive (k_fwd=1 — each
+    # block carries its successor's first row, so lead(1) is exact per
+    # block and no event type funnels through one window task)
+    ev = with_bounded_frame_buckets(
+        ev, ["event_type"], "ts", ["event_id"], k_fwd=1,
+        bucket_proxy=F.unix_micros(F.col("ts")))
+    w = (Window.partitionBy("event_type", "_fbkt")
+         .orderBy(F.asc_nulls_last("ts"), "event_id"))
+    seq = (ev.select(
+        "event_type", "_fhalo",
         epoch_day(F.col("ts")).alias("day"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
         .alias("cents"),
         (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
         .alias("dt_us"))
+        .filter(~F.col("_fhalo")))
     dec = "decimal(38,0)"
     return (seq.filter(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0))
             .groupBy("event_type", "day")

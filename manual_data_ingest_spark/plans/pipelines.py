@@ -160,19 +160,28 @@ def pipeline_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A doc spans tokens [cum - n_tok, cum); it straddles iff its first
     and last token land in different 512-blocks. This is the packing
-    bookkeeping a dataloader needs BEFORE writing shards — computed
-    here with one shuffle: the running sum partitions by source, and
-    the final groupBy reuses that exchange (key is the window key).
-    At 100 TB each shard packs independently — no global order, no
-    driver state, straggler-free.
+    bookkeeping a dataloader needs BEFORE writing shards. r10: the
+    per-source running sum rides the PARTITIONED distributed
+    running-sum primitive (functions/ranking.py) — a handful of
+    sources over an entity-scale corpus must not funnel each source's
+    whole stream through one window task; sub-bucketed by doc_id
+    quantiles, every source packs in parallel AND distributed.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_sum)
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source", "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = toks.withColumn("cum", F.sum("n_tok").over(w))
+    # r10: the per-source cumulative token count runs through the
+    # PARTITIONED distributed running-sum primitive — a handful of
+    # sources over an entity-scale corpus would otherwise funnel each
+    # source's whole stream through one window task (the class the
+    # r9-r10 rank work eliminated at the global level)
+    packed = with_exact_running_sum(toks, "n_tok", "doc_id", [],
+                                    out_col="cum",
+                                    partition_by=["source"])
     straddle = (F.floor((F.col("cum") - F.col("n_tok")) / 512)
                 != F.floor((F.col("cum") - 1) / 512))
     n_seq = F.ceil(F.sum("n_tok") / 512.0)
@@ -267,13 +276,22 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("n_stop", F.expr(_STOP_SPARK)))
     gated = clean.filter((F.col("n_tokens") >= 40) & (F.col("n_stop") >= 2))
 
-    lang_w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")))
-    sampled = (gated
-               .withColumn("rn", F.row_number().over(lang_w))
-               .withColumn("n_lang",
-                           F.count("*").over(Window.partitionBy("lang")))
-               .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2)))
+    # r10: the 20% proportional per-lang sample is a FULL ranking (the
+    # cut is a fraction of the partition, so no group-limit pushdown
+    # applies) — ride the partitioned rank primitive instead of one
+    # window task per lang; buckets come from the md5 hex prefix
+    # (monotone in the string order), the exact sort stays on the full
+    # digest, and n_lang arrives from the same per-bucket counts
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
+    ordered = gated.withColumn("_ord", F.md5(F.col("doc_id").cast("string")))
+    sampled = (with_exact_partitioned_rank(
+        ordered, ["lang"], "_ord", ["doc_id"], rank_col="rn",
+        total_col="n_lang",
+        bucket_proxy=F.expr(
+            "cast(conv(substring(_ord, 1, 15), 16, 10) as bigint)"))
+        .filter(F.col("rn") <= F.ceil(F.col("n_lang") * 0.2)))
     return (sampled.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
@@ -954,26 +972,33 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is unchanged — which is the point: pair minting is a
     WINDOW SPEC, not bespoke code.
 
-    Both rank directions and the stratum-size guard (≥10 docs, so
-    chosen and rejected can't overlap meaningfully) ride ONE lang
-    shuffle; the rank-matched join is 3 rows per lang per side.
     Deterministic under re-runs: (score, doc_id) total order, no
-    sampling.
+    sampling. r10 scale restructure: the r5 form computed BOTH rank
+    directions plus the partition count as three window columns over
+    one select — elegant, but three window specs defeat Spark's
+    group-limit pushdown, so each lang's WHOLE population rode one
+    window task. Split form: each direction is a lone
+    row_number ≤ 3 filter (InferWindowGroupLimit prunes to 3 rows per
+    input partition BEFORE the lang shuffle) and the ≥10-docs stratum
+    guard arrives as a broadcast per-lang aggregate — the window
+    tasks now carry O(partitions × 3) rows at any scale.
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
+    scored = d.select("doc_id", "lang", "n_chars")
+    counts = (scored.groupBy("lang").agg(F.count("*").alias("n_lang"))
+              .filter(F.col("n_lang") >= 10).drop("n_lang"))
     wt = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
     wb = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), "doc_id")
-    wn = Window.partitionBy("lang")
-    scored = (d.select("doc_id", "lang", "n_chars")
-              .withColumn("rk_top", F.row_number().over(wt))
-              .withColumn("rk_bot", F.row_number().over(wb))
-              .withColumn("n_lang", F.count("*").over(wn)))
-    t = (scored.filter((F.col("rk_top") <= 3) & (F.col("n_lang") >= 10))
+    t = (scored.withColumn("rk_top", F.row_number().over(wt))
+         .filter(F.col("rk_top") <= 3)
+         .join(F.broadcast(counts), "lang")
          .select("lang", F.col("doc_id").alias("chosen_id"),
                  F.col("n_chars").alias("chosen_chars"),
                  F.col("rk_top").alias("pair_rank")))
-    b = (scored.filter((F.col("rk_bot") <= 3) & (F.col("n_lang") >= 10))
+    b = (scored.withColumn("rk_bot", F.row_number().over(wb))
+         .filter(F.col("rk_bot") <= 3)
+         .join(F.broadcast(counts), "lang")
          .select("lang", F.col("doc_id").alias("rejected_id"),
                  F.col("n_chars").alias("rejected_chars"),
                  F.col("rk_bot").alias("pair_rank")))
@@ -1281,9 +1306,17 @@ def pipeline_token_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "doc_id",
                     F.size(F.split("text", " ")).cast("long")
                     .alias("n_tok")))
-    w = Window.partitionBy("source").orderBy(F.col("n_tok").desc(),
-                                             "doc_id")
-    r = F.row_number().over(w) - 1
+    # r10: full per-source serpentine rank through the partitioned rank
+    # primitive (the docstring's promised "bucketed ranks" swap, now an
+    # owned primitive); n_tok is LOW-CARDINALITY so the dominant-tie
+    # subdivision rides the doc_id tie-break
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
+    toks = with_exact_partitioned_rank(
+        toks, ["source"], "n_tok", ["doc_id"], descending=True,
+        rank_col="_rnk", tie_proxy=F.col("doc_id"))
+    r = F.col("_rnk") - 1
     shard = F.when((r.cast("long") / 8).cast("long") % 2 == 0, r % 8) \
              .otherwise(7 - (r % 8))
     return (toks.withColumn("shard", shard.cast("long"))

@@ -131,7 +131,10 @@ _REGRADE_PRIORITY: tuple[str, ...] = (
     # r10 tight-JSON grammar consumers
     "json_extract", "json_schema_parse", "variant_funcs",
     # r10 plan rewrites
-    "provenance_chain",
+    "provenance_chain", "pipeline_seq_pack", "pipeline_training_mix",
+    "pipeline_token_shard", "pipeline_preference_pairs", "agg_gini",
+    "win_zscore_outliers", "win_rolling_median", "win_rolling_mad",
+    "win_gap_distribution", "win_twap",
 )
 
 

@@ -1424,3 +1424,78 @@ def test_r10_entity_window_rewrites_audit_clean(spark, name):
             plan[:3000]
     else:
         assert re.search(r"hashpartitioning\(_bkt", plan), plan[:3000]
+
+
+def test_plan_audit_rules_on_synthetic_plans():
+    """Unit-pin the audit_plan classifier (pure function over formatted
+    plan text): the r10 entity-agg rule fires only when a
+    SinglePartition's exempting aggregate is keyed on an entity column,
+    and a global limit is bounded regardless of what sits below it."""
+    from tools.plan_audit import audit_plan
+
+    def plan(child, detail=""):
+        return (
+            "== Physical Plan ==\n"
+            "Window (3)\n"
+            f"+- Exchange (2)\n"
+            f"   +- {child}\n"
+            "\n"
+            "(2) Exchange\n"
+            "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+            + detail)
+
+    # dim-keyed aggregate under the exchange: exempt
+    assert audit_plan(plan(
+        "HashAggregate (1)",
+        "\n(1) HashAggregate [codegen id : 1]\n"
+        "Input [2]: [segment#1, n#2]\n"
+        "Keys [1]: [segment#1]\n")) == set()
+    # entity-keyed aggregate: flagged by the r10 rule
+    assert audit_plan(plan(
+        "HashAggregate (1)",
+        "\n(1) HashAggregate [codegen id : 1]\n"
+        "Input [2]: [o_custkey#1, cents#2]\n"
+        "Keys [1]: [o_custkey#1]\n")) == {"single_partition_entity_agg"}
+    # raw value measure counts as entity-scale too
+    assert audit_plan(plan(
+        "HashAggregate (1)",
+        "\n(1) HashAggregate [codegen id : 1]\n"
+        "Keys [1]: [knownfloatingpointnormalized(normalizenanandzero("
+        "value#9))]\n")) == {"single_partition_entity_agg"}
+    # global limit below the gather: bounded, never flagged
+    assert audit_plan(plan("TakeOrderedAndProject (1)")) == set()
+    # raw data below the gather: flagged as before
+    assert audit_plan(plan("Scan parquet (1)")) == {"single_partition_raw"}
+
+
+@pytest.mark.parametrize("name,probe", [
+    ("pipeline_seq_pack", r"hashpartitioning\(source\S*, _bkt"),
+    ("pipeline_training_mix", r"hashpartitioning\(lang\S*, _bkt"),
+    ("pipeline_token_shard", r"hashpartitioning\(source\S*, _bkt"),
+    ("pipeline_preference_pairs", r"WindowGroupLimit"),
+    ("agg_gini", r"hashpartitioning\(event_type\S*, _bkt"),
+    # join-form moments: no Window node over the event stream at all
+    ("win_zscore_outliers", r"BroadcastHashJoin"),
+    # rolling family rides the halo blocks: the FRAME window keys on
+    # (event_type, _fbkt), one task per block not per type
+    ("win_rolling_median", r"hashpartitioning\(event_type\S*, _fbkt"),
+    ("win_rolling_mad", r"hashpartitioning\(event_type\S*, _fbkt"),
+    ("win_gap_distribution", r"hashpartitioning\(event_type\S*, _fbkt"),
+    ("win_twap", r"hashpartitioning\(event_type\S*, _fbkt"),
+])
+def test_r10_pipeline_window_rewrites_scale_shape(spark, name, probe):
+    """The bounded-partition window class (r10): a handful of
+    source/lang partitions over an entity-scale corpus must not ride
+    one window task per partition. seq_pack/training_mix/token_shard
+    ride the partitioned rank/running-sum primitives (per-(partition,
+    bucket) windows); preference_pairs' fixed top-3 filters must keep
+    the group-limit pushdown (partial limits BEFORE the lang shuffle).
+    All four must also pass the fleet audit rules."""
+    from tools.plan_audit import audit_plan
+
+    plan = _plan(spark, name)
+    assert re.search(probe, plan), plan[:3000]
+    assert audit_plan(plan) == set(), plan[:3000]
+    if name == "pipeline_preference_pairs":
+        # partial group-limits on both directions, pre- and post-shuffle
+        assert plan.count("WindowGroupLimit (") >= 4, plan[:3000]

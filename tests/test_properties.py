@@ -488,3 +488,46 @@ def test_rank_tie_subdivision_spreads_buckets(spark):
               b.groupBy("_bkt").agg(F.count("*").alias("n")).collect()]
     assert len(counts) >= 4, counts
     assert max(counts) < 2000 * 0.5, counts
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(), st.integers(0, 2)),
+    st.one_of(st.none(),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_subnormal=False)),
+    st.integers(-100, 100),
+    st.integers(0, 10**6)), min_size=1, max_size=50),
+    kb=st.sampled_from([0, 1, 3, 14]), kf=st.sampled_from([0, 1, 2]))
+def test_bounded_frame_buckets_equal_serial_window(spark, rows, kb, kf):
+    """with_bounded_frame_buckets (r10): a rowsBetween(-k_back, k_fwd)
+    window over the halo-augmented blocks must equal the serial
+    per-partition window for every non-halo row — any partition/score
+    multiset (NULL keys, NULL scores, duplicate scores), any frame
+    combo, blocks forced small (n_buckets=4) so frames cross block
+    edges on nearly every draw."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_frame_buckets)
+
+    if kb == 0 and kf == 0:
+        kb = 1
+    uniq = {}
+    for p, s, v, i in rows:
+        uniq.setdefault(i, (p, s, v))
+    df = spark.createDataFrame(
+        [(p, s, v, i) for i, (p, s, v) in uniq.items()],
+        "pkey int, score double, val int, id long")
+    order = [F.asc_nulls_last("score"), F.asc("id")]
+    aug = with_bounded_frame_buckets(df, ["pkey"], "score", ["id"],
+                                     k_back=kb, k_fwd=kf, n_buckets=4)
+    wb = (Window.partitionBy("pkey", "_fbkt").orderBy(*order)
+          .rowsBetween(-kb, kf))
+    got = {r.id: (r.s, r.n) for r in
+           aug.withColumn("s", F.sum("val").over(wb))
+           .withColumn("n", F.count("*").over(wb))
+           .filter(~F.col("_fhalo")).collect()}
+    ws = Window.partitionBy("pkey").orderBy(*order).rowsBetween(-kb, kf)
+    want = {r.id: (r.s, r.n) for r in
+            df.withColumn("s", F.sum("val").over(ws))
+            .withColumn("n", F.count("*").over(ws)).collect()}
+    assert got == want

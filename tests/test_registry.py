@@ -194,6 +194,11 @@ def test_driver_materialization_whitelist():
         # + excel CSV-contract fallback (curator-sheet scale, tens of
         # rows) + schema-evolution event-type dim + DPP year dim (<=7)
         "sources/scans.py",
+        # rank-primitive cut collection (r9 advice): <=63 quantile
+        # doubles (+ per-dominant-value tie sub-cuts, <= n_buckets
+        # rows) collected once per rank pass and embedded as literals
+        # so every plan branch buckets identically by construction
+        "functions/ranking.py",
     }
     offending = {f for f, _ in hits} - whitelist
     assert not offending, (
