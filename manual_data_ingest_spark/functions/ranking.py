@@ -381,3 +381,51 @@ def with_bounded_frame_buckets(df: DataFrame, partition_by: list[str],
             .withColumn(bucket_col, base - 1)
             .withColumn(halo_col, F.lit(True)))
     return out.drop("_fi", "_fn")
+
+
+def with_exact_running_max(df: DataFrame, value: str, score: str,
+                           tiebreaks: list[str],
+                           n_buckets: int = 64,
+                           out_col: str = "running_max",
+                           partition_by: list[str] | None = None,
+                           inclusive: bool = True) -> DataFrame:
+    """Return ``df`` + the exact running MAX of ``value`` in
+    ``(score, *tiebreaks)`` ascending order — the running-sum skeleton
+    with max-combining offsets (max is associative, so per-bucket
+    maxes prefix-combine exactly like sums; no float caveat — max
+    never reassociates a result into existence). ``inclusive=False``
+    gives the strict-prefix frame ``(UNBOUNDED PRECEDING, -1)`` — the
+    high-watermark shape (`ingest_late_data_report`): NULL when no
+    prior row exists, on both engines. Works for any orderable type
+    (timestamps included). ``partition_by`` as in
+    :func:`with_exact_running_sum`."""
+    parts = list(partition_by or [])
+    work = df.withColumn("_rk_score", F.col(score).cast("double"))
+    bucketed, _ = _bucketize(work, n_buckets)
+
+    sums = bucketed.groupBy(*parts, "_bkt").agg(
+        F.max(value).alias("_m"))
+    w_off = (Window.partitionBy(*parts).orderBy("_bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = sums.select(
+        *[F.col(p).alias(f"_off_{p}") for p in parts],
+        F.col("_bkt").alias("_off_bkt"),
+        F.max("_m").over(w_off).alias("_offm"))
+
+    end = Window.currentRow if inclusive else -1
+    w_local = (Window.partitionBy(*parts, "_bkt")
+               .orderBy(F.asc_nulls_last(score),
+                        *[F.asc(t) for t in tiebreaks])
+               .rowsBetween(Window.unboundedPreceding, end))
+    cond = F.col("_bkt") == F.col("_off_bkt")
+    for p in parts:
+        cond = cond & F.col(p).eqNullSafe(F.col(f"_off_{p}"))
+    # greatest() skips NULLs (empty prefix on either side), so the
+    # combined prefix max is NULL only when BOTH sides are empty —
+    # exactly the serial strict-prefix semantics
+    return (bucketed.join(F.broadcast(offsets), cond)
+            .withColumn(out_col,
+                        F.greatest(F.col("_offm"),
+                                   F.max(value).over(w_local)))
+            .drop("_rk_score", "_bkt", "_off_bkt", "_offm",
+                  *[f"_off_{p}" for p in parts]))

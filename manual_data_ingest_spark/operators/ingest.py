@@ -1260,22 +1260,28 @@ def ingest_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes `stream_watermark_late`'s watermark delay instead of guessing
     it.
 
-    One (event_type)-partitioned window over arrival order computes the
-    preceding high-watermark; lateness is its event-time shortfall.
-    Everything after is a partial agg. At 100 TB arrival order is the
-    ingestion log offset, the window is per-source-partition streaming
-    state (exactly what Structured Streaming's watermark tracker keeps),
-    and the report aggregates shard-local profiles.
+    The preceding high-watermark is a strict-prefix running MAX per
+    source — since r10 it rides the distributed running-max primitive
+    (functions/ranking.py: max-combining bucket offsets), so a handful
+    of sources over an entity-scale stream never funnels one window
+    task per source; lateness is the event-time shortfall and
+    everything after is a partial agg. At 100 TB arrival order is the
+    ingestion log offset and the same prefix-max state is what
+    Structured Streaming's watermark tracker keeps per shard.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_max)
+
     ev = load_table(spark, sf_dir, "events")
-    w = (Window.partitionBy("event_type").orderBy("event_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    hwm = F.max("ts").over(w)
+    hw = with_exact_running_max(
+        ev.filter(F.col("event_type").isNotNull()),
+        "ts", "event_id", [], out_col="_hwm",
+        partition_by=["event_type"], inclusive=False)
+    hwm = F.col("_hwm")
     late_us = F.when(hwm > F.col("ts"),
                      F.unix_micros(hwm) - F.unix_micros("ts")).otherwise(0)
     late_s = late_us / 1_000_000.0
-    return (ev.filter(F.col("event_type").isNotNull())
-            .select("event_type", late_s.alias("lateness_s"))
+    return (hw.select("event_type", late_s.alias("lateness_s"))
             .groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.count(F.when(F.col("lateness_s") > 0, 1)).alias("n_late"),

@@ -112,14 +112,23 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     share it. Rare-language upsampling at 100 TB is this same shape
     with a per-stratum fraction joined in from a tiny broadcast table.
     """
+    # r10 (bounded-partition window class): the 20% cut is a fraction
+    # of the stratum, so no group-limit pushdown applies — the rank
+    # rides the partitioned rank primitive (md5 hex-prefix bigint as
+    # the bucket proxy; exact sort on the full digest) and the stratum
+    # count comes from the same pass's per-bucket counts
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
     d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
-    return (d.select("doc_id", "lang",
-                     F.row_number().over(w).alias("rn"),
-                     F.count("*").over(Window.partitionBy("lang")).alias("n"))
-            .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
-            .select("doc_id", "lang"))
+    ordered = d.withColumn("_ord", F.md5(F.col("doc_id").cast("string")))
+    return (with_exact_partitioned_rank(
+        ordered, ["lang"], "_ord", ["doc_id"], rank_col="rn",
+        total_col="n",
+        bucket_proxy=F.expr(
+            "cast(conv(substring(_ord, 1, 15), 16, 10) as bigint)"))
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2))
+        .select("doc_id", "lang"))
 
 
 @register("sample_temperature_mix", """
@@ -365,14 +374,22 @@ def sample_balanced_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsampling the minority instead is this plan with the rank
     replaced by a modular replication index.
     """
+    # r10 (bounded-partition window class): the cut is the min class
+    # count — a scalar, not a literal, so no group-limit pushdown —
+    # ride the partitioned rank primitive (md5 hex-prefix proxy)
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("label").isNotNull())
-    w = Window.partitionBy("label").orderBy(
-        F.md5(F.col("vec_id").cast("string")))
+    ordered = e.withColumn("_ord", F.md5(F.col("vec_id").cast("string")))
+    ranked = with_exact_partitioned_rank(
+        ordered, ["label"], "_ord", ["vec_id"], rank_col="rn",
+        bucket_proxy=F.expr(
+            "cast(conv(substring(_ord, 1, 15), 16, 10) as bigint)"))
     k = (e.groupBy("label").agg(F.count("*").alias("c"))
          .agg(F.min("c").alias("k")))
-    return (e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
-            .join(F.broadcast(k), F.col("rn") <= F.col("k"))
+    return (ranked.join(F.broadcast(k), F.col("rn") <= F.col("k"))
             .select("vec_id", "label"))
 
 

@@ -134,13 +134,32 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # last_value needs the explicit full frame — the default frame ends at
     # CURRENT ROW, a classic silent-wrong-answer trap on both engines.
+    # r10: 25 nations over entity-scale customers is the bounded-
+    # partition window class — ntile rides the partitioned rank
+    # primitive (+ the SQL tile rule), and first/last ARE the rank
+    # endpoints (_rk == 1 / _rk == n), derived per nation and
+    # broadcast back (null-safe: a NULL nation is a group). The rank's
+    # NULLS LAST order also matches the oracle exactly, where the old
+    # Spark window defaulted nulls FIRST on c_acctbal.
+    from manual_data_ingest_spark.functions.ranking import (
+        ntile_from_rank, with_exact_partitioned_rank)
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return c.select("c_custkey", "c_nationkey",
-                    F.ntile(4).over(w).alias("bal_quartile"),
-                    F.first("c_custkey").over(wf).alias("poorest"),
-                    F.last("c_custkey").over(wf).alias("richest"))
+    ranked = with_exact_partitioned_rank(
+        c, ["c_nationkey"], "c_acctbal", ["c_custkey"],
+        rank_col="_rk", total_col="_n")
+    ends = (ranked.filter((F.col("_rk") == 1) | (F.col("_rk") == F.col("_n")))
+            .groupBy(F.col("c_nationkey").alias("_e_nk"))
+            .agg(F.min(F.when(F.col("_rk") == 1, F.col("c_custkey")))
+                 .alias("poorest"),
+                 F.min(F.when(F.col("_rk") == F.col("_n"),
+                              F.col("c_custkey"))).alias("richest")))
+    return (ranked.join(F.broadcast(ends),
+                        F.col("c_nationkey").eqNullSafe(F.col("_e_nk")))
+            .select("c_custkey", "c_nationkey",
+                    ntile_from_rank(F.col("_rk"), F.col("_n"), 4)
+                    .alias("bal_quartile"),
+                    "poorest", "richest"))
 
 
 @register("win_dist_ranks", f"""
@@ -153,13 +172,34 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
 def win_dist_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative-position windows: percent_rank and cume_dist depend only
     # on peer groups (ties share values), so they are deterministic
-    # without a unique tie-break — unlike row_number (§2.5 discipline)
+    # without a unique tie-break — unlike row_number (§2.5 discipline).
+    # r10 (bounded-partition window class): both are PURE RANK
+    # ARITHMETIC — percent_rank = (peer_first−1)/(n−1) (0 when n=1,
+    # the SQL rule) and cume_dist = peer_last/n — so one partitioned-
+    # rank pass + a per-(nation, balance) peer-endpoint aggregate
+    # joined back (co-keyed shuffle join, null-safe: NULL balances are
+    # one peer group on both engines) replaces the per-nation serial
+    # windows.
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
-    return c.select(
-        "c_custkey", "c_nationkey",
-        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
-        rnd(F.cume_dist().over(w), 6).alias("cume"))
+    ranked = with_exact_partitioned_rank(
+        c, ["c_nationkey"], "c_acctbal", ["c_custkey"],
+        rank_col="_rn", total_col="_n")
+    peers = (ranked.groupBy(F.col("c_nationkey").alias("_p_nk"),
+                            F.col("c_acctbal").alias("_p_bal"))
+             .agg(F.min("_rn").alias("_r1"), F.max("_rn").alias("_r2")))
+    pct = F.when(F.col("_n") > 1,
+                 (F.col("_r1") - 1).cast("double") / (F.col("_n") - 1)) \
+           .otherwise(F.lit(0.0))
+    return (ranked.join(peers,
+                        F.col("c_nationkey").eqNullSafe(F.col("_p_nk"))
+                        & F.col("c_acctbal").eqNullSafe(F.col("_p_bal")))
+            .select("c_custkey", "c_nationkey",
+                    rnd(pct, 6).alias("pct_rank"),
+                    rnd(F.col("_r2").cast("double") / F.col("_n"), 6)
+                    .alias("cume")))
 
 
 @register("win_conditional", """

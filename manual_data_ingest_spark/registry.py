@@ -134,7 +134,9 @@ _REGRADE_PRIORITY: tuple[str, ...] = (
     "provenance_chain", "pipeline_seq_pack", "pipeline_training_mix",
     "pipeline_token_shard", "pipeline_preference_pairs", "agg_gini",
     "win_zscore_outliers", "win_rolling_median", "win_rolling_mad",
-    "win_gap_distribution", "win_twap",
+    "win_gap_distribution", "win_twap", "win_ntile_firstlast",
+    "win_dist_ranks", "sample_stratified", "sample_balanced_label",
+    "ingest_late_data_report",
 )
 
 

@@ -1482,6 +1482,12 @@ def test_plan_audit_rules_on_synthetic_plans():
     ("win_rolling_mad", r"hashpartitioning\(event_type\S*, _fbkt"),
     ("win_gap_distribution", r"hashpartitioning\(event_type\S*, _fbkt"),
     ("win_twap", r"hashpartitioning\(event_type\S*, _fbkt"),
+    ("win_ntile_firstlast", r"hashpartitioning\(c_nationkey\S*, _bkt"),
+    ("win_dist_ranks", r"hashpartitioning\(c_nationkey\S*, _bkt"),
+    ("sample_stratified", r"hashpartitioning\(lang\S*, _bkt"),
+    ("sample_balanced_label", r"hashpartitioning\(label\S*, _bkt"),
+    ("ingest_late_data_report",
+     r"hashpartitioning\(event_type\S*, _bkt"),
 ])
 def test_r10_pipeline_window_rewrites_scale_shape(spark, name, probe):
     """The bounded-partition window class (r10): a handful of

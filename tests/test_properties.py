@@ -531,3 +531,41 @@ def test_bounded_frame_buckets_equal_serial_window(spark, rows, kb, kf):
             df.withColumn("s", F.sum("val").over(ws))
             .withColumn("n", F.count("*").over(ws)).collect()}
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(), st.integers(0, 2)),
+    st.one_of(st.none(),
+              st.floats(min_value=-1e6, max_value=1e6,
+                        allow_nan=False, allow_subnormal=False)),
+    st.one_of(st.none(), st.integers(-100, 100)),
+    st.integers(0, 10**6)), min_size=1, max_size=40),
+    inclusive=st.booleans())
+def test_distributed_running_max_equals_serial_window(spark, rows,
+                                                      inclusive):
+    """with_exact_running_max must equal the serial prefix-max window
+    (inclusive and strict-prefix / high-watermark frames) on any
+    (partition, value, score) multiset — NULL keys, NULL scores, NULL
+    values, duplicates."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_max)
+
+    uniq = {}
+    for p, s, v, i in rows:
+        uniq.setdefault(i, (p, s, v))
+    df = spark.createDataFrame(
+        [(p, s, v, i) for i, (p, s, v) in uniq.items()],
+        "pkey int, score double, val int, id long")
+    got = {r.id: r.rm for r in
+           with_exact_running_max(df, "val", "score", ["id"],
+                                  n_buckets=4, out_col="rm",
+                                  partition_by=["pkey"],
+                                  inclusive=inclusive).collect()}
+    end = Window.currentRow if inclusive else -1
+    w = (Window.partitionBy("pkey")
+         .orderBy(F.asc_nulls_last("score"), F.asc("id"))
+         .rowsBetween(Window.unboundedPreceding, end))
+    want = {r.id: r.rm for r in
+            df.select("id", F.max("val").over(w).alias("rm")).collect()}
+    assert got == want
