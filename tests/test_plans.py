@@ -241,11 +241,15 @@ def test_decontaminate_broadcasts_eval_ngrams(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_seq_pack_single_shuffle(spark):
-    """pipeline_seq_pack: the running-sum window and the final groupBy
-    share the `source` exchange — one shuffle end-to-end."""
+def test_seq_pack_distributed_running_sum(spark):
+    """pipeline_seq_pack (r10): the per-source running sum rides the
+    partitioned running-sum primitive — the cum window keys on
+    (source, _bkt) so no source's whole stream sits in one task, and
+    the broadcast offsets join feeds it (the r1 single-shuffle form
+    was one exchange but also one TASK per source at scale)."""
     plan = _plan(spark, "pipeline_seq_pack")
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert re.search(r"hashpartitioning\(source\S*, _bkt", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_interval_overlap_is_equi_join(spark):
