@@ -51,6 +51,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Materialization strategies for the rank-pass input (r10 verdict
+#: task 2 — the eager localCheckpoint under ~20 operators is fast but
+#: NOT fault-tolerant: truncated lineage is unrecoverable on executor
+#: loss). Session conf ``spark.mdis.rank.materialize`` picks one:
+#: - ``localCheckpoint`` (default): executor-local blocks, lineage
+#:   truncated. Fastest (r11 A/B at 1×/16×, BASELINE.md) — right for
+#:   single-tenant batch jobs where a lost executor fails the stage
+#:   anyway and the retry re-runs the whole operator.
+#: - ``persist``: ``persist(DISK_ONLY)`` + a count() to populate.
+#:   KEEPS LINEAGE — executor loss recomputes the lost blocks from
+#:   source. Equal at 1×; at 16× it matches on single-pass ops but
+#:   pays ~40% on CHAINED rank passes (agg_rfm_segments 5.1 → 7.3 s:
+#:   three persisted relations accumulate until the ContextCleaner
+#:   catches up). The production choice for long-running clusters
+#:   with preemptible executors.
+#: - ``checkpoint``: reliable ``checkpoint()`` to the SparkContext
+#:   checkpoint dir (set lazily under the warehouse dir) — survives
+#:   executor loss without recompute; pays a full write+reread of the
+#:   relation to checkpoint storage (~5-12% at 16×).
+#: - ``none``: no materialization — the plan is re-evaluated per
+#:   branch (cuts action + counts branch + main branch ≈ 3 source
+#:   scans). Only sensible when the input is itself a cached view.
+_MATERIALIZE_CONF = "spark.mdis.rank.materialize"
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Apply the configured rank-input materialization strategy."""
+    mode = (df.sparkSession.conf.get(_MATERIALIZE_CONF, None)
+            or "localCheckpoint")
+    if mode == "none":
+        return df
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()  # populate now: all three branches read blocks
+        return out
+    if mode == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import os
+            import tempfile
+
+            wh = df.sparkSession.conf.get(
+                "spark.sql.warehouse.dir", "").removeprefix("file:")
+            base = wh if wh and os.path.isdir(wh) else tempfile.gettempdir()
+            sc.setCheckpointDir(os.path.join(base, "_mdis_checkpoints"))
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
 
 def _bucketize(work: DataFrame, n_buckets: int,
                tie: str | None = None) -> tuple[DataFrame, int]:
@@ -74,8 +124,17 @@ def _bucketize(work: DataFrame, n_buckets: int,
     score range (bucket = #cuts < x puts x == cut in the bucket the
     cut closes), so every other score in the bucket precedes it and
     sub-buckets ascend in tie. NULL ties get sub-bucket 0, matching
-    the local windows' ``F.asc`` (nulls-first) tiebreak order."""
-    work = work.localCheckpoint(eager=True)
+    the local windows' ``F.asc`` (nulls-first) tiebreak order.
+
+    Driver round-trips (r10 advice, documented cost): ONE blocking
+    action for the quantile cuts, plus — ONLY when ``tie`` is set AND
+    a dominant tied value is detected — a second for its tie sub-cuts
+    (the dominant values aren't known until the first probe returns,
+    so the two actions can't fold into one agg). Chained rank passes
+    (e.g. `agg_rfm_segments`' three scores) therefore pay up to two
+    actions + one materialization EACH — fixed driver latency,
+    independent of data size."""
+    work = _materialize(work)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     aggs = [F.percentile_approx(
         "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts")]
@@ -306,16 +365,20 @@ def with_exact_running_sum(df: DataFrame, value: str | list[str],
     work = df.withColumn("_rk_score", F.col(score).cast("double"))
     bucketed, _ = _bucketize(work, n_buckets)
 
+    # per-bucket sums stay NULL for an all-NULL bucket (SQL sum skips
+    # NULLs), so the prefix-combined offset is NULL exactly when NO
+    # prior bucket contributed a non-null value — the carried-forward
+    # information the r10 advice found missing: a row whose local
+    # prefix is all-NULL must still see earlier buckets' sum.
     sums = bucketed.groupBy(*parts, "_bkt").agg(
-        *[F.coalesce(F.sum(v), F.lit(0)).alias(f"_s{i}")
-          for i, v in enumerate(values)])
+        *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(values)])
     w_off = (Window.partitionBy(*parts).orderBy("_bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = sums.select(
         *[F.col(p).alias(f"_off_{p}") for p in parts],
         F.col("_bkt").alias("_off_bkt"),
-        *[F.coalesce(F.sum(f"_s{i}").over(w_off), F.lit(0))
-          .alias(f"_off{i}") for i in range(len(values))])
+        *[F.sum(f"_s{i}").over(w_off).alias(f"_off{i}")
+          for i in range(len(values))])
 
     w_local = (Window.partitionBy(*parts, "_bkt")
                .orderBy(F.asc_nulls_last(score),
@@ -326,7 +389,17 @@ def with_exact_running_sum(df: DataFrame, value: str | list[str],
         cond = cond & F.col(p).eqNullSafe(F.col(f"_off_{p}"))
     out = bucketed.join(F.broadcast(offsets), cond)
     for i, (v, o) in enumerate(zip(values, outs)):
-        out = out.withColumn(o, F.col(f"_off{i}") + F.sum(v).over(w_local))
+        # serial inclusive running-sum semantics over NULLs: NULL only
+        # when the ENTIRE global prefix is NULL-valued (both the
+        # offset and the local prefix empty of non-nulls); otherwise
+        # each side contributes what it has (the when-branch reuses
+        # the NULL local sum so the output type matches sum(v)).
+        loc = F.sum(v).over(w_local)
+        off = F.col(f"_off{i}")
+        out = out.withColumn(
+            o, F.when(off.isNull() & loc.isNull(), loc)
+                .otherwise(F.coalesce(off, F.lit(0))
+                           + F.coalesce(loc, F.lit(0))))
     return out.drop("_rk_score", "_bkt", "_off_bkt",
                     *[f"_off_{p}" for p in parts],
                     *[f"_off{i}" for i in range(len(values))])
@@ -381,6 +454,89 @@ def with_bounded_frame_buckets(df: DataFrame, partition_by: list[str],
             .withColumn(bucket_col, base - 1)
             .withColumn(halo_col, F.lit(True)))
     return out.drop("_fi", "_fn")
+
+
+def with_bounded_range_frame(df: DataFrame, partition_by: list[str],
+                             order: str, delta_back: float = 0.0,
+                             delta_fwd: float = 0.0,
+                             n_buckets: int = 64,
+                             bucket_col: str = "_rbkt",
+                             halo_col: str = "_rhalo") -> DataFrame:
+    """Distributed bounded RANGE frames (r10 verdict task 4 — the
+    ROWS-frame sibling is :func:`with_bounded_frame_buckets`): return
+    ``df`` + ``bucket_col`` + ``halo_col`` such that a window over
+    ``(*partition_by, bucket_col)`` ordered by the numeric ``order``
+    column with ``rangeBetween(-delta_back, delta_fwd)`` equals the
+    serial per-``partition_by`` window for every ``halo_col == False``
+    row. The win is one task per VALUE BLOCK instead of one task per
+    bounded key (a per-event-type trailing-1-hour average over 100 TB
+    of events runs ~5 tasks serially; blocked, it runs hundreds).
+
+    Construction: ONE global set of approx-quantile cuts of ``order``
+    (driver-collected literals, the module discipline), greedily
+    thinned so consecutive cuts are ≥ ``max(delta_back, delta_fwd)``
+    apart — with that spacing a ±δ value frame can only reach into the
+    ADJACENT block, so duplicating each block's trailing δ_back value
+    band forward and leading δ_fwd band backward (HALO rows, flagged)
+    completes every non-halo row's frame exactly. Halo membership is
+    computed with the same literal cut array applied to
+    ``order ± δ``: a row feeds the next block iff
+    ``bucket(order + δ_back) > bucket(order)`` and the previous iff
+    ``bucket(order − δ_fwd) < bucket(order)`` — exact, no epsilon.
+    Unlike the ROWS primitive, blocks are VALUE-contiguous, so a
+    dominant tied order value concentrates in one block (heavy-tie
+    skew is measured by the key-skew gate, not hidden); rank blocks
+    cannot be used here because a value frame needs value-contiguous
+    neighbors. NULL ``order`` rows land in one trailing null block
+    with no halos: both engines frame a NULL row as its null peer
+    group, which is exactly that block within each partition. The
+    caller's window must order by the same numeric column; ``order``
+    is bucketed through a double cast (exact for |values| < 2^53 —
+    epoch-micros included)."""
+    span = float(max(delta_back, delta_fwd))
+    work = _materialize(
+        df.withColumn("_rk_score", F.col(order).cast("double")))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = work.agg(F.percentile_approx(
+        "_rk_score", F.lit(probs), F.lit(10000)).alias("_cuts")).first()
+    raw = sorted({float(c) for c in (row[0] or []) if c is not None})
+    cuts: list[float] = []
+    for c in raw:
+        if not cuts or c - cuts[-1] >= span:
+            cuts.append(c)
+    if not cuts:  # empty / all-NULL / single tight cluster: one block
+        bkt = (F.when(F.col("_rk_score").isNull(), F.lit(1))
+               .otherwise(F.lit(0)))
+        return (work.withColumn(bucket_col, bkt.cast("long"))
+                .withColumn(halo_col, F.lit(False)).drop("_rk_score"))
+
+    arr = F.array(*[F.lit(c) for c in cuts])
+
+    def bkt_of(col: Column) -> Column:
+        return F.size(F.filter(arr, lambda c: c < col)).cast("long")
+
+    base = bkt_of(F.col("_rk_score"))
+    null_bkt = len(cuts) + 1
+    bkt = (F.when(F.col("_rk_score").isNull(), F.lit(null_bkt))
+           .otherwise(base)).cast("long")
+    out = (work.withColumn(bucket_col, bkt)
+           .withColumn(halo_col, F.lit(False)))
+    notnull = F.col("_rk_score").isNotNull()
+    if delta_back > 0:
+        out = out.unionByName(
+            work.filter(notnull
+                        & (bkt_of(F.col("_rk_score")
+                                  + F.lit(float(delta_back))) > base))
+            .withColumn(bucket_col, base + 1)
+            .withColumn(halo_col, F.lit(True)))
+    if delta_fwd > 0:
+        out = out.unionByName(
+            work.filter(notnull
+                        & (bkt_of(F.col("_rk_score")
+                                  - F.lit(float(delta_fwd))) < base))
+            .withColumn(bucket_col, base - 1)
+            .withColumn(halo_col, F.lit(True)))
+    return out.drop("_rk_score")
 
 
 def with_exact_running_max(df: DataFrame, value: str, score: str,

@@ -94,16 +94,22 @@ def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a single-partition window.
 
     Two-phase distributed ranking: phase 1 ranks within each ``source``
-    partition (parallel windows, one per bucket); phase 2 adds each
-    source's cumulative row-count offset. Because ``source`` is the
-    LEADING sort key, bucket-major order equals global order, so
-    ``offset + local_rank == global row_number`` exactly — verified by
-    the same oracle as the serial twin. The only single-partition work
-    is the offset scan over the per-source counts (one row per bucket,
-    KBs at any corpus size) which is broadcast back; the full table
-    never funnels through one task. A skewed mega-source subdivides by
-    doc_id range with the same cumulative-offset trick.
+    partition THROUGH `with_exact_partitioned_rank` (r11 — the r10
+    form ranked each source under a native per-source window, one task
+    per source over the whole corpus: exactly the bounded-partition
+    class the r10 sweep closed elsewhere, now caught by
+    tools/window_audit.py; the primitive subdivides every source by
+    doc_id quantile blocks, so a mega-source runs one task per BLOCK);
+    phase 2 adds each source's cumulative row-count offset. Because
+    ``source`` is the LEADING sort key, bucket-major order equals
+    global order, so ``offset + local_rank == global row_number``
+    exactly — verified by the same oracle as the serial twin. The only
+    single-partition work is the offset scan over the per-source
+    counts (one row per bucket, KBs at any corpus size) which is
+    broadcast back; the full table never funnels through one task.
     """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
     # NULL-source contract matches the serial twin: '' in the mint key,
     # NULLS FIRST bucket order, and the offsets join back is NULL-SAFE
     # (a plain equi-join on source silently DROPPED every null-source
@@ -116,9 +122,10 @@ def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = counts.select(
         F.col("source").alias("off_source"),
         F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
-    w_local = Window.partitionBy("source").orderBy("doc_id")
-    return (d.join(F.broadcast(offsets),
-                   d["source"].eqNullSafe(F.col("off_source")))
+    ranked = with_exact_partitioned_rank(d, ["source"], "doc_id", [],
+                                         rank_col="_lr")
+    return (ranked.join(F.broadcast(offsets),
+                        ranked["source"].eqNullSafe(F.col("off_source")))
             .select(
                 "doc_id",
                 F.concat(
@@ -128,7 +135,7 @@ def ingest_id_mint_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            F.coalesce("source", F.lit("")),
                                            "doc_id"), 256),
                         1, 12))).alias("minted_id"),
-                (F.col("off") + F.row_number().over(w_local))
+                (F.col("off") + F.col("_lr"))
                 .cast("long").alias("surrogate_id")))
 
 

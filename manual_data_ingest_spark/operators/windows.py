@@ -1401,32 +1401,31 @@ def agg_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Open/close are FIRST/LAST by (ts, event_id) — the event_id
     tie-break makes same-timestamp days deterministic (SURVEY §5
-    total-order discipline). Both row_number windows share one
-    (event_type, day) exchange; high/low/volume ride the subsequent
-    hash aggregate. At 100 TB this is the canonical hypertable rollup:
-    day-partitioned input means the window never crosses a partition,
-    and continuous aggregation maintains bars incrementally
-    (`ingest_incremental_agg`'s pattern) instead of rescanning.
+    total-order discipline), expressed as ``min_by``/``max_by`` over
+    the (ts, event_id) struct so the WHOLE bar is ONE hash aggregate
+    with map-side partial combine (r11: the previous form ran two
+    row_number windows first — one task per (type, day) over that
+    day's raw events; min_by partials make open/close associative, so
+    a 100 TB day combines across hundreds of tasks like any sum).
+    Struct ordering is lexicographic and (ts, event_id) is unique per
+    row, so the pick is total-ordered; a NULL-day group (ts NULL) has
+    all-NULL ts and falls through to the event_id field, matching the
+    oracle's nulls-within-group order. At 100 TB this is the
+    canonical hypertable rollup: continuous aggregation maintains
+    bars incrementally (`ingest_incremental_agg`'s pattern) instead
+    of rescanning.
     """
     ev = load_table(spark, sf_dir, "events")
     base = (ev.filter(F.col("event_type").isNotNull()
                       & F.col("value").isNotNull())
             .select("event_type", F.date_trunc("day", "ts").alias("day"),
                     "ts", "event_id", "value"))
-    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
-    wd = Window.partitionBy("event_type", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc())
-    r = base.select(
-        "event_type", "day", "value",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"))
-    return (r.groupBy("event_type", "day")
-            .agg(rnd(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
-                 .alias("open"),
+    key = F.struct("ts", "event_id")
+    return (base.groupBy("event_type", "day")
+            .agg(rnd(F.min_by("value", key), 6).alias("open"),
                  rnd(F.max("value"), 6).alias("high"),
                  rnd(F.min("value"), 6).alias("low"),
-                 rnd(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
-                 .alias("close"),
+                 rnd(F.max_by("value", key), 6).alias("close"),
                  F.count("*").alias("volume")))
 
 
@@ -2326,6 +2325,44 @@ def win_range_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("cents") / 100.0).alias("day_rev"),
         rnd(F.sum("cents").over(w) / 100.0).alias("rev_7d"),
         F.count("*").over(w).alias("n_days_7d"))
+
+
+@register("win_trailing_range_type", f"""
+SELECT event_id, event_type,
+       {sql_rnd('''avg(value) OVER w''', 4)} AS avg_1h,
+       (count(value) OVER w)::BIGINT AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY epoch_us(ts::TIMESTAMP)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def win_trailing_range_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour average per EVENT TYPE — the bounded-key
+    time-RANGE window class (r10 verdict task 4): `win_moving_range`'s
+    per-user twin parallelizes natively (entity-scale keys), but keyed
+    by ~5 event types the serial window runs ONE TASK PER TYPE over
+    the whole fact table. `with_bounded_range_frame` cuts the time
+    axis into value-contiguous blocks with 1-hour halo bands, so the
+    same exact RANGE frame runs one task per (type, block) — hundreds
+    of tasks at 100 TB instead of five. Frame edges are exact
+    (epoch-µs integer range on both engines); halo copies complete
+    neighbors' frames and are dropped from the output.
+    """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_range_frame)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .withColumn("_us", F.unix_micros("ts")))
+    framed = with_bounded_range_frame(
+        ev, ["event_type"], "_us", delta_back=3_600_000_000.0)
+    w = (Window.partitionBy("event_type", "_rbkt")
+         .orderBy("_us")
+         .rangeBetween(-3_600_000_000, Window.currentRow))
+    return (framed
+            .withColumn("avg_1h", rnd(F.avg("value").over(w), 4))
+            .withColumn("n_1h", F.count("value").over(w))
+            .filter(~F.col("_rhalo"))
+            .select("event_id", "event_type", "avg_1h", "n_1h"))
 
 
 _MACD_EMA = {"e12": "2.0::DOUBLE / 13.0::DOUBLE",

@@ -112,31 +112,34 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 #: predates the code now shipping, so they jump the green tail and
 #: re-enter the next 50-slot grading window. Hand-curated per round,
 #: pruned once the post-rewrite green lands (same lifecycle as
-#: _DRIVER_PRIORITY). Current composition: the r9 rank-family rewrites
-#: + the two r9 skew-gate fixes that missed the r9 window, every
-#: consumer of functions/ranking.py (r10 literal-cuts change), the
-#: three tight-JSON consumers (r10 grammar tighten), and the four r10
-#: entity-window rewrites.
+#: _DRIVER_PRIORITY). The full r10 composition (35 entries) re-graded
+#: green in CORRECTNESS_r10.json and was pruned per the r10 verdict
+#: task 5. Current composition: the r11 rewrites (running-sum NULL
+#: semantics + its consumers, the OHLC min_by/max_by rewrite, the
+#: range-halo consumers, and every ranking.py consumer — the
+#: materialization-strategy hook touched the shared primitive).
 _REGRADE_PRIORITY: tuple[str, ...] = (
-    # r10 entity-window rewrites (r9 verdict task 1)
-    "win_pareto_share", "agg_abc_classification", "agg_ks_test",
-    "agg_lorenz_curve",
-    # r9 rank-family rewrites never re-graded + r10 literal-cuts change
-    "ml_auc_roc", "ml_isotonic_calibration", "agg_rfm_segments",
-    "sort_multi_null", "multimodal_shard_assign", "ml_lift_chart",
-    "ml_threshold_sweep", "ml_calibration_bins_scalable",
-    "pipeline_curriculum_order_scalable", "ingest_id_mint_scalable",
-    # r9 skew-gate fixes that missed the r9 window
-    "sim_bm25_topk", "text_js_divergence",
-    # r10 tight-JSON grammar consumers
-    "json_extract", "json_schema_parse", "variant_funcs",
-    # r10 plan rewrites
-    "provenance_chain", "pipeline_seq_pack", "pipeline_training_mix",
-    "pipeline_token_shard", "pipeline_preference_pairs", "agg_gini",
-    "win_zscore_outliers", "win_rolling_median", "win_rolling_mad",
-    "win_gap_distribution", "win_twap", "win_ntile_firstlast",
-    "win_dist_ranks", "sample_stratified", "sample_balanced_label",
-    "ingest_late_data_report",
+    # r11: every ranking.py consumer (materialization hook + the
+    # running-sum NULL-semantics fix touched the shared primitives)
+    "agg_abc_classification", "agg_gini", "agg_ks_test",
+    "agg_lorenz_curve", "agg_rfm_segments", "ingest_late_data_report",
+    "ml_calibration_bins_scalable", "ml_isotonic_calibration",
+    "ml_lift_chart", "ml_threshold_sweep", "multimodal_shard_assign",
+    "pipeline_curriculum_order_scalable", "pipeline_seq_pack",
+    "pipeline_token_shard", "pipeline_training_mix",
+    "sample_balanced_label", "sample_stratified", "sort_multi_null",
+    "win_dist_ranks", "win_gap_distribution", "win_ntile_firstlast",
+    "win_rolling_mad", "win_rolling_median", "win_twap",
+    # r11: min_by/max_by single-aggregate rewrite
+    "agg_ohlc_bars",
+    # r11: per-source window moved onto the partitioned-rank primitive
+    # (window_audit catch — one task per source before)
+    "ingest_id_mint_scalable",
+    # r11: ts_validity observation gained rows_dropped (observe-list
+    # change only, output contract untouched — re-grade for hygiene)
+    "stream_chained_stateful", "stream_dedup",
+    "stream_dedup_within_watermark", "stream_join",
+    "stream_join_outer", "stream_watermark_late",
 )
 
 
@@ -166,6 +169,37 @@ def _latest_verdicts() -> dict[str, bool]:
     return latest
 
 
+def _last_graded_round() -> dict[str, int]:
+    """Name → the round number of its most recent driver verdict.
+
+    Drives the green-tail ROTATION (r10 verdict task 5b): with the
+    red/never-graded pool at zero, the grading window's free slots
+    should buy periodic confidence re-samples of the STALEST greens
+    (r1/r2 vintage) instead of re-grading whatever registration order
+    happens to put first. Because a re-sample updates the op's latest
+    round, the rotation self-advances: next round a different cohort
+    of oldest greens fills the tail."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:  # pragma: no cover — foreign file matched the glob
+            continue
+        try:
+            with open(path) as fh:
+                verdicts = json.load(fh)
+        except (OSError, ValueError):  # pragma: no cover — corrupt file
+            continue
+        for name in verdicts:
+            rounds[name] = int(m.group(1))
+    return rounds
+
+
 def _driver_green() -> frozenset[str]:
     """Names whose LATEST on-disk driver verdict is hash-green.
 
@@ -192,7 +226,14 @@ def _driver_order(names: list[str]) -> list[str]:
     regrade = [n for n in _REGRADE_PRIORITY
                if n in _QUERIES and n in green and n not in head]
     head |= set(regrade)
-    tail = [n for n in names if n not in head and n in green]
+    # green tail rotates OLDEST VERDICT FIRST (r10 verdict task 5b):
+    # window slots the head doesn't use re-sample the stalest greens,
+    # and since a re-grade refreshes the op's round, the cohort
+    # advances by itself every round.
+    rounds = _last_graded_round()
+    pos = {n: i for i, n in enumerate(names)}
+    tail = sorted((n for n in names if n not in head and n in green),
+                  key=lambda n: (rounds.get(n, 0), pos[n]))
     return red + pri + mid + regrade + tail
 
 

@@ -56,18 +56,20 @@ def _valid_ts(df: DataFrame) -> DataFrame:
     """Spark twin of :data:`_VALID_TS_SQL` (applied after the ns→µs
     conversion, so `ts` is a timestamp column on both sides). Rows
     outside the validity window are dropped AND counted: the
-    ``ts_validity`` observation reports rows_total/rows_kept per
-    micro-batch on the StreamingQueryListener / lastProgress feed
-    (drops = rows_total − rows_kept; emitting kept rather than dropped
-    keeps the aggregate a plain conditional count — a NULL ts is
-    dropped too, which a count over ~in_window would miss)."""
+    ``ts_validity`` observation reports rows_total / rows_kept /
+    rows_dropped per micro-batch on the StreamingQueryListener /
+    lastProgress feed (r10 verdict task 8: emitting the drop count
+    directly removes the total−kept subtraction every listener
+    consumer would re-derive). rows_dropped counts NOT-kept — a NULL
+    ts is dropped too, which a count over ``~in_window`` alone would
+    miss (NULL is not true), hence the null-safe negation."""
     in_window = ((F.col("ts") >= F.lit("1990-01-01").cast("timestamp"))
                  & (F.col("ts") < F.lit("2100-01-01").cast("timestamp")))
-    # rows_dropped = rows_total - rows_kept (a NULL ts is dropped too,
-    # which a count over ~in_window would miss — NULL is not true)
     return (df.observe(f"ts_validity_{next(_SINK_COUNTER)}",
                        F.count(F.lit(1)).alias("rows_total"),
-                       F.count(F.when(in_window, 1)).alias("rows_kept"))
+                       F.count(F.when(in_window, 1)).alias("rows_kept"),
+                       F.count(F.when(~F.coalesce(in_window, F.lit(False)),
+                                      1)).alias("rows_dropped"))
             .filter(in_window))
 
 

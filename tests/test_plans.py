@@ -766,12 +766,15 @@ def test_phash_dedup_shuffles_signatures_not_media(spark):
     assert plan.index("partial_count") < plan.index("hashpartitioning(")
 
 
-def test_ohlc_windows_share_one_exchange(spark):
-    """Both row_number orders partition by (event_type, day): one
-    exchange feeds two sorts, not two exchanges."""
+def test_ohlc_is_one_window_free_aggregate(spark):
+    """r11: open/close are min_by/max_by over the (ts, event_id)
+    struct — the whole bar is ONE hash aggregate with map-side
+    partials (the old shape ran two row_number windows first, one
+    task per (type, day) over that day's raw events)."""
     plan = _plan(spark, "agg_ohlc_bars")
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, plan  # window partition + final agg
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "Window" not in plan, plan
+    assert "partial_min_by" in plan, plan
 
 
 def test_freshness_slo_single_scan_branch_broadcast(spark):

@@ -414,7 +414,7 @@ def test_partitioned_rank_equals_native_window(spark, rows, desc, buckets):
 
 @settings(**SETTINGS)
 @given(rows=st.lists(st.tuples(
-    st.integers(-1000, 1000),
+    st.one_of(st.none(), st.integers(-1000, 1000)),
     st.one_of(st.none(),
               st.floats(min_value=-1e6, max_value=1e6,
                         allow_nan=False, allow_subnormal=False)),
@@ -422,9 +422,11 @@ def test_partitioned_rank_equals_native_window(spark, rows, desc, buckets):
 def test_distributed_running_sum_equals_serial_window(spark, rows):
     """with_exact_running_sum must equal the serial inclusive
     running-sum window on ANY (value, score) multiset — NULL scores,
-    duplicate scores, negative values (r9 verdict task 6; integer
-    values keep the reassociation exact, per the primitive's
-    contract)."""
+    NULL VALUES (r10 advice: an all-NULL within-bucket prefix must
+    still carry earlier buckets' offset forward, and an all-NULL
+    global prefix must stay NULL), duplicate scores, negative values
+    (r9 verdict task 6; integer values keep the reassociation exact,
+    per the primitive's contract)."""
     from manual_data_ingest_spark.functions.ranking import (
         with_exact_running_sum)
 
@@ -469,6 +471,42 @@ def test_rank_tie_subdivision_equals_serial_window(spark, rows, desc):
     lead = (F.desc_nulls_last("score") if desc
             else F.asc_nulls_last("score"))
     w = Window.orderBy(lead, F.asc("id"))
+    want = {r.id: r.rn for r in
+            df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(), st.integers(0, 3)),
+    st.one_of(st.none(), st.sampled_from([0.0, 1.0, 2.0])),
+    st.integers(0, 10**6)), min_size=1, max_size=50),
+    desc=st.booleans())
+def test_partitioned_rank_tie_subdivision_equals_native_window(
+        spark, rows, desc):
+    """tie_proxy through the PARTITIONED rank (r10 advice: production
+    callers agg_gini / pipeline_token_shard use exactly this combo —
+    sub-cut quantiles are computed GLOBALLY while rank offsets are
+    per-partition, previously untested): a 3-value score domain makes
+    every value dominant, so the subdivision path runs on every draw
+    and the rank must still equal the native per-partition row_number
+    window, NULL keys and NULL scores included."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_partitioned_rank)
+
+    uniq = {}
+    for p, s, i in rows:
+        uniq.setdefault(i, (p, s))
+    df = spark.createDataFrame(
+        [(p, s, i) for i, (p, s) in uniq.items()],
+        "pkey int, score double, id long")
+    got = {r.id: r.rank for r in
+           with_exact_partitioned_rank(df, ["pkey"], "score", ["id"],
+                                       descending=desc, n_buckets=4,
+                                       tie_proxy=F.col("id")).collect()}
+    lead = (F.desc_nulls_last("score") if desc
+            else F.asc_nulls_last("score"))
+    w = Window.partitionBy("pkey").orderBy(lead, F.asc("id"))
     want = {r.id: r.rn for r in
             df.select("id", F.row_number().over(w).alias("rn")).collect()}
     assert got == want
@@ -527,6 +565,46 @@ def test_bounded_frame_buckets_equal_serial_window(spark, rows, kb, kf):
            .withColumn("n", F.count("*").over(wb))
            .filter(~F.col("_fhalo")).collect()}
     ws = Window.partitionBy("pkey").orderBy(*order).rowsBetween(-kb, kf)
+    want = {r.id: (r.s, r.n) for r in
+            df.withColumn("s", F.sum("val").over(ws))
+            .withColumn("n", F.count("*").over(ws)).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(
+    st.one_of(st.none(), st.integers(0, 2)),
+    st.one_of(st.none(), st.integers(-40, 40)),
+    st.one_of(st.none(), st.integers(-100, 100)),
+    st.integers(0, 10**6)), min_size=1, max_size=50),
+    db=st.sampled_from([0, 1, 3, 10]), df_=st.sampled_from([0, 2, 7]))
+def test_bounded_range_frame_equals_serial_window(spark, rows, db, df_):
+    """with_bounded_range_frame (r11): a rangeBetween(-δb, δf) window
+    over the halo-augmented value blocks must equal the serial
+    per-partition RANGE window for every non-halo row — any multiset
+    (NULL keys, NULL order values → the null peer group, heavy
+    duplicate order values), any δ combo, a dense integer order
+    domain (-40..40) with n_buckets=4 so frames cross block edges on
+    nearly every draw."""
+    from manual_data_ingest_spark.functions.ranking import (
+        with_bounded_range_frame)
+
+    uniq = {}
+    for p, s, v, i in rows:
+        uniq.setdefault(i, (p, s, v))
+    df = spark.createDataFrame(
+        [(p, s, v, i) for i, (p, s, v) in uniq.items()],
+        "pkey int, ordv long, val int, id long")
+    aug = with_bounded_range_frame(df, ["pkey"], "ordv",
+                                   delta_back=db, delta_fwd=df_,
+                                   n_buckets=4)
+    wb = (Window.partitionBy("pkey", "_rbkt").orderBy("ordv")
+          .rangeBetween(-db, df_))
+    got = {r.id: (r.s, r.n) for r in
+           aug.withColumn("s", F.sum("val").over(wb))
+           .withColumn("n", F.count("*").over(wb))
+           .filter(~F.col("_rhalo")).collect()}
+    ws = Window.partitionBy("pkey").orderBy("ordv").rangeBetween(-db, df_)
     want = {r.id: (r.s, r.n) for r in
             df.withColumn("s", F.sum("val").over(ws))
             .withColumn("n", F.count("*").over(ws)).collect()}

@@ -550,4 +550,7 @@ def test_valid_ts_drops_are_observable(spark, tmp_path):
             if name.startswith("ts_validity_"):
                 obs["total"] = obs.get("total", 0) + m["rows_total"]
                 obs["kept"] = obs.get("kept", 0) + m["rows_kept"]
-    assert obs == {"total": 5, "kept": 2}, obs
+                obs["dropped"] = obs.get("dropped", 0) + m["rows_dropped"]
+    # rows_dropped emitted directly (r10 verdict task 8) — the NULL ts
+    # counts as dropped, not just the out-of-window timestamps
+    assert obs == {"total": 5, "kept": 2, "dropped": 3}, obs
