@@ -1831,6 +1831,102 @@ def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rnd(match.cast("double") / 5.0, 6).alias("precision_at_5")))
 
 
+@register("ml_ndcg_at_k", f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+probes AS (
+    SELECT vec_id AS probe_id, label AS probe_label, v FROM e
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+), ranked AS (
+    SELECT a.probe_id, a.probe_label, b.label AS n_label,
+           row_number() OVER (PARTITION BY a.probe_id
+                              ORDER BY {{_COS}} DESC, b.vec_id) AS rn
+    FROM (SELECT probe_id, probe_label, v FROM probes WHERE probe_label < 5) a
+    JOIN e b ON b.vec_id <> a.probe_id
+), agg AS (
+    SELECT probe_id, probe_label,
+           sum(CASE WHEN n_label = probe_label AND rn <= 10
+                    THEN 1.0 / log2(rn + 1) ELSE 0.0 END) AS dcg,
+           count(CASE WHEN n_label = probe_label THEN 1 END)
+               AS n_rel_corpus,
+           min(CASE WHEN n_label = probe_label THEN rn END) AS fr
+    FROM ranked GROUP BY 1, 2
+)
+, ideal AS (
+    SELECT s.i AS kk, sum(1.0 / log2(t.j + 1)) AS idcg
+    FROM generate_series(1, 10) s(i), generate_series(1, 10) t(j)
+    WHERE t.j <= s.i GROUP BY s.i
+)
+SELECT probe_id, probe_label, n_rel_corpus,
+       {sql_rnd('''CASE WHEN n_rel_corpus = 0 THEN 0.0
+            ELSE dcg / ideal.idcg END''', 6)} AS ndcg_at_10,
+       {sql_rnd('''CASE WHEN fr IS NOT NULL AND fr <= 10
+            THEN 1.0 / fr ELSE 0.0 END''', 6)} AS mrr_at_10
+FROM agg LEFT JOIN ideal ON ideal.kk = least(n_rel_corpus, 10)
+""".replace("{_COS}", _SIM_COS))
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and MRR@10 of the embedding space (r11): the
+    position-weighted retrieval-quality pair beside
+    `ml_precision_at_k`'s set-based count — precision@k treats rank 1
+    and rank 10 alike, but a RAG or search pipeline cares WHERE the
+    first same-label hit lands (MRR) and how the whole relevant mass
+    is ordered (NDCG's 1/log2(rank+1) discount against the ideal
+    ordering, cut at min(k, |relevant|)).
+
+    Same probe topology as `sim_topk`/`ml_precision_at_k` (probes
+    broadcast, corpus never shuffled), but the per-probe aggregate
+    needs the FULL corpus ranking (n_rel_corpus and the ideal DCG
+    depend on every same-label row, not just the top k), so no
+    group-limit pushdown — one groupBy over probe-tagged scores, DCG
+    terms zeroed outside the cutoff. The ideal DCG is a bounded fold
+    over sequence(1, min(k, n_rel)); NDCG is defined as 0 for a probe
+    with no same-label corpus rows (both engines, explicitly).
+    """
+    from manual_data_ingest_spark.operators.similarity import cos_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    wp = Window.partitionBy("label").orderBy("vec_id")
+    probes = (e.withColumn("rn", F.row_number().over(wp))
+              .filter((F.col("rn") == 1) & (F.col("label") < 5))
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("probe_label"),
+                      F.col("embedding").alias("pv")))
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
+    ranked = (F.broadcast(probes)
+              .join(e, F.col("vec_id") != F.col("probe_id"))
+              .select("probe_id", "probe_label",
+                      F.col("vec_id").alias("n_id"),
+                      F.col("label").alias("n_label"),
+                      score.alias("score_raw"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("probe_id")
+                  .orderBy(F.col("score_raw").desc(), F.col("n_id")))))
+    rel = F.col("n_label") == F.col("probe_label")
+    agg = (ranked.groupBy("probe_id", "probe_label")
+           .agg(F.sum(F.when(rel & (F.col("rn") <= 10),
+                             F.lit(1.0) / F.log2(F.col("rn") + 1))
+                      .otherwise(F.lit(0.0))).alias("dcg"),
+                F.count(F.when(rel, 1)).alias("n_rel_corpus"),
+                F.min(F.when(rel, F.col("rn"))).alias("fr")))
+    # greatest(...,1) keeps the sequence ascending when n_rel = 0 (the
+    # ndcg when-branch discards that case, but sequence(1, 0) would
+    # otherwise produce the DESCENDING [1, 0] and an Inf term)
+    k_ideal = F.greatest(
+        F.least(F.col("n_rel_corpus"), F.lit(10).cast("long")),
+        F.lit(1).cast("long"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), k_ideal),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + 1))
+    ndcg = F.when(F.col("n_rel_corpus") == 0, F.lit(0.0)) \
+            .otherwise(F.col("dcg") / idcg)
+    mrr = F.when(F.col("fr").isNotNull() & (F.col("fr") <= 10),
+                 F.lit(1.0) / F.col("fr")).otherwise(F.lit(0.0))
+    return agg.select("probe_id", "probe_label", "n_rel_corpus",
+                      rnd(ndcg, 6).alias("ndcg_at_10"),
+                      rnd(mrr, 6).alias("mrr_at_10"))
+
+
 @register("ml_threshold_sweep", f"""
 WITH lab AS (
   SELECT c_custkey, c_acctbal,
