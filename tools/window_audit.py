@@ -110,6 +110,8 @@ WHITELIST = {
         "IVF-list-bounded ADC candidates + rank<=k pushdown",
     ("operators/ml.py", "ml_precision_at_k", ("label",)):
         "probe derivation: rn==1 per label → WindowGroupLimit",
+    ("operators/ml.py", "ml_ndcg_at_k", ("label",)):
+        "probe derivation: rn==1 per label → WindowGroupLimit",
     ("operators/ml.py", "ml_conformal_interval", ("tbin",)):
         "single target quantile bin (bin-width-bounded rows)",
     ("operators/reshape.py", "sample_neyman_allocation", ()):
