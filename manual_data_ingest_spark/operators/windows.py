@@ -2329,7 +2329,8 @@ def win_range_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("win_trailing_range_type", f"""
 SELECT event_id, event_type,
-       {sql_rnd('''avg(value) OVER w''', 4)} AS avg_1h,
+       {sql_rnd('''(sum(floor(value * 100.0 + 0.5)::BIGINT) OVER w)::DOUBLE
+                   / 100.0 / (count(value) OVER w)''', 4)} AS avg_1h,
        (count(value) OVER w)::BIGINT AS n_1h
 FROM events
 WINDOW w AS (PARTITION BY event_type
@@ -2346,21 +2347,31 @@ def win_trailing_range_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     same exact RANGE frame runs one task per (type, block) — hundreds
     of tasks at 100 TB instead of five. Frame edges are exact
     (epoch-µs integer range on both engines); halo copies complete
-    neighbors' frames and are dropped from the output.
+    neighbors' frames and are dropped from the output. The frame
+    average moves as an EXACT integer-cent sum with one double
+    division at the end (the win_bollinger discipline) — a float
+    avg() diverges in accumulation order once temporal-edge
+    timestamps collapse a whole type into one frame (temporal sweep
+    caught the 4dp flip on this op's first cut, r11).
     """
     from manual_data_ingest_spark.functions.ranking import (
         with_bounded_range_frame)
 
     ev = (load_table(spark, sf_dir, "events")
-          .withColumn("_us", F.unix_micros("ts")))
+          .withColumn("_us", F.unix_micros("ts"))
+          .withColumn("_cents", F.floor(F.col("value") * 100.0
+                                        + F.lit(0.5)).cast("long")))
     framed = with_bounded_range_frame(
         ev, ["event_type"], "_us", delta_back=3_600_000_000.0)
     w = (Window.partitionBy("event_type", "_rbkt")
          .orderBy("_us")
          .rangeBetween(-3_600_000_000, Window.currentRow))
+    n = F.count("value").over(w)
     return (framed
-            .withColumn("avg_1h", rnd(F.avg("value").over(w), 4))
-            .withColumn("n_1h", F.count("value").over(w))
+            .withColumn("avg_1h",
+                        rnd(F.sum("_cents").over(w).cast("double")
+                            / 100.0 / n, 4))
+            .withColumn("n_1h", n)
             .filter(~F.col("_rhalo"))
             .select("event_id", "event_type", "avg_1h", "n_1h"))
 
