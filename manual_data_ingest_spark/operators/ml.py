@@ -1464,6 +1464,100 @@ def ml_calibration_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("pos_rate")))
 
 
+@register("ml_ece", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer WHERE {_SCORED_ONLY_SQL}
+), cents AS (
+  SELECT y, floor(c_acctbal * 100.0 + 0.5)::BIGINT AS c FROM lab
+), mm AS (SELECT min(c) AS mn, max(c) AS mx FROM cents
+), binned AS (
+  SELECT y, c, mn, mx,
+         CASE WHEN mx > mn THEN least((c - mn) * 10 // (mx - mn), 9)
+              ELSE 0 END AS bin
+  FROM cents, mm
+), per AS (
+  SELECT bin, count(*) AS n_b,
+         count(CASE WHEN y = 1 THEN 1 END) AS n_pos,
+         sum(c - mn) AS s, max(mx) AS mx2, max(mn) AS mn2
+  FROM binned GROUP BY bin
+), gaps AS (
+  SELECT n_b,
+         n_b::DOUBLE / (sum(n_b) OVER ()) AS w,
+         abs(n_pos::DOUBLE / n_b
+             - CASE WHEN mx2 > mn2
+                    THEN s::DOUBLE / (n_b::DOUBLE * (mx2 - mn2))
+                    ELSE 0.5 END) AS gap
+  FROM per
+)
+SELECT count(*)::BIGINT AS n_bins,
+       sum(n_b)::BIGINT AS n_total,
+       {sql_rnd('sum(w * gap)', 6)} AS ece,
+       {sql_rnd('max(gap)', 6)} AS mce
+FROM gaps
+""")
+def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + maximum calibration error (r11) — the one-number
+    reliability summary beside `ml_calibration_bins`' full table:
+    predicted confidence is the min-max-normalized score, binned into
+    10 equal-WIDTH confidence bins (the standard ECE construction —
+    unlike the bins table's equal-COUNT deciles), and
+    ECE = Σ (n_b/N)·|pos_rate_b − mean_conf_b|, MCE = max gap.
+
+    Numeric discipline: the score moves as exact integer cents; the
+    bin index is INTEGER floor-division ((c−mn)·10 div (mx−mn),
+    clamped to 9) so boundary rows bin identically on both engines
+    (a float divide-then-floor can land on x.9999…); per-bin mean
+    confidence is one double division of an exact integer sum
+    (PARITY #61's frame rule applied to bins). A degenerate score
+    range (mx == mn) defines confidence 0.5 in one bin on both
+    engines. The whole op is two dim-sized aggregates + a broadcast
+    min/max row — no windows over data, fully map-combinable.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.expr(_SCORED_ONLY_SQL))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select(F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5))
+                   .cast("long").alias("c"),
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y")))
+    mm = lab.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    binned = (lab.crossJoin(F.broadcast(mm))
+              .withColumn("bin", F.when(
+                  F.col("mx") > F.col("mn"),
+                  F.least(F.expr("(c - mn) * 10 div (mx - mn)"),
+                          F.lit(9).cast("long")))
+                  .otherwise(F.lit(0).cast("long"))))
+    per = (binned.groupBy("bin")
+           .agg(F.count("*").alias("n_b"),
+                F.count(F.when(F.col("y") == 1, 1)).alias("n_pos"),
+                F.sum(F.col("c") - F.col("mn")).alias("s"),
+                F.max("mx").alias("mx2"), F.max("mn").alias("mn2")))
+    w_all = Window.partitionBy()
+    conf = F.when(F.col("mx2") > F.col("mn2"),
+                  F.col("s").cast("double")
+                  / (F.col("n_b").cast("double")
+                     * (F.col("mx2") - F.col("mn2"))))\
+            .otherwise(F.lit(0.5))
+    gaps = per.select(
+        "n_b",
+        (F.col("n_b").cast("double")
+         / F.sum("n_b").over(w_all)).alias("w"),
+        F.abs(F.col("n_pos").cast("double") / F.col("n_b") - conf)
+        .alias("gap"))
+    return gaps.agg(F.count("*").alias("n_bins"),
+                    F.sum("n_b").alias("n_total"),
+                    rnd(F.sum(F.col("w") * F.col("gap")), 6).alias("ece"),
+                    rnd(F.max("gap"), 6).alias("mce"))
+
+
 @register("ml_lift_chart", f"""
 WITH lab AS (
   SELECT c_custkey, c_acctbal,

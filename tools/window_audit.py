@@ -102,6 +102,8 @@ WHITELIST = {
         "hour-series rollup (type×hour rows)",
     ("operators/ingest.py", "ingest_volume_anomaly", ("event_type",)):
         "day-grain rollup input",
+    ("operators/ml.py", "ml_ece", ()):
+        "bin-weight total over the 10-row confidence-bin aggregate",
     ("operators/ml.py", "ml_lift_chart", ()):
         "offsets over decile aggregate",
     ("operators/ml.py", "ml_threshold_sweep", ()):
