@@ -251,6 +251,96 @@ def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sample_rate int, rms_stub double")
 
 
+@register("multimodal_aspect_bucket", """
+WITH sized AS (
+  SELECT doc_id,
+         1 + octet_length(encode(text)) % 640 AS w,
+         1 + octet_length(encode(text)) % 480 AS h
+  FROM documents WHERE text IS NOT NULL
+), tagged AS (
+  SELECT doc_id, w, h, (w * 1000) // h AS rm,
+         CASE WHEN (w * 1000) // h < 500 THEN 0
+              WHEN (w * 1000) // h < 750 THEN 1
+              WHEN (w * 1000) // h < 900 THEN 2
+              WHEN (w * 1000) // h < 1111 THEN 3
+              WHEN (w * 1000) // h < 1333 THEN 4
+              WHEN (w * 1000) // h < 2000 THEN 5
+              ELSE 6 END AS bucket_id
+  FROM sized
+), dims AS (
+  SELECT bucket_id,
+         [896, 768, 704, 576, 512, 448, 384][bucket_id + 1] AS bh,
+         [384, 448, 512, 576, 704, 768, 896][bucket_id + 1] AS bw
+  FROM (SELECT DISTINCT bucket_id FROM tagged)
+)
+SELECT t.bucket_id,
+       count(*) AS n_images,
+       min(t.rm)::BIGINT AS min_ratio_m,
+       max(t.rm)::BIGINT AS max_ratio_m,
+       sum(t.w * t.h)::BIGINT AS native_pixels,
+       max(d.bw)::BIGINT AS bucket_w,
+       max(d.bh)::BIGINT AS bucket_h,
+       (2097152 // (max(d.bw) * max(d.bh)))::BIGINT AS batch_capacity,
+       ((count(*) + 2097152 // (max(d.bw) * max(d.bh)) - 1)
+        // (2097152 // (max(d.bw) * max(d.bh))))::BIGINT AS n_batches
+FROM tagged t JOIN dims d USING (bucket_id)
+GROUP BY t.bucket_id
+""")
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing report (r11) — the batching prep every
+    image-training pipeline runs (the SDXL recipe): images batch
+    efficiently only with SAME-resolution peers, so each image joins
+    the nearest of 7 canonical aspect buckets (w:h from 384×896
+    portrait to 896×384 landscape around a 576² square) and the
+    report gives per-bucket volume, native-pixel mass, the per-batch
+    capacity under a 2^21-pixel budget, and how many batches the
+    bucket fills.
+
+    Numeric discipline: dimensions come from the same deterministic
+    stub as `multimodal_decode` (1 + n_bytes mod 640/480 — real
+    decoders are env-gated); the ratio key is INTEGER milli-ratio
+    (w·1000 div h) against integer breakpoints, so bucket boundaries
+    are exact on both engines — no float ratio ever exists. Pure
+    JVM expressions end-to-end (no UDF): one hash aggregate over a
+    map-side-computed bucket id; the canonical-dimension lookup is a
+    7-entry CASE, constant-folded.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    media = F.col("text").cast("binary")
+    n = F.length(media)
+    w = (n % 640 + 1).cast("long")
+    h = (n % 480 + 1).cast("long")
+    sized = d.select("doc_id", w.alias("w"), h.alias("h"))
+    rm = F.expr("w * 1000 div h")
+    breaks = [500, 750, 900, 1111, 1333, 2000]
+    bucket = F.lit(6)
+    for i, b in reversed(list(enumerate(breaks))):
+        bucket = F.when(rm < b, F.lit(i)).otherwise(bucket)
+    widths = [384, 448, 512, 576, 704, 768, 896]
+    bw = F.lit(None).cast("long")
+    bh = F.lit(None).cast("long")
+    for i, wv in enumerate(widths):
+        bw = F.when(F.col("bucket_id") == i, F.lit(wv).cast("long")) \
+              .otherwise(bw)
+        bh = F.when(F.col("bucket_id") == i,
+                    F.lit(widths[6 - i]).cast("long")).otherwise(bh)
+    tagged = sized.select("doc_id", "w", "h", rm.alias("rm"),
+                          bucket.alias("bucket_id"))
+    agg = (tagged.groupBy("bucket_id")
+           .agg(F.count("*").alias("n_images"),
+                F.min("rm").alias("min_ratio_m"),
+                F.max("rm").alias("max_ratio_m"),
+                F.sum(F.col("w") * F.col("h")).alias("native_pixels")))
+    cap = (F.lit(2097152).cast("long") / (bw * bh)).cast("long")
+    return (agg.withColumn("bucket_w", bw)
+            .withColumn("bucket_h", bh)
+            .withColumn("batch_capacity", cap)
+            .withColumn("n_batches",
+                        F.expr("(n_images + batch_capacity - 1)"
+                               " div batch_capacity")))
+
+
 @register("multimodal_shard_assign", """
 WITH sized AS (
   SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
