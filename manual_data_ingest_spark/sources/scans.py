@@ -603,6 +603,50 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(8).cast("int").alias("n_files"), "n_rows", "sum_qty"))
 
 
+@register("sink_bloom_layout", """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_id % 1009 = 7
+ORDER BY event_id
+""")
+def sink_bloom_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered parquet layout (r11): rewrite events with a
+    PARQUET BLOOM FILTER on `event_id` (writer options
+    `parquet.bloom.filter.enabled#event_id` + NDV hint), then answer
+    a sparse point-lookup set FROM the rewritten files.
+
+    Why it matters at 100 TB: min/max row-group stats prune RANGE
+    predicates (`sink_sorted_layout`), but a point lookup on a
+    HIGH-CARDINALITY key that the file is NOT sorted by skips nothing
+    — every group's [min,max] spans the probe. A bloom filter per
+    row group answers "id definitely absent" in a few KB, so a
+    needle-in-haystack id probe reads footers + bloom pages instead
+    of data pages — the standard lakehouse lookup accelerator, zero
+    extra infra. The bloom pages' presence is asserted from the
+    footer metadata in tests/test_new_ops.py (layout is evidence);
+    THIS oracle verifies the lookup CONTENT: the sparse id set
+    `event_id % 1009 = 7` (~0.1% of rows; a pure expression — no
+    window, no layout dependence) read back from the bloom-filtered
+    files equals the same predicate on the source table. The modulus
+    predicate pushes to the scan (PushedFilters shows it); a real
+    deployment probes an IN-list of ids, which reaches the bloom
+    reader the same way.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = _tmpdir("mdis_bloom_") + "/events"
+    (ev.repartition(8)
+     .write.mode("overwrite")
+     .option("parquet.bloom.filter.enabled#event_id", "true")
+     .option("parquet.bloom.filter.expected.ndv#event_id", "100000")
+     .option("parquet.block.size", 256 * 1024)
+     .parquet(out))
+
+    back = spark.read.parquet(out)
+    return (back.filter(F.col("event_id") % 1009 == 7)
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id"))
+
+
 @register("scan_schema_evolution", """
 SELECT CASE WHEN day(ts) <= 15 THEN '__legacy__'
             ELSE coalesce(event_type, '__legacy__') END

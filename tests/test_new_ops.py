@@ -360,6 +360,44 @@ def test_sorted_layout_prunes_rowgroups(spark, tmp_path):
     assert frac_sorted < 0.35, frac_sorted  # sorted: most groups pruned
 
 
+def test_bloom_layout_writes_bloom_pages(spark, tmp_path):
+    """sink_bloom_layout's layout claim, measured behaviorally: the
+    same rewrite with `parquet.bloom.filter.enabled#event_id` must be
+    strictly LARGER on disk than without it (bloom pages are real
+    bytes — pyarrow 16 exposes no bloom metadata attribute, so byte
+    growth is the observable), while the lookup content is identical
+    from both layouts."""
+    import glob
+    import os
+
+    from manual_data_ingest_spark.io import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+
+    def write(bloom: bool) -> str:
+        out = str(tmp_path / ("bloom" if bloom else "plain"))
+        w = ev.repartition(4).write.mode("overwrite")
+        if bloom:
+            w = (w.option("parquet.bloom.filter.enabled#event_id", "true")
+                 .option("parquet.bloom.filter.expected.ndv#event_id",
+                         "100000"))
+        w.parquet(out)
+        return out
+
+    def nbytes(path: str) -> int:
+        return sum(os.path.getsize(f)
+                   for f in glob.glob(f"{path}/part-*.parquet"))
+
+    bloom_dir, plain_dir = write(True), write(False)
+    grown = nbytes(bloom_dir) - nbytes(plain_dir)
+    assert grown > 10_000, grown  # bloom pages are KBs per row group
+    look = lambda p: sorted(
+        (r.event_id, r.user_id) for r in spark.read.parquet(p)
+        .filter(F.col("event_id") % 1009 == 7)
+        .select("event_id", "user_id").collect())
+    assert look(bloom_dir) == look(plain_dir)
+
+
 def test_incremental_agg_split_invariance(spark):
     """refresh(state, delta) must be independent of WHERE history was
     cut — merging day<=20 state with day>20 delta is the operator;
