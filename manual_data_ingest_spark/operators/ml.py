@@ -1808,6 +1808,77 @@ def ml_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("norm").alias("max_norm")))
 
 
+@register("ml_average_precision", f"""
+WITH lab AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer
+  WHERE {_SCORED_ONLY_SQL}
+), r AS (
+  SELECT y,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS k,
+         sum(y) OVER (ORDER BY c_acctbal DESC, c_custkey
+                      ROWS UNBOUNDED PRECEDING) AS cum_pos
+  FROM lab
+)
+SELECT count(*)::BIGINT AS n,
+       count(CASE WHEN y = 1 THEN 1 END)::BIGINT AS n_pos,
+       {sql_rnd('''CASE WHEN count(CASE WHEN y = 1 THEN 1 END) = 0
+            THEN NULL
+            ELSE sum(CASE WHEN y = 1 THEN cum_pos::DOUBLE / k END)
+                 / count(CASE WHEN y = 1 THEN 1 END) END''', 6)}
+           AS avg_precision
+FROM r
+""")
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-wise PR-AUC) of the acctbal propensity
+    score (r11): AP = mean over positive rows of precision@k at that
+    row's rank — the imbalanced-data complement to `ml_auc_roc`
+    (ROC-AUC is blind to the positive/negative base-rate that PR
+    space exposes).
+
+    Distributed form: BOTH the rank k and the cumulative positive
+    count ride ONE `with_exact_running_sum` pass (the multi-value
+    API shares the quantile bucketing) over the descending score —
+    no unpartitioned window ever sees the scored population, the
+    `ml_calibration_bins_scalable` precedent applied to a second
+    eval metric. Score ties break on c_custkey on both engines (raw
+    column comparison, no accumulated float — PARITY #58a's ordering
+    rule); AP is NULL with zero positives on both engines. The
+    per-positive precision terms are ≤1 rationals summed once —
+    double association error ~1e-10 at millions of rows, far under
+    the 6dp hash rounding.
+    """
+    from manual_data_ingest_spark.functions.ranking import (
+        with_exact_running_sum)
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.expr(_SCORED_ONLY_SQL))
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey").distinct())
+    lab = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .select("c_custkey",
+                   (-F.col("c_acctbal")).alias("_negbal"),
+                   F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0)
+                   .alias("y"),
+                   F.lit(1).alias("_one")))
+    aug = with_exact_running_sum(
+        lab, ["_one", "y"], "_negbal", ["c_custkey"],
+        out_col=["k", "cum_pos"])
+    n_pos = F.count(F.when(F.col("y") == 1, 1))
+    ap = F.sum(F.when(F.col("y") == 1,
+                      F.col("cum_pos").cast("double") / F.col("k")))
+    return aug.agg(
+        F.count("*").alias("n"),
+        n_pos.alias("n_pos"),
+        rnd(F.when(n_pos == 0, F.lit(None).cast("double"))
+            .otherwise(ap / n_pos), 6).alias("avg_precision"))
+
+
 @register("ml_auc_roc", f"""
 WITH lab AS (
   SELECT c_custkey, c_acctbal,
