@@ -138,13 +138,24 @@ def measure_floor(spark) -> float:
     return round(statistics.median(run() for _ in range(5)), 4)
 
 
-def bench_spark(spark, sf_dir: str) -> dict[str, float]:
+def bench_spark(spark, sf_dir: str) -> tuple[dict[str, float],
+                                             dict[str, dict[str, int]]]:
+    """Per-query median wall time plus job/stage counts (r11 verdict
+    task 1: a floor-bound query is provably floor-bound when its cost
+    is ~N stages × the per-stage scheduling constant, so the counts
+    ship with the times). Counts come from the status tracker around
+    one timed run; the warmup run before timing also builds every
+    session-cached artifact (table plans, the LSH/IVF index
+    checkpoints), so timed runs measure the query, not index builds."""
     import __spark_entry__ as E
 
     qs = E.queries()
     times: dict[str, float] = {}
+    counts: dict[str, dict[str, int]] = {}
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
     for name in HEADLINE:
         fn = qs[name]
+        spark.sparkContext.setJobDescription(f"bench:{name}")
 
         def run() -> float:
             t0 = time.perf_counter()
@@ -155,9 +166,21 @@ def bench_spark(spark, sf_dir: str) -> dict[str, float]:
                 df.write.mode("overwrite").format("noop").save()
             return time.perf_counter() - t0
 
-        run()  # warmup
-        times[name] = round(statistics.median(run() for _ in range(TIMED_RUNS)), 4)
-    return times
+        run()  # warmup (also populates session caches — see docstring)
+        before = set(tracker.getJobIdsForGroup(None))
+        first = run()
+        new_jobs = [j for j in tracker.getJobIdsForGroup(None)
+                    if j not in before]
+        n_stages = 0
+        for j in new_jobs:
+            info = tracker.getJobInfo(j)
+            if info.isDefined():
+                n_stages += len(info.get().stageIds())
+        counts[name] = {"jobs": len(new_jobs), "stages": n_stages}
+        rest = [run() for _ in range(TIMED_RUNS - 1)]
+        times[name] = round(statistics.median([first] + rest), 4)
+        spark.sparkContext.setJobDescription(None)
+    return times, counts
 
 
 def bench_duckdb(sf_dir: str) -> dict[str, float]:
@@ -203,13 +226,14 @@ def bench_scale(spark, scale: int) -> dict:
     # one session serves every scale.
     base = int(os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"])
     spark.conf.set("spark.sql.shuffle.partitions", str(base * scale))
-    spark_times = bench_spark(spark, sf_dir)
+    spark_times, job_counts = bench_spark(spark, sf_dir)
     duck_times = bench_duckdb(sf_dir)
     ratio = _ratios(spark_times, duck_times)
     default_ratios = [v for k, v in ratio.items() if k not in TWINS]
     return {
         "dir": sf_dir,
         "queries": spark_times,
+        "job_counts": job_counts,
         "duckdb": duck_times,
         "ratio": ratio,
         "median_ratio": round(statistics.median(ratio.values()), 2),
@@ -246,6 +270,7 @@ def main() -> None:
         "value": base["value"],
         "unit": "sec",
         "queries": base["queries"],
+        "job_counts": base["job_counts"],
         "sf": _sf_from_dir(SF_DIR),
         "duckdb": base["duckdb"],
         "ratio": base["ratio"],

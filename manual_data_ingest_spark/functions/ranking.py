@@ -89,6 +89,20 @@ def _materialize(df: DataFrame) -> DataFrame:
         out.count()  # populate now: all three branches read blocks
         return out
     if mode == "checkpoint":
+        # Lifecycle (r11 advice, low): reliable checkpoints are NOT
+        # garbage-collected by the ContextCleaner unless the STATIC
+        # conf spark.cleaner.referenceTracking.cleanCheckpoints=true
+        # was set at session build (it cannot be flipped at runtime),
+        # so a long-lived session that chains many rank passes in
+        # 'checkpoint' mode grows <checkpointDir> unboundedly. Deleting
+        # the files here would race the downstream branches that still
+        # read them (the rank pass returns a LAZY plan), so the engine
+        # cannot clean eagerly either: deployments choosing this mode
+        # must set the cleaner conf on the session they build, or
+        # periodically clear <warehouse>/_mdis_checkpoints between
+        # jobs. 'localCheckpoint' (default) and 'persist' blocks are
+        # dropped by the ContextCleaner once the plan objects go out
+        # of scope — no such growth.
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             import os

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.io import fan_out, load_table
 from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
 from manual_data_ingest_spark.registry import register
 
@@ -53,6 +53,9 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus top-20 tokens with document frequency — partial aggregation
     # shrinks the shuffle to (token, partial count) pairs
     d = load_table(spark, sf_dir, "documents")
+    # NO fan_out (measured r12): split+explode+partial-count is light
+    # enough per row that the extra exchange costs more than the
+    # parallelism wins (0.35→0.39 s at sf0.1, 0.52→0.61 s at 4×)
     return (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
             .groupBy("token")
             .agg(F.count("*").alias("cnt"),
@@ -289,8 +292,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "n_distinct_windows": n_dis})
 
     d = load_table(spark, sf_dir, "documents")
-    return (d.filter(F.length("text") >= _FP_W)
-            .select("doc_id", "text")
+    # fan_out: one Python worker was doing the whole corpus (single-task
+    # scan); the sliding-window hash parallelizes linearly (io.fan_out)
+    return (fan_out(d.filter(F.length("text") >= _FP_W)
+                    .select("doc_id", "text"))
             .mapInPandas(fp, schema="doc_id long, fp_min long, "
                                     "n_windows int, n_distinct_windows int"))
 

@@ -84,6 +84,42 @@ def clear_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
                 del idx[key]
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition an under-parallel scan before CPU-heavy row expansion
+    (guide §2.5 "one huge unsplittable file" remedy, r12 optimization).
+
+    Parquet splits only at row-group boundaries, so a single-row-group
+    file scans as ONE task no matter how small the configured split
+    size — and the fixture tables are exactly that, which left every
+    explode+hash map stage (shingling, tokenizing, fingerprint sums)
+    on one core with the other 31 idle (measured: dedup_near_jaccard's
+    shingle stage was single-task at every split setting).
+
+    Round-robin repartition to the session's default parallelism, but
+    ONLY when the plan is genuinely under-parallel (fewer partitions
+    than half the task slots). At 100 TB the inputs carry thousands of
+    row groups / files, the guard is a no-op, and no extra shuffle is
+    paid — this is a small-input adaptation, not a tuned constant: both
+    sides of the comparison derive from the live session. The round-
+    robin exchange itself is retry-safe: Spark local-sorts input before
+    round-robin placement (sortBeforeRepartition, SPARK-23207).
+
+    Probe: the JVM-side physical-plan partition count (~1-4 ms, no
+    job). Python-side ``df.rdd`` would ALSO work but builds the whole
+    Python-serialization pipeline on first touch — measured ~1 s per
+    fresh DataFrame, i.e. more than the win on some queries. CALLER
+    CONTRACT: pass a scan-shaped plan (table load + filters/projects,
+    no exchange) — under AQE an exchange-bearing plan would execute its
+    query stages eagerly inside the probe.
+    """
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    if n * 2 >= slots:
+        return df
+    return df.repartition(slots)
+
+
 def _convert_event_ts(df: DataFrame) -> DataFrame:
     """bigint-nanos → TimestampType(µs), truncating (positive epochs: floor)."""
     if dict(df.dtypes).get("ts") == "bigint":

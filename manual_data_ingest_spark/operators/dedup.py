@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from manual_data_ingest_spark.io import load_table
+from manual_data_ingest_spark.io import fan_out, load_table
 from manual_data_ingest_spark.functions.rounding import rnd, sql_rnd
 from manual_data_ingest_spark.registry import register
 
@@ -64,7 +64,11 @@ def _shingles(docs: DataFrame) -> DataFrame:
     sh = F.array_distinct(F.expr(
         "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
         " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"))
-    return (docs.filter(F.col("text").isNotNull())
+    # fan_out BEFORE the explode: the shingle transform + explode is the
+    # CPU-heavy map stage of every consumer, and the fixture scan is one
+    # task (single-row-group parquet) — r12 guard, no-op on well-split
+    # input (io.fan_out docstring)
+    return (fan_out(docs.filter(F.col("text").isNotNull()))
             .select("doc_id", F.explode(sh).alias("shingle")))
 
 
@@ -154,7 +158,7 @@ def _jaccard_pairs(d: DataFrame, threshold: float) -> DataFrame:
     pairs = (postings.select(F.explode(pair_arr).alias("p"))
              .groupBy(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
              .agg(F.count("*").alias("common")))
-    sizes = d.select(
+    sizes = fan_out(d).select(
         "doc_id",
         F.size(F.array_distinct(F.expr(
             "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
@@ -240,7 +244,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-pass (a full extra shuffle over the token stream) is pure
     # overhead — measured 1.38 s → ~0.8 s exec at sf0.1. The oracle
     # keeps the counted form; the integer sums are identical.
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # fan_out: the token explode + md5 + bit-sum partial agg is the
+    # CPU-heavy map stage; single-row-group fixture scans are one task
+    tok = (fan_out(d)
+           .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .select("doc_id",
                    F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10)"
                           " as bigint)").alias("h")))
@@ -310,7 +317,10 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count only on candidates, first-matching-chunk filter collapses multi-chunk hits shuffle-free.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # fan_out: the token explode + md5 + bit-sum partial agg is the
+    # CPU-heavy map stage; single-row-group fixture scans are one task
+    tok = (fan_out(d)
+           .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .select("doc_id",
                    F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10)"
                           " as bigint)").alias("h")))
@@ -1158,7 +1168,10 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # fan_out: the token explode + md5 + bit-sum partial agg is the
+    # CPU-heavy map stage; single-row-group fixture scans are one task
+    tok = (fan_out(d)
+           .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .select("doc_id",
                    F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10)"
                           " as bigint)").alias("h")))
@@ -1240,7 +1253,10 @@ def sim_hamming_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
-    tok = (d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    # fan_out: the token explode + md5 + bit-sum partial agg is the
+    # CPU-heavy map stage; single-row-group fixture scans are one task
+    tok = (fan_out(d)
+           .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .select("doc_id",
                    F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10)"
                           " as bigint)").alias("h")))

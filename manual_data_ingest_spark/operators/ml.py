@@ -2039,13 +2039,23 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering, cut at min(k, |relevant|)).
 
     Same probe topology as `sim_topk`/`ml_precision_at_k` (probes
-    broadcast, corpus never shuffled), but the per-probe aggregate
-    needs the FULL corpus ranking (n_rel_corpus and the ideal DCG
-    depend on every same-label row, not just the top k), so no
-    group-limit pushdown — one groupBy over probe-tagged scores, DCG
-    terms zeroed outside the cutoff. The ideal DCG is a bounded fold
-    over sequence(1, min(k, n_rel)); NDCG is defined as 0 for a probe
-    with no same-label corpus rows (both engines, explicitly).
+    broadcast, corpus never shuffled). r12 optimization (the r11
+    advice's medium finding): the ORIGINAL form ranked the FULL corpus
+    per probe under the probe window (no rank<=k filter → no
+    WindowGroupLimit pushdown; the whole probes×corpus stream funneled
+    through <=n_probes window tasks). Only rn<=10 contributes to DCG
+    (fr>10 contributes 0 to MRR@10), and n_rel_corpus never needed the
+    ranking at all — it is the probe label's corpus count minus the
+    probe itself. So: (a) n_rel_corpus comes from a plain per-label
+    corpus aggregate (map-side partial agg, no window); (b) the window
+    carries an rn<=10 filter, so InferWindowGroupLimit keeps 10 rows
+    per probe per input partition BEFORE the shuffle. Output-identical
+    (dcg terms outside top-10 were zeroed; fr>10 mapped to mrr=0 and
+    now arrives as NULL which maps to the same 0; n_rel_corpus
+    arithmetic identity) — re-oracled at three SFs. The ideal DCG is a
+    bounded fold over sequence(1, min(k, n_rel)); NDCG is defined as 0
+    for a probe with no same-label corpus rows (both engines,
+    explicitly).
     """
     from manual_data_ingest_spark.operators.similarity import cos_arrow
 
@@ -2056,23 +2066,31 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("label").alias("probe_label"),
                       F.col("embedding").alias("pv")))
-    score = cos_arrow(F.col("pv"), F.col("embedding"))
-    ranked = (F.broadcast(probes)
-              .join(e, F.col("vec_id") != F.col("probe_id"))
+    # n_rel_corpus = corpus rows sharing the probe's label, excluding
+    # the probe row itself (which always carries its own label): a
+    # label-count aggregate, NOT a per-probe ranking
+    label_n = e.groupBy("label").agg(F.count("*").alias("_n"))
+    counts = (probes.join(label_n,
+                          probes.probe_label == label_n.label)
               .select("probe_id", "probe_label",
-                      F.col("vec_id").alias("n_id"),
-                      F.col("label").alias("n_label"),
-                      score.alias("score_raw"))
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("probe_id")
-                  .orderBy(F.col("score_raw").desc(), F.col("n_id")))))
+                      (F.col("_n") - F.lit(1)).alias("n_rel_corpus")))
+    score = cos_arrow(F.col("pv"), F.col("embedding"))
+    top = (F.broadcast(probes)
+           .join(e, F.col("vec_id") != F.col("probe_id"))
+           .select("probe_id", "probe_label",
+                   F.col("vec_id").alias("n_id"),
+                   F.col("label").alias("n_label"),
+                   score.alias("score_raw"))
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("probe_id")
+               .orderBy(F.col("score_raw").desc(), F.col("n_id"))))
+           .filter(F.col("rn") <= 10))
     rel = F.col("n_label") == F.col("probe_label")
-    agg = (ranked.groupBy("probe_id", "probe_label")
-           .agg(F.sum(F.when(rel & (F.col("rn") <= 10),
-                             F.lit(1.0) / F.log2(F.col("rn") + 1))
-                      .otherwise(F.lit(0.0))).alias("dcg"),
-                F.count(F.when(rel, 1)).alias("n_rel_corpus"),
-                F.min(F.when(rel, F.col("rn"))).alias("fr")))
+    top_agg = (top.groupBy("probe_id")
+               .agg(F.sum(F.when(rel, F.lit(1.0) / F.log2(F.col("rn") + 1))
+                          .otherwise(F.lit(0.0))).alias("dcg"),
+                    F.min(F.when(rel, F.col("rn"))).alias("fr")))
+    agg = counts.join(top_agg, "probe_id")
     # greatest(...,1) keeps the sequence ascending when n_rel = 0 (the
     # ndcg when-branch discards that case, but sequence(1, 0) would
     # otherwise produce the DESCENDING [1, 0] and an Inf term)

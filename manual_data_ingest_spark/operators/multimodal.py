@@ -152,6 +152,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     d = load_table(spark, sf_dir, "documents")
+    # NO fan_out here (measured r12): repartitioning the binary media
+    # column shuffles the heavy payload bytes to parallelize a decode
+    # that is too cheap to amortize them (0.27→0.53 s at sf0.1,
+    # 0.34→0.91 s at 4×) — the guide §8 rule (move heavy bytes as few
+    # times as possible) beats the §2.5 unsplittable-input remedy when
+    # the per-byte work is trivial.
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
     return media.mapInPandas(
         decode,
@@ -177,6 +183,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video frame-sampling stub: every 500th byte is a "frame"; real
     # decoders swap into the same mapInPandas slot with the same schema.
     d = load_table(spark, sf_dir, "documents")
+    # NO fan_out here (measured r12): repartitioning the binary media
+    # column shuffles the heavy payload bytes to parallelize a decode
+    # that is too cheap to amortize them (0.27→0.53 s at sf0.1,
+    # 0.34→0.91 s at 4×) — the guide §8 rule (move heavy bytes as few
+    # times as possible) beats the §2.5 unsplittable-input remedy when
+    # the per-byte work is trivial.
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
     return media.mapInPandas(
         _frame_sample_batches, schema=_FRAME_SAMPLE_SCHEMA)
@@ -245,6 +257,12 @@ def multimodal_audio_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "sample_rate": 16000, "rms_stub": rms})
 
     d = load_table(spark, sf_dir, "documents")
+    # NO fan_out here (measured r12): repartitioning the binary media
+    # column shuffles the heavy payload bytes to parallelize a decode
+    # that is too cheap to amortize them (0.27→0.53 s at sf0.1,
+    # 0.34→0.91 s at 4×) — the guide §8 rule (move heavy bytes as few
+    # times as possible) beats the §2.5 unsplittable-input remedy when
+    # the per-byte work is trivial.
     media = d.select("doc_id", F.col("text").cast("binary").alias("media"))
     return media.mapInPandas(
         features, schema="doc_id long, duration_sec double, "

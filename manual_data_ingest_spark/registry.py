@@ -146,19 +146,27 @@ _REGRADE_PRIORITY: tuple[str, ...] = (
 def _latest_verdicts() -> dict[str, bool]:
     """Latest driver verdict per name across ``CORRECTNESS_r*.json``.
 
-    Files are processed in round order (the ``r0N`` suffix sorts
-    lexicographically) and later rounds OVERWRITE earlier ones, so the
-    value is each name's most recent hash verdict — an operator that was
-    green in r2 but regresses red in a later round re-enters the grading
-    head instead of hiding in the tail forever (r3 advisor, medium).
+    Files are processed in NUMERIC round order (r11 advice: the
+    lexicographic sort is chronological only while round numbers stay
+    zero-padded — r100 would sort before r99) and later rounds
+    OVERWRITE earlier ones, so the value is each name's most recent
+    hash verdict — an operator that was green in r2 but regresses red
+    in a later round re-enters the grading head instead of hiding in
+    the tail forever (r3 advisor, medium).
     """
     import glob
     import json
     import os
+    import re
+
+    def _round_no(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
+                       key=_round_no):
         try:
             with open(path) as fh:
                 verdicts = json.load(fh)
@@ -196,7 +204,12 @@ def _last_graded_round() -> dict[str, int]:
         except (OSError, ValueError):  # pragma: no cover — corrupt file
             continue
         for name in verdicts:
-            rounds[name] = int(m.group(1))
+            # max(), not file-sort order: the glob sorts lexicographically,
+            # which is chronological only while round numbers stay
+            # zero-padded to the same width — r100 (or an unpadded file)
+            # would sort before r99 and silently overwrite newer verdicts
+            # (r11 advice)
+            rounds[name] = max(rounds.get(name, 0), int(m.group(1)))
     return rounds
 
 

@@ -222,13 +222,54 @@ def _sites():
     return out
 
 
+#: hash/bucketing functions whose presence in a partitionBy EXPRESSION
+#: marks the window as block-partitioned (bounded by construction)
+_HASH_FUNCS = ("crc32", "conv", "hash", "md5", "pmod", "sha1", "sha2",
+               "xxhash64")
+#: SQL-text fallback for F.expr("...") string payloads: a hash-func
+#: CALL (name followed by '(') or a modulo OPERATOR in value context —
+#: NOT any substring, so 'my_hash_col' or a '%' inside a LIKE pattern
+#: no longer auto-exempts a window (r11 advice: the old substring match
+#: was a false-negative generator in the exact tool meant to catch them)
+import re as _re
+
+_SQL_BLOCK_RE = _re.compile(
+    r"(?:\b(?:" + "|".join(_HASH_FUNCS) + r")\s*\()"
+    r"|(?:[\w)\]]\s*%\s*[\w(])")
+
+
+def _expr_is_block(src: str) -> bool:
+    """AST-level block detection for an unparsed partitionBy expression:
+    a Mod BinOp or a call to a hash/bucket function counts; string
+    constants inside (F.expr payloads) fall back to call/operator-shaped
+    regexes. Plain identifiers that merely CONTAIN 'hash' or '%' do not
+    match."""
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError:
+        return bool(_SQL_BLOCK_RE.search(src))
+    for n in ast.walk(tree):
+        if isinstance(n, ast.BinOp) and isinstance(n.op, ast.Mod):
+            return True
+        if isinstance(n, ast.Call):
+            f = n.func
+            name = f.attr if isinstance(f, ast.Attribute) else getattr(
+                f, "id", "")
+            if name in _HASH_FUNCS:
+                return True
+        if (isinstance(n, ast.Constant) and isinstance(n.value, str)
+                and _SQL_BLOCK_RE.search(n.value)):
+            return True
+    return False
+
+
 def classify(keys, exprs):
     if any(k in ENTITY_KEYS for k in keys):
         return "entity"
     if any(k in BLOCK_KEYS for k in keys):
         return "block"
     for e in exprs:
-        if "md5" in e or "hash" in e or "%" in e:
+        if _expr_is_block(e):
             return "block"
         if e.startswith("*"):
             # splatted caller keys next to a block literal are covered
