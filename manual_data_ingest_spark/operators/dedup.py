@@ -92,12 +92,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group-limit prunes nothing pre-shuffle while the hash aggregate
     # partial-combines map-side AND skips the per-partition sort
     # (A/B at 4×: 0.48 → 0.34 s median-of-5; same rows, BASELINE.md r4)
+    # r12: the self-union is an EXPLODE of the two ids per row, not a
+    # two-branch union — one scan of documents instead of two, and the
+    # digest is computed once per document instead of once per branch
+    # (guide §2.4: the union's second scan was a removable pass; same
+    # rows by construction — min over {id, id+OFFSET} per digest group).
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    both = d.unionByName(d.select((F.col("doc_id") + _OFFSET).alias("doc_id"),
-                                  "text"))
     digest = F.md5(F.lower(F.trim(F.col("text"))))
-    return (both.select("doc_id", digest.alias("content_md5"))
-            .groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
+    both = d.select(
+        digest.alias("content_md5"),
+        F.explode(F.array(F.col("doc_id"),
+                          F.col("doc_id") + _OFFSET)).alias("doc_id"))
+    return (both.groupBy("content_md5").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id", "content_md5"))
 
 

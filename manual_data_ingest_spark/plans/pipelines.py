@@ -52,22 +52,33 @@ def pipeline_llm_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle (the dedup window); everything downstream is map-side
     and fused by Catalyst — at 100 TB this runs as two stages total.
+
+    r12 optimization (guide §2.3 "project before the exchange" / §8
+    "decide with small rows"): the quality metrics and both digests are
+    computed in the SCAN stage, so the dedup window's exchange carries
+    ~100 bytes/row of scores + digests instead of the full document
+    text (the only consumer of `text` is map-side arithmetic). The
+    dedup key, survivor rule (min doc_id per normalized digest) and
+    every output value are unchanged — the gates just evaluate against
+    columns computed before the shuffle instead of after.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
-    deduped = (d.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1).drop("rn"))
     toks = F.split("text", " ")
     n_tok = F.size(toks)
     n_stop = F.expr(_STOP_SPARK)
     avg_tok = (F.aggregate(F.transform(toks, F.length), F.lit(0),
                            lambda a, v: a + v).cast("double") / n_tok)
+    scored = d.select(
+        "doc_id", "lang", "source",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        avg_tok.alias("avg_tok"),
+        F.md5("text").alias("content_md5"),
+        F.md5(F.lower(F.trim("text"))).alias("_norm_key"))
+    w = Window.partitionBy("_norm_key").orderBy("doc_id")
+    deduped = (scored.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).drop("rn", "_norm_key"))
     return (deduped
-            .select("doc_id", "lang", "source",
-                    n_tok.alias("n_tokens"),
-                    n_stop.alias("n_stop"),
-                    avg_tok.alias("avg_tok"),
-                    F.md5("text").alias("content_md5"))
             .filter((F.col("n_tokens") >= 40) & (F.col("n_tokens") <= 100000)
                     & (F.col("n_stop") >= 2)
                     & (F.col("avg_tok") >= 3) & (F.col("avg_tok") <= 10))
