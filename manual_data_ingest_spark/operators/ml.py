@@ -246,6 +246,7 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells) slot in when brute force stops being the right baseline —
     the vote/confusion algebra downstream is unchanged.
     """
+    from manual_data_ingest_spark.io import fan_out
     from manual_data_ingest_spark.operators.similarity import cosine
 
     e = (load_table(spark, sf_dir, "embeddings")
@@ -257,8 +258,16 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("vec_id").alias("pid"),
                       F.col("label").alias("true_label"),
                       F.col("embedding").alias("pv")))
+    # fan_out on the corpus side only (r12): the panel×corpus nested-
+    # loop join evaluates the ~600-node unrolled cosine per pair, and a
+    # single-row-group corpus file scans as ONE task — the whole
+    # scoring stage ran on one core (measured 4.4 s at sf0.1; §2.5
+    # "unsplittable input"). Probes stay on the raw scan (tiny,
+    # broadcast). The partial WindowGroupLimit keeps ≤k rows per probe
+    # per partition, so the fan-out multiplies parallelism, not
+    # shuffle bytes.
     scored = (F.broadcast(probes)
-              .join(e, F.col("vec_id") != F.col("pid"))
+              .join(fan_out(e), F.col("vec_id") != F.col("pid"))
               .select("pid", "true_label",
                       F.col("label").alias("nbr_label"),
                       cosine("pv", "embedding").alias("score"),

@@ -1980,6 +1980,8 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from manual_data_ingest_spark.functions.ranking import (
         with_bounded_frame_buckets)
 
+    from manual_data_ingest_spark.functions.ranking import _materialize
+
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     aug = with_bounded_frame_buckets(
         ev, ["event_type"], "ts", ["event_id"], k_back=14,
@@ -2002,7 +2004,21 @@ def win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = m.withColumn("med", mid(F.col("arr")))
     devs = F.sort_array(F.transform(
         F.col("arr"), lambda x: F.abs(x - F.col("med"))))
-    scored = med.withColumn("mad", mid(devs))
+    # Materialization barrier before the flag filter (r12, guide §1.2
+    # step 1): PushDownPredicates substitutes aliases into a pushed
+    # filter with NO cost guard, so `mad > 0 AND |value-med| > 5·mad`
+    # expanded into the full med/devs/mad chain — the plan's Filter
+    # re-sorted the 14-element frame array ~30× PER ROW (med re-
+    # evaluated per transform() element inside each of several devs
+    # copies; measured 6.5 s vs the sibling win_rolling_median's
+    # 1.7 s). Projecting the five narrow columns and cutting lineage
+    # with the configured rank-pass strategy (spark.mdis.rank.
+    # materialize — same fault-tolerance trade documented there)
+    # makes every stage evaluate once: 6.5 → ~1.8 s at sf0.1.
+    scored = _materialize(
+        med.withColumn("devs", devs)
+        .withColumn("mad", mid(F.col("devs")))
+        .select("event_id", "event_type", "value", "med", "mad"))
     return (scored
             .filter((F.col("mad") > 0.0)
                     & (F.abs(F.col("value") - F.col("med"))

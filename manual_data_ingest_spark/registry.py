@@ -119,27 +119,28 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 #: range-halo consumers, and every ranking.py consumer — the
 #: materialization-strategy hook touched the shared primitive).
 _REGRADE_PRIORITY: tuple[str, ...] = (
-    # r11: every ranking.py consumer (materialization hook + the
-    # running-sum NULL-semantics fix touched the shared primitives)
-    "agg_abc_classification", "agg_gini", "agg_ks_test",
-    "agg_lorenz_curve", "agg_rfm_segments", "ingest_late_data_report",
-    "ml_calibration_bins_scalable", "ml_isotonic_calibration",
-    "ml_lift_chart", "ml_threshold_sweep", "multimodal_shard_assign",
-    "pipeline_curriculum_order_scalable", "pipeline_seq_pack",
-    "pipeline_token_shard", "pipeline_training_mix",
-    "sample_balanced_label", "sample_stratified", "sort_multi_null",
-    "win_dist_ranks", "win_gap_distribution", "win_ntile_firstlast",
-    "win_rolling_mad", "win_rolling_median", "win_twap",
-    # r11: min_by/max_by single-aggregate rewrite
-    "agg_ohlc_bars",
-    # r11: per-source window moved onto the partitioned-rank primitive
-    # (window_audit catch — one task per source before)
-    "ingest_id_mint_scalable",
-    # r11: ts_validity observation gained rows_dropped (observe-list
-    # change only, output contract untouched — re-grade for hygiene)
-    "stream_chained_stateful", "stream_dedup",
-    "stream_dedup_within_watermark", "stream_join",
-    "stream_join_outer", "stream_watermark_late",
+    # The full r11 composition (31 entries) re-graded green in
+    # CORRECTNESS_r11.json and was pruned per the rotation discipline
+    # (r10 verdict task 5). Current composition: the r12 optimization
+    # rewrites — outputs proven identical by the local 3-SF oracle
+    # sweeps, but each executed plan changed, so their standing greens
+    # predate the code that now runs.
+    # r12: fan_out of under-parallel scans (shared _shingles /
+    # _jaccard_pairs helpers, simhash token explodes, fingerprint map)
+    "dedup_near_jaccard", "dedup_near_jaccard_capped",
+    "dedup_near_minhash", "dedup_containment",
+    "dedup_minhash_band_tune", "dedup_minhash_estimate_error",
+    "dedup_simhash", "dedup_simhash_wide",
+    "sim_hamming_topk", "sim_hamming_topk_blocked",
+    "text_fingerprint", "ml_knn_classify",
+    # r12: single-scan digest-explode rewrite
+    "dedup_exact",
+    # r12: rank<=k WindowGroupLimit + windowless n_rel_corpus
+    "ml_ndcg_at_k",
+    # r12: metrics/digests computed below the dedup exchange
+    "pipeline_llm_prep",
+    # r12: materialization barrier ahead of the outlier filter
+    "win_rolling_mad",
 )
 
 

@@ -150,6 +150,11 @@ WHITELIST = {
         "week-grain cohort rollup",
     ("operators/windows.py", "win_interval_coalesce", ("sk",)):
         "bounded input contract (l_suppkey <= 20 filter)",
+    ("plans/pipelines.py", "pipeline_llm_prep", ("_norm_key",)):
+        "md5 digest dedup key (cardinality = distinct normalized "
+        "texts; the hash moved one projection upstream in r12 so the "
+        "exchange carries scores, not text — AST classifier cannot "
+        "see md5 through the alias) + rn==1 → WindowGroupLimit",
     ("plans/pipelines.py", "pipeline_eval_pack", ("lang",)):
         "rk<=10 → WindowGroupLimit partial top-k",
     ("plans/pipelines.py", "pipeline_preference_pairs", ("lang",)):
