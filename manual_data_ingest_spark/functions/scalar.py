@@ -231,7 +231,13 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family — try_divide yields NULL on /0 instead of failing the job
     # (one poisoned row must never kill a 100 TB pipeline), try_cast
     # NULLs unparseable values. Oracles are the CASE-protected twins.
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out (r12): EVERY row's try_cast of a non-numeric priority
+    # string fails-to-NULL — ~13 µs/row of parse-and-recover — and the
+    # single-row-group orders file scans as one task (sweep: 1.9 s
+    # warm single-threaded; io.fan_out docstring for the scale guard).
+    from manual_data_ingest_spark.io import fan_out
+
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     div = F.expr("try_divide(o_totalprice, o_custkey % 5)")
     return o.select(
         "o_orderkey",

@@ -81,15 +81,23 @@ SELECT lang, bigram, cnt FROM (
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-5 bigrams per language. NB Spark sequence(1,0) yields a
     # DESCENDING [1,0] (not empty) — the size>=2 guard is mandatory.
+    #
+    # r12: split ONCE into a projected column. The old form inlined
+    # `split(text, ' ')` inside the transform lambda, so every element
+    # access re-split the whole document — O(L²) work per doc (~30
+    # tokens mean, up to 100: the sweep measured 3.5 s warm for what is
+    # one explode+agg). `element_at(l, i)` is 1-based where `[i-1]/[i]`
+    # were 0-based: same adjacent pairs by index arithmetic.
     d = load_table(spark, sf_dir, "documents")
     bigram_arr = F.expr("""
-        CASE WHEN size(split(text, ' ')) >= 2
-             THEN transform(sequence(1, size(split(text, ' ')) - 1),
-                            i -> concat_ws(' ', split(text, ' ')[i-1],
-                                                split(text, ' ')[i]))
+        CASE WHEN size(l) >= 2
+             THEN transform(sequence(1, size(l) - 1),
+                            i -> concat_ws(' ', element_at(l, i),
+                                                element_at(l, i + 1)))
              ELSE array() END""")
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "bigram")
-    return (d.select("lang", F.explode(bigram_arr).alias("bigram"))
+    return (d.select("lang", F.split("text", " ").alias("l"))
+            .select("lang", F.explode(bigram_arr).alias("bigram"))
             .groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 5)

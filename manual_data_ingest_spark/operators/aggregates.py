@@ -1578,7 +1578,14 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip+moment pass re-uses the same distribution — the cuts table is
     group-cardinality and broadcasts.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out (r12): percentile_disc buffers every value in its agg
+    # state — the partial-agg pass is the heavy half, and the single-
+    # row-group lineitem scan ran it one-task (sweep: 2.9 s warm).
+    # Both branches (cuts + clip) read the same round-robin exchange,
+    # which ReuseExchange shares; scale guard per io.fan_out.
+    from manual_data_ingest_spark.io import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     cuts = (li.groupBy(F.col("l_returnflag").alias("g"))
             .agg(F.expr("percentile_disc(0.05) WITHIN GROUP"
                         " (ORDER BY l_extendedprice)").alias("lo"),

@@ -555,7 +555,14 @@ def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    li = load_table(spark, sf_dir, "lineitem")
+    from manual_data_ingest_spark.io import fan_out
+
+    # fan_out (r12): the fixture's single-row-group lineitem scans as
+    # ONE task, so the whole rule-eval + BOTH parquet sink writes ran
+    # single-threaded (sweep: 3.2 s warm). Round-robin to the session
+    # parallelism before the cached pass — at 100 TB the input arrives
+    # pre-split and the guard no-ops (io.fan_out docstring).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     reason = F.concat_ws(
         ",",
         F.when(F.col("l_discount") > 0.08, "discount_above_policy"),
@@ -1333,7 +1340,12 @@ def ingest_row_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     draft, misses every change that isn't the extremal row — caught by
     this operator's own mutation test).
     """
-    o = load_table(spark, sf_dir, "orders")
+    # fan_out (r12): six typed renderings + an md5 per row on the
+    # single-row-group orders scan ran one-task (sweep: 2.5 s warm);
+    # round-robin ahead of the hash stage — scale guard per io.fan_out.
+    from manual_data_ingest_spark.io import fan_out
+
+    o = fan_out(load_table(spark, sf_dir, "orders"))
     row_md5 = F.md5(F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),

@@ -2300,6 +2300,11 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     same formula scores annotator-vs-annotator agreement in labeling
     pipelines; truth column swaps for the second annotator.
     """
+    # r12 measured NEGATIVE, kept as-was: folding predictions to the
+    # ≤|langs|² confusion matrix first (one exchange, tiny branches)
+    # LOST +6…+11% at both 1× and 4× (interleaved A/B, median of 5) —
+    # the three pred-reading branches below already share the heavy NB
+    # stage via ReuseExchange, so the rewrite only added an exchange.
     pred = _nb_predictions(spark, sf_dir)
     a = pred.groupBy(F.col("actual").alias("k")).agg(
         F.count("*").alias("ca"))

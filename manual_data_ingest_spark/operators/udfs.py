@@ -105,7 +105,20 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (float((cents * q).sum()) / 100.0) / float(qsum)
 
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_partkey")
+    # r12: width of the Python stage = number of shuffle partitions
+    # (no partial agg exists for a pandas UDAF — every group's rows
+    # cross the boundary in the post-shuffle stage, and the ~20k
+    # tiny-group Series slices are per-group Python overhead). The
+    # bench protocol's data-sized shuffle constant (8 at sf0.1)
+    # throttled that stage to 8 of 32 slots — sweep: 7.5 s warm.
+    # Repartition by the grouping key to max(slots, shuffle
+    # partitions): the aggregate reuses the hash distribution (no
+    # second exchange), and at real scale shuffle partitions ≥ slots
+    # so this is exactly the exchange the groupBy would insert anyway.
+    n_py = max(spark.sparkContext.defaultParallelism,
+               int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return (li.repartition(n_py, "l_partkey")
+            .groupBy("l_partkey")
             .agg(rnd(wavg("l_extendedprice", "l_quantity"), 6)
                  .alias("weighted_avg_price")))
 

@@ -1009,7 +1009,16 @@ def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  if f.endswith(".parquet")]
     else:
         files = [path]
-    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+    # r12: build the one-row-per-file relation from spark.range + a
+    # literal array, NOT createDataFrame(local list) — first use of the
+    # Python-local-data path constructs the whole Python⇄JVM serializer
+    # pipeline (measured 5.0 s on a fresh session, ~0.3 s after; the
+    # sweep clocked this op at 6.7 s warm for a 1 ms footer read).
+    # range() is pure JVM; the path list is driver-side metadata
+    # (file-count-sized) either way.
+    paths = F.array(*[F.lit(f) for f in files])
+    fdf = spark.range(len(files)).select(
+        F.element_at(paths, (F.col("id") + 1).cast("int")).alias("path"))
 
     out_schema = T.StructType([
         T.StructField("n_rows", T.LongType()),
