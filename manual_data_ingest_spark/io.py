@@ -110,11 +110,21 @@ def fan_out(df: DataFrame) -> DataFrame:
     fresh DataFrame, i.e. more than the win on some queries. CALLER
     CONTRACT: pass a scan-shaped plan (table load + filters/projects,
     no exchange) — under AQE an exchange-bearing plan would execute its
-    query stages eagerly inside the probe.
+    query stages eagerly inside the probe. Since r13 the contract is
+    ENFORCED (r12 verdict task 7): the probed plan is checked for
+    exchange/shuffle nodes before ``execute()`` and a violating caller
+    gets a ``ValueError`` instead of a silent double-execution.
     """
     spark = df.sparkSession
     slots = spark.sparkContext.defaultParallelism
-    n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    plan = df._jdf.queryExecution().executedPlan()
+    desc = plan.toString()
+    if "Exchange" in desc or "ShuffleQueryStage" in desc:
+        raise ValueError(
+            "fan_out() caller contract violated: probed plan contains an "
+            "Exchange/ShuffleQueryStage — probing it would eagerly execute "
+            "query stages. Pass a scan-shaped plan (load + filter/project).")
+    n = plan.execute().getNumPartitions()
     if n * 2 >= slots:
         return df
     return df.repartition(slots)

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # fleet-sweep tier (pytest.ini)
+
 import __spark_entry__ as E
 from tests.conftest import SF_ORACLE
 

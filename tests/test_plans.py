@@ -966,6 +966,8 @@ def test_forced_fact_broadcast_detector_positive_control(spark):
     assert not ok2, ok2
 
 
+@pytest.mark.slow  # fleet-wide plan capture (~3 min); tools/plan_audit.py
+# runs the same registry-wide audit at round close
 def test_no_forced_fact_table_broadcast_anywhere(spark):
     """One loop over every registered plan (VERDICT.md r4 item 2): no
     operator may hint-force a raw fact-table subtree into a broadcast.

@@ -7,6 +7,10 @@ broken operator, not just the first.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # fleet-sweep tier (pytest.ini)
+
 import __spark_entry__ as E
 from tests.conftest import SF_SMALL
 
