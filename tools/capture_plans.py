@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for headline queries into plans/r12/.
+"""Capture .explain("formatted") for headline queries into plans/$PLANS_ROUND/.
 
 Usage: python3 tools/capture_plans.py <suffix> [name ...]
-Writes plans/r12/<query>_<suffix>.txt for each query (default: the
+Writes plans/<round>/<query>_<suffix>.txt (round from $PLANS_ROUND, default r13) for each query (default: the
 bench.py HEADLINE set). Judge-facing evidence for OPTIMIZATION_r12.md —
 plan text only, no timing, so it can run beside other work.
 """
@@ -35,7 +35,7 @@ def main() -> None:
         names = list(bench.HEADLINE)
     spark = get_spark("mdis-plan-capture")
     qs = E.queries()
-    out_dir = Path(_REPO) / "plans" / "r12"
+    out_dir = Path(_REPO) / "plans" / os.environ.get("PLANS_ROUND", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, SF_DIR)
